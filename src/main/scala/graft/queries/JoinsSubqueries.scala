@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Joins (extension — SURVEY.md §2.3: absent in the reference, planner rejects
+  * JOIN at sql/plan_parser.rs:617), EXISTS/scalar subqueries
+  * (udfs/udf.rs:22-28 `exists`, plan_expression.rs ScalarSubquery), casts
+  * (expressions/cast.rs), strings (strings/substring.rs), CASE/BETWEEN
+  * desugaring (plan_parser.rs:941-958), set operations (§2.7 extension).
+  *
+  * Scale notes: dimension sides are `broadcast()` (no shuffle of the fact
+  * table); semi/anti joins use Spark's left_semi/left_anti which build only
+  * the key set; AQE re-plans skew at runtime.
+  */
+object JoinsSubqueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_exists_subquery" -> ((s, dir) => {
+      // Correlated EXISTS — reference supports uncorrelated exists() only
+      // (transform_create_sets.rs); Spark decorrelates to a semi join.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE EXISTS (SELECT 1 FROM orders
+              |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+              |ORDER BY c_custkey, c_name""".stripMargin)
+    }),
+    "q13_scalar_subquery" -> ((s, dir) => {
+      // Uncorrelated scalar subquery (Expression::ScalarSubquery,
+      // plan_expression.rs:95-105) — broadcast single-value join in Spark.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+              |ORDER BY c_custkey, c_acctbal""".stripMargin)
+    }),
+    "q14_in_subquery" -> ((s, dir) => {
+      // Uncorrelated IN subquery + BETWEEN desugar (plan_parser.rs:941-958).
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+              |FROM orders
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              |  AND o_totalprice BETWEEN 100000 AND 200000""".stripMargin)
+    }),
+    "q15_cast" -> ((s, dir) => {
+      // CAST family (expressions/cast.rs:20-59; named toInt* casts).
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .select(
+          col("l_orderkey"),
+          col("l_quantity").cast("long").as("q_int"),
+          col("l_linenumber").cast("long").as("ln_big"),
+          col("l_orderkey").cast("string").as("ok_str"),
+          col("l_shipdate").cast("date").as("ship_day"))
+        .orderBy(col("l_orderkey"), col("q_int"), col("ln_big"), col("ship_day"))
+    }),
+    "q16_strings" -> ((s, dir) => {
+      // String functions (strings/substring.rs; SUBSTRING FROM/FOR desugar
+      // plan_parser.rs:919-940) + Spark's wider built-in family.
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_type"), 1, 5).as("sub"),
+          length(col("p_name")).cast("long").as("len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("cc"),
+          regexp_replace(col("p_name"), " ", "_").as("rep"))
+        .orderBy(col("p_partkey"), col("up"), col("cc"))
+    }),
+    "q17_case_coalesce" -> ((s, dir) => {
+      // CASE WHEN / coalesce / nullif scalar conditionals.
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"))
+        .orderBy(col("o_orderkey"), col("bucket"), col("st"))
+    }),
+    "q18_setops" -> ((s, dir) => {
+      // UNION / INTERSECT / EXCEPT (§2.7 — rejected by the reference's
+      // planner at plan_parser.rs:410-418; native in Spark).
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      def cnt(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      cnt(c.union(su).distinct(), "union")
+        .union(cnt(c.intersect(su), "intersect"))
+        .union(cnt(c.except(su), "except"))
+        .orderBy(col("op"))
+    }),
+    "q19_join_broadcast" -> ((s, dir) => {
+      // Inner equi-join, dimension broadcast: the fact table never shuffles.
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q20_tpch_q3" -> ((s, dir) => {
+      // Multi-join + agg + top-k (TPC-H Q3 shape). customer is filtered then
+      // broadcast; lineitem (the 100TB side) streams through one shuffle-free
+      // probe, then a single hash aggregation.
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ords = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-06-30 00:00:00")))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-06-30 00:00:00")))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q21_join_semi_anti" -> ((s, dir) => {
+      // left_semi / left_anti joins (EXISTS / NOT EXISTS shapes as native
+      // join types — only the key set of the right side is built).
+      val cust = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      def agg1(df: DataFrame, op: String) =
+        df.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("c_mktsegment"), col("n"))
+      agg1(cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi"), "semi")
+        .union(agg1(cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti"), "anti"))
+        .orderBy(col("op"), col("c_mktsegment"))
+    }),
+    "q22_join_left_outer" -> ((s, dir) => {
+      // Left outer join preserving unmatched dimension rows.
+      val nation = t(s, dir, "nation")
+      val richCust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      nation.join(richCust, col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy(col("n_nationkey"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q12_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey, c_name""".stripMargin,
+    "q13_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey, c_acctbal""".stripMargin,
+    "q14_in_subquery" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice BETWEEN 100000 AND 200000""".stripMargin,
+    "q15_cast" ->
+      """SELECT l_orderkey,
+        |  CAST(l_quantity AS BIGINT) AS q_int,
+        |  CAST(l_linenumber AS BIGINT) AS ln_big,
+        |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+        |  CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem WHERE l_orderkey < 50
+        |ORDER BY l_orderkey, q_int, ln_big, ship_day""".stripMargin,
+    "q16_strings" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_type, 1, 5) AS sub,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  p_brand || '#' || p_type AS cc,
+        |  replace(p_name, ' ', '_') AS rep
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey, up, cc""".stripMargin,
+    "q17_case_coalesce" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey, bucket, st""".stripMargin,
+    "q18_setops" ->
+      """SELECT 'union' AS op, count(*) AS n FROM
+        |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) u
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) i
+        |UNION ALL
+        |SELECT 'except', count(*) FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
+        |ORDER BY op""".stripMargin,
+    "q19_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q20_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q21_join_semi_anti" ->
+      """SELECT 'semi' AS op, c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'anti', c_mktsegment, count(*) FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment
+        |ORDER BY op, c_mktsegment""".stripMargin,
+    "q22_join_left_outer" ->
+      """SELECT n_nationkey, n_name, count(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+  )
+}

@@ -18,9 +18,19 @@ object Tables {
 
   /** Read one star-schema table from an sf directory. Parquet scan: column
     * pruning + predicate pushdown happen in Catalyst; do not pre-cache (at
-    * 100 TB the scan must stream, not pin). */
+    * 100 TB the scan must stream, not pin).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    * vectorized reader rejects; read it as raw nanos and rebuild the µs
+    * timestamp with integer division (a plain `/` would go through double
+    * and lose precision above 2^53 ns). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every star-schema table as a temp view so `spark.sql` queries
     * (EXISTS/scalar subqueries, CTEs) can reference them by name. */
