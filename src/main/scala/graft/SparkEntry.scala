@@ -31,7 +31,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.queries ++
       JoinsSubqueries.queries ++
-      WindowsSetsDates.queries
+      WindowsSetsDates.queries ++
+      PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Keys absent here get the driver's weaker rows-only
@@ -39,5 +40,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreRelational.oracle ++
       JoinsSubqueries.oracle ++
-      WindowsSetsDates.oracle
+      WindowsSetsDates.oracle ++
+      PipelineOps.oracle
 }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/** Deduplication operators for training-data pipelines, each in its scalable
+  * (explode → shuffle-on-key → join) formulation:
+  *
+  *   - exact: hash-groupBy over all columns / a key;
+  *   - n-gram Jaccard: exact set similarity via an inverted-index join
+  *     (never materializes the quadratic pair space — only docs sharing an
+  *     n-gram meet, grouped within a blocking key);
+  *   - MinHash + LSH: signature → band buckets → bucket join → candidate
+  *     pairs verified with exact Jaccard;
+  *   - SimHash: 64-bit fingerprint (custom Catalyst expression), 4×16-bit
+  *     band blocking, Hamming-distance verification;
+  *   - embedding cosine: random-hyperplane LSH buckets → in-bucket exact
+  *     cosine (see [[Similarity]]).
+  *
+  * All deterministic: hash functions are seeded, no sampling.
+  */
+object Dedup {
+
+  // ---------- exact ------------------------------------------------------
+
+  /** Summary of full-row duplicate groups (count of groups and surplus rows).
+    * One hash aggregation over all columns — the 100 TB formulation of
+    * `SELECT ... GROUP BY * HAVING count(*) > 1`. */
+  def duplicateRowSummary(df: DataFrame): DataFrame = {
+    val dups = df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    dups.agg(
+      count(lit(1)).as("n_dup_groups"),
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n_dup_rows"),
+      coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_removable"))
+  }
+
+  /** Exact dedup keeping one arbitrary-but-deterministic representative per
+    * duplicate group (the min by `keep`). */
+  def exactDedup(df: DataFrame, keys: Seq[Column], keep: Column): DataFrame =
+    graft.ops.Relational.dedupFirst(df, keys, keep)
+
+  // ---------- n-grams ----------------------------------------------------
+
+  /** Word n-grams of a text column (empty array when fewer than n tokens). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all doc pairs within a blocking
+    * group that clear `minJaccard`. Inverted-index join: |A∩B| from a
+    * self-join on distinct (doc, ngram), |A| and |B| from per-doc counts —
+    * the pair space never materializes beyond docs that actually share an
+    * n-gram inside a block. */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      block: Column, n: Int, minJaccard: Double): DataFrame = {
+    val g = docs
+      .select(id.as("doc_id"), block.as("blk"), explode(wordNgrams(text, n)).as("ng"))
+      .distinct()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = g.select(col("doc_id").as("d1"), col("blk"), col("ng"))
+    val b = g.select(col("doc_id").as("d2"), col("blk").as("blk2"), col("ng").as("ng2"))
+    val inter = a.join(b,
+        col("blk") === col("blk2") && col("ng") === col("ng2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sa"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sb"), "d2")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  // ---------- MinHash + LSH ----------------------------------------------
+
+  /** Mersenne prime 2^31-1; permutation constants are fixed (seed 42) so
+    * signatures are reproducible run-to-run and cluster-to-cluster. */
+  private val P = 2147483647L
+  private val rnd = new scala.util.Random(42)
+  private val permA: Seq[Long] = Seq.fill(32)(1L + 2L * rnd.nextInt((P / 2 - 1).toInt))
+  private val permB: Seq[Long] = Seq.fill(32)(rnd.nextInt(P.toInt).toLong)
+
+  /** k=32 MinHash signature over word-`n`-gram shingles, as a pure
+    * higher-order-function expression (array<long> of length 32). */
+  def minhashSignature(text: Column, n: Int): Column = {
+    val hashes = transform(wordNgrams(text, n), s => pmod(hash(s).cast("long"), lit(P)))
+    transform(sequence(lit(0), lit(31)), i =>
+      array_min(transform(hashes,
+        h => pmod(element_at(typedlit(permA), i + 1) * h + element_at(typedlit(permB), i + 1), lit(P)))))
+  }
+
+  /** LSH band keys: 8 bands × 4 rows. Docs sharing any band key are
+    * candidate pairs. */
+  def lshBandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(7)),
+      b => concat_ws(",", concat(b.cast("string"), lit(":")), slice(sig, b * 4 + 1, lit(4))))
+
+  /** MinHash-LSH near-duplicate pairs: signature → band-bucket explode →
+    * bucket self-join (the only shuffle is on band keys) → estimated Jaccard
+    * from signature agreement, verified with exact n-gram Jaccard ≥
+    * `minJaccard`. */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, minJaccard: Double): DataFrame = {
+    val withSig = docs.select(id.as("doc_id"), text.as("txt"),
+      minhashSignature(text, n).as("sig"))
+    val buckets = withSig.select(col("doc_id"), col("sig"),
+      explode(lshBandKeys(col("sig"))).as("bucket"))
+    val cand = buckets.alias("x").join(buckets.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sig").as("sig1"), col("y.sig").as("sig2"))
+      .distinct()
+    val est = cand.withColumn("est_jaccard",
+      round(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+        .cast("double") / 32, 6))
+    // verify candidates with exact Jaccard on the n-gram sets
+    val exact = ngramJaccardPairs(docs, id, text, lit(1), n, minJaccard)
+    est.join(exact, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"))
+  }
+
+  // ---------- SimHash ----------------------------------------------------
+
+  /** 64-bit SimHash fingerprint (custom Catalyst expression — one pass over
+    * the string, no token-array allocation). */
+  def simhash(text: Column): Column = HashExpressions.simhash64(text)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, blocked on
+    * 4×16-bit fingerprint bands (a pair within Hamming ≤ 3 of a 64-bit hash
+    * must agree on at least one of 4 bands; wider distances may be missed —
+    * that's the standard recall trade). */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
+    val f = docs.select(id.as("doc_id"), simhash(text).as("fp"))
+    val bands = f.select(col("doc_id"), col("fp"), explode(array(
+      concat(lit("0:"), shiftrightunsigned(col("fp"), 0).bitwiseAND(lit(0xffffL)).cast("string")),
+      concat(lit("1:"), shiftrightunsigned(col("fp"), 16).bitwiseAND(lit(0xffffL)).cast("string")),
+      concat(lit("2:"), shiftrightunsigned(col("fp"), 32).bitwiseAND(lit(0xffffL)).cast("string")),
+      concat(lit("3:"), shiftrightunsigned(col("fp"), 48).bitwiseAND(lit(0xffffL)).cast("string"))
+    )).as("bucket"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.fp").as("fp1"), col("y.fp").as("fp2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

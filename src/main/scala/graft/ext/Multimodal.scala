@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata structs riding alongside. The
+  * Spark-side shape — schema, partitioning, batch-wise processing — is real
+  * and tested; the codec step is STUBBED (this container has no image/audio
+  * libraries) behind [[FakeCodec]], a deterministic stand-in that a real
+  * deployment replaces with a JNI/codec call inside the same
+  * `mapPartitions` batch loop.
+  */
+object Multimodal {
+
+  /** Metadata schema for a decoded image payload. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: "decodes" a payload into plausible image
+    * metadata derived from a stable hash of the bytes. Replace `decode`
+    * with a real codec (e.g. TwelveMonkeys/JavaCV) in deployment — the
+    * surrounding plumbing (batching, schema, null handling) is the real
+    * contract. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, String) = {
+      val h = graft.functions.HashExpressions.SipHash24.hash(payload)
+      val w = 64 + math.floorMod(h, 1856).toInt            // 64..1919
+      val ht = 64 + math.floorMod(h >>> 16, 1016).toInt    // 64..1079
+      val ch = if (math.floorMod(h >>> 32, 4) == 0L) 1 else 3
+      val fmt = if (math.floorMod(h, 2) == 0L) "fake/png" else "fake/jpeg"
+      (w, ht, ch, fmt)
+    }
+  }
+
+  /** Attach a binary payload column (UTF-8 bytes of `text` stand in for a
+    * real media blob in the test corpus). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Payload byte length — pure expression, pushes down. */
+  def payloadBytes(payload: Column): Column = octet_length(payload).cast("long")
+
+  /** Decode payloads partition-wise in fixed-size batches (the Scala
+    * analogue of a pandas-UDF batch loop: amortizes codec init per batch,
+    * never materializes a partition in memory). Appends `width/height/
+    * channels/format` columns. */
+  def decodeImages(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(docs.schema.fields ++ imageMetaSchema.fields)
+    val enc = Encoders.row(outSchema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one codec-context per batch in a real implementation
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val (w, h, c, f) = FakeCodec.decode(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(w, h, c, f))
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize planning: scales metadata to fit a bounding box, preserving
+    * aspect ratio (real resize happens in the codec; the plan is what the
+    * pipeline schedules on). */
+  def resizePlan(width: Column, height: Column, maxDim: Int): Column = {
+    val scale = least(lit(maxDim) / greatest(width, height).cast("double"), lit(1.0))
+    struct(
+      floor(width * scale).cast("int").as("width"),
+      floor(height * scale).cast("int").as("height"))
+  }
+
+  /** Frame sampling for video-like payloads: n evenly spaced byte offsets
+    * (stand-ins for frame indices) as an array column. */
+  def frameSampleOffsets(payload: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => (i * payloadBytes(payload)) / n)
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, content fingerprinting.
+  *
+  * Everything here is a pure per-row Column expression built from codegen'd
+  * built-ins and higher-order array functions — no UDFs, no shuffle; a 100 TB
+  * corpus maps through these at scan speed and stays inside whole-stage
+  * codegen. (Beyond the reference's scalar-function inventory, SURVEY.md §2.8.)
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, single punctuation —
+    * the pre-tokenization regex shape used by byte-pair encoders. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "in", "is", "and", "or", "for")
+
+  /** Fraction of tokens that are (English) stopwords — a fluency proxy. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => array_contains(typedlit(stopwords), t)))
+      .cast("double") / greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Ratio of alphabetic characters to all characters. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)), 6)
+
+  /** Mean token length (chars per whitespace token). */
+  def meanTokenLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)), 6)
+
+  /** Composite quality score in [0,1]: fluent prose has high alpha ratio, a
+    * healthy stopword fraction, and mid-length tokens. Deterministic and
+    * SQL-mirrorable (the DuckDB oracle recomputes it exactly). */
+  def qualityScore(text: Column): Column =
+    round(lit(0.5) * alphaRatio(text)
+      + lit(0.3) * least(stopwordRatio(text) * 3, lit(1.0))
+      + lit(0.2) * least(meanTokenLen(text) / 8, lit(1.0)), 6)
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "un", "es", "que"))
+
+  /** N-gram-heuristic language ID: CJK codepoints → zh, else argmax of
+    * per-language marker-token hits (ties resolved in fixed order en, fr,
+    * de, es; no hits → "und"). A real pipeline swaps in fastText-style
+    * models; the operator shape (pure expression, no shuffle) is the same. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(ms: Seq[String]): Column =
+      size(filter(toks, t => array_contains(typedlit(ms), t)))
+    val scored = langMarkers.map { case (l, ms) => (l, score(ms)) }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    // first matching lang wins on ties (fixed en > fr > de > es order)
+    val firstWins = scored.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(firstWins)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct token
+    * set. Robust to shuffled word order; exact-dedup key for bag-of-words
+    * duplicates. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial fingerprint over tokens (mod 1e9+7, ascii+length
+    * token features) — an order-SENSITIVE sketch, cross-engine mirrorable
+    * (DuckDB `list_reduce` seeds with the first element, so we fold from the
+    * second over an `element_at(.,1)` seed to match bit-for-bit). */
+  def rollingFingerprint(text: Column): Column = {
+    val vals = transform(tokens(text),
+      t => pmod(ascii(t).cast("long") * 31 + length(t), lit(1000003L)))
+    when(size(vals) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+        element_at(vals, 1),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))))
+  }
+}

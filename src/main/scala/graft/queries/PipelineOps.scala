@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.tables.Tables
+
+/** Training-data pipeline operators (the beyond-reference surface the engine
+  * is for): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), ANN similarity search, text analysis, multimodal
+  * plumbing. Queries whose operators use engine-internal hashes (murmur /
+  * SipHash LSH buckets) have no SQL oracle — the driver records the weaker
+  * rows-only check; their correctness is covered by ScalaTest against exact
+  * recomputation. */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> ((s, dir) => {
+      // Exact duplicate-row detection: one hash aggregation over all columns.
+      Dedup.duplicateRowSummary(t(s, dir, "lineitem"))
+    }),
+    "q41_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      d.select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tok"),
+        TA.alphaRatio(col("text")).as("alpha"),
+        TA.stopwordRatio(col("text")).as("stop_ratio"),
+        TA.meanTokenLen(col("text")).as("mtl"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q42_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      d.select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tok"),
+        TA.bpeishTokenCount(col("text")).as("bpe_tok"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy(col("doc_id"))
+    }),
+    "q43_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TA.langId(col("text")).as("pred"))
+        .groupBy(col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred"))
+    }),
+    "q44_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      d.select(
+        col("doc_id"),
+        TA.contentFingerprint(col("text")).as("cfp"),
+        TA.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q45_ngram_jaccard" -> ((s, dir) => {
+      // Exact n-gram Jaccard near-dup pairs — the inverted-index join
+      // formulation (only docs sharing an n-gram ever meet; at 100 TB add a
+      // blocking column to bound the index join).
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q46_minhash_lsh" -> ((s, dir) => {
+      // MinHash(32) + LSH(8×4) candidates, exact-Jaccard verified.
+      // No SQL oracle (murmur3-based signatures) → rows-only check.
+      Dedup.minhashLshPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q47_simhash" -> ((s, dir) => {
+      // SimHash64 (custom Catalyst expression) near-dup pairs, Hamming ≤ 16,
+      // 4×16-bit band blocking. Rows-only check (engine-internal hash).
+      Dedup.simhashPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), maxHamming = 16)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q48_ann_brute" -> ((s, dir) => {
+      // Brute-force exact top-3 cosine neighbors for 10 query vectors.
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "q49_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (random hyperplanes, seed-deterministic).
+      // Rows-only check; recall vs brute force covered in ScalaTest.
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3, planes = 6)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "q50_embedding_neardup" -> ((s, dir) => {
+      // Embedding near-dup pairs via hyperplane-LSH blocking. Rows-only.
+      Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy(col("v1"), col("v2"))
+    }),
+    "q51_embedding_neardup_exact" -> ((s, dir) => {
+      // Exact all-pairs variant (oracle-checkable): cosine ≥ 0.45.
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("sim", round(graft.ext.Vectors.cosine(col("e1"), col("e2")), 5))
+        .filter(col("sim") >= 0.45)
+        .select(col("v1"), col("v2"), col("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+    "q52_embedding_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), round(graft.ext.Vectors.norm(col("embedding")), 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+    "q53_multimodal_meta" -> ((s, dir) => {
+      // Binary payload column + metadata extraction (pure expressions).
+      val d = Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100))
+      d.select(
+        col("doc_id"),
+        Multimodal.payloadBytes(col("payload")).as("n_bytes"),
+        ascii(col("text")).cast("long").as("first_cp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q54_multimodal_decode" -> ((s, dir) => {
+      // Batch-wise decode via mapPartitions (codec STUBBED — FakeCodec);
+      // resize planning + frame sampling as expressions. Rows-only check.
+      val d = Multimodal.decodeImages(
+        Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+      d.select(
+        col("doc_id"), col("width"), col("height"), col("channels"), col("format"),
+        Multimodal.resizePlan(col("width"), col("height"), 256).as("resized"),
+        Multimodal.frameSampleOffsets(col("payload"), 4).as("frames"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
+
+  def oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_rows,
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_removable
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |      HAVING count(*) > 1) g""".stripMargin,
+    "q41_text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS alpha,
+         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+         |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mtl
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, n_tok, alpha, stop_ratio, mtl,
+         |  round(0.5 * alpha + 0.3 * least(stop_ratio * 3, 1.0)
+         |    + 0.2 * least(mtl / 8, 1.0), 6) AS quality
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q42_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tok,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tok,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q43_lang_id" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['le','la','les','de','et','un','est'], t))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['el','los','las','y','un','es','que'], t))) AS BIGINT) AS s_es,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM documents),
+        |p AS (
+        |  SELECT CASE WHEN has_cjk THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |    WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |    ELSE 'es' END AS pred
+        |  FROM s)
+        |SELECT pred, count(*) AS n FROM p GROUP BY pred ORDER BY pred""".stripMargin,
+    "q44_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS cfp,
+        |  list_reduce(
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> (CAST(ascii(t) AS BIGINT) * 31 + length(t)) % 1000003),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q45_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT d1, d2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin,
+    "q48_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))), 5) AS sim
+        |  FROM c, q WHERE q_id != c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "q51_embedding_neardup_exact" ->
+      """WITH a AS (SELECT vec_id AS v1, embedding AS e1 FROM embeddings),
+        |b AS (SELECT vec_id AS v2, embedding AS e2 FROM embeddings),
+        |s AS (
+        |  SELECT v1, v2, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e1[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(e1[i] AS DOUBLE) * CAST(e1[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(e2[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE))))), 5) AS sim
+        |  FROM a JOIN b ON v1 < v2)
+        |SELECT v1, v2, sim FROM s WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin,
+    "q52_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(nrm), 4) AS avg_norm
+        |FROM (SELECT label,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings) t
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q53_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_cp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+  )
+}
