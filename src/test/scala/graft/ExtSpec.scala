@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextAnalysis, Vectors}
+
+/** Training-data pipeline extensions: semantics on small hand-built inputs
+  * (the sf0.001 end-to-end runs live in QueriesSpec; the oracle runs at
+  * sf0.01 via the driver). */
+class ExtSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vector cosine: orthogonal=0, identical=1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b").select(
+      round(Vectors.cosine(col("a"), col("b")), 6).as("c"))
+    val out = df.as[Double].collect()
+    assert(out(0) === 0.0)
+    assert(out(1) === 1.0)
+  }
+
+  test("exact dedup removes duplicate texts, keeps lowest id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, Seq(col("text")), col("doc_id"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "same text"), (3L, "other")))
+  }
+
+  test("minhash LSH finds near-dup pair, skips unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different subject matter involving database engines and columnar formats")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs finds exact dups (hamming 0), filters unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely disjoint vocabulary set here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
+
+  test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 1), emb, 1)
+      .select("c_id").as[Long].head()
+    assert(top1 === 2L)
+  }
+
+  test("text analysis: token count, quality ordering, lang id") {
+    val df = Seq(
+      (1L, "the committee published the annual report of the ministry and its goals"),
+      (2L, "x@@ ## !!"),
+      (3L, "le gouvernement de la république et le ministre de la justice")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 12L)
+    assert(r(0).getDouble(2) > r(1).getDouble(2), "clean text should outscore junk")
+    assert(r(2).getString(3) === "fr")
+    assert(r(0).getString(3) === "en")
+  }
+
+  test("fingerprint is deterministic and distinguishes docs") {
+    val df = Seq((1L, "some document"), (2L, "some document"), (3L, "another one"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guards: these assert the *physical plan shape* the 100TB design
+  * depends on — filter/projection pushdown into the parquet scan (reference:
+  * optimizer_projection_push_down.rs; ScanPlan push_downs slots), broadcast
+  * of small dimension tables, and two-phase (partial/final) hash aggregation
+  * (transform_group_by_partial/final.rs). A regression here is a silent 100×
+  * cost at scale even when results stay correct. */
+class PlanQualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [") && p.contains("l_orderkey"), p)
+  }
+
+  test("q01: scan reads only projected+filtered columns") {
+    val p = plan("q01_scan_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q04 (TPC-H Q1): two-phase hash aggregation") {
+    val p = plan("q04_tpch_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+  }
+
+  test("q19: small-dim join is broadcast, not shuffled") {
+    val p = plan("q19_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q20 (TPC-H Q3): no cartesian, joins resolve to hash joins") {
+    val p = plan("q20_tpch_q3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q06 top-k avoids a global sort") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // AQE finalizes the physical plan only on execution — materialize first.
+    val df = SparkEntry.queries("q04_tpch_q1")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` operator prefixes mark whole-stage-codegen spans in the
+    // executed-plan summary; scan→filter→project→partial-agg must be fused.
+    assert(p.contains("*(1) HashAggregate"), p)
+    assert(p.contains("*(1) Filter"), p)
+  }
+}
