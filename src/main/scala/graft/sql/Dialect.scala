@@ -1,0 +1,145 @@
+package graft.sql
+
+/** Text-level rewrites from the reference's SQL dialect to Spark SQL.
+  *
+  * The reference front end (sql/plan_parser.rs, sql/sql_parser.rs) accepts a
+  * handful of constructs Spark's parser doesn't:
+  *   - `numbers(N)` / `numbers_mt(N)` / `numbers_local(N)` table functions
+  *     (datasources/system/numbers_table.rs) → `range(N)` with the column
+  *     aliased `number`;
+  *   - ClickHouse `LIMIT n BY k1, k2` (transform_limit_by.rs:17-64) →
+  *     `row_number()` window rewrite;
+  *   - combinator-suffixed aggregates `sumIf/countIf/minIf/maxIf/avgIf`,
+  *     `uniq`, `uniqIf`, `argMin/argMax`, `toTypeName`
+  *     (aggregate_function_factory.rs:53-66, udfs/udf.rs) → CASE-WHEN /
+  *     DISTINCT / min_by / typeof spellings;
+  *   - `system.x` virtual tables → `system_x` temp views (temp-view names
+  *     cannot carry a dot);
+  *   - `SHOW TABLES|DATABASES|SETTINGS|FUNCTIONS|PROCESSLIST` → SELECTs over
+  *     system tables, exactly the rewrite the reference itself performs
+  *     (plan_parser.rs:107-127).
+  *
+  * All rewrites are string→string so the result flows into `spark.sql` and
+  * from there into Catalyst unchanged — the dialect layer owns syntax only,
+  * never execution.
+  */
+object Dialect {
+
+  def rewrite(sql: String): String = {
+    val trimmed = sql.trim.stripSuffix(";")
+    rewriteShow(trimmed).getOrElse {
+      var s = trimmed
+      s = rewriteNumbers(s)
+      s = rewriteSystemTables(s)
+      s = rewriteCombinators(s)
+      s = rewriteLimitBy(s)
+      s
+    }
+  }
+
+  // ---- SHOW → SELECT (plan_parser.rs:107-127) ----------------------------
+  private def rewriteShow(s: String): Option[String] = {
+    val u = s.toUpperCase.replaceAll("\\s+", " ")
+    u match {
+      case "SHOW TABLES" => Some("SELECT name FROM system_tables ORDER BY name")
+      case "SHOW DATABASES" => Some("SELECT name FROM system_databases ORDER BY name")
+      case "SHOW SETTINGS" => Some("SELECT name, value FROM system_settings ORDER BY name")
+      case "SHOW FUNCTIONS" => Some("SELECT name FROM system_functions ORDER BY name")
+      case "SHOW PROCESSLIST" => Some("SELECT * FROM system_processes")
+      case _ => None
+    }
+  }
+
+  // ---- numbers(N) table function -----------------------------------------
+  private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)""".r
+  private def rewriteNumbers(s: String): String =
+    NumbersRe.replaceAllIn(s, m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+
+  // ---- system.x → system_x ------------------------------------------------
+  private val SystemRe = """(?i)\bsystem\.(one|databases|tables|settings|functions|contributors|clusters|processes)\b""".r
+  private def rewriteSystemTables(s: String): String =
+    SystemRe.replaceAllIn(s, m => s"system_${m.group(1).toLowerCase}")
+
+  // ---- LIMIT n BY k1, k2 [LIMIT m] ---------------------------------------
+  // ClickHouse semantics: keep the first n rows per distinct key tuple, then
+  // apply the plain LIMIT if present. "First" follows the query's ORDER BY
+  // when given; otherwise per-group order is arbitrary (the reference
+  // inherits nondeterministic stream order — we pin the key order).
+  private val LimitByRe =
+    """(?is)^(.*?)(?:\s+ORDER\s+BY\s+(.+?))?\s+LIMIT\s+(\d+)\s+BY\s+(.+?)(\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?)?\s*$""".r
+  private def rewriteLimitBy(s: String): String = s match {
+    case LimitByRe(body, orderBy, n, keys, outerLimit) =>
+      val ord = Option(orderBy).map(_.trim).filter(_.nonEmpty)
+      val winOrder = ord.getOrElse(keys.trim)
+      val tail = Option(outerLimit).getOrElse("")
+      val outerOrd = ord.map(o => s" ORDER BY $o").getOrElse("")
+      s"""SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER (PARTITION BY ${keys.trim} ORDER BY $winOrder) AS __rn FROM ($body)) WHERE __rn <= $n$outerOrd$tail"""
+    case _ => s
+  }
+
+  // ---- combinator-suffixed aggregates ------------------------------------
+  // Paren-aware: find `name(`, scan to the matching close, split top-level
+  // commas, respell. Handles nesting and string literals.
+  private case class Call(start: Int, end: Int, args: Seq[String])
+
+  private def findCall(s: String, name: String, from: Int): Option[Call] = {
+    val re = s"""(?i)\\b$name\\s*\\(""".r
+    re.findFirstMatchIn(s.substring(from)).map { m =>
+      val open = from + m.end - 1
+      var depth = 0
+      var i = open
+      var inStr: Char = 0
+      val splits = scala.collection.mutable.ArrayBuffer[Int]()
+      var end = -1
+      while (end < 0 && i < s.length) {
+        val c = s.charAt(i)
+        if (inStr != 0) { if (c == inStr) inStr = 0 }
+        else c match {
+          case '\'' | '"' => inStr = c
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case ',' if depth == 1 => splits += i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parens after $name(")
+      val bounds = (open +: splits.toSeq) :+ end
+      val args = bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b).trim }.toSeq
+      Call(from + m.start, end + 1, args)
+    }
+  }
+
+  private def rewriteAll(s0: String, name: String)(f: Seq[String] => String): String = {
+    var s = s0
+    var pos = 0
+    var c = findCall(s, name, pos)
+    while (c.isDefined) {
+      val Call(st, en, args) = c.get
+      val repl = f(args)
+      s = s.substring(0, st) + repl + s.substring(en)
+      pos = st + repl.length
+      c = findCall(s, name, pos)
+    }
+    s
+  }
+
+  private def rewriteCombinators(s0: String): String = {
+    var s = s0
+    for (agg <- Seq("sum", "min", "max", "avg"))
+      s = rewriteAll(s, s"${agg}If") { case Seq(x, cond) =>
+        s"$agg(CASE WHEN $cond THEN $x END)"
+      }
+    s = rewriteAll(s, "countIf") { case Seq(cond) =>
+      s"count(CASE WHEN $cond THEN 1 END)"
+    }
+    s = rewriteAll(s, "uniqIf") { case Seq(x, cond) =>
+      s"count(DISTINCT CASE WHEN $cond THEN $x END)"
+    }
+    s = rewriteAll(s, "uniq") { case Seq(x) => s"count(DISTINCT $x)" }
+    s = rewriteAll(s, "argMin") { case Seq(x, ord) => s"min_by($x, $ord)" }
+    s = rewriteAll(s, "argMax") { case Seq(x, ord) => s"max_by($x, $ord)" }
+    s = rewriteAll(s, "toTypeName") { case Seq(x) => s"typeof($x)" }
+    s
+  }
+}

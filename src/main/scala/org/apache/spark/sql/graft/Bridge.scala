@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a Catalyst-expression-backed SQL function on a session (the
+    * reference registers scalar functions in a name→ctor factory map,
+    * common/functions/src/scalars/function_factory.rs:30-36; this is the
+    * Spark-session equivalent). Stays codegen'd — unlike `spark.udf`. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.{Dialect, GraftSession}
+
+/** The reference SQL dialect end-to-end through GraftSession.sql:
+  * numbers() table function, LIMIT n BY, combinator suffixes, SHOW
+  * statements, system tables, siphash64 in SQL, CREATE TABLE ENGINE=,
+  * INSERT VALUES (stateless-suite shapes from
+  * /root/reference/tests/suites/0_stateless/). */
+class DialectSpec extends AnyFunSuite {
+  private lazy val g = GraftSession(TestSpark.spark)
+
+  test("SELECT 1 (constant select, suite 00)") {
+    assert(g.sql("SELECT 1").head().getInt(0) === 1)
+  }
+
+  test("numbers(N) table function") {
+    val r = g.sql("SELECT avg(number) AS a, count(number) AS c FROM numbers(1000000)").head()
+    assert(r.getDouble(0) === 499999.5)
+    assert(r.getLong(1) === 1000000L)
+  }
+
+  test("numbers_mt alias and arithmetic (perf-suite shape)") {
+    val r = g.sql("SELECT sum(number + number + number) AS s FROM numbers_mt(1000)").head()
+    assert(r.getLong(0) === 3L * 999 * 1000 / 2)
+  }
+
+  test("LIMIT n BY keeps n rows per key") {
+    val rows = g.sql(
+      """SELECT number % 3 AS k, number AS v FROM numbers(30)
+        |ORDER BY v LIMIT 2 BY k""".stripMargin).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getLong(1)).toSet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("LIMIT n BY followed by plain LIMIT") {
+    val rows = g.sql(
+      "SELECT number % 3 AS k, number AS v FROM numbers(30) ORDER BY v LIMIT 2 BY k LIMIT 3").collect()
+    assert(rows.length === 3)
+  }
+
+  test("combinator suffixes: sumIf/countIf/uniq/argMax") {
+    val r = g.sql(
+      """SELECT sumIf(number, number % 2 = 0) AS se,
+        |       countIf(number > 5) AS cg,
+        |       uniq(number % 3) AS u,
+        |       argMax(number % 3, number) AS am
+        |FROM numbers(10)""".stripMargin).head()
+    assert(r.getLong(0) === 20L)  // 0+2+4+6+8
+    assert(r.getLong(1) === 4L)   // 6,7,8,9
+    assert(r.getLong(2) === 3L)
+    assert(r.getLong(3) === 9L % 3)
+  }
+
+  test("uniqIf and nested-call arg splitting") {
+    val r = g.sql(
+      "SELECT uniqIf(substring(CAST(number AS STRING), 1, 1), number < 20) AS u FROM numbers(100)").head()
+    assert(r.getLong(0) === 10L) // first chars of "0".."19" → {'0'..'9'}
+  }
+
+  test("SHOW DATABASES / SHOW TABLES / SHOW SETTINGS run") {
+    assert(g.sql("SHOW DATABASES").count() >= 1)
+    assert(g.sql("SHOW SETTINGS").count() > 10)
+    g.sql("SHOW TABLES").collect()
+  }
+
+  test("system.one and toTypeName") {
+    val r = g.sql("SELECT toTypeName(dummy) AS t FROM system.one").head()
+    assert(r.getString(0) === "tinyint")
+  }
+
+  test("siphash64 callable from SQL, matches paper-vector impl") {
+    val h = g.sql("SELECT siphash64('hello world') AS h").head().getLong(0)
+    assert(h === graft.functions.HashExpressions.SipHash24.hash(
+      "hello world".getBytes("UTF-8")))
+  }
+
+  test("CREATE TABLE ENGINE=Memory + INSERT VALUES + SELECT (suites 05/09)") {
+    g.sql("DROP TABLE IF EXISTS t_mem")
+    g.sql("CREATE TABLE IF NOT EXISTS t_mem (a INT, b STRING) ENGINE = Memory")
+    g.sql("INSERT INTO t_mem VALUES (1, 'x'), (2, 'y')")
+    val rows = g.sql("SELECT a, b FROM t_mem ORDER BY a").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "x"), (2, "y")))
+    g.sql("DROP TABLE t_mem")
+  }
+
+  test("CREATE TABLE ENGINE=CSV with location reads the file (suite 05)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.writeString(f, "1,alice\n2,bob\n")
+    g.sql("DROP TABLE IF EXISTS t_csv")
+    g.sql(s"CREATE TABLE t_csv (id INT, name STRING) ENGINE = CSV location = '$f'")
+    val rows = g.sql("SELECT id, name FROM t_csv ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "alice"), (2, "bob")))
+    g.sql("DROP TABLE t_csv")
+  }
+
+  test("EXPLAIN passes through") {
+    assert(g.sql("EXPLAIN SELECT sum(number) FROM numbers(10)").count() === 1)
+  }
+
+  test("dialect rewrite is inert on plain Spark SQL") {
+    val q = "SELECT l_orderkey, sum(l_quantity) FROM lineitem GROUP BY l_orderkey"
+    assert(Dialect.rewrite(q) === q)
+  }
+}
