@@ -80,21 +80,13 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------------------------------------------
 
-  /** Mersenne prime 2^31-1; permutation constants are fixed (seed 42) so
-    * signatures are reproducible run-to-run and cluster-to-cluster. */
-  private val P = 2147483647L
-  private val rnd = new scala.util.Random(42)
-  private val permA: Seq[Long] = Seq.fill(32)(1L + 2L * rnd.nextInt((P / 2 - 1).toInt))
-  private val permB: Seq[Long] = Seq.fill(32)(rnd.nextInt(P.toInt).toLong)
-
-  /** k=32 MinHash signature over word-`n`-gram shingles, as a pure
-    * higher-order-function expression (array<long> of length 32). */
-  def minhashSignature(text: Column, n: Int): Column = {
-    val hashes = transform(wordNgrams(text, n), s => pmod(hash(s).cast("long"), lit(P)))
-    transform(sequence(lit(0), lit(31)), i =>
-      array_min(transform(hashes,
-        h => pmod(element_at(typedlit(permA), i + 1) * h + element_at(typedlit(permB), i + 1), lit(P)))))
-  }
+  /** k=32 MinHash signature over word-`n`-gram shingles — a one-pass codegen'd
+    * Catalyst expression (permutation constants fixed, seed 42: reproducible
+    * run-to-run and cluster-to-cluster). NULL when the doc has no shingles.
+    * See [[graft.functions.HashExpressions.MinHash]] for why not a
+    * higher-order-function spelling. */
+  def minhashSignature(text: Column, n: Int): Column =
+    HashExpressions.minhash32(wordNgrams(text, n))
 
   /** LSH band keys: 8 bands × 4 rows. Docs sharing any band key are
     * candidate pairs. */
@@ -108,15 +100,17 @@ object Dedup {
     * `minJaccard`. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minJaccard: Double): DataFrame = {
-    val withSig = docs.select(id.as("doc_id"), text.as("txt"),
-      minhashSignature(text, n).as("sig"))
-    val buckets = withSig.select(col("doc_id"), col("sig"),
+    val withSig = docs.select(id.as("doc_id"), minhashSignature(text, n).as("sig"))
+    val buckets = withSig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("bucket"))
+    // distinct over bare (d1, d2) id pairs — signatures rejoin afterwards so
+    // the dedup aggregation never hashes 32-long arrays.
     val cand = buckets.alias("x").join(buckets.alias("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sig").as("sig1"), col("y.sig").as("sig2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+      .join(withSig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(withSig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
     val est = cand.withColumn("est_jaccard",
       round(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
         .cast("double") / 32, 6))

@@ -32,18 +32,22 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     val hs = hyperplanes(planes, dim)
     hs.zipWithIndex.map { case (p, i) =>
-      when(aggregate(zip_with(toDouble(vec), typedlit(p), (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * `queries` must be small enough to broadcast. Self-matches excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // Norms are hoisted to the row side of each input — the join computes
+    // ONE dot product per pair, not three (dot + both norms).
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 5))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -57,12 +61,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 8, dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"),
       lshBucket(col("embedding"), planes, dim).as("bkt"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"),
       lshBucket(col("embedding"), planes, dim).as("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 5))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -75,10 +82,12 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 4, dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), planes, dim).as("bkt"))
     v.alias("a").join(v.alias("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 5))
+      .withColumn("sim",
+        round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 5))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
   }

@@ -14,9 +14,11 @@ object Vectors {
     * all reductions happen in double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-in-double dot product, as a codegen'd primitive loop
+    * (graft.functions.DotProduct) — bit-identical to the HOF spelling
+    * `aggregate(zip_with(..))` but allocation-free per row, which is what
+    * makes pair joins feasible (the pair side evaluates this per PAIR). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -113,9 +114,70 @@ object HashExpressions {
     override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
   }
 
+  /** One-pass k=32 MinHash over an array of shingles.
+    *
+    * Semantics match the higher-order-function spelling in [[graft.ext.Dedup]]
+    * (per shingle: `pmod(murmur3(s, seed=42), P)`, then slot i keeps
+    * `min(pmod(a_i*h + b_i, P))`), but evaluated as ONE loop over the array
+    * with per-element hash computed ONCE. The HOF version duplicates the
+    * hash-array subtree into all 32 `array_min(transform(...))` branches
+    * (HOFs are interpreted — no common-subexpression elimination), which is
+    * 32× the hashing plus 33 intermediate arrays per row. At 100 TB the
+    * signature pass must run at scan speed; this does.
+    */
+  object MinHash {
+    val K = 32
+    val P = 2147483647L // 2^31 - 1 (Mersenne)
+    private val rnd = new scala.util.Random(42)
+    val permA: Array[Long] = Array.fill(K)(1L + 2L * rnd.nextInt((P / 2 - 1).toInt))
+    val permB: Array[Long] = Array.fill(K)(rnd.nextInt(P.toInt).toLong)
+
+    /** null for an empty shingle set (no signature — the doc simply never
+      * lands in a bucket), mirroring `array_min([]) = NULL` upstream. */
+    def sig(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(K)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val raw = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        val h = ((raw.toLong % P) + P) % P
+        var k = 0
+        while (k < K) {
+          val v = (permA(k) * h + permB(k)) % P // a*h+b < 2^61: no overflow
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+  }
+
+  case class MinHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash32"
+    override protected def nullSafeEval(input: Any): Any =
+      MinHash.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val res = ctx.freshName("mhres")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $res =
+        |  graft.functions.HashExpressions$$MinHash$$.MODULE$$.sig($c);
+        |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
+  }
+
   // Column-level entry points (Spark 4's Column↔Expression bridge lives
   // behind private[sql]; see org.apache.spark.sql.graft.Bridge)
   import org.apache.spark.sql.graft.Bridge
   def siphash64(c: Column): Column = Bridge.column(SipHash64(Bridge.expression(c)))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def minhash32(c: Column): Column = Bridge.column(MinHash32(Bridge.expression(c)))
 }

@@ -99,11 +99,15 @@ object PipelineOps {
     }),
     "q51_embedding_neardup_exact" -> ((s, dir) => {
       // Exact all-pairs variant (oracle-checkable): cosine ≥ 0.45.
+      // Norms hoisted to the row side — one codegen'd dot per pair.
+      import graft.ext.Vectors.{dot, norm}
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        norm(col("embedding")).as("n1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        norm(col("embedding")).as("n2"))
       a.join(b, col("v1") < col("v2"))
-        .withColumn("sim", round(graft.ext.Vectors.cosine(col("e1"), col("e2")), 5))
+        .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
         .filter(col("sim") >= 0.45)
         .select(col("v1"), col("v2"), col("sim"))
         .orderBy(col("v1"), col("v2"))
