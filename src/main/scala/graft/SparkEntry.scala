@@ -32,6 +32,7 @@ object SparkEntry {
     CoreRelational.queries ++
       JoinsSubqueries.queries ++
       WindowsSetsDates.queries ++
+      StreamingQueries.queries ++
       PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
@@ -41,5 +42,6 @@ object SparkEntry {
     CoreRelational.oracle ++
       JoinsSubqueries.oracle ++
       WindowsSetsDates.oracle ++
+      StreamingQueries.oracle ++
       PipelineOps.oracle
 }

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event of the `events` table projected for stateful sessionization. */
+case class SessionEvent(user_id: Long, ts: java.time.Instant, value: Double)
+
+/** Open-session accumulator kept in `GroupState` (epoch-µs bounds). */
+case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+/** A closed session emitted by [[EventStreams.sessionizeStateful]]. */
+case class UserSession(user_id: Long, session_start: java.time.Instant,
+    session_end: java.time.Instant, n_events: Long, sum_value: Double)
+
+/** Structured Streaming over the event stream — the event-time surface the
+  * reference lacks outright (SURVEY.md §2.9: its "streams" are internal async
+  * batch pulls, no watermarks/windows anywhere in the tree). Spark-native
+  * restatement: `readStream` file source → event-time transforms with
+  * watermarks → `writeStream` sinks.
+  *
+  * Scale notes: every aggregation here keys its state by (window, key) and
+  * shuffles once on that key; watermarks bound state size, so a 1000-executor
+  * cluster holds only the open windows, never the history. The stateful
+  * sessionizer uses event-time timeouts — state for an idle user is evicted
+  * the moment the watermark passes its gap.
+  */
+object EventStreams {
+
+  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer (see
+    * graft.tables.Tables.table): read nanos as long, rebuild µs timestamps
+    * with integer division. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an sf directory's events table. `maxFilesPerTrigger`
+    * bounds micro-batch size (at 100 TB the source must not swallow the whole
+    * backlog in one batch). */
+  def readEvents(spark: SparkSession, sfDir: String, maxFilesPerTrigger: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob (not the bare file path): the file-source requires a directory
+    // basePath, and a glob pins it to the parent dir whether `events.parquet`
+    // is a single file (small sf dirs) or a directory of parts
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with a watermark. Window starts
+    * align to the epoch, so `1 hour` buckets equal `date_trunc('hour', ts)` —
+    * which keeps the batch oracle comparable. */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("s"))
+
+  /** Sliding (overlapping) windows — each event lands in width/slide buckets. */
+  def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"), col("n"), col("s"))
+
+  /** Gap-based sessions via the built-in `session_window` (merge-on-overlap
+    * state op). Session end = last event + gap; a new event exactly `gap`
+    * after the previous one starts a NEW session (end bound exclusive). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization exemplar: `flatMapGroupsWithState` with
+    * event-time timeout. Sessions close either when a later event for the
+    * same user breaks the gap (emitted immediately) or when the watermark
+    * passes `last + gap` (emitted by timeout). This is the extension point
+    * for state machines `session_window` can't express (e.g. per-session
+    * feature accumulation). */
+  def sessionizeStateful(events: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def toUs(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def toInstant(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    def close(uid: Long, s: SessionState): UserSession =
+      UserSession(uid, toInstant(s.startUs), toInstant(s.lastUs + gapUs), s.n,
+        math.rint(s.sum * 100) / 100)
+
+    val fn = (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+      val out = scala.collection.mutable.ArrayBuffer[UserSession]()
+      if (state.hasTimedOut) {
+        out += close(uid, state.get)
+        state.remove()
+      } else {
+        var cur = state.getOption
+        it.toSeq.sortBy(e => toUs(e.ts)).foreach { e =>
+          val us = toUs(e.ts)
+          cur match {
+            case Some(s) if us - s.lastUs < gapUs =>
+              cur = Some(SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              out += close(uid, s)
+              cur = Some(SessionState(us, us, 1, e.value))
+            case None =>
+              cur = Some(SessionState(us, us, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // timeout fires when the watermark passes last+gap; clamp above the
+          // current watermark (setting an already-passed timestamp throws)
+          val t = math.max((s.lastUs + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1)
+          state.setTimeoutTimestamp(t)
+        }
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run a streaming DataFrame to completion over the currently-available
+    * data (Trigger.AvailableNow) into an in-memory table; returns the result
+    * as a batch DataFrame. This is how streaming queries enter the driver's
+    * batch Verify/oracle harness. */
+  def runAvailableNow(df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Complete): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** File sink: append-mode parquet with a checkpoint — the durable
+    * readStream → transform → writeStream shape. */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+}

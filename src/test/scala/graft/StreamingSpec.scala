@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.EventsOps
+import graft.streaming.EventStreams
+
+case class TestEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, ts: String, uid: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    TestEv(id, t(ts), uid, typ, v)
+
+  test("tumbling agg: streaming result equals batch aggregation of same data") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    val evs = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00", v = 2.5),
+      ev(3, "2024-01-01 11:10:00"), ev(4, "2024-01-01 11:20:00", typ = "view"),
+      ev(5, "2024-01-01 13:00:00"))
+    in.addData(evs)
+    val q = EventStreams.tumblingAgg(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumb_sink")
+      .outputMode(OutputMode.Complete).start()
+    try { in.addData(); q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tumb_sink")
+      .orderBy("h", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = evs.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .orderBy("h", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("watermark: late event below the watermark is dropped in append mode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    val q = EventStreams.tumblingAgg(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events in [10:00,11:00) + one at 12:30 → watermark 12:00
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+        ev(3, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed 10:00 window, plus a
+      // fresh one that keeps the stream moving
+      in.addData(ev(4, "2024-01-01 10:40:00"), ev(5, "2024-01-01 14:30:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val tenOClock = spark.table("wm_sink")
+      .filter(col("h") === lit(t("2024-01-01 10:00:00"))).collect()
+    assert(tenOClock.length == 1)
+    assert(tenOClock(0).getAs[Long]("n") == 2) // late event 4 was dropped
+  }
+
+  test("stateful sessionizer: closes sessions by data gap and by watermark timeout") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    val sess = EventStreams.sessionizeStateful(in.toDF(), gapSeconds = 1800)
+    val q = sess.toDF().writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10s apart (one session), then an event 2h later
+      // (closes session 1 in-data); user 2's far-future event advances the
+      // watermark so user 1's second session closes by TIMEOUT. User 2's own
+      // session stays open (watermark never passes its gap) — not emitted.
+      in.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:00:10", v = 2.0),
+        ev(3, "2024-01-01 12:00:00", v = 5.0))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-02 09:00:00", uid = 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_sink").orderBy("session_start").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 1L))
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(0).getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    // session end = last event + gap
+    assert(rows(0).getAs[Timestamp]("session_end") == t("2024-01-01 10:30:10"))
+    assert(rows(1).getAs[Long]("n_events") == 1)
+    assert(rows(1).getAs[Timestamp]("session_start") == t("2024-01-01 12:00:00"))
+  }
+
+  test("session_window agg matches the batch lag+cumsum sessionizer") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    // three users, mixed gaps, no exact-gap boundaries
+    val evs = Seq(
+      ev(1, "2024-01-01 08:00:00", 1), ev(2, "2024-01-01 08:10:00", 1),
+      ev(3, "2024-01-01 09:30:00", 1), ev(4, "2024-01-01 08:05:00", 2),
+      ev(5, "2024-01-01 11:00:00", 2), ev(6, "2024-01-01 11:20:00", 2),
+      ev(7, "2024-01-01 07:00:00", 3))
+    in.addData(evs)
+    val q = EventStreams.sessionWindowAgg(in.toDF(), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sw_sink")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sw_sink").orderBy("user_id", "session_start").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events")))
+    val want = EventsOps.sessionize(evs.toDF(), 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("file source end-to-end: streaming tumbling agg equals batch over sf0.001 events") {
+    val stream = EventStreams.tumblingAgg(
+      EventStreams.readEvents(spark, TestSpark.sfDir), "1 hour")
+    val got = EventStreams.runAvailableNow(stream, "file_e2e_sink")
+      .agg(sum("n"), count(lit(1))).collect()(0)
+    val batch = graft.tables.Tables.table(spark, TestSpark.sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum("n"), count(lit(1))).collect()(0)
+    assert(got.getLong(0) == batch.getLong(0)) // same total events
+    assert(got.getLong(1) == batch.getLong(1)) // same number of buckets
+  }
+}
