@@ -77,6 +77,62 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into `nlist`
+    * cells by nearest centroid; each query probes its `nprobe` closest cells
+    * and exact cosine re-ranks only those cells' vectors.
+    *
+    * Centroids are the `nlist` lowest-id corpus vectors, L2-normalized —
+    * deterministic, no iterative k-means (the IVF *plumbing* — cell
+    * assignment, multi-probe, in-cell re-rank — is the part that must scale;
+    * centroid quality only moves recall). The centroid table is tiny and
+    * rides along as literals inside codegen'd dot products: assignment is a
+    * pure map over the corpus (no shuffle), and the only shuffle is the
+    * bucket equi-join on cell ids — same shape as [[lshTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Array[Seq[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(toDouble(col("embedding"))).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => if (n == 0) 0.0 else x / n)
+      }
+
+    def cellScores(vec: Column): Column =
+      array(cents.map(c => dot(vec, typedlit(c))): _*)
+
+    // nearest cell = argmax of centroid dots (array_position is 1-based)
+    def nearestCell(vec: Column): Column = {
+      val ds = cellScores(vec)
+      (array_position(ds, array_max(ds)) - 1).cast("int")
+    }
+
+    // top-nprobe cells: sort (score, idx) structs ascending, take the tail
+    def probeCells(vec: Column): Column = {
+      val scored = zip_with(cellScores(vec),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i")))
+      transform(slice(reverse(array_sort(scored)), 1, nprobe), e => e("i").cast("int"))
+    }
+
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"), nearestCell(col("embedding")).as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"),
+      explode(probeCells(col("embedding"))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-blocked
     * (pairs must share a bucket), exact-cosine verified. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,

@@ -92,6 +92,14 @@ object PipelineOps {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3, planes = 6)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "q49b_ann_ivf" -> ((s, dir) => {
+      // IVF ANN: nearest-centroid cells + multi-probe + in-cell re-rank.
+      // Rows-only check; exact-recall-at-full-probe covered in ScalaTest.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 3,
+          nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "q50_embedding_neardup" -> ((s, dir) => {
       // Embedding near-dup pairs via hyperplane-LSH blocking. Rows-only.
       Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)

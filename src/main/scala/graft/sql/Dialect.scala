@@ -140,6 +140,16 @@ object Dialect {
     s = rewriteAll(s, "argMin") { case Seq(x, ord) => s"min_by($x, $ord)" }
     s = rewriteAll(s, "argMax") { case Seq(x, ord) => s"max_by($x, $ord)" }
     s = rewriteAll(s, "toTypeName") { case Seq(x) => s"typeof($x)" }
+    // named casts (scalars/expressions/expression.rs:16-28); UInt widened per
+    // SURVEY.md §1.2 (Spark has no unsigned ints)
+    for ((name, t) <- Seq("toInt8" -> "TINYINT", "toInt16" -> "SMALLINT",
+        "toInt32" -> "INT", "toInt64" -> "BIGINT",
+        "toUInt8" -> "SMALLINT", "toUInt16" -> "INT", "toUInt32" -> "BIGINT",
+        "toUInt64" -> "BIGINT", "toFloat32" -> "FLOAT", "toFloat64" -> "DOUBLE"))
+      s = rewriteAll(s, name) { case Seq(x) => s"CAST($x AS $t)" }
+    // context functions (udfs/database.rs; version()/current_database() are
+    // Spark built-ins — database() just needs the name mapped)
+    s = rewriteAll(s, "database") { case Seq("") => "current_database()" }
     s
   }
 }

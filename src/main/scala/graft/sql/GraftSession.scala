@@ -74,5 +74,15 @@ object GraftSession {
       { case Seq(e) => HashExpressions.SipHash64(e) })
     Bridge.registerFunction(spark, "simhash64",
       { case Seq(e) => HashExpressions.SimHash64(e) })
+    // sleep(seconds) (udfs/sleep.rs): per-invocation delay, capped — the
+    // reference sleeps once per block; distributed eval sleeps per row, so
+    // the cap keeps a stray `SELECT sleep(1) FROM big` from wedging executors
+    // (SURVEY.md §7.4 documents the divergence). crashme()/example() are
+    // test scaffolding, deliberately not ported.
+    spark.udf.register("sleep", (secs: Double) => {
+      require(secs >= 0, "sleep: negative duration")
+      Thread.sleep(math.min((secs * 1000).toLong, 30000L))
+      0.toShort
+    })
   }
 }

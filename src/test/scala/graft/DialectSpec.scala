@@ -71,6 +71,24 @@ class DialectSpec extends AnyFunSuite {
     assert(r.getString(0) === "tinyint")
   }
 
+  test("named casts toInt8/16/32/64, toUInt widening, toFloat (suite 02)") {
+    val r = g.sql(
+      """SELECT toInt8(200 % 100) AS a, toInt16(40000 % 30000) AS b,
+        |  toInt32(7) AS c, toInt64(7) AS d, toUInt8(255) AS e,
+        |  toFloat64('1.5') AS f, toTypeName(toInt8(1)) AS t""".stripMargin).head()
+    assert(r.getByte(0) == 0 && r.getShort(1) == 10000 && r.getInt(2) == 7)
+    assert(r.getLong(3) == 7L && r.getShort(4) == 255 && r.getDouble(5) == 1.5)
+    assert(r.getString(6) == "tinyint")
+  }
+
+  test("database() / version() / sleep() context functions (udfs/udf.rs)") {
+    assert(g.sql("SELECT database() AS d").head().getString(0).nonEmpty)
+    assert(g.sql("SELECT version() AS v").head().getString(0).nonEmpty)
+    val t0 = System.nanoTime()
+    assert(g.sql("SELECT sleep(0.2) AS s").head().getShort(0) == 0)
+    assert(System.nanoTime() - t0 >= 200000000L)
+  }
+
   test("siphash64 callable from SQL, matches paper-vector impl") {
     val h = g.sql("SELECT siphash64('hello world') AS h").head().getLong(0)
     assert(h === graft.functions.HashExpressions.SipHash24.hash(

@@ -66,6 +66,20 @@ class ExtSpec extends AnyFunSuite {
     assert(top1 === 2L)
   }
 
+  test("IVF ANN: full-probe equals brute force; partial probe finds the near-dup") {
+    val emb = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    // nprobe = nlist → every cell probed → must equal the exact result
+    val full = Similarity.ivfTopK(q, emb, k = 3, nlist = 8, nprobe = 8)
+      .select("q_id", "c_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select("q_id", "c_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // partial probe still returns k rows per query
+    val part = Similarity.ivfTopK(q, emb, k = 3, nlist = 8, nprobe = 2)
+    assert(part.groupBy("q_id").count().select("count").as[Long].collect().forall(_ == 3))
+  }
+
   test("text analysis: token count, quality ordering, lang id") {
     val df = Seq(
       (1L, "the committee published the annual report of the ministry and its goals"),
