@@ -5,16 +5,21 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom scalar hash expressions (SURVEY.md §2.8):
   *
-  *   - `sipHash64` reproduces the reference's SipHash-2-4 function
-  *     (common/functions/src/scalars/hashes/siphash.rs) bit-for-bit with the
-  *     all-zero 128-bit key (the Rust `DefaultHasher`-free direct siphasher
-  *     default). A native Catalyst Expression with codegen — not a Scala UDF —
-  *     so it stays inside whole-stage codegen like the reference's vectorized
+  *   - `sipHash64` reproduces the reference's siphash function BIT-FOR-BIT
+  *     (common/functions/src/scalars/hashes/siphash.rs): the hasher there is
+  *     Rust's `DefaultHasher`, i.e. **SipHash-1-3** with a zero key, fed
+  *     through Rust's `Hash` protocol (vec_hash.rs:37-91 — strings hash
+  *     their UTF-8 bytes plus a 0xFF terminator, integers their little-endian
+  *     native-width bytes, floats their IEEE bit patterns). Verified against
+  *     the reference's golden outputs
+  *     (tests/suites/0_stateless/02_0009_function_siphash64.result).
+  *     A native Catalyst Expression with codegen — not a Scala UDF — so it
+  *     stays inside whole-stage codegen like the reference's vectorized
   *     kernel.
   *   - `simHash64` is the 64-bit SimHash document sketch used for near-dup
   *     detection: per-token 64-bit hashes vote each bit up/down; the sign
@@ -24,12 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashExpressions {
 
-  /** SipHash-2-4 core, public-domain algorithm (Aumasson & Bernstein),
-    * implemented from the paper's round description. Key = (0, 0). */
-  object SipHash24 {
+  /** SipHash core, public-domain algorithm (Aumasson & Bernstein),
+    * implemented from the paper's round description; compression/finalization
+    * round counts are parameters so one core serves SipHash-2-4 (the paper
+    * variant, used by our SimHash sketch) and SipHash-1-3 (Rust
+    * `DefaultHasher`, used by the reference's siphash). */
+  object SipHash {
     @inline private def rotl(x: Long, b: Int): Long = (x << b) | (x >>> (64 - b))
 
-    def hash(data: Array[Byte], k0: Long = 0L, k1: Long = 0L): Long = {
+    def hash(data: Array[Byte], k0: Long, k1: Long, c: Int, d: Int): Long = {
       var v0 = 0x736f6d6570736575L ^ k0
       var v1 = 0x646f72616e646f6dL ^ k1
       var v2 = 0x6c7967656e657261L ^ k0
@@ -41,6 +49,7 @@ object HashExpressions {
         v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
         v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
       }
+      @inline def rounds(n: Int): Unit = { var r = 0; while (r < n) { sipround(); r += 1 } }
 
       val n = data.length
       val end = n - (n % 8)
@@ -49,27 +58,113 @@ object HashExpressions {
         var m = 0L
         var j = 7
         while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
-        v3 ^= m; sipround(); sipround(); v0 ^= m
+        v3 ^= m; rounds(c); v0 ^= m
         i += 8
       }
       var b = (n & 0xffL) << 56
       var j = n - end - 1
       while (j >= 0) { b |= (data(end + j) & 0xffL) << (8 * j); j -= 1 }
-      v3 ^= b; sipround(); sipround(); v0 ^= b
+      v3 ^= b; rounds(c); v0 ^= b
       v2 ^= 0xff
-      sipround(); sipround(); sipround(); sipround()
+      rounds(d)
       v0 ^ v1 ^ v2 ^ v3
     }
   }
 
+  /** SipHash-2-4, zero key by default (paper variant — our SimHash basis). */
+  object SipHash24 {
+    def hash(data: Array[Byte], k0: Long = 0L, k1: Long = 0L): Long =
+      SipHash.hash(data, k0, k1, 2, 4)
+  }
+
+  /** Rust `DefaultHasher` semantics: SipHash-1-3, zero key, Rust `Hash`
+    * protocol encodings. These are the reference's `siphash`/`siphash64`. */
+  object SipHash13 {
+    def hashBytes(data: Array[Byte]): Long = SipHash.hash(data, 0L, 0L, 1, 3)
+
+    /** Rust `str::hash`: the UTF-8 bytes followed by a 0xFF terminator. */
+    def hashStr(s: UTF8String): Long = {
+      val b = s.getBytes
+      val buf = java.util.Arrays.copyOf(b, b.length + 1)
+      buf(b.length) = 0xff.toByte
+      hashBytes(buf)
+    }
+
+    /** Rust integer/float-bits hash: `width` little-endian bytes of `v`. */
+    def hashLongW(v: Long, width: Int): Long = {
+      val buf = new Array[Byte](width)
+      var i = 0
+      while (i < width) { buf(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      hashBytes(buf)
+    }
+  }
+
+  /** Reference `siphash(x)` — type-directed encoding like the reference's
+    * per-array `vec_hash` impls. Integral LITERALS hash at their minimal
+    * width, mirroring the reference planner typing SQL literals as the
+    * smallest unsigned int (`SIPHASH(1)` hashes one byte there). */
   case class SipHash64(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+
     override def dataType: DataType = LongType
     override def prettyName: String = "siphash64"
-    override protected def nullSafeEval(input: Any): Any =
-      SipHash24.hash(input.asInstanceOf[UTF8String].getBytes)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.HashExpressions$$SipHash24$$.MODULE$$.hash($c.getBytes(), 0L, 0L)")
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType | BinaryType | BooleanType | ByteType | ShortType |
+             IntegerType | LongType | FloatType | DoubleType | DateType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // Spark types the literal 1.2 as decimal(2,1); the reference planner
+        // types it Float64 — hash the double value for golden parity
+        case _: DecimalType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"siphash does not support $t")
+      }
+
+    /** Byte width for fixed-width inputs; integral literals take the minimal
+      * width that represents the value (plan_parser literal typing). */
+    private lazy val width: Int = child match {
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) if v != null =>
+        val x = v.toString.toLong
+        if (x >= -128 && x <= 255) 1
+        else if (x >= -32768 && x <= 65535) 2
+        else if (x >= Int.MinValue && x <= 4294967295L) 4
+        else 8
+      case _ => child.dataType match {
+        case BooleanType | ByteType => 1
+        case ShortType => 2
+        case IntegerType | FloatType | DateType => 4
+        case _ => 8
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any = child.dataType match {
+      case StringType => SipHash13.hashStr(input.asInstanceOf[UTF8String])
+      case BinaryType => SipHash13.hashBytes(input.asInstanceOf[Array[Byte]])
+      case BooleanType => SipHash13.hashLongW(if (input.asInstanceOf[Boolean]) 1L else 0L, 1)
+      case FloatType => SipHash13.hashLongW(
+        java.lang.Float.floatToIntBits(input.asInstanceOf[Float]) & 0xffffffffL, 4)
+      case DoubleType => SipHash13.hashLongW(
+        java.lang.Double.doubleToLongBits(input.asInstanceOf[Double]), 8)
+      case _: DecimalType => SipHash13.hashLongW(
+        java.lang.Double.doubleToLongBits(
+          input.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble), 8)
+      case _ => SipHash13.hashLongW(input.asInstanceOf[Number].longValue(), width)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val o = "graft.functions.HashExpressions$SipHash13$.MODULE$"
+      defineCodeGen(ctx, ev, c => child.dataType match {
+        case StringType => s"$o.hashStr($c)"
+        case BinaryType => s"$o.hashBytes($c)"
+        case BooleanType => s"$o.hashLongW($c ? 1L : 0L, 1)"
+        case FloatType => s"$o.hashLongW(Float.floatToIntBits($c) & 0xffffffffL, 4)"
+        case DoubleType => s"$o.hashLongW(Double.doubleToLongBits($c), 8)"
+        case _: DecimalType => s"$o.hashLongW(Double.doubleToLongBits($c.toDouble()), 8)"
+        case _ => s"$o.hashLongW((long) $c, $width)"
+      })
+    }
     override protected def withNewChildInternal(newChild: Expression): SipHash64 = copy(newChild)
   }
 

@@ -29,6 +29,7 @@ object Dialect {
     val trimmed = sql.trim.stripSuffix(";")
     rewriteShow(trimmed).getOrElse {
       var s = trimmed
+      s = quoteBareUser(s)
       s = rewriteNumbers(s)
       s = rewriteSystemTables(s)
       s = rewriteCombinators(s)
@@ -36,6 +37,16 @@ object Dialect {
       s
     }
   }
+
+  /** Spark resolves an otherwise-unresolved `user` column to the literal
+    * function `current_user()` (even when backtick-quoted — it happens at
+    * analysis, not parse). The reference treats `user` as a plain identifier
+    * (02_0006 aliases a column `user`), so rename it consistently outside
+    * string literals; result VALUES are unchanged, only the column name. */
+  private def quoteBareUser(s: String): String =
+    s.split("'", -1).zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0) p.replaceAll("(?i)(?<![`\\w])user(?![`\\w(])", "user_") else p
+    }.mkString("'")
 
   // ---- SHOW → SELECT (plan_parser.rs:107-127) ----------------------------
   private def rewriteShow(s: String): Option[String] = {
@@ -130,15 +141,33 @@ object Dialect {
       s = rewriteAll(s, s"${agg}If") { case Seq(x, cond) =>
         s"$agg(CASE WHEN $cond THEN $x END)"
       }
-    s = rewriteAll(s, "countIf") { case Seq(cond) =>
-      s"count(CASE WHEN $cond THEN 1 END)"
+    s = rewriteAll(s, "countIf") {
+      case Seq(cond) => s"count(CASE WHEN $cond THEN 1 END)"
+      // 2-arg form counts the value under the condition (combinator `if`
+      // wrapping count(x) — aggregate_combinator_if.rs)
+      case Seq(x, cond) => s"count(CASE WHEN $cond THEN $x END)"
     }
     s = rewriteAll(s, "uniqIf") { case Seq(x, cond) =>
       s"count(DISTINCT CASE WHEN $cond THEN $x END)"
     }
-    s = rewriteAll(s, "uniq") { case Seq(x) => s"count(DISTINCT $x)" }
+    // distinct combinator (aggregate_combinator_distinct.rs): xDistinct(args)
+    for (agg <- Seq("sum", "count", "avg", "min", "max"))
+      s = rewriteAll(s, s"${agg}Distinct") { args =>
+        s"$agg(DISTINCT ${args.mkString(", ")})"
+      }
+    // uniq over a tuple = exact multi-column distinct count
+    s = rewriteAll(s, "uniq") { args => s"count(DISTINCT ${args.mkString(", ")})" }
     s = rewriteAll(s, "argMin") { case Seq(x, ord) => s"min_by($x, $ord)" }
     s = rewriteAll(s, "argMax") { case Seq(x, ord) => s"max_by($x, $ord)" }
+    // `substring(x FOR n)` (no FROM) — reference desugars to from=1
+    // (plan_parser.rs:919-940); Spark's parser needs the FROM
+    s = rewriteAll(s, "substring") {
+      case Seq(arg) if """(?i)\bfor\b""".r.findFirstIn(arg).isDefined &&
+          """(?i)\bfrom\b""".r.findFirstIn(arg).isEmpty =>
+        val Array(x, len) = arg.split("""(?i)\bfor\b""", 2)
+        s"substring(${x.trim}, 1, ${len.trim})"
+      case args => s"substring(${args.mkString(", ")})"
+    }
     s = rewriteAll(s, "toTypeName") { case Seq(x) => s"typeof($x)" }
     // named casts (scalars/expressions/expression.rs:16-28); UInt widened per
     // SURVEY.md §1.2 (Spark has no unsigned ints)

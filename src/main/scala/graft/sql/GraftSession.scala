@@ -55,9 +55,25 @@ class GraftSession(val spark: SparkSession) {
     case _ => None
   }
 
-  def sql(text: String): DataFrame = {
-    val rewritten = rewriteCreate(text).getOrElse(Dialect.rewrite(text))
-    spark.sql(rewritten)
+  /** Engine settings registry (sessions/settings.rs): `SET name = value` for
+    * dot-free reference setting names lands here instead of Spark's conf;
+    * `max_threads` maps onto the one Spark knob with the same meaning for a
+    * local pipeline. Reference SET produces no result rows. */
+  val settings: scala.collection.mutable.Map[String, String] =
+    scala.collection.mutable.Map(
+      "max_threads" -> String.valueOf(Runtime.getRuntime.availableProcessors),
+      "max_block_size" -> "10000")
+
+  private val SetRe = """(?is)^SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$""".r
+
+  def sql(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
+    case SetRe(key, value) if !key.contains(".") =>
+      settings(key.toLowerCase) = value
+      if (key.equalsIgnoreCase("max_threads"))
+        spark.conf.set("spark.sql.shuffle.partitions", value)
+      spark.emptyDataFrame
+    case t =>
+      spark.sql(rewriteCreate(t).getOrElse(Dialect.rewrite(t)))
   }
 }
 

@@ -89,10 +89,10 @@ class DialectSpec extends AnyFunSuite {
     assert(System.nanoTime() - t0 >= 200000000L)
   }
 
-  test("siphash64 callable from SQL, matches paper-vector impl") {
+  test("siphash64 callable from SQL, matches Rust DefaultHasher semantics") {
     val h = g.sql("SELECT siphash64('hello world') AS h").head().getLong(0)
-    assert(h === graft.functions.HashExpressions.SipHash24.hash(
-      "hello world".getBytes("UTF-8")))
+    assert(h === graft.functions.HashExpressions.SipHash13.hashStr(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
   }
 
   test("CREATE TABLE ENGINE=Memory + INSERT VALUES + SELECT (suites 05/09)") {

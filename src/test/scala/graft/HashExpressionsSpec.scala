@@ -23,16 +23,29 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(SipHash24.hash(msg(15), k0, k1) === 0xa129ca6149be45e5L)
   }
 
-  test("siphash64 column expr matches direct eval and is deterministic") {
+  test("siphash64 matches the reference's golden outputs bit-for-bit") {
+    // tests/suites/0_stateless/02_0009_function_siphash64.result: the
+    // reference hasher is Rust DefaultHasher = SipHash-1-3, zero key, Rust
+    // Hash protocol (str = bytes+0xFF; literal 1 types as UInt8 → one byte;
+    // 1.2 = f64 bit pattern).
+    val spark = TestSpark.spark
+    val g = new graft.sql.GraftSession(spark)
+    def one(sql: String): Long = g.sql(sql).head().getLong(0)
+    assert(one("SELECT SIPHASH('1234567890')") === 9027491583908826579L)
+    assert(one("SELECT SIPHASH(1)") === 4952851536318644461L)
+    assert(one("SELECT SIPHASH(1.2)") === 2854037594257667269L)
+    assert(one("SELECT SIPHASH64('1234567890')") === 9027491583908826579L)
+  }
+
+  test("siphash64 column expr: codegen and interpreted paths agree") {
     val spark = TestSpark.spark
     import spark.implicits._
+    import graft.functions.HashExpressions.SipHash13
     val df = Seq("", "a", "hello world", "graft").toDF("s")
       .select(col("s"), HashExpressions.siphash64(col("s")).as("h"))
     val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for ((s, h) <- rows)
-      assert(h === SipHash24.hash(s.getBytes("UTF-8")), s"mismatch for '$s'")
-    // codegen and interpreted paths agree
-    assert(rows("hello world") === SipHash24.hash("hello world".getBytes("UTF-8")))
+      assert(h === SipHash13.hashStr(UTF8String.fromString(s)), s"mismatch for '$s'")
   }
 
   test("simhash: identical docs equal, similar docs near, disjoint docs far") {
