@@ -141,6 +141,47 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q36_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table snowflake join -> per-nation revenue. The
+      // three dimension chains (region→nation→{customer,supplier}) broadcast;
+      // the fact side (lineitem⋈orders) takes the only real shuffle. The
+      // c_nationkey = s_nationkey predicate makes it a genuine snowflake, not
+      // a star.
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val dim = broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey")))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ords = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      t(s, dir, "lineitem")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(dim, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q37_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val ords = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -222,5 +263,31 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q36_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q37_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }

@@ -95,6 +95,7 @@ object GraftSession {
     // the cap keeps a stray `SELECT sleep(1) FROM big` from wedging executors
     // (SURVEY.md §7.4 documents the divergence). crashme()/example() are
     // test scaffolding, deliberately not ported.
+    graft.functions.UniqExactAggregator.register(spark)
     spark.udf.register("sleep", (secs: Double) => {
       require(secs >= 0, "sleep: negative duration")
       Thread.sleep(math.min((secs * 1000).toLong, 30000L))

@@ -48,6 +48,15 @@ class CombinatorsSpec extends AnyFunSuite {
     assert(math.abs(n - 10000) <= 10000 * 0.06)
   }
 
+  test("uniq_exact_state UDAF (Aggregator exemplar) equals count_distinct") {
+    val spark = TestSpark.spark
+    val g = new graft.sql.GraftSession(spark)
+    val r = g.sql(
+      """SELECT uniq_exact_state(number) AS u, count(DISTINCT number) AS c
+        |FROM (SELECT number % 97 AS number FROM numbers(10000))""".stripMargin).head()
+    assert(r.getLong(0) == 97L && r.getLong(1) == 97L)
+  }
+
   test("argMin / argMax") {
     val r = df.agg(
       argMin(col("k"), col("y")).as("amn"),
