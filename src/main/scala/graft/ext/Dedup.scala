@@ -114,9 +114,18 @@ object Dedup {
     val est = cand.withColumn("est_jaccard",
       round(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
         .cast("double") / 32, 6))
-    // verify candidates with exact Jaccard on the n-gram sets
-    val exact = ngramJaccardPairs(docs, id, text, lit(1), n, minJaccard)
-    est.join(exact, Seq("d1", "d2"))
+    // Verify ONLY the candidate pairs with exact Jaccard on their n-gram
+    // sets (set intersection per pair) — never the global inverted-index
+    // join: at 100 TB, avoiding that all-docs pair work is the entire point
+    // of the LSH blocking.
+    val grams = docs.select(id.as("doc_id"), array_distinct(wordNgrams(text, n)).as("ng"))
+    est
+      .join(grams.select(col("doc_id").as("d1"), col("ng").as("ng1")), "d1")
+      .join(grams.select(col("doc_id").as("d2"), col("ng").as("ng2")), "d2")
+      .withColumn("i", size(array_intersect(col("ng1"), col("ng2"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("i") / (size(col("ng1")) + size(col("ng2")) - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"))
   }
 
