@@ -269,10 +269,45 @@ object HashExpressions {
     override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
   }
 
+  /** `toTypeName(x)` (udfs/to_type_name.rs): the REFERENCE's name for the
+    * argument's static type (SURVEY.md §1.2 mapping, reversed). Foldable —
+    * the name is a plan-time constant. */
+  case class TypeName(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = true
+
+    private def name(dt: DataType): String = dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "Utf8"
+      case BooleanType => "Boolean"
+      case BinaryType => "Binary"
+      case DateType => "Date32"
+      case _: TimestampType => "Timestamp"
+      case NullType => "Null"
+      case _: DecimalType => "Float64" // reference literals: 1.2 is Float64
+      case other => other.sql
+    }
+
+    // foldable → ConstantFolding replaces it with a string literal at plan
+    // time (exactly the reference's constant-folding optimizer does for
+    // totypename — optimizer_constant_folding.rs); codegen never sees it
+    override def eval(input: InternalRow): Any = UTF8String.fromString(name(child.dataType))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, _ => s"""UTF8String.fromString("${name(child.dataType)}")""")
+    override protected def withNewChildInternal(newChild: Expression): TypeName = copy(newChild)
+  }
+
   // Column-level entry points (Spark 4's Column↔Expression bridge lives
   // behind private[sql]; see org.apache.spark.sql.graft.Bridge)
   import org.apache.spark.sql.graft.Bridge
   def siphash64(c: Column): Column = Bridge.column(SipHash64(Bridge.expression(c)))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def minhash32(c: Column): Column = Bridge.column(MinHash32(Bridge.expression(c)))
+  def toTypeName(c: Column): Column = Bridge.column(TypeName(Bridge.expression(c)))
 }

@@ -168,7 +168,8 @@ object Dialect {
         s"substring(${x.trim}, 1, ${len.trim})"
       case args => s"substring(${args.mkString(", ")})"
     }
-    s = rewriteAll(s, "toTypeName") { case Seq(x) => s"typeof($x)" }
+    // toTypeName stays a function name — registered as a Catalyst expression
+    // returning the REFERENCE's type names (HashExpressions.TypeName)
     // named casts (scalars/expressions/expression.rs:16-28); UInt widened per
     // SURVEY.md §1.2 (Spark has no unsigned ints)
     for ((name, t) <- Seq("toInt8" -> "TINYINT", "toInt16" -> "SMALLINT",

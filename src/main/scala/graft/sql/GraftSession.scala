@@ -39,6 +39,51 @@ class GraftSession(val spark: SparkSession) {
   private val LocationRe = """(?i)location\s*=\s*'([^']+)'""".r
   private val HeaderRe = """(?i)has_header\s*=\s*(true|1)""".r
 
+  private val CreateDbRe =
+    """(?is)^(CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+)\s+ENGINE\s*=\s*\w+\s*$""".r
+  private val DropDbRe =
+    """(?is)^(DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?[\w.]+)\s*$""".r
+
+  /** Reference columns default to NOT NULL (`DataField.nullable=false`
+    * unless declared — data_field.rs:11); Spark DDL defaults nullable. */
+  private def notNullColumns(cols: String): String =
+    splitTopLevel(cols).map { c =>
+      if ("""(?i)\bnull\b""".r.findFirstIn(c).isDefined) c.trim
+      else c.trim + " NOT NULL"
+    }.mkString(", ")
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private val CreateHeadRe =
+    """(?is)^(CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+))\s*\((.*)\)$""".r
+
+  /** Declared NOT NULL columns per table. Spark's file-source catalog
+    * relaxes nullability on read, so DESCRIBE consults the DDL declaration
+    * (the reference's catalog keeps `DataField.nullable` as declared). */
+  private val declaredNotNull = scala.collection.mutable.Map[String, Set[String]]()
+
+  private def recordNullability(table: String, cols: String): Unit = {
+    val nn = splitTopLevel(cols).flatMap { c =>
+      val name = c.trim.split("\\s+").headOption.getOrElse("")
+      val explicitNullable = """(?i)\bnull\b""".r.findFirstIn(c).isDefined &&
+        """(?i)not\s+null""".r.findFirstIn(c).isEmpty
+      if (explicitNullable || name.isEmpty) None else Some(name.toLowerCase)
+    }.toSet
+    declaredNotNull(table.toLowerCase) = nn
+    declaredNotNull(table.split("\\.").last.toLowerCase) = nn
+  }
+
   private def rewriteCreate(sql: String): Option[String] = sql.trim match {
     case CreateTableRe(head, engine, rest) =>
       val opts = scala.collection.mutable.ArrayBuffer[String]()
@@ -51,8 +96,51 @@ class GraftSession(val spark: SparkSession) {
         case other => throw new IllegalArgumentException(s"unknown engine $other")
       }
       val optClause = if (opts.nonEmpty) opts.mkString(" OPTIONS (", ", ", ")") else ""
-      Some(s"$head USING $using$optClause")
+      val headNN = head match {
+        case CreateHeadRe(h, tbl, cols) =>
+          recordNullability(tbl, cols)
+          s"$h (${notNullColumns(cols)})"
+        case _ => head
+      }
+      Some(s"$headNN USING $using$optClause")
+    case CreateDbRe(create) => Some(create) // ENGINE=Local is the only engine
+    case DropDbRe(drop) => Some(s"$drop CASCADE") // reference drops tables too
     case _ => None
+  }
+
+  /** `DESCRIBE t` with reference type names (§1.2 mapping, reversed) and
+    * reference nullability rendering (10_0000_describe_table golden). */
+  private val DescRe = """(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
+
+  private def refTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "Utf8"
+      case BooleanType => "Boolean"
+      case BinaryType => "Binary"
+      case DateType => "Date32"
+      case _: TimestampType => "Timestamp"
+      case NullType => "Null"
+      case other => other.sql
+    }
+  }
+
+  private def describe(table: String): DataFrame = {
+    import spark.implicits._
+    val nn = declaredNotNull.getOrElse(table.toLowerCase,
+      declaredNotNull.getOrElse(table.split("\\.").last.toLowerCase, Set.empty[String]))
+    spark.table(table).schema.fields.toSeq
+      .map { f =>
+        val nullable = if (nn.nonEmpty) !nn.contains(f.name.toLowerCase) else f.nullable
+        (f.name, refTypeName(f.dataType), if (nullable) "YES" else "NO")
+      }
+      .toDF("Field", "Type", "Null")
   }
 
   /** Engine settings registry (sessions/settings.rs): `SET name = value` for
@@ -66,14 +154,22 @@ class GraftSession(val spark: SparkSession) {
 
   private val SetRe = """(?is)^SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$""".r
 
+  private val SysViewRe = """(?i)system_(tables|databases|functions|settings)""".r
+
   def sql(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
     case SetRe(key, value) if !key.contains(".") =>
       settings(key.toLowerCase) = value
       if (key.equalsIgnoreCase("max_threads"))
         spark.conf.set("spark.sql.shuffle.partitions", value)
       spark.emptyDataFrame
+    case DescRe(table) => describe(table)
     case t =>
-      spark.sql(rewriteCreate(t).getOrElse(Dialect.rewrite(t)))
+      val rewritten = rewriteCreate(t).getOrElse(Dialect.rewrite(t))
+      // system views are catalog snapshots — refresh when queried so DDL
+      // executed since registration is visible (system_database.rs reads
+      // live metadata on every scan)
+      if (SysViewRe.findFirstIn(rewritten).isDefined) SystemTables.registerAll(spark)
+      spark.sql(rewritten)
   }
 }
 
@@ -90,6 +186,8 @@ object GraftSession {
       { case Seq(e) => HashExpressions.SipHash64(e) })
     Bridge.registerFunction(spark, "simhash64",
       { case Seq(e) => HashExpressions.SimHash64(e) })
+    Bridge.registerFunction(spark, "totypename",
+      { case Seq(e) => HashExpressions.TypeName(e) })
     // sleep(seconds) (udfs/sleep.rs): per-invocation delay, capped — the
     // reference sleeps once per block; distributed eval sleeps per row, so
     // the cap keeps a stray `SELECT sleep(1) FROM big` from wedging executors

@@ -28,11 +28,15 @@ object SystemTables {
     spark.catalog.listDatabases().collect().map(_.name).toSeq.toDF("name")
   }
 
+  /** Catalog tables across ALL databases (system_database.rs registers the
+    * full table list); temp views are engine machinery, not tables. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables().collect()
-      .map(t => (Option(t.database).getOrElse(""), t.name, t.tableType))
-      .toSeq.toDF("database", "name", "engine")
+    spark.catalog.listDatabases().collect().map(_.name).toSeq
+      .flatMap(db => spark.catalog.listTables(db).collect()
+        .filter(!_.isTemporary)
+        .map(t => (db, t.name, t.tableType)))
+      .toDF("database", "name", "engine")
   }
 
   def settings(spark: SparkSession): DataFrame = {

@@ -68,7 +68,7 @@ class DialectSpec extends AnyFunSuite {
 
   test("system.one and toTypeName") {
     val r = g.sql("SELECT toTypeName(dummy) AS t FROM system.one").head()
-    assert(r.getString(0) === "tinyint")
+    assert(r.getString(0) === "Int8") // reference type names (§1.2 reversed)
   }
 
   test("named casts toInt8/16/32/64, toUInt widening, toFloat (suite 02)") {
@@ -78,7 +78,7 @@ class DialectSpec extends AnyFunSuite {
         |  toFloat64('1.5') AS f, toTypeName(toInt8(1)) AS t""".stripMargin).head()
     assert(r.getByte(0) == 0 && r.getShort(1) == 10000 && r.getInt(2) == 7)
     assert(r.getLong(3) == 7L && r.getShort(4) == 255 && r.getDouble(5) == 1.5)
-    assert(r.getString(6) == "tinyint")
+    assert(r.getString(6) == "Int8")
   }
 
   test("database() / version() / sleep() context functions (udfs/udf.rs)") {

@@ -35,6 +35,11 @@ class GoldenSuiteSpec extends AnyFunSuite {
         "Spark has no INT→BOOLEAN implicit cast for NOT (ClickHouse-ism)")),
     "01_0000_system_numbers" -> Nil,
     "02_0000_function_arithmetic" -> Nil,
+    "02_0002_function_cast" -> Seq(
+      Skip("SELECT toTypeName(CAST(number AS float32)) FROM numbers_mt(1)", 1,
+        "float32 is not a Spark cast target type name"),
+      Skip("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)", 1,
+        "Spark has no unsigned ints (SURVEY §1.2: UInt64 widens to Int64)")),
     "02_0003_function_database" -> Nil,
     "02_0005_function_compare" -> Nil,
     "02_0005_function_substring" -> Nil,
@@ -51,6 +56,11 @@ class GoldenSuiteSpec extends AnyFunSuite {
     "03_0007_select_alias" -> Nil,
     "03_0008_select_aggregator_combinator" -> Nil,
     "03_0009_select_exists" -> Nil,
+    "05_0000_ddl_create_tables" -> Nil,
+    "05_0001_ddl_create_database" -> Nil,
+    "06_0000_show_queries" -> Nil,
+    "07_0000_use_database" -> Nil,
+    "10_0000_describe_table" -> Nil,
   )
 
   private lazy val session: GraftSession = {
@@ -110,6 +120,9 @@ class GoldenSuiteSpec extends AnyFunSuite {
     }
 
   private def runSuite(name: String, skips: Seq[Skip]): Unit = {
+    // the reference harness opens a fresh connection per suite file, which
+    // starts in the default database
+    session.spark.catalog.setCurrentDatabase("default")
     val stmts = parseSuite(s"$suiteDir/$name.sql")
     val expected = Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector
     var pos = 0
@@ -122,6 +135,9 @@ class GoldenSuiteSpec extends AnyFunSuite {
             try { session.sql(stmt.sql).collect(); false }
             catch { case _: Throwable => true }
           assert(failed, s"[$name #$idx] expected an error: ${stmt.sql}")
+          // some goldens captured the client's ERROR line for the failing
+          // statement (07_0000) — consume it; the text is engine-specific
+          if (pos < expected.length && expected(pos).startsWith("ERROR ")) pos += 1
         case None if stmt.sql.toUpperCase.startsWith("EXPLAIN") =>
           // reference EXPLAIN goldens are its own plan text (one line with
           // \n escapes) — assert our EXPLAIN runs, skip text compare
