@@ -29,6 +29,9 @@ object Dialect {
     val trimmed = sql.trim.stripSuffix(";")
     rewriteShow(trimmed).getOrElse {
       var s = trimmed
+      // EXPLAIN PIPELINE (sql_parser.rs:126-186): the reference renders its
+      // processor pipeline; ours is Spark's physical plan
+      s = s.replaceFirst("(?is)^EXPLAIN\\s+PIPELINE\\s+", "EXPLAIN ")
       s = quoteBareUser(s)
       s = rewriteNumbers(s)
       s = rewriteSystemTables(s)

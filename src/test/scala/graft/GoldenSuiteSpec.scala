@@ -41,6 +41,7 @@ class GoldenSuiteSpec extends AnyFunSuite {
       Skip("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)", 1,
         "Spark has no unsigned ints (SURVEY §1.2: UInt64 widens to Int64)")),
     "02_0003_function_database" -> Nil,
+    "02_0004_function_name_display" -> Nil,
     "02_0005_function_compare" -> Nil,
     "02_0005_function_substring" -> Nil,
     "02_0006_function_argmin_argmax" -> Nil,
@@ -56,12 +57,19 @@ class GoldenSuiteSpec extends AnyFunSuite {
     "03_0007_select_alias" -> Nil,
     "03_0008_select_aggregator_combinator" -> Nil,
     "03_0009_select_exists" -> Nil,
+    "04_0000_explain" -> Nil,
+    "04_0001_explain_pipeline" -> Nil,
     "05_0000_ddl_create_tables" -> Nil,
     "05_0001_ddl_create_database" -> Nil,
     "06_0000_show_queries" -> Nil,
     "07_0000_use_database" -> Nil,
+    "08_0000_optimizer" -> Nil,
     "10_0000_describe_table" -> Nil,
   )
+  // Not portable (documented): 01_0001 asserts the reference's own
+  // system.tables content; 02_0001 asserts unsigned-int coercion names
+  // (Spark has no unsigned ints — SURVEY §1.2 widens); 02_0008 crashme
+  // aborts the server by design; 09_* need the fusestore remote service.
 
   private lazy val session: GraftSession = {
     // Isolated session emulating the reference dialect's semantics:

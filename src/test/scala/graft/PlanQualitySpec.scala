@@ -49,6 +49,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q36 (TPC-H Q5): snowflake dims broadcast; at most one fact shuffle join") {
+    val p = plan("q36_tpch_q5")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      "fact side must shuffle at most once:\n" + p)
+  }
+
+  test("q48 ANN brute force: query side broadcast, corpus never shuffles") {
+    val p = plan("q48_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q46 MinHash-LSH: bucket join is an equi-join, not a cartesian") {
+    val p = plan("q46_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucket join must be key-based:\n" + p)
+  }
+
+  test("codegen'd kernels stay inside whole-stage codegen (dot product)") {
+    import graft.ext.Vectors
+    val df = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+      .select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), "dot product fell out of codegen:\n" + p)
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE finalizes the physical plan only on execution — materialize first.
     val df = SparkEntry.queries("q04_tpch_q1")(spark, TestSpark.sfDir)
