@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.tables.Bucketing
+
+/** Scale-technique operators: bucketed co-located joins (shuffle paid once at
+  * write time) and salted joins for pathological key skew. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed join on bucket keys plans with no shuffle exchange") {
+    val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ords = graft.tables.Tables.table(spark, TestSpark.sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Bucketing.writeBucketed(li, "li_bkt", 4, Seq("l_orderkey"))
+    Bucketing.writeBucketed(ords, "ord_bkt", 4, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = Bucketing.bucketedJoin(spark, "li_bkt", "ord_bkt", Seq("l_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+      // same result as the plain join
+      assert(joined.count() == li.join(ords, "l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
+  test("salted join equals the plain join on heavily skewed keys") {
+    val r = new scala.util.Random(3)
+    // 90% of left rows share one hot key
+    val left = Seq.tabulate(2000)(i =>
+      (if (r.nextInt(10) < 9) 1L else r.nextInt(50).toLong, i.toLong)).toDF("k", "lv")
+    val right = Seq.tabulate(50)(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", factor = 8)
+      .select("k", "lv", "rv").collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("keyHistogram surfaces the hot key") {
+    val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
+    val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
+    assert(top.getLong(0) == 7L && top.getLong(1) == 100L)
+  }
+}
