@@ -116,6 +116,14 @@ class DialectSpec extends AnyFunSuite {
     g.sql("DROP TABLE t_csv")
   }
 
+  test("SHOW CREATE TABLE (sql_statement.rs DfShowCreateTable) passes through") {
+    g.sql("DROP TABLE IF EXISTS t_sct")
+    g.sql("CREATE TABLE t_sct (a INT) ENGINE = Memory")
+    val ddl = g.sql("SHOW CREATE TABLE t_sct").head().getString(0)
+    assert(ddl.toLowerCase.contains("create table") && ddl.contains("t_sct"))
+    g.sql("DROP TABLE t_sct")
+  }
+
   test("EXPLAIN passes through") {
     assert(g.sql("EXPLAIN SELECT sum(number) FROM numbers(10)").count() === 1)
   }
