@@ -45,6 +45,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("sliding windows: each event lands in width/slide overlapping buckets") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    in.addData(ev(1, "2024-01-01 10:20:00"))
+    val q = EventStreams.slidingAgg(in.toDF(), "1 hour", "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("slide_sink")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val starts = spark.table("slide_sink").orderBy("ws").collect()
+      .map(_.getTimestamp(0).toString)
+    // one event at 10:20 → windows [9:30,10:30) and [10:00,11:00)
+    assert(starts.toSeq == Seq("2024-01-01 09:30:00.0", "2024-01-01 10:00:00.0"))
+  }
+
   test("watermark: late event below the watermark is dropped in append mode") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEv]
