@@ -116,6 +116,25 @@ class DialectSpec extends AnyFunSuite {
     g.sql("DROP TABLE t_csv")
   }
 
+  test("INSERT INTO ... SELECT appends query results") {
+    g.sql("DROP TABLE IF EXISTS t_ins")
+    g.sql("CREATE TABLE t_ins (n BIGINT) ENGINE = Memory")
+    g.sql("INSERT INTO t_ins SELECT number FROM numbers(5)")
+    g.sql("INSERT INTO t_ins SELECT number * 10 FROM numbers(2)")
+    val got = g.sql("SELECT n FROM t_ins ORDER BY n").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 1L, 2L, 3L, 4L, 10L))
+    g.sql("DROP TABLE t_ins")
+  }
+
+  test("ENGINE=JSON round-trips through CREATE + INSERT + SELECT") {
+    g.sql("DROP TABLE IF EXISTS t_json")
+    g.sql("CREATE TABLE t_json (a INT, b STRING) ENGINE = JSON")
+    g.sql("INSERT INTO t_json VALUES (1, 'x')")
+    val r = g.sql("SELECT a, b FROM t_json").head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "x")
+    g.sql("DROP TABLE t_json")
+  }
+
   test("SHOW CREATE TABLE (sql_statement.rs DfShowCreateTable) passes through") {
     g.sql("DROP TABLE IF EXISTS t_sct")
     g.sql("CREATE TABLE t_sct (a INT) ENGINE = Memory")
