@@ -33,6 +33,7 @@ object SparkEntry {
       JoinsSubqueries.queries ++
       WindowsSetsDates.queries ++
       StreamingQueries.queries ++
+      DialectQueries.queries ++
       PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
@@ -43,5 +44,6 @@ object SparkEntry {
       JoinsSubqueries.oracle ++
       WindowsSetsDates.oracle ++
       StreamingQueries.oracle ++
+      DialectQueries.oracle ++
       PipelineOps.oracle
 }
