@@ -127,6 +127,18 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
         .orderBy(col("label"))
     }),
+    "q55_quality_quantiles" -> ((s, dir) => {
+      // Exact percentile aggregation of the quality-score distribution per
+      // language — the corpus-curation cut-line query (keep top-X% docs).
+      val d = t(s, dir, "documents")
+        .select(TA.langId(col("text")).as("lang"), TA.qualityScore(col("text")).as("q"))
+      d.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(q, 0.5)"), 6).as("p50"),
+          round(expr("percentile(q, 0.9)"), 6).as("p90"),
+          round(expr("percentile(q, 0.99)"), 6).as("p99"))
+        .orderBy(col("lang"))
+    }),
     "q53_multimodal_meta" -> ((s, dir) => {
       // Binary payload column + metadata extraction (pure expressions).
       val d = Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100))
@@ -268,6 +280,42 @@ object PipelineOps {
         |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
         |  FROM embeddings) t
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q55_quality_quantiles" ->
+      s"""WITH comp AS (
+         |  SELECT
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS alpha,
+         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+         |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mtl,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['le','la','les','de','et','un','est'], t))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['el','los','las','y','un','es','que'], t))) AS BIGINT) AS s_es,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT
+         |    CASE WHEN has_cjk THEN 'zh'
+         |      WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         |      WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         |      WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         |      ELSE 'es' END AS lang,
+         |    round(0.5 * alpha + 0.3 * least(stop_ratio * 3, 1.0)
+         |      + 0.2 * least(mtl / 8, 1.0), 6) AS q
+         |  FROM comp)
+         |SELECT lang, count(*) AS n,
+         |  round(quantile_cont(q, 0.5), 6) AS p50,
+         |  round(quantile_cont(q, 0.9), 6) AS p90,
+         |  round(quantile_cont(q, 0.99), 6) AS p99
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     "q53_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -178,17 +178,20 @@ class GraftSession(val spark: SparkSession) {
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
-  /** Recommended scale configuration, applied to a builder: AQE with skew
-    * handling (runtime re-plan replaces the reference's static
-    * ScattersOptimizer, optimizer_scatters.rs), shuffle parallelism sized to
-    * the machine (reference `max_threads`, settings.rs:21), and split sizes
-    * that keep a partition's working set in executor memory at 100 TB. */
+  /** Recommended scale configuration: AQE with skew handling (runtime
+    * re-plan replaces the reference's static ScattersOptimizer,
+    * optimizer_scatters.rs), shuffle parallelism sized to the machine
+    * (reference `max_threads`, settings.rs:21), and split sizes that keep a
+    * partition's working set in executor memory at 100 TB. */
+  def tunedConf(cores: Int = Runtime.getRuntime.availableProcessors): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> cores.toString,
+    "spark.sql.files.maxPartitionBytes" -> "256m",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def tuned(b: SparkSession.Builder, cores: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
-    b.config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.files.maxPartitionBytes", "256m")
-      .config("spark.sql.session.timeZone", "UTC")
+    tunedConf(cores).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** Reference scalar functions absent from Spark, as codegen'd Catalyst
     * expressions (scalars/hashes/siphash.rs; SimHash is our 100TB-dedup
