@@ -65,6 +65,11 @@ object Bench {
         (sum("number") / count("number")).as("a"), max("number"), min("number")))),
       "numbers_sort_limit" -> (() => evalFully(
         sortNums.orderBy(col("number").desc).limit(100))),
+      "numbers_substring" -> (() => evalFully( // perfs.yaml:24-25
+        Tables.numbers(spark, 1000000L, Some(cpus.toInt))
+          .filter(col("number") > 100)
+          .select(substring(col("number").cast("string"), 3, Int.MaxValue).as("s"), col("number"))
+          .orderBy(col("number").desc).limit(10))),
       "numbers_groupby_mod" -> (() => evalFully(
         sortNums.groupBy(col("number") % 3, col("number") % 4, col("number") % 5)
           .agg(max("number"), sum("number")))))
