@@ -30,8 +30,9 @@ object Dialect {
     rewriteShow(trimmed).getOrElse {
       var s = trimmed
       // EXPLAIN PIPELINE (sql_parser.rs:126-186): the reference renders its
-      // processor pipeline; ours is Spark's physical plan
-      s = s.replaceFirst("(?is)^EXPLAIN\\s+PIPELINE\\s+", "EXPLAIN ")
+      // processor pipeline; the closest Spark view is FORMATTED — the
+      // physical operator tree with whole-stage-codegen span ids
+      s = s.replaceFirst("(?is)^EXPLAIN\\s+PIPELINE\\s+", "EXPLAIN FORMATTED ")
       s = quoteBareUser(s)
       s = rewriteNumbers(s)
       s = rewriteSystemTables(s)
