@@ -138,6 +138,21 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exactly-once dedup on an id column: duplicates arriving
+    * within the watermark horizon are dropped; state for ids older than the
+    * watermark is evicted (without the watermark this op's state grows
+    * forever — the 100 TB failure mode). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
+  /** Stream ⋈ static dimension: the static side broadcasts under the
+    * autoBroadcast threshold, so the stream never shuffles — enrichment at
+    * scan speed. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (Trigger.AvailableNow) into an in-memory table; returns the result
     * as a batch DataFrame. This is how streaming queries enter the driver's

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -47,6 +49,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     val plain = left.join(right, "k")
       .select("k", "lv", "rv").collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
     assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("range-clustered layout: files get disjoint key ranges (data skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+    graft.tables.Layout.writeRangeClustered(li, dir, 4, Seq(col("l_orderkey")))
+    // per-file min/max of the cluster key from the parquet footers
+    val conf = spark.sessionState.newHadoopConf()
+    val ranges = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val stats = r.getFooter.getBlocks.asScala.map(
+            _.getColumns.asScala.find(_.getPath.toDotString == "l_orderkey").get.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+            stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.size >= 2)
+    ranges.sliding(2).foreach { case Seq((_, max1), (min2, _)) =>
+      assert(max1 <= min2, s"overlapping file ranges: $ranges")
+    }
+    // a point filter now prunes to one file's worth of row groups
+    val sel = spark.read.parquet(dir).filter(col("l_orderkey") === 1)
+    assert(sel.count() > 0)
   }
 
   test("keyHistogram surfaces the hot key") {

@@ -136,6 +136,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream dedup: duplicate ids within the watermark horizon are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_sink").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // both duplicate 1s dropped
+  }
+
+  test("stream-static enrichment joins without shuffling the stream") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEv]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", uid = 1), ev(2, "2024-01-01 10:01:00", uid = 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_sink").select("user_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows == Map(1L -> "gold", 9L -> null))
+  }
+
   test("file source end-to-end: streaming tumbling agg equals batch over sf0.001 events") {
     val stream = EventStreams.tumblingAgg(
       EventStreams.readEvents(spark, TestSpark.sfDir), "1 hour")
