@@ -149,11 +149,10 @@ class GraftSession(val spark: SparkSession) {
   /** Engine settings registry (sessions/settings.rs): `SET name = value` for
     * dot-free reference setting names lands here instead of Spark's conf;
     * `max_threads` maps onto the one Spark knob with the same meaning for a
-    * local pipeline. Reference SET produces no result rows. */
+    * local pipeline. Reference SET produces no result rows. Per-SparkSession
+    * (so `system.settings`/SHOW SETTINGS can surface it). */
   val settings: scala.collection.mutable.Map[String, String] =
-    scala.collection.mutable.Map(
-      "max_threads" -> String.valueOf(Runtime.getRuntime.availableProcessors),
-      "max_block_size" -> "10000")
+    GraftSession.settingsRegistry(spark)
 
   private val SetRe = """(?is)^SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$""".r
 
@@ -178,6 +177,22 @@ class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** One engine-settings map per SparkSession (weakly held). */
+  private val registries =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]
+
+  def settingsRegistry(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    registries.synchronized {
+      var m = registries.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map(
+          "max_threads" -> String.valueOf(Runtime.getRuntime.availableProcessors),
+          "max_block_size" -> "10000")
+        registries.put(spark, m)
+      }
+      m
+    }
 
   /** Recommended scale configuration: AQE with skew handling (runtime
     * re-plan replaces the reference's static ScattersOptimizer,

@@ -41,7 +41,10 @@ object SystemTables {
 
   def settings(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.conf.getAll.toSeq.sorted.toDF("name", "value")
+    // engine settings (SET max_threads=… registry) overlay the Spark conf,
+    // like the reference's settings table (system/settings_table.rs)
+    (spark.conf.getAll ++ graft.sql.GraftSession.settingsRegistry(spark).toMap)
+      .toSeq.sorted.toDF("name", "value")
   }
 
   def functions(spark: SparkSession): DataFrame = {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sql.{Dialect, GraftSession}
@@ -133,6 +134,15 @@ class DialectSpec extends AnyFunSuite {
     val r = g.sql("SELECT a, b FROM t_json").head()
     assert(r.getInt(0) == 1 && r.getString(1) == "x")
     g.sql("DROP TABLE t_json")
+  }
+
+  test("SET engine setting is visible in SHOW SETTINGS and sizes shuffles") {
+    g.sql("SET max_threads = 7")
+    val v = g.sql("SHOW SETTINGS").filter(col("name") === "max_threads")
+      .head().getString(1)
+    assert(v == "7")
+    assert(g.spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    g.sql("SET max_threads = 4") // restore the test session's default
   }
 
   test("SHOW CREATE TABLE (sql_statement.rs DfShowCreateTable) passes through") {
