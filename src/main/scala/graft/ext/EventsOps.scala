@@ -26,7 +26,12 @@ object EventsOps {
 
   /** Mark each event with a new-session flag: a session breaks after
     * `gapSeconds` of inactivity per user. Exact-integer microsecond
-    * comparison keeps it engine-reproducible. */
+    * comparison keeps it engine-reproducible.
+    *
+    * Boundary note: a gap of EXACTLY `gapSeconds` stays in-session here
+    * (`>` breaks), while `session_window`/the stateful sessionizer start a
+    * new session (end bound exclusive). Both conventions exist in the wild;
+    * each op's oracle mirrors its own. */
   def withSessionFlag(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
