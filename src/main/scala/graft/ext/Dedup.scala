@@ -44,8 +44,15 @@ object Dedup {
 
   // ---------- n-grams ----------------------------------------------------
 
-  /** Word n-grams of a text column (empty array when fewer than n tokens). */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-grams of a text column (empty array when fewer than n tokens) —
+    * one-pass codegen'd kernel; see
+    * [[graft.functions.TextExpressions.NgramKernel]]. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordNgrams(text, n)
+
+  /** The equivalent higher-order-function spelling, kept as the semantic
+    * specification the kernel is tested against (DedupSpec equivalence). */
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

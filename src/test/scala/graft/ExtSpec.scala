@@ -66,6 +66,24 @@ class ExtSpec extends AnyFunSuite {
     assert(top1 === 2L)
   }
 
+  test("word-ngram kernel is bit-identical to the HOF spelling on real docs") {
+    val d = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
+      // edge inputs exercising trim/split quirks alongside the corpus
+      .select(col("text")).union(TestSpark.spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(""), org.apache.spark.sql.Row("   "),
+          org.apache.spark.sql.Row("one"), org.apache.spark.sql.Row("a b"),
+          org.apache.spark.sql.Row(" a  b\tc "), org.apache.spark.sql.Row("\ta b c")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))))
+    val mismatches = d.select(
+        Dedup.wordNgrams(col("text"), 3).as("kernel"),
+        Dedup.wordNgramsHof(col("text"), 3).as("hof"))
+      .filter(not(col("kernel") === col("hof")))
+    assert(mismatches.count() == 0)
+  }
+
   test("IVF ANN: full-probe equals brute force; partial probe finds the near-dup") {
     val emb = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
