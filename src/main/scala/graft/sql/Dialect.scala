@@ -34,6 +34,7 @@ object Dialect {
       // physical operator tree with whole-stage-codegen span ids
       s = s.replaceFirst("(?is)^EXPLAIN\\s+PIPELINE\\s+", "EXPLAIN FORMATTED ")
       s = quoteBareUser(s)
+      s = descNullsFirst(s)
       s = rewriteNumbers(s)
       s = rewriteSystemTables(s)
       s = rewriteCombinators(s)
@@ -42,15 +43,25 @@ object Dialect {
     }
   }
 
+  /** The reference defaults `nulls_first = true` for every sort direction
+    * (plan_parser.rs:488); Spark's DESC default is nulls-LAST. Pin DESC
+    * sorts to NULLS FIRST unless the query says otherwise (ASC already
+    * matches). Applied outside string literals. */
+  private def descNullsFirst(s: String): String =
+    mapOutsideStrings(s, _.replaceAll("(?i)\\bDESC\\b(?!\\s+NULLS)", "DESC NULLS FIRST"))
+
+  private def mapOutsideStrings(s: String, f: String => String): String =
+    s.split("'", -1).zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0) f(p) else p
+    }.mkString("'")
+
   /** Spark resolves an otherwise-unresolved `user` column to the literal
     * function `current_user()` (even when backtick-quoted — it happens at
     * analysis, not parse). The reference treats `user` as a plain identifier
     * (02_0006 aliases a column `user`), so rename it consistently outside
     * string literals; result VALUES are unchanged, only the column name. */
   private def quoteBareUser(s: String): String =
-    s.split("'", -1).zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0) p.replaceAll("(?i)(?<![`\\w])user(?![`\\w(])", "user_") else p
-    }.mkString("'")
+    mapOutsideStrings(s, _.replaceAll("(?i)(?<![`\\w])user(?![`\\w(])", "user_"))
 
   // ---- SHOW → SELECT (plan_parser.rs:107-127) ----------------------------
   private def rewriteShow(s: String): Option[String] = {

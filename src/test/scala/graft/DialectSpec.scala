@@ -136,6 +136,17 @@ class DialectSpec extends AnyFunSuite {
     g.sql("DROP TABLE t_json")
   }
 
+  test("DESC sorts put NULLs first (plan_parser.rs:488 default)") {
+    g.sql("SELECT 1 AS x UNION ALL SELECT NULL").createOrReplaceTempView("nulls_t")
+    val desc = g.sql("SELECT x FROM nulls_t ORDER BY x DESC").collect()
+    assert(desc(0).isNullAt(0) && desc(1).getInt(0) == 1)
+    // explicit NULLS LAST is respected
+    val explicit = g.sql("SELECT x FROM nulls_t ORDER BY x DESC NULLS LAST").collect()
+    assert(explicit(0).getInt(0) == 1 && explicit(1).isNullAt(0))
+    // 'DESC' inside a string literal is untouched
+    assert(g.sql("SELECT 'DESC' AS s").head().getString(0) == "DESC")
+  }
+
   test("SET engine setting is visible in SHOW SETTINGS and sizes shuffles") {
     g.sql("SET max_threads = 7")
     val v = g.sql("SHOW SETTINGS").filter(col("name") === "max_threads")
