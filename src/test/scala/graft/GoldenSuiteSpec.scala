@@ -111,21 +111,7 @@ class GoldenSuiteSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  /** Reference text rendering of a single value. */
-  private def render(v: Any): String = v match {
-    case null => "NULL"
-    case b: Boolean => if (b) "true" else "false"
-    case d: Double => renderFloat(d)
-    case f: Float => renderFloat(f.toDouble)
-    case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
-    case x => x.toString
-  }
-  private def renderFloat(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-    else {
-      val s = BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
-      s
-    }
+  private def render(v: Any): String = graft.sql.Render.value(v)
 
   private def runSuite(name: String, skips: Seq[Skip]): Unit = {
     // the reference harness opens a fresh connection per suite file, which
