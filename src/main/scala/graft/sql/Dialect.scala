@@ -67,7 +67,9 @@ object Dialect {
   private def rewriteShow(s: String): Option[String] = {
     val u = s.toUpperCase.replaceAll("\\s+", " ")
     u match {
-      case "SHOW TABLES" => Some("SELECT name FROM system_tables ORDER BY name")
+      // filters to the current database, exactly as plan_parser.rs:118-125
+      case "SHOW TABLES" => Some(
+        "SELECT name FROM system_tables WHERE database = current_database() ORDER BY database, name")
       case "SHOW DATABASES" => Some("SELECT name FROM system_databases ORDER BY name")
       case "SHOW SETTINGS" => Some("SELECT name, value FROM system_settings ORDER BY name")
       case "SHOW FUNCTIONS" => Some("SELECT name FROM system_functions ORDER BY name")

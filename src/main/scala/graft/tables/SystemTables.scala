@@ -28,15 +28,17 @@ object SystemTables {
     spark.catalog.listDatabases().collect().map(_.name).toSeq.toDF("name")
   }
 
-  /** Catalog tables across ALL databases (system_database.rs registers the
-    * full table list); temp views are engine machinery, not tables. */
+  /** Catalog tables across ALL databases plus the virtual system tables
+    * themselves (tables_table.rs lists them under database `system` with
+    * `System<Name>` engines); temp views are engine machinery, not tables. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listDatabases().collect().map(_.name).toSeq
+    val catalog = spark.catalog.listDatabases().collect().map(_.name).toSeq
       .flatMap(db => spark.catalog.listTables(db).collect()
         .filter(!_.isTemporary)
         .map(t => (db, t.name, t.tableType)))
-      .toDF("database", "name", "engine")
+    val virtual = all.map(n => ("system", n, s"System${n.capitalize}"))
+    (catalog ++ virtual).toDF("database", "name", "engine")
   }
 
   def settings(spark: SparkSession): DataFrame = {

@@ -34,6 +34,7 @@ class GoldenSuiteSpec extends AnyFunSuite {
       Skip("SELECT NOT(1)", 1,
         "Spark has no INT→BOOLEAN implicit cast for NOT (ClickHouse-ism)")),
     "01_0000_system_numbers" -> Nil,
+    "01_0001_system_tables" -> Nil,
     "02_0000_function_arithmetic" -> Nil,
     "02_0002_function_cast" -> Seq(
       Skip("SELECT toTypeName(CAST(number AS float32)) FROM numbers_mt(1)", 1,
@@ -66,8 +67,7 @@ class GoldenSuiteSpec extends AnyFunSuite {
     "08_0000_optimizer" -> Nil,
     "10_0000_describe_table" -> Nil,
   )
-  // Not portable (documented): 01_0001 asserts the reference's own
-  // system.tables content; 02_0001 asserts unsigned-int coercion names
+  // Not portable (documented): 02_0001 asserts unsigned-int coercion names
   // (Spark has no unsigned ints — SURVEY §1.2 widens); 02_0008 crashme
   // aborts the server by design; 09_* need the fusestore remote service.
 
