@@ -165,6 +165,20 @@ object JoinsSubqueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "q36b_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share — lineitem⋈part on partkey
+      // (the second fact-dim key), conditional aggregation over the join.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"),
+          count(lit(1)).as("n"))
+    }),
     "q37_tpch_q10" -> ((s, dir) => {
       // TPC-H Q10 shape: returned-item revenue per customer, top 20.
       val cust = t(s, dir, "customer")
@@ -276,6 +290,15 @@ object JoinsSubqueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q36b_tpch_q14" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_rev,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
     "q37_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
