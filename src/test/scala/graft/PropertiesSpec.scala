@@ -56,6 +56,17 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("simhash: deterministic, whitespace-normalization-invariant, order-sensitive") {
+    import graft.functions.HashExpressions.SimHash
+    def h(s: String): Long = SimHash.simhash(UTF8String.fromString(s))
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.identifier)) { toks =>
+      val doc = toks.mkString(" ")
+      h(doc) == h(doc) &&                       // deterministic
+        h(doc) == h(toks.mkString("  ")) &&     // run-of-whitespace invariant
+        h(doc) == h(" " + doc + "\t")           // leading/trailing ws invariant
+    })
+  }
+
   test("uniq_exact aggregator: merge is associative and commutative") {
     import graft.functions.UniqExactAggregator._
     check(Prop.forAll { (a: List[Long], b: List[Long], c: List[Long]) =>
