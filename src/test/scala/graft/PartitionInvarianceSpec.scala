@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distribution-correctness guard: a query's RESULT must not depend on how
+  * the input happens to be partitioned — the local[4] proxy for "the same
+  * answer on a 1000-executor cluster". Each representative query runs under
+  * the default layout and again with the shuffle width changed and the
+  * inputs re-partitioned; sorted results must be identical. Catches
+  * accumulation-order bugs (un-rounded float aggs), partition-local logic
+  * leaking into results, and non-deterministic tie-breaks. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // one per operator family: hash agg, window/limit-by, join+topk, dedup,
+  // ANN, sessionize, set ops
+  private val representative = Seq(
+    "q04_tpch_q1", "q08_limit_by", "q20_tpch_q3", "q40_dedup_exact",
+    "q48_ann_brute", "q31_sessionize", "q18_setops", "q46_minhash_lsh")
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .collect().map(_.toString).sorted.toSeq
+
+  representative.foreach { name =>
+    test(s"$name is partition-layout invariant") {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      val base = rows(name)
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert(rows(name) == base, s"$name changed under 3 shuffle partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        assert(rows(name) == base, s"$name changed under 17 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+}
