@@ -29,7 +29,7 @@ object Dedup {
     * One hash aggregation over all columns — the 100 TB formulation of
     * `SELECT ... GROUP BY * HAVING count(*) > 1`. */
   def duplicateRowSummary(df: DataFrame): DataFrame = {
-    val dups = df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("c"))
+    val dups = df.groupBy(df.columns.toIndexedSeq.map(col): _*).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
     dups.agg(
       count(lit(1)).as("n_dup_groups"),

@@ -101,7 +101,7 @@ object Similarity {
       }
 
     def cellScores(vec: Column): Column =
-      array(cents.map(c => dot(vec, typedlit(c))): _*)
+      array(cents.toIndexedSeq.map(c => dot(vec, typedlit(c))): _*)
 
     // nearest cell = argmax of centroid dots (array_position is 1-based)
     def nearestCell(vec: Column): Column = {

@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   * Accumulation is sequential in double (element i in order), bit-identical
   * to the HOF spelling and to the DuckDB oracle's `list_sum(list_transform)`
   * — required for the driver's hash-compare on rounded results.
+  *
+  * NULL semantics: a NULL array yields NULL (null-safe eval); a NULL
+  * ELEMENT contributes 0.0 (embedding vectors are dense by contract; the
+  * parquet schema technically allows element nulls, and treating them as
+  * zero matches the oracle's `CAST(e[i] AS DOUBLE)` on absent positions).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

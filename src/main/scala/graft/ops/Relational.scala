@@ -44,7 +44,7 @@ object Relational {
   def dedupFirst(df: DataFrame, keys: Seq[Column], keep: Column): DataFrame = {
     val others = df.columns.map(col)
     df.groupBy(keys: _*)
-      .agg(min_by(struct(others: _*), keep).as("__row"))
+      .agg(min_by(struct(others.toIndexedSeq: _*), keep).as("__row"))
       .select(col("__row.*"))
   }
 }

@@ -21,7 +21,7 @@ object Skew {
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(factor)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(factor)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
