@@ -16,13 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
-  /** Time-bucketed aggregation (tumbling window as a group key). */
-  def timeBucket(events: DataFrame, unit: String): DataFrame =
+  /** Time-bucketed aggregation (tumbling window as a group key).
+    *
+    * Sums accumulate in DECIMAL, not double: decimal addition is exact and
+    * ORDER-INDEPENDENT, so the result is identical across engines and
+    * partitionings — double accumulation differs in the last ulps by
+    * summation order, and no rounding precision is safe against boundary
+    * values (surfaced at sf0.1). The per-row double→decimal(30,10) cast is
+    * deterministic in both engines. */
+  def timeBucket(events: DataFrame, unit: String): DataFrame = {
+    val s10 = sum(col("value").cast("decimal(30,10)"))
     events.groupBy(date_trunc(unit, col("ts")).as("h"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("s"),
-        round(avg(col("value")), 6).as("a"))
+        round(s10.cast("double"), 2).as("s"),
+        round(s10.cast("double") / count(lit(1)), 6).as("a"))
+  }
 
   /** Mark each event with a new-session flag: a session breaks after
     * `gapSeconds` of inactivity per user. Exact-integer microsecond

@@ -27,13 +27,18 @@ object CoreRelational {
     "q02_expr_arith" -> ((s, dir) => {
       // ExpressionTransform + arithmetic/comparison/logic scalar functions
       // (transform_expression.rs, scalars/arithmetics/, comparisons/, logics/).
+      // charge in integer cents via floor(x*100 + 0.5): per-row arithmetic is
+      // bit-identical across engines, and floor of the same double is too —
+      // `round()` is NOT (Spark decimal-HALF_UP vs DuckDB nearbyint diverge
+      // on boundary doubles; surfaced at sf0.1)
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_returnflag") === "A")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("charge"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
+            * 100 + 0.5).cast("long").as("charge_c100"),
           (col("l_quantity") % 7).as("qmod"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge_c100"))
     }),
 
     // ---- §2.4 aggregations ----------------------------------------------
@@ -144,10 +149,10 @@ object CoreRelational {
         |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q02_expr_arith" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charge_c100,
         |  l_quantity % 7 AS qmod
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'
-        |ORDER BY l_orderkey, l_linenumber, charge""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, charge_c100""".stripMargin,
     "q03_agg_global" ->
       """SELECT count(*) AS n_rows, count(l_quantity) AS n_qty,
         |  sum(l_quantity) AS s_qty,

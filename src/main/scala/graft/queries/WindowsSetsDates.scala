@@ -170,7 +170,8 @@ object WindowsSetsDates {
         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
     "q29_events_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS s, round(avg(value), 6) AS a
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS a
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "q30_events_json" ->
       """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
