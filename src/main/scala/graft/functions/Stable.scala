@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine- and partitioning-stable aggregation spellings.
+  *
+  * Double addition is not associative: a distributed sum's value depends on
+  * shuffle-fetch/merge order, which varies run-to-run and engine-to-engine —
+  * so `round(sum(x), n)` flips on boundary values no matter the `n`
+  * (observed at sf0.1 between Spark and the DuckDB oracle). Accumulating in
+  * DECIMAL makes the sum exact and order-independent; the per-row
+  * double→decimal(30,10) cast is deterministic in both engines. Oracle SQL
+  * mirrors these as `CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)`.
+  */
+object Stable {
+
+  /** Order-independent sum of a double expression. */
+  def sumD(c: Column): Column = sum(c.cast("decimal(30,10)")).cast("double")
+
+  /** Order-independent average (null-skipping, like `avg`). */
+  def avgD(c: Column): Column = sumD(c) / count(c)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Combinators._
+import graft.functions.Stable
 import graft.ops.Relational
 import graft.tables.Tables
 
@@ -51,22 +52,24 @@ object CoreRelational {
         sum(col("l_quantity")).as("s_qty"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
-        round(sum(col("l_extendedprice")), 2).as("s_price"),
-        round(avg(col("l_extendedprice")), 2).as("a_price"))
+        round(Stable.sumD(col("l_extendedprice")), 2).as("s_price"),
+        round(Stable.avgD(col("l_extendedprice")), 2).as("a_price"))
     }),
     "q04_tpch_q1" -> ((s, dir) => {
       // GROUP BY + multiple aggs (transform_group_by_partial/final.rs).
+      // Fractional-double sums accumulate in decimal (Stable.sumD): exact
+      // and merge-order independent; quantity is integral → exact already.
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(Stable.sumD(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(Stable.avgD(col("l_extendedprice")), 4).as("avg_price"),
+          round(Stable.avgD(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -157,18 +160,18 @@ object CoreRelational {
       """SELECT count(*) AS n_rows, count(l_quantity) AS n_qty,
         |  sum(l_quantity) AS s_qty,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-        |  round(sum(l_extendedprice), 2) AS s_price,
-        |  round(avg(l_extendedprice), 2) AS a_price
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS s_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice), 2) AS a_price
         |FROM lineitem""".stripMargin,
     "q04_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -41,7 +41,7 @@ object JoinsSubqueries {
     "q14_in_subquery" -> ((s, dir) => {
       // Uncorrelated IN subquery + BETWEEN desugar (plan_parser.rs:941-958).
       Tables.registerAll(s, dir)
-      s.sql("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+      s.sql("""SELECT count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
               |FROM orders
               |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
               |  AND o_totalprice BETWEEN 100000 AND 200000""".stripMargin)
@@ -103,7 +103,7 @@ object JoinsSubqueries {
       val customer = t(s, dir, "customer")
       orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), round(graft.functions.Stable.sumD(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
     "q20_tpch_q3" -> ((s, dir) => {
@@ -116,7 +116,7 @@ object JoinsSubqueries {
       li.join(ords, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(graft.functions.Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -162,7 +162,7 @@ object JoinsSubqueries {
           col("c_nationkey") === col("s_nationkey"))
         .join(dim, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(graft.functions.Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "q36b_tpch_q14" -> ((s, dir) => {
@@ -174,9 +174,9 @@ object JoinsSubqueries {
       val part = t(s, dir, "part")
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type").startsWith("PROMO"),
+          round(graft.functions.Stable.sumD(when(col("p_type").startsWith("PROMO"),
             col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("promo_rev"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"),
+          round(graft.functions.Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"),
           count(lit(1)).as("n"))
     }),
     "q37_tpch_q10" -> ((s, dir) => {
@@ -191,7 +191,7 @@ object JoinsSubqueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(graft.functions.Stable.sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -209,7 +209,7 @@ object JoinsSubqueries {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |ORDER BY c_custkey, c_acctbal""".stripMargin,
     "q14_in_subquery" ->
-      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+      """SELECT count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |  AND o_totalprice BETWEEN 100000 AND 200000""".stripMargin,
@@ -248,12 +248,12 @@ object JoinsSubqueries {
         |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
         |ORDER BY op""".stripMargin,
     "q19_join_broadcast" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      """SELECT c_mktsegment, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q20_tpch_q3" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -279,7 +279,7 @@ object JoinsSubqueries {
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "q36_tpch_q5" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -292,16 +292,16 @@ object JoinsSubqueries {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q36b_tpch_q14" ->
       """SELECT
-        |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_rev,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+        |  round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) END) AS DOUBLE), 2) AS promo_rev,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_rev,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
     "q37_tpch_q10" ->
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
         |  c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

@@ -124,7 +124,7 @@ object PipelineOps {
       t(s, dir, "embeddings")
         .select(col("label"), round(graft.ext.Vectors.norm(col("embedding")), 6).as("nrm"))
         .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .agg(count(lit(1)).as("n"), round(graft.functions.Stable.avgD(col("nrm")), 4).as("avg_norm"))
         .orderBy(col("label"))
     }),
     "q55_quality_quantiles" -> ((s, dir) => {
@@ -275,7 +275,7 @@ object PipelineOps {
         |SELECT v1, v2, sim FROM s WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin,
     "q52_embedding_stats" ->
       """SELECT label, count(*) AS n,
-        |  round(avg(nrm), 4) AS avg_norm
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / count(nrm), 4) AS avg_norm
         |FROM (SELECT label,
         |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
         |  FROM embeddings) t

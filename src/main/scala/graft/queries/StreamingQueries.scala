@@ -54,7 +54,7 @@ object StreamingQueries {
   def oracle: Map[String, String] = Map(
     "q33_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS s
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     // Session bounds per Spark session_window semantics: a new session starts
     // when the gap to the previous event is >= 30 min (end bound exclusive);
@@ -75,7 +75,8 @@ object StreamingQueries {
         |SELECT user_id,
         |  make_timestamp(min(us)) AS session_start,
         |  make_timestamp(max(us) + 1800000000) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -79,7 +79,7 @@ object WindowsSetsDates {
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("rev"),
+          round(graft.functions.Stable.sumD(col("o_totalprice")), 2).as("rev"),
           min(col("o_orderdate").cast("date")).as("first_day"),
           max(date_trunc("month", col("o_orderdate"))).as("mstart"),
           max(col("o_orderdate") + expr("INTERVAL 30 DAY")).as("max_plus30"),
@@ -162,7 +162,7 @@ object WindowsSetsDates {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS rev,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS rev,
         |  min(CAST(o_orderdate AS DATE)) AS first_day,
         |  max(date_trunc('month', o_orderdate)) AS mstart,
         |  max(o_orderdate + INTERVAL 30 DAY) AS max_plus30,

@@ -59,7 +59,8 @@ object EventStreams {
       watermarkDelay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2).as("s"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("s"))
 
   /** Sliding (overlapping) windows — each event lands in width/slide buckets. */
@@ -77,7 +78,8 @@ object EventStreams {
       watermarkDelay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
