@@ -22,19 +22,29 @@ import Vectors._
   */
 object Similarity {
 
-  /** Deterministic hyperplanes: `planes` × `dim` standard normals, seed 7. */
-  private def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
-    val r = new scala.util.Random(7)
+  /** Deterministic hyperplanes: `planes` × `dim` standard normals, seeded. */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(r.nextGaussian()))
   }
 
   /** Sign-pattern LSH bucket id of a vector (long bitmask over `planes`). */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val hs = hyperplanes(planes, dim)
+  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 7L): Column = {
+    val hs = hyperplanes(planes, dim, seed)
     hs.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Multi-table LSH keys: `tables` independent sign-pattern tables
+    * (OR-amplification). A single k-plane table only finds pairs agreeing on
+    * ALL k signs — recall (1-θ/π)^k collapses fast with k; the standard
+    * construction unions candidates from L independent tables:
+    * recall = 1-(1-(1-θ/π)^k)^L. Each row explodes into L (table:bucket)
+    * keys; the join is still a bucket equi-join. */
+  def lshTableKeys(vec: Column, planes: Int, tables: Int, dim: Int): Column =
+    array((0 until tables).map(t =>
+      concat_ws(":", lit(t), lshBucket(vec, planes, dim, seed = 7L + t))): _*)
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * `queries` must be small enough to broadcast. Self-matches excluded. */
@@ -55,19 +65,23 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** LSH-bucketed ANN top-k: candidates are corpus vectors in the same
-    * sign-pattern bucket as the query; exact cosine re-ranks within bucket.
-    * Fewer planes → bigger buckets → higher recall, more compute. */
+  /** LSH-bucketed ANN top-k: candidates are corpus vectors sharing ANY of
+    * `tables` sign-pattern buckets with the query (OR-amplified); exact
+    * cosine re-ranks the deduplicated candidate set. More planes → tighter
+    * buckets (less compute, lower per-table recall); more tables → recall
+    * back up (corpus keys ×L). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_n"),
-      lshBucket(col("embedding"), planes, dim).as("bkt"))
+      explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       norm(col("embedding")).as("c_n"),
-      lshBucket(col("embedding"), planes, dim).as("bkt"))
+      explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("q_id") =!= col("c_id"))
+      // a pair meeting in several tables must rank once
+      .dropDuplicates("q_id", "c_id")
       .withColumn("sim",
         round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
     val w = org.apache.spark.sql.expressions.Window
@@ -133,18 +147,28 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-blocked
-    * (pairs must share a bucket), exact-cosine verified. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, multi-table
+    * LSH-blocked (pairs must share a bucket in ANY table), exact-cosine
+    * verified on the deduplicated candidate set.
+    *
+    * Defaults tuned for DUP detection (high-cosine pairs): 8 planes keep
+    * buckets tight — the self-join pair count stays near-linear — while a
+    * true duplicate (θ≈18°) still lands in some shared bucket with ~90%
+    * probability across 4 tables ((1-(1-(1-θ/π)^8)^4)). Low-threshold
+    * similarity mining wants fewer planes / more tables. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      planes: Int = 4, dim: Int = 64): DataFrame = {
+      planes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), planes, dim).as("bkt"))
+      explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
     v.alias("a").join(v.alias("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 5))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.embedding").as("e1"), col("b.embedding").as("e2"),
+        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
+      .dropDuplicates("v1", "v2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
       .filter(col("sim") >= threshold)
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
+      .select(col("v1"), col("v2"), col("sim"))
   }
 }

@@ -66,6 +66,22 @@ class ExtSpec extends AnyFunSuite {
     assert(top1 === 2L)
   }
 
+  test("ANN approximate paths: recall vs brute force clears a floor") {
+    // seeded hyperplanes/centroids → recall is deterministic, so an exact
+    // floor is assertable; guards silent recall collapse when tuning
+    val emb = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, k = 3))
+    val lsh = pairs(Similarity.lshTopK(q, emb, k = 3, planes = 6))
+    val ivf = pairs(Similarity.ivfTopK(q, emb, k = 3, nlist = 8, nprobe = 4))
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.3, s"LSH recall collapsed: $lshRecall")
+    assert(ivfRecall >= 0.5, s"IVF recall collapsed: $ivfRecall")
+  }
+
   test("word-ngram kernel is bit-identical to the HOF spelling on real docs") {
     val d = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
       // edge inputs exercising trim/split quirks alongside the corpus
