@@ -23,17 +23,18 @@ object Multimodal {
 
   /** ======== STUB ========
     * Deterministic fake decoder: "decodes" a payload into plausible image
-    * metadata derived from a stable hash of the bytes. Replace `decode`
-    * with a real codec (e.g. TwelveMonkeys/JavaCV) in deployment — the
-    * surrounding plumbing (batching, schema, null handling) is the real
-    * contract. */
+    * metadata derived from the byte length via fixed multiplicative mixers.
+    * Chosen over a hash precisely so an external SQL oracle can recompute
+    * every field from `octet_length(payload)` — the decode itself is the
+    * sanctioned stub, the verifiable plumbing is the contract. Replace
+    * `decode` with a real codec (e.g. TwelveMonkeys/JavaCV) in deployment. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int, String) = {
-      val h = graft.functions.HashExpressions.SipHash24.hash(payload)
-      val w = 64 + math.floorMod(h, 1856).toInt            // 64..1919
-      val ht = 64 + math.floorMod(h >>> 16, 1016).toInt    // 64..1079
-      val ch = if (math.floorMod(h >>> 32, 4) == 0L) 1 else 3
-      val fmt = if (math.floorMod(h, 2) == 0L) "fake/png" else "fake/jpeg"
+      val len = payload.length.toLong
+      val w = 64 + ((len * 2654435761L) % 1856L).toInt   // 64..1919
+      val ht = 64 + ((len * 40503L) % 1016L).toInt       // 64..1079
+      val ch = if ((len * 7919L) % 4L == 0L) 1 else 3
+      val fmt = if (len % 2L == 0L) "fake/png" else "fake/jpeg"
       (w, ht, ch, fmt)
     }
   }
@@ -78,8 +79,9 @@ object Multimodal {
   }
 
   /** Frame sampling for video-like payloads: n evenly spaced byte offsets
-    * (stand-ins for frame indices) as an array column. */
+    * (stand-ins for frame indices) as an array column. Integer offsets
+    * (floor of the even split), so downstream consumers can seek directly. */
   def frameSampleOffsets(payload: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
-      i => (i * payloadBytes(payload)) / n)
+      i => floor((i * payloadBytes(payload)) / n).cast("long"))
 }

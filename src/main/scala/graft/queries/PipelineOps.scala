@@ -150,13 +150,22 @@ object PipelineOps {
     }),
     "q54_multimodal_decode" -> ((s, dir) => {
       // Batch-wise decode via mapPartitions (codec STUBBED — FakeCodec);
-      // resize planning + frame sampling as expressions. Rows-only check.
+      // resize planning + frame sampling as expressions. Every output column
+      // is scalar (struct flattened, frame offsets serialized) so the driver
+      // can sort/hash the result, and the FakeCodec arithmetic is
+      // reproducible in the SQL oracle from octet_length alone.
       val d = Multimodal.decodeImages(
         Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+      val resized = Multimodal.resizePlan(col("width"), col("height"), 256)
       d.select(
-        col("doc_id"), col("width"), col("height"), col("channels"), col("format"),
-        Multimodal.resizePlan(col("width"), col("height"), 256).as("resized"),
-        Multimodal.frameSampleOffsets(col("payload"), 4).as("frames"))
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("format"),
+        resized.getField("width").cast("long").as("resized_w"),
+        resized.getField("height").cast("long").as("resized_h"),
+        concat_ws(",", Multimodal.frameSampleOffsets(col("payload"), 4)).as("frames"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -321,5 +330,26 @@ object PipelineOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(text) AS BIGINT) AS first_cp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q54_multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT doc_id, len,
+        |    64 + (len * 2654435761) % 1856 AS width,
+        |    64 + (len * 40503) % 1016 AS height,
+        |    CASE WHEN (len * 7919) % 4 = 0 THEN 1 ELSE 3 END AS channels,
+        |    CASE WHEN len % 2 = 0 THEN 'fake/png' ELSE 'fake/jpeg' END AS format
+        |  FROM b),
+        |r AS (SELECT *, least(256.0 / greatest(width, height), 1.0) AS scale FROM m)
+        |SELECT doc_id,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  format,
+        |  CAST(floor(width * scale) AS BIGINT) AS resized_w,
+        |  CAST(floor(height * scale) AS BIGINT) AS resized_h,
+        |  array_to_string(list_transform(generate_series(0, 3), i -> (i * len) // 4), ',') AS frames
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
