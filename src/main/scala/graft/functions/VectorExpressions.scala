@@ -24,11 +24,16 @@ import org.apache.spark.sql.types._
   * ELEMENT contributes 0.0 (embedding vectors are dense by contract; the
   * parquet schema technically allows element nulls, and treating them as
   * zero matches the oracle's `CAST(e[i] AS DOUBLE)` on absent positions).
+  * MISMATCHED lengths yield NULL rather than a silently-truncated dot —
+  * a corrupt/short embedding must not produce a plausible-but-wrong
+  * similarity (reference-style strict argument checking).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // nullable even over non-null children: length mismatch yields NULL
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -46,7 +51,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var acc = 0.0
@@ -68,12 +74,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.$xGet($i) * (double) $y.$yGet($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.$xGet($i) * (double) $y.$yGet($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

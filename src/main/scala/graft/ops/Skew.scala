@@ -17,9 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which replicating the right side is result-preserving.
+    * Right/full outer would emit each unmatched right row `factor` times
+    * (one per salt replica), so they are rejected up front. */
+  private val supportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: unsupported join type '$joinType' — replicating the right " +
+        "side breaks right/full outer semantics (unmatched right rows would " +
+        "be emitted once per salt replica)")
     val l = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(factor)))
     val r = right.withColumn("__salt",

@@ -93,6 +93,18 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter(col("expr") =!= col("hof")).count() == 0)
   }
 
+  test("dot-product yields NULL on mismatched vector lengths, not a truncated value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),      // mismatch -> null
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)))            // match -> 11.0
+      .toDF("a", "b")
+      .select(graft.ext.Vectors.dot(col("a"), col("b")).as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, Some(11.0)))
+  }
+
   test("limitBy: at most n rows per key, and exactly the first n by order") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -51,6 +51,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("salted join rejects right/full outer (replication would duplicate unmatched rows)") {
+    val left = Seq((1L, 1L)).toDF("k", "lv")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "k", factor = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "k", factor = 4, joinType = "full")
+    }
+    // left outer IS supported and matches the plain join
+    val so = Skew.saltedJoin(left, right, "k", factor = 4, joinType = "left_outer")
+    assert(so.collect().map(r => (r.getLong(0), r.getString(2))).toSet == Set((1L, "a")))
+  }
+
   test("range-clustered layout: files get disjoint key ranges (data skipping)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
