@@ -34,6 +34,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKStrategy.install(spark)
 
     // JVM/session warm-up so the first timed query doesn't pay executor spin-up.
     spark.range(0, 1000000, 1, cpus.toInt).agg(sum("id")).collect()

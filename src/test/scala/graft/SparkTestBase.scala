@@ -17,6 +17,7 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKStrategy.install(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
