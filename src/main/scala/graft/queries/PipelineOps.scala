@@ -86,10 +86,10 @@ object PipelineOps {
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (random hyperplanes, seed-deterministic).
+      // LSH-bucketed multiprobe ANN (random hyperplanes, seed-deterministic).
       // Rows-only check; recall vs brute force covered in ScalaTest.
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3, planes = 6)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49b_ann_ivf" -> ((s, dir) => {
