@@ -43,17 +43,90 @@ object Dialect {
     }
   }
 
+  // ---- string-literal awareness ------------------------------------------
+  /** Per-position mask: true = inside a quoted literal. Handles single- and
+    * double-quoted strings with SQL `''` / `""` doubling as the escape. */
+  private def stringMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote == 0) {
+        if (c == '\'' || c == '"') { quote = c; in(i) = true }
+      } else {
+        in(i) = true
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) { in(i + 1) = true; i += 1 }
+          else quote = 0
+        }
+      }
+      i += 1
+    }
+    in
+  }
+
+  /** Apply `f` to the runs of text OUTSIDE quoted literals only. */
+  private def mapOutsideStrings(s: String, f: String => String): String = {
+    val mask = stringMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val start = i
+      val inside = mask(i)
+      while (i < s.length && mask(i) == inside) i += 1
+      val seg = s.substring(start, i)
+      sb.append(if (inside) seg else f(seg))
+    }
+    sb.toString
+  }
+
+  /** Matches of `re` outside string literals and (when `topLevel`) at paren
+    * depth 0 — the clause structure of the statement itself, not of a
+    * subquery or function argument. */
+  private def scopedMatches(s: String, re: scala.util.matching.Regex,
+      topLevel: Boolean): Seq[scala.util.matching.Regex.Match] = {
+    val mask = stringMask(s)
+    val depth = new Array[Int](s.length)
+    var d = 0
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i)) {
+        if (s.charAt(i) == '(') d += 1
+        else if (s.charAt(i) == ')') d -= 1
+      }
+      depth(i) = d
+      i += 1
+    }
+    re.findAllMatchIn(s)
+      .filter(m => !mask(m.start) && (!topLevel || depth(m.start) == 0))
+      .toSeq
+  }
+
   /** The reference defaults `nulls_first = true` for every sort direction
     * (plan_parser.rs:488); Spark's DESC default is nulls-LAST. Pin DESC
     * sorts to NULLS FIRST unless the query says otherwise (ASC already
-    * matches). Applied outside string literals. */
-  private def descNullsFirst(s: String): String =
-    mapOutsideStrings(s, _.replaceAll("(?i)\\bDESC\\b(?!\\s+NULLS)", "DESC NULLS FIRST"))
-
-  private def mapOutsideStrings(s: String, f: String => String): String =
-    s.split("'", -1).zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0) f(p) else p
-    }.mkString("'")
+    * matches). Scoped to sort-item position: a DESC token is rewritten only
+    * when the nearest preceding clause keyword is ORDER BY (at any depth —
+    * window specs sort too), so a column or alias literally named `desc`
+    * in SELECT/WHERE/GROUP BY position is left alone. */
+  private val DescRe = """(?i)\bDESC\b(?!\s+NULLS)""".r
+  private val ClauseRe =
+    """(?i)\b(ORDER\s+BY|SELECT|FROM|WHERE|GROUP\s+BY|HAVING|LIMIT|PARTITION\s+BY)\b""".r
+  private def descNullsFirst(s: String): String = {
+    val descs = scopedMatches(s, DescRe, topLevel = false)
+    if (descs.isEmpty) return s
+    val clauses = scopedMatches(s, ClauseRe, topLevel = false)
+    def inOrderBy(pos: Int): Boolean =
+      clauses.takeWhile(_.start < pos).lastOption
+        .exists(_.group(1).toUpperCase.startsWith("ORDER"))
+    val sb = new StringBuilder(s)
+    // right-to-left so earlier offsets stay valid
+    descs.reverse.foreach { m =>
+      if (inOrderBy(m.start)) sb.replace(m.start, m.end, "DESC NULLS FIRST")
+    }
+    sb.toString
+  }
 
   /** Spark resolves an otherwise-unresolved `user` column to the literal
     * function `current_user()` (even when backtick-quoted — it happens at
@@ -81,28 +154,44 @@ object Dialect {
   // ---- numbers(N) table function -----------------------------------------
   private val NumbersRe = """(?i)\bnumbers(?:_mt|_local)?\s*\(\s*(\d+)\s*\)""".r
   private def rewriteNumbers(s: String): String =
-    NumbersRe.replaceAllIn(s, m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    mapOutsideStrings(s,
+      NumbersRe.replaceAllIn(_, m => s"(SELECT id AS number FROM range(${m.group(1)}))"))
 
   // ---- system.x → system_x ------------------------------------------------
   private val SystemRe = """(?i)\bsystem\.(one|databases|tables|settings|functions|contributors|clusters|processes)\b""".r
   private def rewriteSystemTables(s: String): String =
-    SystemRe.replaceAllIn(s, m => s"system_${m.group(1).toLowerCase}")
+    mapOutsideStrings(s, SystemRe.replaceAllIn(_, m => s"system_${m.group(1).toLowerCase}"))
 
   // ---- LIMIT n BY k1, k2 [LIMIT m] ---------------------------------------
   // ClickHouse semantics: keep the first n rows per distinct key tuple, then
   // apply the plain LIMIT if present. "First" follows the query's ORDER BY
   // when given; otherwise per-group order is arbitrary (the reference
   // inherits nondeterministic stream order — we pin the key order).
-  private val LimitByRe =
-    """(?is)^(.*?)(?:\s+ORDER\s+BY\s+(.+?))?\s+LIMIT\s+(\d+)\s+BY\s+(.+?)(\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?)?\s*$""".r
-  private def rewriteLimitBy(s: String): String = s match {
-    case LimitByRe(body, orderBy, n, keys, outerLimit) =>
-      val ord = Option(orderBy).map(_.trim).filter(_.nonEmpty)
-      val winOrder = ord.getOrElse(keys.trim)
-      val tail = Option(outerLimit).getOrElse("")
-      val outerOrd = ord.map(o => s" ORDER BY $o").getOrElse("")
-      s"""SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER (PARTITION BY ${keys.trim} ORDER BY $winOrder) AS __rn FROM ($body)) WHERE __rn <= $n$outerOrd$tail"""
-    case _ => s
+  // Clause detection is paren-depth-aware: only a LIMIT n BY / ORDER BY at
+  // depth 0 belongs to the outer statement — a subquery's ORDER BY or LIMIT
+  // must not be captured (e.g. `SELECT * FROM (SELECT a FROM t ORDER BY a)
+  // LIMIT 2 BY k`).
+  private val LimitByHeadRe = """(?is)\bLIMIT\s+(\d+)\s+BY\b""".r
+  private val OrderByKwRe = """(?is)\bORDER\s+BY\b""".r
+  private val OuterLimitRe = """(?is)\bLIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*$""".r
+  private def rewriteLimitBy(s: String): String = {
+    val lb = scopedMatches(s, LimitByHeadRe, topLevel = true)
+    if (lb.isEmpty) return s
+    val m = lb.head
+    val n = m.group(1)
+    val pre = s.substring(0, m.start) // body [+ outer ORDER BY]
+    val post = s.substring(m.end)     // keys [+ LIMIT m [OFFSET o]]
+    val (body, ord) = scopedMatches(pre, OrderByKwRe, topLevel = true).lastOption match {
+      case Some(o) => (pre.substring(0, o.start).trim, Some(pre.substring(o.end).trim))
+      case None => (pre.trim, None)
+    }
+    val (keys, tail) = scopedMatches(post, OuterLimitRe, topLevel = true).lastOption match {
+      case Some(ol) => (post.substring(0, ol.start).trim, " " + post.substring(ol.start).trim)
+      case None => (post.trim, "")
+    }
+    val winOrder = ord.getOrElse(keys)
+    val outerOrd = ord.map(o => s" ORDER BY $o").getOrElse("")
+    s"""SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $winOrder) AS __rn FROM ($body)) WHERE __rn <= $n$outerOrd$tail"""
   }
 
   // ---- combinator-suffixed aggregates ------------------------------------
@@ -112,7 +201,8 @@ object Dialect {
 
   private def findCall(s: String, name: String, from: Int): Option[Call] = {
     val re = s"""(?i)\\b$name\\s*\\(""".r
-    re.findFirstMatchIn(s.substring(from)).map { m =>
+    val mask = stringMask(s)
+    re.findAllMatchIn(s.substring(from)).find(m => !mask(from + m.start)).map { m =>
       val open = from + m.end - 1
       var depth = 0
       var i = open

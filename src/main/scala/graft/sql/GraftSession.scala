@@ -157,6 +157,33 @@ class GraftSession(val spark: SparkSession) {
 
   private val SetRe = """(?is)^SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$""".r
 
+  /** `EXPLAIN GRAPH <stmt>` (sql_parser.rs:196, plan_display.rs:18-34):
+    * one Utf8 `explain` row holding a GraphViz digraph of the optimized
+    * plan. The reference renders an empty `digraph {}` (display_graphviz is
+    * a TODO); here the nodes and dataflow edges are real. */
+  private val ExplainGraphRe = """(?is)^EXPLAIN\s+GRAPH\s+(.+)$""".r
+
+  private def explainGraph(inner: String): DataFrame = {
+    import spark.implicits._
+    val plan = spark.sql(Dialect.rewrite(inner)).queryExecution.optimizedPlan
+    val sb = new StringBuilder
+    sb.append("// Begin Graft GraphViz Plan (see https://graphviz.org)\n")
+    sb.append("digraph {\n")
+    var nextId = 0
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val id = nextId; nextId += 1
+      sb.append(s"""  n$id [label="${esc(p.simpleString(4))}"];\n""")
+      // dataflow direction: child feeds parent
+      p.children.foreach(c => sb.append(s"  n${walk(c)} -> n$id;\n"))
+      id
+    }
+    walk(plan)
+    sb.append("}\n")
+    sb.append("// End Graft GraphViz Plan")
+    Seq(sb.toString).toDF("explain")
+  }
+
   private val SysViewRe = """(?i)system_(tables|databases|functions|settings)""".r
 
   def sql(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
@@ -166,6 +193,7 @@ class GraftSession(val spark: SparkSession) {
         spark.conf.set("spark.sql.shuffle.partitions", value)
       spark.emptyDataFrame
     case DescRe(table) => describe(table)
+    case ExplainGraphRe(inner) => explainGraph(inner)
     case t =>
       val rewritten = rewriteCreate(t).getOrElse(Dialect.rewrite(t))
       // system views are catalog snapshots — refresh when queried so DDL

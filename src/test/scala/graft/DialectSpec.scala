@@ -168,8 +168,56 @@ class DialectSpec extends AnyFunSuite {
     assert(g.sql("EXPLAIN SELECT sum(number) FROM numbers(10)").count() === 1)
   }
 
+  test("EXPLAIN GRAPH renders a GraphViz digraph (sql_parser.rs:196)") {
+    val out = g.sql("EXPLAIN GRAPH SELECT sum(number) FROM numbers(10) WHERE number > 2")
+    assert(out.columns.toSeq === Seq("explain"))
+    val dot = out.head().getString(0)
+    assert(dot.contains("digraph {"), dot)
+    assert(dot.contains("GraphViz"), dot)
+    // real nodes and a dataflow edge, not the reference's empty digraph
+    assert(dot.contains("Aggregate"), dot)
+    assert("""n\d+ -> n\d+;""".r.findFirstIn(dot).isDefined, dot)
+    // the dialect rewrites apply to the inner statement (numbers() TVF)
+    assert(dot.toLowerCase.contains("range") || dot.toLowerCase.contains("relation"), dot)
+  }
+
   test("dialect rewrite is inert on plain Spark SQL") {
     val q = "SELECT l_orderkey, sum(l_quantity) FROM lineitem GROUP BY l_orderkey"
     assert(Dialect.rewrite(q) === q)
+  }
+
+  test("rewrites never touch string literals (incl. '' escapes)") {
+    // numbers()/system./uniq( inside literals stay verbatim
+    assert(Dialect.rewrite("SELECT 'numbers(5)' AS s")
+      === "SELECT 'numbers(5)' AS s")
+    assert(Dialect.rewrite("SELECT 'system.tables' AS s")
+      === "SELECT 'system.tables' AS s")
+    assert(Dialect.rewrite("SELECT 'uniq(x)' AS s") === "SELECT 'uniq(x)' AS s")
+    // an escaped quote must not flip the in/out-of-string parity
+    val q = "SELECT 'it''s DESC here' AS s, x FROM t ORDER BY x DESC"
+    assert(Dialect.rewrite(q)
+      === "SELECT 'it''s DESC here' AS s, x FROM t ORDER BY x DESC NULLS FIRST")
+  }
+
+  test("DESC rewrite is scoped to ORDER BY position") {
+    // a column named `desc` in SELECT/WHERE position is left alone
+    assert(Dialect.rewrite("SELECT desc FROM t WHERE desc > 1")
+      === "SELECT desc FROM t WHERE desc > 1")
+    // ... while sort items, incl. window-spec sorts, still get the pin
+    assert(Dialect.rewrite("SELECT rank() OVER (ORDER BY x DESC) FROM t")
+      === "SELECT rank() OVER (ORDER BY x DESC NULLS FIRST) FROM t")
+  }
+
+  test("LIMIT n BY ignores a subquery's ORDER BY / LIMIT (depth-aware)") {
+    TestSpark.spark.sql("SELECT 1 AS k, 2 AS a UNION ALL SELECT 1, 3 UNION ALL SELECT 2, 4")
+      .createOrReplaceTempView("t_lby")
+    val rewritten = Dialect.rewrite(
+      "SELECT * FROM (SELECT k, a FROM t_lby ORDER BY a) LIMIT 1 BY k")
+    // the subquery's ORDER BY must stay inside the body, not become the
+    // outer window order
+    assert(rewritten.contains("FROM (SELECT * FROM (SELECT k, a FROM t_lby ORDER BY a))"),
+      rewritten)
+    val rows = TestSpark.spark.sql(rewritten).collect()
+    assert(rows.length === 2, rows.mkString(","))
   }
 }
