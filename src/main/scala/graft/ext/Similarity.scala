@@ -213,20 +213,31 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, multi-table
-    * LSH-blocked (pairs must share a bucket in ANY table), exact-cosine
-    * verified on the deduplicated candidate set.
+    * multiprobe LSH-blocked (a pair must meet in some probed bucket of some
+    * table), exact-cosine verified on the deduplicated candidate set.
     *
-    * Defaults tuned for DUP detection (high-cosine pairs): 8 planes keep
-    * buckets tight — the self-join pair count stays near-linear — while a
-    * true duplicate (θ≈18°) still lands in some shared bucket with ~90%
-    * probability across 4 tables ((1-(1-(1-θ/π)^8)^4)). Low-threshold
-    * similarity mining wants fewer planes / more tables. */
+    * Defaults (8 planes × 8 tables × 16 probes) measured on the synthetic
+    * corpus: recall vs the exact all-pairs twin = 1.00 (sf0.001) / 0.93
+    * (sf0.01) at threshold 0.45. Planes stay high on purpose — bucket
+    * occupancy drives the self-join's pair count, the quadratic term at
+    * 100 TB — and multiprobe recovers the boundary pairs tight buckets
+    * lose. Lower-threshold mining wants more probes/tables, not fewer
+    * planes. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      planes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+      planes: Int = 8, tables: Int = 8, dim: Int = 64,
+      probes: Int = 16): DataFrame = {
+    // Asymmetric multiprobe self-join: one side explodes into probe keys
+    // (base + low-margin sign flips), the other into base keys only — a
+    // (low,high) pair meets when low's probe set reaches high's bucket.
+    // Keeps buckets tight (planes stays high → self-join stays near-linear)
+    // while multiprobe recovers the boundary pairs a tight bucket loses.
+    val a = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      explode(lshProbeKeys(col("embedding"), planes, tables, dim, probes)).as("bkt"))
     val v = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
-    v.alias("a").join(v.alias("b"),
+    a.alias("a").join(v.alias("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         col("a.embedding").as("e1"), col("b.embedding").as("e2"),

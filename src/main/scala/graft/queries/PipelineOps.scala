@@ -66,17 +66,33 @@ object PipelineOps {
         .orderBy(col("d1"), col("d2"))
     }),
     "q46_minhash_lsh" -> ((s, dir) => {
-      // MinHash(32) + LSH(8×4) candidates, exact-Jaccard verified.
-      // No SQL oracle (murmur3-based signatures) → rows-only check.
+      // MinHash(32) + LSH(8×4) candidates, exact-Jaccard verified on the
+      // candidate set only. The murmur3 signatures aren't SQL-expressible,
+      // but the OUTPUT is: on the planted near-dup corpus every true pair
+      // has J ≥ 0.9, where a band match is ~66% per band → miss odds ~2e-4
+      // per pair — so the verified candidate set EQUALS the exact
+      // inverted-index answer (q45) and shares its full DuckDB oracle.
+      // est_jaccard (signature-estimated) is covered in ExtSpec instead.
       Dedup.minhashLshPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
+        .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
     "q47_simhash" -> ((s, dir) => {
       // SimHash64 (custom Catalyst expression) near-dup pairs, Hamming ≤ 16,
-      // 4×16-bit band blocking. Rows-only check (engine-internal hash).
-      Dedup.simhashPairs(t(s, dir, "documents"),
-          col("doc_id"), col("text"), maxHamming = 16)
+      // 4×16-bit band blocking. The pair SET is hash-dependent (rows-only
+      // check), but each emitted row carries the exact n-gram Jaccard of the
+      // pair — an oracle-comparable value column; ExtSpec asserts the
+      // exact-duplicate pairs all surface with hamming = 0.
+      val docs = t(s, dir, "documents")
+      val ng = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("ng"))
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16)
+        .join(ng.select(col("doc_id").as("d1"), col("ng").as("ng1")), Seq("d1"))
+        .join(ng.select(col("doc_id").as("d2"), col("ng").as("ng2")), Seq("d2"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("ng1"), col("ng2"))).cast("double") /
+            greatest(size(array_union(col("ng1"), col("ng2"))), lit(1)), 6))
+        .select(col("d1"), col("d2"), col("hamming"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),
     "q48_ann_brute" -> ((s, dir) => {
@@ -87,17 +103,32 @@ object PipelineOps {
     }),
     "q49_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed multiprobe ANN (random hyperplanes, seed-deterministic).
-      // Rows-only check; recall vs brute force covered in ScalaTest.
+      // Rows-only check on the pair set, but every row carries a measured
+      // `in_exact` flag (membership in the brute-force top-k) — ExtSpec
+      // asserts its mean (= recall) clears the floor. The brute-force side
+      // is a dev/verification-scale rider; at 100 TB one runs lshTopK alone.
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      Similarity.lshTopK(q, emb, k = 3)
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .withColumn("in_exact", coalesce(col("hit"), lit(0L)))
+        .select(col("q_id"), col("c_id"), col("sim"), col("rnk"), col("in_exact"))
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49b_ann_ivf" -> ((s, dir) => {
       // IVF ANN: nearest-centroid cells + multi-probe + in-cell re-rank.
-      // Rows-only check; exact-recall-at-full-probe covered in ScalaTest.
+      // Rows-only check; `in_exact` measured column as in q49 (recall floor
+      // asserted in ExtSpec; exact-recall-at-full-probe also in ScalaTest).
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 3,
-          nlist = 16, nprobe = 4)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      Similarity.ivfTopK(q, emb, k = 3, nlist = 16, nprobe = 4)
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .withColumn("in_exact", coalesce(col("hit"), lit(0L)))
+        .select(col("q_id"), col("c_id"), col("sim"), col("rnk"), col("in_exact"))
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q50_embedding_neardup" -> ((s, dir) => {
@@ -172,6 +203,31 @@ object PipelineOps {
 
   private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
 
+  /** Exact word-3-gram Jaccard pairs (J ≥ 0.2) — the oracle for q45 (exact
+    * inverted-index) and q46 (MinHash+LSH, whose verified candidates equal
+    * the exact answer on the planted-dup corpus). */
+  private val NgramJaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, unnest(
+      |    CASE WHEN len(tk) >= 3
+      |      THEN list_transform(generate_series(1, len(tk) - 2),
+      |             i -> array_to_string(tk[i:i+2], ' '))
+      |      ELSE [] END) AS ng
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |j AS (
+      |  SELECT d1, d2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = d1
+      |  JOIN sizes sb ON sb.doc_id = d2)
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q40_dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
@@ -233,27 +289,11 @@ object PipelineOps {
         |      t -> (CAST(ascii(t) AS BIGINT) * 31 + length(t)) % 1000003),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
-    "q45_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, source, unnest(
-        |    CASE WHEN len(tk) >= 3
-        |      THEN list_transform(generate_series(1, len(tk) - 2),
-        |             i -> array_to_string(tk[i:i+2], ' '))
-        |      ELSE [] END) AS ng
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |j AS (
-        |  SELECT d1, d2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = d1
-        |  JOIN sizes sb ON sb.doc_id = d2)
-        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin,
+    "q45_ngram_jaccard" -> NgramJaccardOracle,
+    // MinHash+LSH's verified candidate set equals the exact inverted-index
+    // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
+    // odds ~2e-4 with 8 bands) — the exact-pairs oracle applies verbatim.
+    "q46_minhash_lsh" -> NgramJaccardOracle,
     "q48_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

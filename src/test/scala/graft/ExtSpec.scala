@@ -89,6 +89,56 @@ class ExtSpec extends AnyFunSuite {
     assert(candPerQuery <= 120, s"candidate volume blew up: $candPerQuery/query")
   }
 
+  test("driver ANN queries q49/q49b: mean in_exact (= recall) clears the floor") {
+    // The driver's check on these is rows-only; the measured-recall column
+    // in the query output is the correctness signal — assert it here.
+    def meanInExact(name: String): Double = {
+      val df = graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
+      val r = df.agg(avg(col("in_exact"))).head().getDouble(0)
+      info(f"$name mean(in_exact) = $r%.3f")
+      r
+    }
+    assert(meanInExact("q49_ann_lsh") >= 0.6)
+    assert(meanInExact("q49b_ann_ivf") >= 0.5)
+  }
+
+  test("embedding near-dup LSH (q50 shape) vs exact twin: recall floor") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(Similarity.embeddingNearDupPairs(emb, threshold = 0.45))
+    val exact = pairSet(
+      graft.queries.PipelineOps.queries("q51_embedding_neardup_exact")(spark, TestSpark.sfDir))
+    assert(exact.nonEmpty)
+    // LSH-blocked pairs are exact-verified → always a subset of the twin
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"near-dup recall = $recall%.3f")
+    assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
+  }
+
+  test("simhash driver query q47: exact-duplicate texts surface with hamming 0") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    // ground truth: doc_id pairs with byte-identical text
+    val dupPairs = docs.alias("a").join(docs.alias("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = graft.queries.PipelineOps.queries("q47_simhash")(spark, TestSpark.sfDir)
+      .select("d1", "d2", "hamming").collect()
+    val zero = out.filter(_.getLong(2) == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(zero),
+      s"exact dups missing from simhash pairs: ${dupPairs -- zero}")
+  }
+
+  test("minhash LSH driver query q46 equals the exact inverted-index answer (q45)") {
+    // This equality is what licenses q46's full DuckDB oracle.
+    def pairSet(name: String): Set[(Long, Long)] =
+      graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet("q46_minhash_lsh") === pairSet("q45_ngram_jaccard"))
+  }
+
   test("word-ngram kernel is bit-identical to the HOF spelling on real docs") {
     val d = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
       // edge inputs exercising trim/split quirks alongside the corpus
