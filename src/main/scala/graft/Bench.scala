@@ -32,9 +32,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Reference arithmetic wraps (u64 sums, numbers_overflow.rs semantics);
+      // at 10B rows sum(number) exceeds Int64 so ANSI would (correctly)
+      // refuse — the throughput comparison needs reference semantics.
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(spark)
+    graft.plans.RangeAggStrategy.install(spark)
 
     // JVM/session warm-up so the first timed query doesn't pay executor spin-up.
     spark.range(0, 1000000, 1, cpus.toInt).agg(sum("id")).collect()
@@ -49,9 +54,12 @@ object Bench {
       name -> time(evalFully(fn(spark, sfDir)))
     }
 
-    // Reference perf suite (BASELINE.md) at machine-feasible N.
-    val aggN = 2000000000L // 2B rows
-    val sortN = 200000000L // 0.2B rows
+    // Reference perf suite (BASELINE.md) at machine-feasible N. Sized so the
+    // kernel, not job scheduling (~0.1 s per local[32] job), dominates the
+    // measurement: 10B rows ≈ 0.5–1.5 s per aggregate through the fused
+    // RangeAgg kernel (the reference's own numbers are at 100B/10B).
+    val aggN = 10000000000L // 10B rows
+    val sortN = 1000000000L // 1B rows
     val nums = Tables.numbers(spark, aggN, Some(cpus.toInt))
     val sortNums = Tables.numbers(spark, sortN, Some(cpus.toInt))
     val micro: Seq[(String, () => Unit)] = Seq(

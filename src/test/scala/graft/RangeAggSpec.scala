@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.Tables
+
+/** RangeAggExec (graft.plans.RangeAgg): the fused generator+aggregate kernel.
+  * Every correctness test first asserts the operator actually planned (so a
+  * silently-disabled strategy can't pass by falling back to stock Spark),
+  * then checks exact values against closed-form math. ANSI-mode tests pin the
+  * eligibility proof: provably-safe sums fuse, overflowing sums fall back to
+  * the stock path and raise the error ANSI demands. */
+class RangeAggSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def assertFused(df: DataFrame): Unit = {
+    val p = physical(df)
+    assert(p.contains("RangeAgg"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("sum/min/max/count/avg over numbers fuse and match closed forms") {
+    val n = 100000L
+    val df = Tables.numbers(spark, n, Some(4)).agg(
+      sum("number").as("s"), min("number").as("mn"), max("number").as("mx"),
+      count("number").as("c"), avg("number").as("a"))
+    assertFused(df)
+    val r = df.collect().head
+    assert(r.getLong(0) == n * (n - 1) / 2)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == n - 1)
+    assert(r.getLong(3) == n)
+    assert(r.getDouble(4) == (n - 1).toDouble / 2.0)
+  }
+
+  test("expression aggregates: sum(v+v+v), sum(v%7), max(v*2-1)") {
+    val n = 10000L
+    val df = Tables.numbers(spark, n, Some(3)).agg(
+      sum(col("number") + col("number") + col("number")).as("s3"),
+      sum(col("number") % 7).as("sm"),
+      max(col("number") * 2 - 1).as("mx"))
+    assertFused(df)
+    val r = df.collect().head
+    assert(r.getLong(0) == 3 * n * (n - 1) / 2)
+    assert(r.getLong(1) == (0L until n).map(_ % 7).sum)
+    assert(r.getLong(2) == (n - 1) * 2 - 1)
+  }
+
+  test("composed output expressions (sum/count) evaluate on the substituted values") {
+    val n = 5000L
+    val df = Tables.numbers(spark, n, Some(4)).agg(
+      (sum("number") / count("number")).as("a"), max("number").as("mx"), min("number").as("mn"))
+    assertFused(df)
+    val r = df.collect().head
+    assert(r.getDouble(0) == (n * (n - 1) / 2).toDouble / n)
+    assert(r.getLong(1) == n - 1)
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("non-unit start/step and descending ranges") {
+    val df = spark.range(10, 107, 7).agg(sum("id").as("s"), count(lit(1)).as("c"),
+      min("id").as("mn"), max("id").as("mx"))
+    assertFused(df)
+    val ids = 10L until 107L by 7L
+    val r = df.collect().head
+    assert(r.getLong(0) == ids.sum)
+    assert(r.getLong(1) == ids.size)
+    assert(r.getLong(2) == ids.min)
+    assert(r.getLong(3) == ids.max)
+
+    val down = spark.range(100, 0, -3).agg(sum("id").as("s"), count(lit(1)).as("c"))
+    assertFused(down)
+    val ids2 = 100L until 0L by -3L
+    val r2 = down.collect().head
+    assert(r2.getLong(0) == ids2.sum)
+    assert(r2.getLong(1) == ids2.size)
+  }
+
+  test("empty range: NULL aggregates, zero count") {
+    val df = spark.range(0).agg(sum("id").as("s"), avg("id").as("a"),
+      min("id").as("mn"), count("id").as("c"))
+    assertFused(df)
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("negative ids: min/max/sum signs") {
+    val df = spark.range(-1000, 1000, 1, 4).agg(
+      sum("id").as("s"), min("id").as("mn"), max("id").as("mx"))
+    assertFused(df)
+    val r = df.collect().head
+    assert(r.getLong(0) == -1000L) // pairs cancel, remainder is -1000
+    assert(r.getLong(1) == -1000L)
+    assert(r.getLong(2) == 999L)
+  }
+
+  test("ANSI: overflowing sum is NOT fused and still raises") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = spark.range(Long.MaxValue - 10, Long.MaxValue).agg(sum("id"))
+      assert(!physical(df).contains("RangeAgg"), physical(df))
+      intercept[Exception] { df.collect() }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("LEGACY: overflowing sum fuses and wraps like stock Spark") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.range(Long.MaxValue - 10, Long.MaxValue).agg(sum("id").as("s"))
+      assertFused(df)
+      var expected = 0L
+      (Long.MaxValue - 10) until Long.MaxValue foreach { v => expected += v }
+      assert(df.collect().head.getLong(0) == expected)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("does not fire for grouped aggregates, filters, or distinct") {
+    val grouped = Tables.numbers(spark, 1000L, Some(2))
+      .groupBy(col("number") % 3).agg(sum("number"))
+    assert(!physical(grouped).contains("RangeAgg"), physical(grouped))
+
+    val filtered = Tables.numbers(spark, 1000L, Some(2))
+      .filter(col("number") > 10).agg(sum("number"))
+    assert(!physical(filtered).contains("RangeAgg"), physical(filtered))
+
+    val distinct = Tables.numbers(spark, 1000L, Some(2))
+      .agg(sum_distinct(col("number")))
+    assert(!physical(distinct).contains("RangeAgg"), physical(distinct))
+  }
+
+  test("avg matches stock Spark bit-for-bit on a partition-aligned range") {
+    // Same partition split as RangeExec + partition-order merge ⇒ identical
+    // double association; compare against a stock plan forced via a filter.
+    val fused = spark.range(0, 100000, 1, 4).agg(avg("id").as("a"))
+    assertFused(fused)
+    val stock = spark.range(0, 100000, 1, 4).filter(col("id") >= 0).agg(avg("id").as("a"))
+    assert(!physical(stock).contains("RangeAgg"))
+    assert(fused.collect().head.getDouble(0) == stock.collect().head.getDouble(0))
+  }
+}

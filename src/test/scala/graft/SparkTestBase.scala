@@ -18,6 +18,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(s)
+    graft.plans.RangeAggStrategy.install(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
