@@ -22,74 +22,34 @@ import Vectors._
   */
 object Similarity {
 
-  /** Deterministic hyperplanes: `planes` × `dim` standard normals, seeded. */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(r.nextGaussian()))
-  }
-
-  /** Sign-pattern LSH bucket id of a vector (long bitmask over `planes`). */
-  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 7L): Column = {
-    val hs = hyperplanes(planes, dim, seed)
-    hs.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   /** Multi-table LSH keys: `tables` independent sign-pattern tables
     * (OR-amplification). A single k-plane table only finds pairs agreeing on
     * ALL k signs — recall (1-θ/π)^k collapses fast with k; the standard
     * construction unions candidates from L independent tables:
-    * recall = 1-(1-(1-θ/π)^k)^L. Each row explodes into L (table:bucket)
-    * keys; the join is still a bucket equi-join. */
+    * recall = 1-(1-(1-θ/π)^k)^L. Each row explodes into L packed
+    * `(table << 53) | bucket` long keys (cheaper to shuffle/join than
+    * strings); one codegen'd kernel pass per row
+    * ([[graft.functions.LshKeys]]). */
   def lshTableKeys(vec: Column, planes: Int, tables: Int, dim: Int): Column =
-    array((0 until tables).map(t =>
-      concat_ws(":", lit(t), lshBucket(vec, planes, dim, seed = 7L + t))): _*)
+    graft.functions.LshExpressions.lshKeys(vec, planes, tables, dim, probes = 1)
 
   /** Query-directed multiprobe keys (Lv et al., VLDB'07 shape): per table,
     * probe the base bucket PLUS the buckets reached by flipping the
     * lowest-|projection| sign bits — a vector near a hyperplane is the case
     * where LSH loses its neighbor, and that is exactly the bit worth
-    * flipping. `probes` buckets per table, ordered by likelihood: {} {0} {1}
-    * {0,1} {2} {0,2} {1,2} {0,1,2} over the margin-sorted plane ranks.
+    * flipping. `probes` buckets per table, ordered cheapest-flip-first:
+    * {} {0} {1} {0,1} {2} {0,2} {1,2} {0,1,2} over margin-sorted ranks.
     *
     * Corpus rows keep single-bucket keys ([[lshTableKeys]]) — multiprobe
     * multiplies QUERY keys only, so the corpus-side explode (the 100 TB
     * side) is unchanged; candidate volume is traded against bucket
-    * granularity (`planes`) instead. All Column-level: projections are
-    * computed once per table, margins sorted with `array_sort`, flip masks
-    * applied with bitwiseXOR — no UDFs. */
+    * granularity (`planes`) instead. Same one-pass kernel: projections
+    * computed once per ROW, not once per key — the Column-level spelling
+    * (dot/array_sort/pow re-derived under every one of tables×probes keys)
+    * measured 127 s on q50 at sf0.1 before this kernel. */
   def lshProbeKeys(vec: Column, planes: Int, tables: Int, dim: Int,
-      probes: Int): Column = {
-    require(probes >= 1 && probes <= 16, s"probes in [1,16], got $probes")
-    // Flip sets over margin-ranked plane positions, binary-counting order:
-    // probe s flips exactly the ranks in s's bit pattern — since ranks are
-    // margin-sorted ascending, the sequence is approximately
-    // cheapest-flip-first ({} {0} {1} {0,1} {2} {0,2} ...).
-    val flipSets: Seq[Seq[Int]] =
-      (0 until 16).map(s => (0 until 4).filter(j => (s & (1 << j)) != 0))
-    val keys = (0 until tables).flatMap { t =>
-      val hs = hyperplanes(planes, dim, seed = 7L + t)
-      val projs = array(hs.map(p => dot(vec, typedlit(p))): _*)
-      val base = aggregate(
-        zip_with(projs, sequence(lit(0), lit(planes - 1)),
-          (p, i) => when(p >= 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
-      // planes ranked by |projection| ascending: rank r -> plane index
-      val ranked = transform(
-        array_sort(zip_with(projs, sequence(lit(0), lit(planes - 1)),
-          (p, i) => struct(abs(p).as("a"), i.as("i")))),
-        e => e("i"))
-      // bit value of the plane at margin-rank r (exact: planes <= 52)
-      def bitAtRank(r: Int): Column =
-        pow(lit(2.0), element_at(ranked, r + 1).cast("double")).cast("long")
-      flipSets.take(probes).map { fs =>
-        val bucket = fs.foldLeft(base)((b, r) => b.bitwiseXOR(bitAtRank(r)))
-        concat_ws(":", lit(t), bucket)
-      }
-    }
-    array(keys: _*)
-  }
+      probes: Int): Column =
+    graft.functions.LshExpressions.lshKeys(vec, planes, tables, dim, probes)
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * `queries` must be small enough to broadcast. Self-matches excluded. */

@@ -85,10 +85,19 @@ object PipelineOps {
       // pair — an oracle-comparable value column; ExtSpec asserts the
       // exact-duplicate pairs all surface with hamming = 0.
       val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16)
+      // Attach exact per-pair n-gram Jaccard with the ngram table broadcast
+      // under both lookups: the candidate-pair stream picks up ng1/ng2
+      // map-side and the heavy array<string> column never shuffles.
+      // Broadcasting the pair×array intermediate instead measured 2-3×
+      // slower (a 137 MB single-threaded broadcast at sf0.1). At 100 TB the
+      // full ngram table outgrows a broadcast: semi-join-reduce it first to
+      // docs appearing in a candidate pair (bounded by the band-blocked
+      // candidate set), then broadcast the reduction the same way.
       val ng = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("ng"))
-      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16)
-        .join(ng.select(col("doc_id").as("d1"), col("ng").as("ng1")), Seq("d1"))
-        .join(ng.select(col("doc_id").as("d2"), col("ng").as("ng2")), Seq("d2"))
+      pairs
+        .join(broadcast(ng.select(col("doc_id").as("d1"), col("ng").as("ng1"))), Seq("d1"))
+        .join(broadcast(ng.select(col("doc_id").as("d2"), col("ng").as("ng2"))), Seq("d2"))
         .withColumn("jaccard", round(
           size(array_intersect(col("ng1"), col("ng2"))).cast("double") /
             greatest(size(array_union(col("ng1"), col("ng2"))), lit(1)), 6))
