@@ -158,16 +158,53 @@ object EventStreams {
   /** Run a streaming DataFrame to completion over the currently-available
     * data (Trigger.AvailableNow) into an in-memory table; returns the result
     * as a batch DataFrame. This is how streaming queries enter the driver's
-    * batch Verify/oracle harness. */
+    * batch Verify/oracle harness.
+    *
+    * Per-run cost knobs (a finite AvailableNow run is planning + state-store
+    * + checkpoint-fsync dominated, not data dominated):
+    *   - the checkpoint (offset/commit logs + state snapshots, fsync'd per
+    *     batch) goes to a fresh tmpfs dir when /dev/shm exists — durability
+    *     of a temp checkpoint buys nothing, the fsyncs cost real time;
+    *   - `needFinalBatch=false` (sound for Complete-mode aggregations: every
+    *     batch re-emits the full result, so the trailing no-data batch that
+    *     exists to advance the watermark cannot change the output) skips
+    *     one of the two micro-batches a single-file source pays. Append-mode
+    *     event-time operators (the stateful sessionizer) NEED it — that
+    *     final watermark advance is what flushes timed-out state. */
   def runAvailableNow(df: DataFrame, name: String,
-      outputMode: OutputMode = OutputMode.Complete): DataFrame = {
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+      outputMode: OutputMode = OutputMode.Complete,
+      needFinalBatch: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val cp = java.nio.file.Files.createTempDirectory(base, s"graft-ck-$name-")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, needFinalBatch.toString)
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+      // best-effort temp cleanup (tmpfs/tmp either way)
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(cp.toFile)
+    }
+    spark.table(name)
   }
 
   /** File sink: append-mode parquet with a checkpoint — the durable
