@@ -196,9 +196,40 @@ object JoinsSubqueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q56_asof_join" -> ((s, dir) => {
+      // As-of (backward, inclusive) join: each click event carries the
+      // latest at-or-before purchase of the same user — graft.ops.AsofJoin's
+      // union+window formulation, ONE shuffle on the key (AsofJoinSpec pins
+      // the single-Exchange plan). Right side pre-deduped to one row per
+      // (user, ts) so tie-break order is defined on both engines.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      graft.ops.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts")
+        // driver-compare hygiene: the harness hash-compares values and
+        // chokes on NULL-bearing datetime columns — sentinel the no-match
+        // rows (left-join semantics themselves are pinned in AsofJoinSpec)
+        .withColumn("r_pvalue", coalesce(col("r_pvalue"), lit(-1.0)))
+        .withColumn("r_ts", coalesce(col("r_ts"),
+          to_timestamp(lit("1970-01-01 00:00:00"))))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    "q56_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       coalesce(r.pvalue, -1.0) AS r_pvalue,
+        |       coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS r_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q12_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
