@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * shuffle total, the shape that survives 100 TB (per-key state is one
   * payload, the sort is Spark's spillable window sort).
   *
-  * Ties on the RIGHT side (same key, same ts) are broken by the LAST right
-  * row in `tieBreak` order (default: the payload struct's natural order) —
-  * callers wanting deterministic output should pass an explicit unique
-  * tie-break column, or pre-dedup the right side.
+  * Ties on the RIGHT side (same key, same ts) are broken deterministically:
+  * the MAX payload struct (natural struct order, ts first) wins, so the
+  * output is invariant under repartitioning and input order. Payload columns
+  * must therefore be of orderable types (no maps); pre-aggregate the right
+  * side if a different tie-break is wanted.
   *
   * `toleranceSeconds`: when set, a match older than the tolerance is
   * discarded (payload columns become NULL, the left row survives — left-join
@@ -38,6 +39,11 @@ object AsofJoin {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val payloadCols = right.columns.filterNot((keys :+ ts).toSet).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
+    val outNames = (payloadCols :+ ts).map(rightPrefix + _)
+    val clash = outNames.filter(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asofJoin output columns ${clash.mkString(", ")} collide with left-side " +
+        s"columns; pass a different rightPrefix")
 
     // Right payload struct carries its own ts for the tolerance check.
     val rp = struct((col(ts).as("__rts") +: payloadCols.map(col)): _*)
@@ -50,8 +56,12 @@ object AsofJoin {
         lit(null).cast(r2.schema("__rp").dataType).as("__rp")) ++
         left.columns.filterNot((keys :+ ts).toSet).toSeq.map(col): _*)
 
+    // __rp in the sort: right rows tied on (key, ts) order ascending by their
+    // payload struct, so last() — the match — is the max payload: one
+    // deterministic winner regardless of partitioning or input order. Left
+    // rows (__side 1) sort after all coincident right rows either way.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col("__rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r2.unionByName(l2)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))

@@ -271,9 +271,12 @@ object RangeAggStrategy extends SparkStrategy {
           Seq(l.lo / m, l.hi / m).min - 1, Seq(l.lo / m, l.hi / m).max + 1, None))
       }
     case _: Pmod =>
-      constDivisor(r).map { m =>
-        val mm = m.abs - 1
-        Gen(s"((((${l.code} % ${m}L) + ${m}L) % ${m}L))", BigInt(0), mm, None)
+      // positive-literal divisor only: for m < 0 the folded form
+      // ((l % m) + m) % m diverges from Spark's pmod (pmod(1, -3) is 1 in
+      // Spark — `r = a % n; r < 0 ? (r + n) % n : r` — but -2 when folded);
+      // negative/zero divisors fall back to the stock plan.
+      constDivisor(r).filter(_ > 0).map { m =>
+        Gen(s"((((${l.code} % ${m}L) + ${m}L) % ${m}L))", BigInt(0), m - 1, None)
       }
     case _ => None
   }

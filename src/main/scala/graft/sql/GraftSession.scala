@@ -29,7 +29,7 @@ class GraftSession(val spark: SparkSession) {
   GraftSession.registerFunctions(spark)
   graft.plans.CountFromStats.install(spark)
   graft.plans.TopKStrategy.install(spark)
-    graft.plans.RangeAggStrategy.install(spark)
+  graft.plans.RangeAggStrategy.install(spark)
 
   /** `CREATE TABLE name (cols) ENGINE = CSV|Parquet|Memory|Null
     * [location = 'p'] [has_header = true]` (sql/sql_parser.rs:126-186,

@@ -43,6 +43,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(stale.getString(2) == "x") // left-join: row survives
   }
 
+  test("right-side ts ties: max payload wins, invariant across shuffle widths") {
+    val left = Seq((1L, ts(10), "a"), (2L, ts(10), "b")).toDF("k", "ts", "lv")
+    // three tied right rows per key — winner must be the max payload struct
+    val right = Seq(
+      (1L, ts(10), 7.0), (1L, ts(10), 3.0), (1L, ts(10), 9.0),
+      (2L, ts(5), 2.0), (2L, ts(5), 8.0), (2L, ts(5), 1.0))
+      .toDF("k", "ts", "rv")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = Seq("1", "7", "32").map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        AsofJoin.asofJoin(left, right.repartition(n.toInt), Seq("k"), "ts")
+          .orderBy("k").collect().map(_.toString).toSeq
+      }
+      assert(results(0).head.contains("9.0") && results(0)(1).contains("8.0"))
+      assert(results(0) == results(1) && results(1) == results(2),
+        s"tie-break varies with partitioning: $results")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("output-name collision with left side is refused") {
+    val left = Seq((1L, ts(5), "a")).toDF("k", "ts", "r_rv")
+    val right = Seq((1L, ts(5), 1.0)).toDF("k", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("r_rv"))
+  }
+
   test("events sf0.001: matches a per-user scan oracle; exactly one shuffle") {
     val ev = Tables.table(spark, TestSpark.sfDir, "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -134,6 +134,25 @@ class RangeAggSpec extends AnyFunSuite {
     assert(!physical(distinct).contains("RangeAgg"), physical(distinct))
   }
 
+  test("pmod: positive divisor fuses; negative divisor falls back to Spark semantics") {
+    val n = 1000L
+    // dividend interval spans negatives so the +m fold is actually exercised
+    val pos = Tables.numbers(spark, n, Some(3))
+      .agg(sum(pmod(col("number") - 500, lit(7L))).as("s"))
+    assertFused(pos)
+    assert(pos.collect().head.getLong(0) == (0L until n).map(v => Math.floorMod(v - 500, 7L)).sum)
+
+    // pmod(1, -3) is 1 in Spark but -2 under the folded ((l%m)+m)%m form —
+    // a negative literal divisor must NOT fuse, and must keep Spark's value.
+    val neg = Tables.numbers(spark, n, Some(3))
+      .agg(sum(pmod(col("number"), lit(-3L))).as("s"))
+    assert(!physical(neg).contains("RangeAgg"), physical(neg))
+    val expected = (0L until n).map { v =>
+      val r = v % -3L; if (r < 0) (r + -3L) % -3L else r
+    }.sum
+    assert(neg.collect().head.getLong(0) == expected)
+  }
+
   test("avg matches stock Spark bit-for-bit on a partition-aligned range") {
     // Same partition split as RangeExec + partition-order merge ⇒ identical
     // double association; compare against a stock plan forced via a filter.
