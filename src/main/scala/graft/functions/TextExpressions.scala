@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text kernels for the dedup hot paths. */
@@ -47,6 +47,33 @@ object TextExpressions {
       }
       new GenericArrayData(out)
     }
+
+    /** XXH64(seed 42) of each n-gram's UTF-8 bytes, same tokenization as
+      * [[ngrams]] — set operations over `long`s instead of ~20-char strings
+      * (an engine-internal representation: set SIZES are what surface, and
+      * they equal the string-set sizes absent 64-bit collisions, odds
+      * ~k²/2⁶⁵ per doc pair). One UTF-8 encode per gram, no UTF8String
+      * allocation, no string shuffle. */
+    def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+      val toks = WS.split(trimSpaces(s.toString), -1)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val b = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -62,7 +89,23 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "ngram width must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_ngram_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      NgramKernel.ngramHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions$$NgramKernel$$.MODULE$$.ngramHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graft.Bridge
   def wordNgrams(text: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(text), n))
+
+  def wordNgramHashes(text: Column, n: Int): Column =
+    Bridge.column(WordNgramHashes(Bridge.expression(text), n))
 }

@@ -80,27 +80,33 @@ object PipelineOps {
     }),
     "q47_simhash" -> ((s, dir) => {
       // SimHash64 (custom Catalyst expression) near-dup pairs, Hamming ≤ 16,
-      // 4×16-bit band blocking. The pair SET is hash-dependent (rows-only
-      // check), but each emitted row carries the exact n-gram Jaccard of the
-      // pair — an oracle-comparable value column; ExtSpec asserts the
-      // exact-duplicate pairs all surface with hamming = 0.
+      // 4×16-bit band blocking, each surviving pair verified with its exact
+      // n-gram Jaccard. The pair set is hash-dependent BY NATURE (rows-only
+      // driver check): band blocking only guarantees collision for Hamming
+      // ≤ 3 (pigeonhole), and measured planted dups reach h = 12 — at
+      // sf0.001, pair (56,157) has J = 0.981, h = 4 and misses all four
+      // bands, so no J-threshold filter can make the set oracle-equal (the
+      // blocking needed to guarantee h ≤ 12 is quadratic at scale — see
+      // COVERAGE.md). Recall loss at wider Hamming is simhash's standard
+      // trade; ExtSpec pins that byte-identical dups (h = 0) all surface.
       val docs = t(s, dir, "documents")
       val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16)
-      // Attach exact per-pair n-gram Jaccard with the ngram table broadcast
-      // under both lookups: the candidate-pair stream picks up ng1/ng2
-      // map-side and the heavy array<string> column never shuffles.
-      // Broadcasting the pair×array intermediate instead measured 2-3×
-      // slower (a 137 MB single-threaded broadcast at sf0.1). At 100 TB the
-      // full ngram table outgrows a broadcast: semi-join-reduce it first to
-      // docs appearing in a candidate pair (bounded by the band-blocked
-      // candidate set), then broadcast the reduction the same way.
-      val ng = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("ng"))
+      // 100 TB shape: the full n-gram table outgrows a broadcast — reduce it
+      // FIRST to docs that appear in a candidate pair (semi-join against the
+      // band-blocked candidate set), then broadcast the reduction under both
+      // lookups; the candidate-pair stream picks up ng1/ng2 map-side and the
+      // (hashed-long, array_distinct'd) gram column never shuffles.
+      val candDocs = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id"))).distinct()
+      val ng = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(Dedup.wordNgramHashes(col("text"), 3)).as("ng"))
       pairs
         .join(broadcast(ng.select(col("doc_id").as("d1"), col("ng").as("ng1"))), Seq("d1"))
         .join(broadcast(ng.select(col("doc_id").as("d2"), col("ng").as("ng2"))), Seq("d2"))
-        .withColumn("jaccard", round(
-          size(array_intersect(col("ng1"), col("ng2"))).cast("double") /
-            greatest(size(array_union(col("ng1"), col("ng2"))), lit(1)), 6))
+        .withColumn("i", size(array_intersect(col("ng1"), col("ng2"))).cast("double"))
+        .withColumn("jaccard",
+          round(col("i") / (size(col("ng1")) + size(col("ng2")) - col("i")), 6))
         .select(col("d1"), col("d2"), col("hamming"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),

@@ -117,18 +117,24 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
   }
 
-  test("simhash driver query q47: exact-duplicate texts surface with hamming 0") {
+  test("simhash driver query q47: exact dups surface at hamming 0, J verified") {
+    // q47 stays rows-only by nature: band blocking guarantees collision only
+    // for Hamming ≤ 3, and planted dups measure up to h = 12 (pair (56,157)
+    // at sf0.001: J = 0.981, h = 4, misses all 4 bands) — no J filter makes
+    // the set hash-independent. What IS guaranteed: byte-identical texts
+    // (h = 0 → every band collides) all surface, with J = 1.
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
-    // ground truth: doc_id pairs with byte-identical text
     val dupPairs = docs.alias("a").join(docs.alias("b"),
         col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val out = graft.queries.PipelineOps.queries("q47_simhash")(spark, TestSpark.sfDir)
-      .select("d1", "d2", "hamming").collect()
+      .select("d1", "d2", "hamming", "jaccard").collect()
     val zero = out.filter(_.getLong(2) == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dupPairs.subsetOf(zero),
       s"exact dups missing from simhash pairs: ${dupPairs -- zero}")
+    out.filter(r => dupPairs.contains((r.getLong(0), r.getLong(1))))
+      .foreach(r => assert(r.getDouble(3) == 1.0, s"exact dup with J != 1: $r"))
   }
 
   test("minhash LSH driver query q46 equals the exact inverted-index answer (q45)") {
