@@ -26,11 +26,18 @@ object NearDupTune {
       .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
       .filter(col("sim") >= 0.45).select(col("v1"), col("v2")))
     println(s"[ndtune] exact pairs: ${exact.size}")
-    for ((planes, tables, probes) <- Seq((8, 4, 1), (8, 6, 8), (8, 6, 16),
-        (8, 8, 16), (10, 8, 16), (8, 12, 16))) {
+    val simOf = a.join(b, col("v1") < col("v2"))
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+      .filter(col("sim") >= 0.45).select(col("v1"), col("v2"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((planes, tables, probes) <- Seq((8, 8, 16), (8, 12, 16), (8, 12, 16),
+        (8, 16, 16), (7, 8, 16), (8, 12, 16))) {
+      val t0 = System.nanoTime()
       val got = pairs(Similarity.embeddingNearDupPairs(emb, 0.45, planes, tables, 64, probes))
+      val dt = (System.nanoTime() - t0) / 1e9
       val rec = if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
-      println(f"[ndtune] planes=$planes tables=$tables probes=$probes recall=$rec%.3f found=${got.size}")
+      val missed = (exact -- got).toSeq.sorted.map(p => f"$p->${simOf(p)}%.3f").mkString(",")
+      println(f"[ndtune] planes=$planes tables=$tables probes=$probes recall=$rec%.3f found=${got.size} t=$dt%.1fs missed=$missed")
     }
     spark.stop()
   }

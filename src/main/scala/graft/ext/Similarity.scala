@@ -176,33 +176,37 @@ object Similarity {
     * multiprobe LSH-blocked (a pair must meet in some probed bucket of some
     * table), exact-cosine verified on the deduplicated candidate set.
     *
-    * Defaults (8 planes × 8 tables × 16 probes) measured on the synthetic
-    * corpus: recall vs the exact all-pairs twin = 1.00 (sf0.001) / 0.93
-    * (sf0.01) at threshold 0.45. Planes stay high on purpose — bucket
-    * occupancy drives the self-join's pair count, the quadratic term at
-    * 100 TB — and multiprobe recovers the boundary pairs tight buckets
-    * lose. Lower-threshold mining wants more probes/tables, not fewer
-    * planes. */
+    * Defaults (8 planes × 12 tables × 16 probes) measured on the synthetic
+    * corpus at threshold 0.45: recall vs the exact all-pairs twin = 1.000
+    * (sf0.001), 1.000 (sf0.01), 0.993 (sf0.1 — one pair at sim 0.456).
+    * Seeded hyperplanes make those numbers run-to-run constants. Planes
+    * stay high on purpose — bucket occupancy drives the self-join's pair
+    * count, the quadratic term at 100 TB — and multiprobe + tables recover
+    * the boundary pairs tight buckets lose.
+    *
+    * Shape note: the bucket self-join carries ONLY (vec_id, bucket) longs —
+    * exploding tables×probes keys with the 64-float embedding attached
+    * (the previous formulation) shuffles ~50× the bytes and was the
+    * measured source of run-to-run variance; embeddings rejoin afterwards,
+    * once, on the deduplicated pair ids. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      planes: Int = 8, tables: Int = 8, dim: Int = 64,
+      planes: Int = 8, tables: Int = 12, dim: Int = 64,
       probes: Int = 16): DataFrame = {
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
-    // Keeps buckets tight (planes stays high → self-join stays near-linear)
-    // while multiprobe recovers the boundary pairs a tight bucket loses.
-    val a = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
+    val a = emb.select(col("vec_id"),
       explode(lshProbeKeys(col("embedding"), planes, tables, dim, probes)).as("bkt"))
-    val v = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
+    val v = emb.select(col("vec_id"),
       explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
-    a.alias("a").join(v.alias("b"),
+    val cand = a.alias("a").join(v.alias("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        col("a.embedding").as("e1"), col("b.embedding").as("e2"),
-        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
       .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
       .filter(col("sim") >= threshold)
       .select(col("v1"), col("v2"), col("sim"))

@@ -117,37 +117,34 @@ object PipelineOps {
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed multiprobe ANN (random hyperplanes, seed-deterministic).
-      // Rows-only check on the pair set, but every row carries a measured
-      // `in_exact` flag (membership in the brute-force top-k) — ExtSpec
-      // asserts its mean (= recall) clears the floor. The brute-force side
-      // is a dev/verification-scale rider; at 100 TB one runs lshTopK alone.
+      // LSH-bucketed multiprobe ANN (random hyperplanes, seed-deterministic)
+      // — the production plan, LSH only: no brute-force rider in the benched
+      // query (an O(|Q|·|corpus|) exact join inside the "approximate" path
+      // would BE the cost at any real query volume). Rows-only driver check;
+      // recall vs brute force is measured and floor-asserted in ExtSpec, and
+      // `sim` is the exact cosine of each emitted pair.
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(q, emb, k = 3)
-        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      Similarity.lshTopK(q, emb, k = 3)
-        .join(exact, Seq("q_id", "c_id"), "left")
-        .withColumn("in_exact", coalesce(col("hit"), lit(0L)))
-        .select(col("q_id"), col("c_id"), col("sim"), col("rnk"), col("in_exact"))
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49b_ann_ivf" -> ((s, dir) => {
       // IVF ANN: nearest-centroid cells + multi-probe + in-cell re-rank.
-      // Rows-only check; `in_exact` measured column as in q49 (recall floor
-      // asserted in ExtSpec; exact-recall-at-full-probe also in ScalaTest).
+      // Production plan only, as q49; recall floors + exact-at-full-probe
+      // equality live in ExtSpec.
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(q, emb, k = 3)
-        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      Similarity.ivfTopK(q, emb, k = 3, nlist = 16, nprobe = 4)
-        .join(exact, Seq("q_id", "c_id"), "left")
-        .withColumn("in_exact", coalesce(col("hit"), lit(0L)))
-        .select(col("q_id"), col("c_id"), col("sim"), col("rnk"), col("in_exact"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 3,
+          nlist = 16, nprobe = 4)
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q50_embedding_neardup" -> ((s, dir) => {
-      // Embedding near-dup pairs via hyperplane-LSH blocking. Rows-only.
+      // Embedding near-dup pairs via multi-table multiprobe hyperplane-LSH
+      // blocking, exact-cosine verified. At the driver's oracle scales the
+      // emitted set EQUALS the exact all-pairs answer (measured recall
+      // 1.000 at sf0.001 and sf0.01, a constant under the seeded
+      // hyperplanes; ExtSpec asserts the equality) — so q51's exact oracle
+      // applies verbatim. At sf0.1 recall is 0.993 (one pair at sim 0.456;
+      // documented in PERFNOTES.md): the operator stays approximate by
+      // nature, the oracle claim is scoped to the verify scale.
       Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("v1"), col("v2"))
     }),
@@ -324,6 +321,22 @@ object PipelineOps {
         |r AS (SELECT q_id, c_id, sim,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    // LSH-blocked q50 equals the exact all-pairs answer at oracle scale
+    // (recall 1.000 at sf0.001/sf0.01, deterministic under seeded
+    // hyperplanes; ExtSpec pins the equality) — q51's oracle, verbatim.
+    "q50_embedding_neardup" ->
+      """WITH a AS (SELECT vec_id AS v1, embedding AS e1 FROM embeddings),
+        |b AS (SELECT vec_id AS v2, embedding AS e2 FROM embeddings),
+        |s AS (
+        |  SELECT v1, v2, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e1[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(e1[i] AS DOUBLE) * CAST(e1[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(e2[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE))))), 5) AS sim
+        |  FROM a JOIN b ON v1 < v2)
+        |SELECT v1, v2, sim FROM s WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin,
     "q51_embedding_neardup_exact" ->
       """WITH a AS (SELECT vec_id AS v1, embedding AS e1 FROM embeddings),
         |b AS (SELECT vec_id AS v2, embedding AS e2 FROM embeddings),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
+import graft.tables.Tables
 
 /** Structured Streaming queries run to completion (Trigger.AvailableNow over
   * the events parquet) so the batch oracle can check them: the streaming
@@ -43,12 +44,48 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
     "q35_stream_stateful_sessions" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Emits the closed sessions themselves (not a per-user rollup), which
+      // makes the append-mode semantics oracle-expressible: a session is in
+      // the output iff a later event of the same user broke the gap
+      // (data-closed: some event at us >= session_end) OR the final
+      // watermark passed its end (timeout-closed: wm_ms > end_ms, Spark's
+      // strict event-time-timeout comparison at ms resolution). sum_value
+      // is left to StreamingSpec (float accumulation order is the one
+      // non-oracle-exact column); start/end/count are integer-exact.
       val sess = EventStreams.sessionizeStateful(
         EventStreams.readEvents(s, dir).filter(col("user_id") < 100), gapSeconds = 1800)
       EventStreams.runAvailableNow(sess.toDF(), "q35_sink", OutputMode.Append)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-        .orderBy(col("user_id"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q57_stream_dedup" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming exactly-once dedup, exercised for real: the self-union
+      // doubles every event, the watermark-bounded (event_id, ts) state
+      // must collapse the stream back to the distinct event set — which is
+      // the batch oracle (events has no planted dups; the duplication is
+      // the stream's own). Duplicate copies are byte-identical rows, so
+      // which copy survives is immaterial to the output.
+      val doubled = EventStreams.readEvents(s, dir)
+        .unionByName(EventStreams.readEvents(s, dir))
+      val deduped = EventStreams.dedupStream(doubled, Seq("event_id"))
+      EventStreams.runAvailableNow(deduped, "q57_sink", OutputMode.Append)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+    "q58_stream_enrich" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Stream ⋈ static dimension (broadcast: the stream never shuffles).
+      // Stateless — rows emit as they arrive; batch oracle is the plain
+      // join. Every user_id has a customer row at all sfs (verified), so
+      // the left join is total.
+      val dim = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      val enriched = EventStreams.enrich(EventStreams.readEvents(s, dir), dim, "user_id")
+      EventStreams.runAvailableNow(enriched, "q58_sink", OutputMode.Append,
+          needFinalBatch = false)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
     }),
   )
 
@@ -79,5 +116,45 @@ object StreamingQueries {
         |  count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // Batch restatement of the stateful sessionizer's append-mode output:
+    // same gap-break sessionization as q34, emitted iff the session was
+    // closed by data (a later event of the user at us >= end_us) or by the
+    // final watermark (wm_ms > end_ms, strict, ms resolution — Spark fires
+    // an event-time timeout when the watermark EXCEEDS the set timestamp).
+    "q35_stream_stateful_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+        |  FROM events WHERE user_id < 100),
+        |f AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |    count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT max(epoch_us(ts)) AS w FROM events WHERE user_id < 100)
+        |SELECT user_id, make_timestamp(start_us) AS session_start,
+        |  make_timestamp(end_us) AS session_end, n_events
+        |FROM s, wm
+        |WHERE end_us // 1000 < w // 1000
+        |   OR EXISTS (SELECT 1 FROM g g2
+        |              WHERE g2.user_id = s.user_id AND g2.us >= s.end_us)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // ns → µs floor matches the Spark reader's `ts div 1000` (lossless here:
+    // the generator writes µs-granularity nanos).
+    "q57_stream_dedup" ->
+      """SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id,
+        |  event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q58_stream_enrich" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
   )
 }

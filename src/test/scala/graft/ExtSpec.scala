@@ -89,17 +89,22 @@ class ExtSpec extends AnyFunSuite {
     assert(candPerQuery <= 120, s"candidate volume blew up: $candPerQuery/query")
   }
 
-  test("driver ANN queries q49/q49b: mean in_exact (= recall) clears the floor") {
-    // The driver's check on these is rows-only; the measured-recall column
-    // in the query output is the correctness signal — assert it here.
-    def meanInExact(name: String): Double = {
-      val df = graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
-      val r = df.agg(avg(col("in_exact"))).head().getDouble(0)
-      info(f"$name mean(in_exact) = $r%.3f")
+  test("driver ANN queries q49/q49b: recall vs brute force clears the floor") {
+    // The driver's check on these is rows-only and the benched queries carry
+    // no brute-force rider — so the recall measurement lives HERE, against
+    // the same parameters the driver queries use (10 queries, k = 3).
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(name: String): Double = {
+      val got = graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = (got & brute).size.toDouble / brute.size
+      info(f"$name recall = $r%.3f")
       r
     }
-    assert(meanInExact("q49_ann_lsh") >= 0.6)
-    assert(meanInExact("q49b_ann_ivf") >= 0.5)
+    assert(recall("q49_ann_lsh") >= 0.6)
+    assert(recall("q49b_ann_ivf") >= 0.5)
   }
 
   test("embedding near-dup LSH (q50 shape) vs exact twin: recall floor") {
@@ -110,11 +115,11 @@ class ExtSpec extends AnyFunSuite {
     val exact = pairSet(
       graft.queries.PipelineOps.queries("q51_embedding_neardup_exact")(spark, TestSpark.sfDir))
     assert(exact.nonEmpty)
-    // LSH-blocked pairs are exact-verified → always a subset of the twin
-    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
-    val recall = (got & exact).size.toDouble / exact.size
-    info(f"near-dup recall = $recall%.3f")
-    assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
+    // At oracle scale the LSH-blocked set must EQUAL the exact twin — this
+    // equality is what licenses q50's full DuckDB oracle (verified-subset
+    // plus measured recall 1.000 under the seeded hyperplanes).
+    assert(got === exact,
+      s"false positives: ${got -- exact}; missed: ${exact -- got}")
   }
 
   test("simhash driver query q47: exact dups surface at hamming 0, J verified") {
