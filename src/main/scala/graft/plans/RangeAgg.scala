@@ -76,6 +76,9 @@ private[plans] object SlotKind {
   case class AvgLong(dIdx: Int) extends SlotKind
   /** count of provably non-null expressions = range cardinality, loop-free */
   case object CountAll extends SlotKind
+  /** value solved in closed form at plan time (affine sum / endpoint
+    * min-max) — loop-free, like CountAll */
+  case class ConstLong(value: Long) extends SlotKind
 }
 
 private[plans] case class RangeAggSlot(kind: SlotKind, resultType: DataType)
@@ -114,7 +117,7 @@ case class RangeAggExec(
     val nd = nDouble
     val st = step
     val partials: Array[(Array[Long], Array[Double])] =
-      if (n == 0) Array.empty
+      if (n == 0 || (nl == 0 && nd == 0)) Array.empty // all slots loop-free
       else {
         val specs = partitionSpecs
         sparkContext
@@ -151,6 +154,7 @@ case class RangeAggExec(
       s.kind match {
         case SlotKind.CountAll => Literal(n, LongType)
         case _ if n == 0 => Literal(null, s.resultType)
+        case SlotKind.ConstLong(v) => Literal(v, LongType)
         case SlotKind.SumLong(i) => Literal(l(i), LongType)
         case SlotKind.MinLong(i) => Literal(l(i), LongType)
         case SlotKind.MaxLong(i) => Literal(l(i), LongType)
@@ -188,8 +192,13 @@ object RangeAggStrategy extends SparkStrategy {
 
   // ----------------------------------------------------------- expression IR
   /** Java code + value interval (+ affine form `a·id + b` when exact) for a
-    * LongType expression over the range's id attribute (Java var `v`). */
-  private case class Gen(code: String, lo: BigInt, hi: BigInt, affine: Option[(BigInt, BigInt)])
+    * LongType expression over the range's id attribute (Java var `v`).
+    * `noWrap` = every node's interval fits in long over the whole id range,
+    * so the Java value IS the mathematical value (needed for endpoint
+    * min/max; sums only need congruence mod 2^64, which `+ - *` preserve
+    * even when wrapping). */
+  private case class Gen(code: String, lo: BigInt, hi: BigInt,
+      affine: Option[(BigInt, BigInt)], noWrap: Boolean = true)
 
   private val LongMin = BigInt(Long.MinValue)
   private val LongMax = BigInt(Long.MaxValue)
@@ -226,7 +235,9 @@ object RangeAggStrategy extends SparkStrategy {
         gen(u.child, id, idLo, idHi).flatMap { c =>
           val (lo, hi) = (-c.hi, -c.lo)
           if (fitsLong(lo, hi) || mode(u) == "LEGACY")
-            Some(Gen(s"(-${c.code})", lo, hi, c.affine.map { case (a, b) => (-a, -b) }))
+            Some(Gen(s"(-${c.code})", lo, hi,
+              c.affine.map { case (a, b) => (-a, -b) },
+              c.noWrap && fitsLong(lo, hi)))
           else None
         }
       case b: BinaryArithmetic if b.dataType == LongType =>
@@ -242,11 +253,15 @@ object RangeAggStrategy extends SparkStrategy {
 
   private def binaryGen(b: BinaryArithmetic, l: Gen, r: Gen): Option[Gen] = b match {
     case _: Add =>
-      Some(Gen(s"(${l.code} + ${r.code})", l.lo + r.lo, l.hi + r.hi,
-        for ((a1, b1) <- l.affine; (a2, b2) <- r.affine) yield (a1 + a2, b1 + b2)))
+      val (lo, hi) = (l.lo + r.lo, l.hi + r.hi)
+      Some(Gen(s"(${l.code} + ${r.code})", lo, hi,
+        for ((a1, b1) <- l.affine; (a2, b2) <- r.affine) yield (a1 + a2, b1 + b2),
+        l.noWrap && r.noWrap && fitsLong(lo, hi)))
     case _: Subtract =>
-      Some(Gen(s"(${l.code} - ${r.code})", l.lo - r.hi, l.hi - r.lo,
-        for ((a1, b1) <- l.affine; (a2, b2) <- r.affine) yield (a1 - a2, b1 - b2)))
+      val (lo, hi) = (l.lo - r.hi, l.hi - r.lo)
+      Some(Gen(s"(${l.code} - ${r.code})", lo, hi,
+        for ((a1, b1) <- l.affine; (a2, b2) <- r.affine) yield (a1 - a2, b1 - b2),
+        l.noWrap && r.noWrap && fitsLong(lo, hi)))
     case _: Multiply =>
       val p = Seq(l.lo * r.lo, l.lo * r.hi, l.hi * r.lo, l.hi * r.hi)
       val affine = (l.affine, r.affine) match {
@@ -254,13 +269,14 @@ object RangeAggStrategy extends SparkStrategy {
         case (Some((z, c)), Some((a, b))) if z == 0 => Some((a * c, b * c))
         case _ => None
       }
-      Some(Gen(s"(${l.code} * ${r.code})", p.min, p.max, affine))
+      Some(Gen(s"(${l.code} * ${r.code})", p.min, p.max, affine,
+        l.noWrap && r.noWrap && fitsLong(p.min, p.max)))
     case _: Remainder =>
       // nonzero-literal divisor only: Java % = Spark remainder for longs, and
       // the divide-by-zero semantics difference (null vs error) never arises
       constDivisor(r).map { m =>
         val mm = m.abs - 1
-        Gen(s"(${l.code} % ${m}L)", -mm, mm, None)
+        Gen(s"(${l.code} % ${m}L)", -mm, mm, None, l.noWrap)
       }
     case _: IntegralDivide =>
       constDivisor(r).flatMap { m =>
@@ -268,7 +284,8 @@ object RangeAggStrategy extends SparkStrategy {
         // the dividend interval admits it so both modes stay exact.
         if (m == BigInt(-1) && l.lo <= LongMin) None
         else Some(Gen(s"(${l.code} / ${m}L)",
-          Seq(l.lo / m, l.hi / m).min - 1, Seq(l.lo / m, l.hi / m).max + 1, None))
+          Seq(l.lo / m, l.hi / m).min - 1, Seq(l.lo / m, l.hi / m).max + 1, None,
+          l.noWrap))
       }
     case _: Pmod =>
       // positive-literal divisor only: for m < 0 the folded form
@@ -276,7 +293,8 @@ object RangeAggStrategy extends SparkStrategy {
       // Spark — `r = a % n; r < 0 ? (r + n) % n : r` — but -2 when folded);
       // negative/zero divisors fall back to the stock plan.
       constDivisor(r).filter(_ > 0).map { m =>
-        Gen(s"((((${l.code} % ${m}L) + ${m}L) % ${m}L))", BigInt(0), m - 1, None)
+        Gen(s"((((${l.code} % ${m}L) + ${m}L) % ${m}L))", BigInt(0), m - 1, None,
+          l.noWrap)
       }
     case _ => None
   }
@@ -314,6 +332,19 @@ object RangeAggStrategy extends SparkStrategy {
             }.max
         }
       case None => n * g.lo.abs.max(g.hi.abs)
+    }
+
+  /** For an affine, provably non-wrapping expression, min/max over the range
+    * sit at the endpoints (A·k + B is monotone in k): return the two endpoint
+    * values. noWrap is required — under LEGACY wrap the values are not
+    * monotone and the loop is the semantics. */
+  private def affineEndpoints(g: Gen, r: Range, nBig: BigInt): Option[(BigInt, BigInt)] =
+    g.affine match {
+      case Some((a, b)) if g.noWrap && nBig > 0 =>
+        val v0 = a * BigInt(r.start) + b
+        val v1 = a * (BigInt(r.start) + (nBig - 1) * BigInt(r.step)) + b
+        Some((v0, v1))
+      case _ => None
     }
 
   private def hasAnsiNode(e: Expression): Boolean =
@@ -379,26 +410,44 @@ object RangeAggStrategy extends SparkStrategy {
             val safe = !ansi ||
               sumPrefixBound(g, BigInt(r.start), BigInt(r.step), nBig) <= LongMax
             if (!safe) None
-            else {
-              val i = nLong; nLong += 1
-              val k = SlotKind.SumLong(i)
-              loopOps += ((k, valueVar(g)))
-              Some(RangeAggSlot(k, LongType))
+            else g.affine match {
+              case Some((a, b)) =>
+                // Σ over k ∈ [0, n) of A·k + B, solved at plan time. Exact in
+                // ANSI (the safe proof above rules out any throw); in LEGACY
+                // `+ - *` wrap ≡ mod 2^64, and BigInt.toLong keeps the low 64
+                // bits — the same wrapped value the loop would produce.
+                val A = a * BigInt(r.step)
+                val B = a * BigInt(r.start) + b
+                Some(RangeAggSlot(
+                  SlotKind.ConstLong(affineSum(A, B, BigInt(0), nBig).toLong), LongType))
+              case None =>
+                val i = nLong; nLong += 1
+                val k = SlotKind.SumLong(i)
+                loopOps += ((k, valueVar(g)))
+                Some(RangeAggSlot(k, LongType))
             }
           }
         case m: Min if m.child.dataType == LongType =>
           childGen(m.child).map { g =>
-            val i = nLong; nLong += 1
-            val k = SlotKind.MinLong(i)
-            loopOps += ((k, valueVar(g)))
-            RangeAggSlot(k, LongType)
+            affineEndpoints(g, r, nBig) match {
+              case Some((v0, v1)) => RangeAggSlot(SlotKind.ConstLong(v0.min(v1).toLong), LongType)
+              case None =>
+                val i = nLong; nLong += 1
+                val k = SlotKind.MinLong(i)
+                loopOps += ((k, valueVar(g)))
+                RangeAggSlot(k, LongType)
+            }
           }
         case m: Max if m.child.dataType == LongType =>
           childGen(m.child).map { g =>
-            val i = nLong; nLong += 1
-            val k = SlotKind.MaxLong(i)
-            loopOps += ((k, valueVar(g)))
-            RangeAggSlot(k, LongType)
+            affineEndpoints(g, r, nBig) match {
+              case Some((v0, v1)) => RangeAggSlot(SlotKind.ConstLong(v0.max(v1).toLong), LongType)
+              case None =>
+                val i = nLong; nLong += 1
+                val k = SlotKind.MaxLong(i)
+                loopOps += ((k, valueVar(g)))
+                RangeAggSlot(k, LongType)
+            }
           }
         case a: Average if a.child.dataType == LongType && a.evalMode.toString != "TRY" =>
           childGen(a.child).map { g =>

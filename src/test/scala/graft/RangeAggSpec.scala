@@ -153,6 +153,61 @@ class RangeAggSpec extends AnyFunSuite {
     assert(neg.collect().head.getLong(0) == expected)
   }
 
+  test("closed forms: affine sum/min/max answer a trillion-row range instantly") {
+    // Loop-free path: at 2^40 elements a 4-lane loop would take minutes; the
+    // affine closed form must answer in well under a second with exact values.
+    // LEGACY mode — the total wraps past Long.Max, which ANSI rightly refuses.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val n = 1L << 40
+      val t0 = System.nanoTime()
+      val df = Tables.numbers(spark, n, Some(32)).agg(
+        sum("number").as("s"), min("number").as("mn"), max("number").as("mx"),
+        sum(col("number") * 2 + 1).as("s2"))
+      assertFused(df)
+      val r = df.collect().head
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      val sumN = BigInt(n) * (n - 1) / 2
+      assert(r.getLong(0) == sumN.toLong) // wraps; BigInt low-64 = Spark LEGACY
+      assert(r.getLong(1) == 0L)
+      assert(r.getLong(2) == n - 1)
+      assert(r.getLong(3) == (sumN * 2 + n).toLong)
+      assert(elapsedMs < 2000.0, s"closed form took ${elapsedMs}ms — it looped")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("wrap-prone min/max is not solved at endpoints — matches stock Spark") {
+    // id * 2^60 wraps for id >= 8, so values are not monotone; the endpoint
+    // shortcut must refuse (noWrap=false) and the loop must match stock.
+    // LEGACY mode — ANSI would (correctly) throw on the overflow instead.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val big = 1L << 60
+      val fused = spark.range(0, 1000, 1, 4).agg(
+        max(col("id") * big).as("mx"), min(col("id") * big).as("mn"))
+      assertFused(fused)
+      val stock = spark.range(0, 1000, 1, 4).filter(col("id") >= 0).agg(
+        max(col("id") * big).as("mx"), min(col("id") * big).as("mn"))
+      assert(!physical(stock).contains("RangeAgg"))
+      val (rf, rs) = (fused.collect().head, stock.collect().head)
+      assert(rf.getLong(0) == rs.getLong(0))
+      assert(rf.getLong(1) == rs.getLong(1))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("descending range: affine endpoints honor negative step") {
+    val df = spark.range(1000, -1000, -7).agg(
+      min("id").as("mn"), max("id").as("mx"), sum("id").as("s"))
+    assertFused(df)
+    val ids = 1000L until -1000L by -7L
+    val r = df.collect().head
+    assert(r.getLong(0) == ids.min)
+    assert(r.getLong(1) == ids.max)
+    assert(r.getLong(2) == ids.sum)
+  }
+
   test("avg matches stock Spark bit-for-bit on a partition-aligned range") {
     // Same partition split as RangeExec + partition-order merge ⇒ identical
     // double association; compare against a stock plan forced via a filter.
