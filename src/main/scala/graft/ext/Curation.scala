@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling (domain/language mixing), vocabulary statistics
+  * (document frequency, heavy hitters), TF-IDF term ranking, and
+  * intra-document repetition signals (Rae et al., Gopher §A1.1-style
+  * quality heuristics — public-knowledge constructions).
+  *
+  * Every operator is deterministic and cross-engine mirrorable (no RNG, no
+  * engine-specific hashes): sampling keys come from modular arithmetic on the
+  * id column, TF-IDF ranks on an integer-scaled idf. Shapes are 100 TB-safe:
+  * sampling and signals are pure per-row maps; vocabulary statistics are
+  * two-phase hash aggregations with map-side combine; nothing collects to the
+  * driver.
+  */
+object Curation {
+
+  /** Deterministic per-row sample key in [0, buckets): a Knuth
+    * multiplicative hash of the id, overflow-safe under ANSI (the id is
+    * reduced mod 1000003 BEFORE the multiply, so the product stays ≤ 2.7e15).
+    * Same value is computable in any SQL engine — no RNG, so the sample is
+    * reproducible and join-stable across runs and engines. */
+  def sampleKey(id: Column, buckets: Int = 1000): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(buckets.toLong))
+
+  /** Stratified sample: keep a row when its [[sampleKey]] falls under its
+    * stratum's keep-rate (permille). The mixture knob of a training-data
+    * pipeline — "30% of en, 10% of everything else" — as a pure filter:
+    * no shuffle, no sort, pushes below later aggregations. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      ratesPermille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r.toLong)).otherwise(acc)
+    }
+    df.filter(sampleKey(id) < rate)
+  }
+
+  /** Document frequency per token: how many documents contain each distinct
+    * whitespace token. One explode + one two-phase count — the vocabulary
+    * table every downstream lexical statistic joins against. */
+  def docFrequency(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(text))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** Heavy-hitter tokens: tokens appearing in ≥ `minDocFrac` of all
+    * documents. Exact two-phase aggregation (the 100 TB path is the same
+    * plan — partial counts combine map-side; the result is vocabulary-sized,
+    * not corpus-sized). */
+  def heavyHitterTokens(docs: DataFrame, id: Column, text: Column,
+      minDocFrac: Double): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docFrequency(docs, id, text)
+      .crossJoin(broadcast(total))
+      .filter(col("df") >= col("n_docs") * minDocFrac)
+      .withColumn("doc_frac", round(col("df").cast("double") / col("n_docs"), 6))
+      .select(col("tok"), col("df"), col("doc_frac"))
+  }
+
+  /** Top-k TF-IDF terms per document. The idf is integer-scaled —
+    * `(N·1e6) div df` — instead of `ln(N/df)`: same ranking monotonicity
+    * (increasing in tf, decreasing in df), but exact integer arithmetic, so
+    * scores and therefore top-k sets are bit-identical across engines (a
+    * last-ulp `ln` difference can flip a rank); swapping in a float idf is a
+    * one-line change. Ties rank by term for determinism.
+    *
+    * Shape: tf is a (doc, term) two-phase count over exploded tokens; df is
+    * vocabulary-sized and joins on the term key (broadcast when it fits,
+    * shuffle-join on `tok` otherwise — both sides are already aggregated, so
+    * the join never touches corpus-scale rows). */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = docFrequency(docs, id, text)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * ((col("n_docs") * lit(1000000L)) / col("df")).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** Intra-document repetition signals (quality-filter features): total
+    * token count, distinct-token ratio, and top-token dominance (count of
+    * the most frequent token over all tokens — boilerplate and degenerate
+    * generations score high). Two hash aggregations, both keyed by doc —
+    * no window, no per-document collect. */
+  def repetitionSignals(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tok"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_tok_ratio"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_ratio"))
+}

@@ -172,6 +172,36 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Semantic clustering: assign every vector to its nearest centroid by
+    * cosine (ties → lowest centroid id). Centroids are the `nlist` lowest-id
+    * corpus vectors — the same deterministic pick and bounded pushed-filter
+    * collect as [[ivfTopK]], becoming codegen literals so assignment is a
+    * pure map over the corpus: no shuffle, no UDF, scan-speed at 100 TB.
+    * The per-cluster rollup that typically follows is a two-phase hash
+    * aggregation on the tiny cell key. Cosines are computed raw-vector
+    * against raw centroid (dot / norms) and rounded to 5 — the exact
+    * construction any SQL engine reproduces bit-for-bit. */
+  def centroidAssign(emb: DataFrame, nlist: Int = 8): DataFrame = {
+    val cents: Array[(Int, Seq[Double], Double)] = emb
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id"), toDouble(col("embedding"))).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0).toInt, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    // (sim, -cell) struct max = highest sim, ties to the LOWEST cell id
+    val scored = array(cents.toIndexedSeq.map { case (i, c, n) =>
+      struct(
+        round(dot(col("embedding"), typedlit(c)) / (norm(col("embedding")) * lit(n)), 5).as("s"),
+        lit(-i).as("negCell"))
+    }: _*)
+    emb.select(col("vec_id"), array_max(scored).as("best"))
+      .select(col("vec_id"),
+        (-col("best.negCell")).cast("long").as("cell"),
+        col("best.s").as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, multi-table
     * multiprobe LSH-blocked (a pair must meet in some probed bucket of some
     * table), exact-cosine verified on the deduplicated candidate set.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import graft.tables.Tables
 
 /** Training-data pipeline operators (the beyond-reference surface the engine
@@ -211,7 +211,87 @@ object PipelineOps {
         concat_ws(",", Multimodal.frameSampleOffsets(col("payload"), 4)).as("frames"))
         .orderBy(col("doc_id"))
     }),
+    "q59_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified sampling (domain/language mixing): keep-rate
+      // per stratum, keyed by modular arithmetic on doc_id — reproducible,
+      // engine-independent, a pure filter (no shuffle, no RNG state).
+      val sampled = Curation.stratifiedSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), sampleRates, defaultPermille = 100)
+      sampled.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"))
+    }),
+    "q60_heavy_hitters" -> ((s, dir) => {
+      // Exact heavy-hitter vocabulary: tokens in ≥ 30% of documents. The
+      // result is vocabulary-sized; the plan is explode → two-phase count —
+      // the same plan at 100 TB (partial counts combine map-side).
+      Curation.heavyHitterTokens(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minDocFrac = 0.3)
+        .orderBy(col("df").desc, col("tok"))
+    }),
+    "q61_tfidf" -> ((s, dir) => {
+      // Top-3 TF-IDF terms per document (integer-scaled idf — exact in both
+      // engines; ranking ties go to the term). df spans the WHOLE corpus;
+      // the doc_id filter prunes only the tf/window side (pushes through the
+      // window on its partition key and the tf aggregation on its group key).
+      Curation.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+        .filter(col("doc_id") < 50)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+    "q62_kmeans_assign" -> ((s, dir) => {
+      // Semantic clustering: nearest-centroid assignment (cosine, ties to
+      // the lowest centroid id) + per-cluster rollup. Centroids ride as
+      // codegen literals — assignment is a shuffle-free map over the corpus.
+      Similarity.centroidAssign(t(s, dir, "embeddings"), nlist = 8)
+        .groupBy(col("cell")).agg(
+          count(lit(1)).as("n"),
+          round(graft.functions.Stable.avgD(col("sim")), 4).as("avg_sim"))
+        .orderBy(col("cell"))
+    }),
+    "q63_repetition" -> ((s, dir) => {
+      // Intra-document repetition signals (Gopher-style quality features):
+      // top-token dominance + distinct-token ratio, two hash aggs.
+      Curation.repetitionSignals(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    }),
+    "q64_curation_pipeline" -> ((s, dir) => {
+      // End-to-end curation: language-ID → quality gate → exact dedup on the
+      // content fingerprint (keep lowest doc_id per fingerprint — one
+      // shuffle) → stratified sample → corpus mixture summary. Every stage
+      // is an operator proven above; this pins their composition.
+      val d = t(s, dir, "documents").select(
+          col("doc_id"),
+          TA.langId(col("text")).as("plang"),
+          TA.qualityScore(col("text")).as("q"),
+          TA.contentFingerprint(col("text")).as("cfp"),
+          TA.tokenCount(col("text")).as("n_tok"))
+        .filter(col("q") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cfp")).orderBy(col("doc_id"))
+      val deduped = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      Curation.stratifiedSample(deduped, col("doc_id"), col("plang"),
+          sampleRates, defaultPermille = 100)
+        .groupBy(col("plang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("plang"))
+    }),
   )
+
+  /** Keep-rates (permille) for the stratified-sampling queries — the
+    * "mixture weights" knob; mirrored literally in the oracle SQL. */
+  private val sampleRates =
+    Map("en" -> 300, "fr" -> 200, "de" -> 150, "es" -> 150)
+
+  private val sampleRateCase =
+    """CASE %s WHEN 'en' THEN 300 WHEN 'fr' THEN 200 WHEN 'de' THEN 150
+      |       WHEN 'es' THEN 150 ELSE 100 END""".stripMargin
+
+  private val sampleKeySql = "((%s %% 1000003) * 2654435761) %% 1000"
 
   private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
 
@@ -419,5 +499,106 @@ object PipelineOps {
         |  CAST(floor(height * scale) AS BIGINT) AS resized_h,
         |  array_to_string(list_transform(generate_series(0, 3), i -> (i * len) // 4), ',') AS frames
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q59_stratified_sample" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM documents
+         |WHERE ${sampleKeySql.format("doc_id")} < ${sampleRateCase.format("lang")}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q60_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT tok, df, round(CAST(df AS DOUBLE) / n_docs, 6) AS doc_frac
+        |FROM dfreq, t WHERE df >= n_docs * 0.3
+        |ORDER BY df DESC, tok""".stripMargin,
+    "q61_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY tok),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        |    CAST(tf.tf * ((n_docs * 1000000) // dfreq.df) AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING (tok), t),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, tok, tf, df, score, rnk FROM r
+        |WHERE rnk <= 3 AND doc_id < 50 ORDER BY doc_id, rnk""".stripMargin,
+    "q62_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding AS vemb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, cid, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(vemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(vemb[i] AS DOUBLE) * CAST(vemb[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))))), 5) AS sim
+        |  FROM v, c),
+        |a AS (SELECT vec_id, cid, sim, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |SELECT CAST(cid AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(sim AS DECIMAL(30,10))) AS DOUBLE) / count(sim), 4) AS avg_sim
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cell""".stripMargin,
+    "q63_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_tok_ratio,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS distinct_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_curation_pipeline" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id,
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS alpha,
+         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+         |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mtl,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['le','la','les','de','et','un','est'], t))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['el','los','las','y','un','es','que'], t))) AS BIGINT) AS s_es,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      string_split_regex(trim(text), '\\s+'))), ' ')) AS cfp,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, cfp, n_tok,
+         |    CASE WHEN has_cjk THEN 'zh'
+         |      WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         |      WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         |      WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         |      ELSE 'es' END AS plang,
+         |    round(0.5 * alpha + 0.3 * least(stop_ratio * 3, 1.0)
+         |      + 0.2 * least(mtl / 8, 1.0), 6) AS q
+         |  FROM comp),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cfp ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.5),
+         |smp AS (
+         |  SELECT * FROM dd WHERE rn = 1
+         |    AND ${sampleKeySql.format("doc_id")} < ${sampleRateCase.format("plang")})
+         |SELECT plang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM smp GROUP BY plang ORDER BY plang""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Similarity, TextAnalysis, Vectors}
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis, Vectors}
 
 /** Training-data pipeline extensions: semantics on small hand-built inputs
   * (the sf0.001 end-to-end runs live in QueriesSpec; the oracle runs at
@@ -205,5 +205,92 @@ class ExtSpec extends AnyFunSuite {
     val fps = df.as[String].collect()
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
+  }
+
+  test("stratified sample: exact key arithmetic, per-stratum rates, determinism") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 300)
+    val kept = Curation.stratifiedSample(df, col("id"), col("lang"), rates, 100)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // exact recomputation of the modular key on the driver
+    def key(i: Long): Long = ((i % 1000003L) * 2654435761L) % 1000L
+    val expected = (0L until 2000L).filter { i =>
+      key(i) < (if (i % 2 == 0) 300L else 100L)
+    }.map(i => (i, if (i % 2 == 0) "en" else "xx"))
+    assert(kept === expected)
+    // rates are approximately honored (multiplicative key is well-spread)
+    val en = kept.count(_._2 == "en").toDouble / 1000
+    val xx = kept.count(_._2 == "xx").toDouble / 1000
+    assert(en > 0.24 && en < 0.36, s"en rate $en")
+    assert(xx > 0.06 && xx < 0.14, s"xx rate $xx")
+  }
+
+  test("heavy hitters: doc-frequency threshold keeps only common tokens") {
+    val docs = Seq(
+      (1L, "common alpha beta"), (2L, "common beta"),
+      (3L, "common gamma"), (4L, "common beta rare")).toDF("doc_id", "text")
+    val out = Curation.heavyHitterTokens(docs, col("doc_id"), col("text"), 0.5)
+      .orderBy(desc("df"), col("tok")).as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("common", 4L, 1.0), ("beta", 3L, 0.75)))
+  }
+
+  test("tfidf: rare term outranks ubiquitous term; k and tie rules hold") {
+    val docs = Seq(
+      (1L, "shared shared shared unique"), // 'unique' only here
+      (2L, "shared other"),
+      (3L, "shared other")).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "tok", "rnk").as[(Long, String, Long)].collect().toSeq
+    // doc 1: 'unique' (df=1, idf=3e6, tf=1 → 3e6) beats 'shared'
+    // (df=3, idf=1e6, tf=3 → 3e6)? tie at 3e6 → term order: shared < unique.
+    // tf*idf: unique = 1*3000000 = 3e6; shared = 3*1000000 = 3e6 — tie,
+    // 'shared' wins rank 1 alphabetically; both emitted under k=2.
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)) ===
+      Seq(("shared", 1L), ("unique", 2L)))
+    // docs 2/3: 'other' (df=2 → idf 1.5e6) outranks 'shared' (df=3 → 1e6)
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3)) ===
+      Seq(("other", 1L), ("shared", 2L)))
+    assert(out.groupBy(_._1).forall(_._2.size <= 2))
+  }
+
+  test("centroid assignment equals brute-force argmax; ties go to low cell") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val got = Similarity.centroidAssign(emb, nlist = 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // brute force via the exact cosine path
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val expected = emb.crossJoin(cents)
+      .withColumn("sim", round(Vectors.dot(col("embedding"), Vectors.toDouble(col("cemb")))
+        / (Vectors.norm(col("embedding")) * Vectors.norm(col("cemb"))), 5))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // centroids self-assign (cosine 1 with themselves)
+    (0L until 4L).foreach(i => assert(got(i) === i))
+  }
+
+  test("repetition signals: dominance and distinct ratios are exact") {
+    val docs = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1L, 4L, 0.75, 0.5), (2L, 4L, 0.25, 1.0)))
+  }
+
+  test("curation pipeline (q64) runs end-to-end and is deterministic") {
+    val dir = TestSpark.sfDir
+    val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
+      .collect().toSeq
+    val run2 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
+      .collect().toSeq
+    assert(run1 === run2)
+    assert(run1.nonEmpty)
+    val langs = run1.map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "de", "es", "zh", "und")))
   }
 }
