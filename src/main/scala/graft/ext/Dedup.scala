@@ -42,6 +42,24 @@ object Dedup {
   def exactDedup(df: DataFrame, keys: Seq[Column], keep: Column): DataFrame =
     graft.ops.Relational.dedupFirst(df, keys, keep)
 
+  /** Incremental dedup: rows of `incoming` that are novel against an
+    * existing `corpus` snapshot AND within the incoming batch itself, both
+    * judged by `fingerprint` (within-batch ties keep the min `keep`).
+    *
+    * The daily-ingest shape of a training-data pipeline: the corpus side
+    * reduces to its distinct fingerprint set (in production, a pre-built
+    * bucketed fingerprint table — see `tables/Bucketing` — so the anti-join
+    * co-locates without shuffling the snapshot), and the incoming batch
+    * pays one shuffle on the fingerprint key shared by its self-dedup and
+    * the anti-join. */
+  def novelAgainst(corpus: DataFrame, incoming: DataFrame,
+      fingerprint: Column, keep: Column): DataFrame = {
+    val fp = fingerprint.as("fp")
+    val seen = corpus.select(fp).distinct()
+    val batch = exactDedup(incoming.withColumn("fp", fingerprint), Seq(col("fp")), keep)
+    batch.join(seen, Seq("fp"), "left_anti").drop("fp")
+  }
+
   // ---------- n-grams ----------------------------------------------------
 
   /** Word n-grams of a text column (empty array when fewer than n tokens) —

@@ -280,6 +280,20 @@ object PipelineOps {
           sum(col("doc_id")).as("checksum"))
         .orderBy(col("plang"))
     }),
+    "q66_incremental_dedup" -> ((s, dir) => {
+      // Incremental ingest dedup: even doc_ids stand in for the existing
+      // corpus snapshot, odd doc_ids for the incoming batch; emit incoming
+      // docs novel by content fingerprint (within-batch dups keep the
+      // lowest id). One shuffle on the fingerprint key; the snapshot side
+      // reduces to its distinct fingerprint set before the anti-join.
+      val docs = t(s, dir, "documents")
+      Dedup.novelAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          TA.contentFingerprint(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Keep-rates (permille) for the stratified-sampling queries — the
@@ -600,5 +614,18 @@ object PipelineOps {
          |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
          |  CAST(sum(doc_id) AS BIGINT) AS checksum
          |FROM smp GROUP BY plang ORDER BY plang""".stripMargin,
+    "q66_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp WHERE doc_id % 2 = 1)
+        |SELECT doc_id, lang, n_chars FROM batch
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -87,6 +87,23 @@ object StreamingQueries {
           col("c_name"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
+    "q65_stream_stream_join" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Stream–stream interval join: purchases within 1 h after a click by
+      // the same user. Inner join + two-sided time bound → buffered state
+      // evicts with the watermark; matches emit as they meet, so the
+      // AvailableNow output equals the batch interval join (the oracle).
+      val ev = EventStreams.readEvents(s, dir)
+      val joined = EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        key = "user_id", window = "1 hour")
+      EventStreams.runAvailableNow(joined, "q65_sink", OutputMode.Append,
+          needFinalBatch = false)
+        .select(col("l_key").as("user_id"), col("l_id").as("click_id"),
+          col("r_id").as("purchase_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("delta_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -156,5 +173,16 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // µs resolution matches the Spark reader (`ts div 1000` on nanos).
+    "q65_stream_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id, p.us - c.us AS delta_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.us > c.us AND p.us <= c.us + 3600000000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
   )
 }

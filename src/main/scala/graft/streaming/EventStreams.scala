@@ -155,6 +155,26 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream–stream interval join: rows of `left` match rows of `right` with
+    * the same `key` whose event time falls in `(left.ts, left.ts + window]`.
+    * BOTH sides carry watermarks and the join condition bounds time in both
+    * directions — that is what lets Spark evict buffered rows once the
+    * watermark passes their interval (without the bound, stream-stream join
+    * state grows forever — the 100 TB failure mode). Inner join: no result
+    * row is emitted until both sides' watermarks clear it, so AvailableNow
+    * output equals the batch join, which is the oracle contract. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      window: String = "1 hour", watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col("ts").as("l_ts"),
+      col("event_id").as("l_id")).withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+      col("event_id").as("r_id")).withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (Trigger.AvailableNow) into an in-memory table; returns the result
     * as a batch DataFrame. This is how streaming queries enter the driver's

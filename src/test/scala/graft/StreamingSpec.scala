@@ -170,6 +170,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "gold", 9L -> null))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = EventStreams.readEvents(spark, TestSpark.sfDir)
+    val stream = EventStreams.intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      key = "user_id", window = "1 hour")
+    val got = EventStreams.runAvailableNow(stream, "ssjoin_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append, needFinalBatch = false)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    val batch = graft.tables.Tables.table(spark, TestSpark.sfDir, "events")
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val expected = c.join(p, col("cu") === col("pu") &&
+        col("pts") > col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 hour"))
+      .select("cid", "pid").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should produce at least one join pair")
+  }
+
   test("file source end-to-end: streaming tumbling agg equals batch over sf0.001 events") {
     val stream = EventStreams.tumblingAgg(
       EventStreams.readEvents(spark, TestSpark.sfDir), "1 hour")
