@@ -89,4 +89,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(1) HashAggregate"), p)
     assert(p.contains("*(1) Filter"), p)
   }
+
+  test("q59 stratified sample: pure filter below the aggregation, no window/join") {
+    val p = plan("q59_stratified_sample")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // one shuffle for the groupBy(lang) final agg, none for the sampling
+    assert("Exchange".r.findAllIn(p).size <= 2, "sampling must not shuffle:\n" + p)
+  }
+
+  test("q61 tfidf: doc_id filter pushes through window and tf aggregation to the scan") {
+    val p = plan("q61_tfidf")
+    // the tf/window subtree's scan must carry the pushed doc_id predicate;
+    // the df (document-frequency) subtree scans unfiltered by design
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      "doc_id filter did not reach a scan:\n" + p)
+  }
+
+  test("q62 centroid assignment: shuffle-free map, single rollup exchange") {
+    val df = SparkEntry.queries("q62_kmeans_assign")(spark, TestSpark.sfDir)
+    df.collect()
+    // AQE's string repeats the plan under "== Initial Plan ==" — count only
+    // the final plan section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), "assignment must not join:\n" + p)
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "expected only the rollup agg + sort exchanges:\n" + p)
+  }
+
+  test("q66 incremental dedup: anti-join on the fingerprint key, no cartesian") {
+    val p = plan("q66_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
