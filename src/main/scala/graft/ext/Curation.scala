@@ -88,6 +88,49 @@ object Curation {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-capacity packs by
+    * contiguous fill in id order — the "fill the context window" step before
+    * tokenized training shards are written. A document starting at running
+    * offset `o` goes to pack `o div cap` (documents may straddle a boundary,
+    * as real packers allow with cross-doc attention masks).
+    *
+    * The running offset is a window cumsum partitioned by `(stratum, shard)`
+    * where `shard = id div shardSize`: a GLOBAL cumsum would serialize on one
+    * partition at 100 TB; bounded shards keep every window partition
+    * shard-sized and independent, which is exactly how packing shards out in
+    * production (packs never span output files anyway). Pure integer
+    * arithmetic — cross-engine exact. */
+  def sequencePack(docs: DataFrame, id: Column, text: Column, stratum: Column,
+      capTokens: Int, shardSize: Int = 1000): DataFrame = {
+    val base = docs.select(stratum.as("stratum"), id.as("doc_id"),
+      TextAnalysis.tokenCount(text).as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val w = Window.partitionBy(col("stratum"), col("shard")).orderBy(col("doc_id"))
+    base.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $capTokens"))
+      .select(col("stratum"), col("shard"), col("pack_id"),
+        col("doc_id"), col("n_tok"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark set, with the count of distinct shared grams.
+    * The benchmark side is tiny by nature (eval sets) — its distinct n-gram
+    * set broadcasts, the corpus explodes its distinct grams once and
+    * semi-aggregates; no corpus-side shuffle beyond the per-doc count.
+    * String n-grams (not engine hashes) keep the operator oracle-exact;
+    * the hashed-long variant ([[Dedup.wordNgramHashes]]) is the byte-lean
+    * production spelling. */
+  def flagContaminated(docs: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchmarkText: Column, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(Dedup.wordNgrams(benchmarkText, n))).as("ng"))
+      .distinct()
+    docs.select(id.as("doc_id"),
+        explode(array_distinct(Dedup.wordNgrams(text, n))).as("ng"))
+      .join(broadcast(benchGrams), Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+  }
+
   /** Intra-document repetition signals (quality-filter features): total
     * token count, distinct-token ratio, and top-token dominance (count of
     * the most frequent token over all tokens — boilerplate and degenerate

@@ -294,6 +294,24 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q67_sequence_pack" -> ((s, dir) => {
+      // Sequence packing (context-window fill): contiguous token-capacity
+      // packs per (stratum, shard); per-pack rollup. Integer-exact.
+      Curation.sequencePack(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), capTokens = 4096)
+        .groupBy(col("stratum"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tok"))
+        .orderBy(col("stratum"), col("shard"), col("pack_id"))
+    }),
+    "q68_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs sharing any 5-gram with the
+      // benchmark stand-in (doc_id < 5) — planted near-dups must surface.
+      val docs = t(s, dir, "documents")
+      Curation.flagContaminated(
+          docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("text"), n = 5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Keep-rates (permille) for the stratified-sampling queries — the
@@ -627,5 +645,33 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    "q67_sequence_pack" ->
+      """WITH b AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    doc_id // 1000 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (
+        |    PARTITION BY stratum, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+        |p AS (SELECT stratum, shard, (cum - n_tok) // 4096 AS pack_id, n_tok FROM c)
+        |SELECT stratum, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tok
+        |FROM p GROUP BY stratum, shard, pack_id
+        |ORDER BY stratum, shard, pack_id""".stripMargin,
+    "q68_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 5
+        |      THEN list_transform(generate_series(1, len(tk) - 4),
+        |             i -> array_to_string(tk[i:i+4], ' '))
+        |      ELSE [] END)) AS ng
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 5)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |FROM g JOIN bench USING (ng) WHERE g.doc_id >= 5
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
   )
 }

@@ -282,6 +282,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Seq((1L, 4L, 0.75, 0.5), (2L, 4L, 0.25, 1.0)))
   }
 
+  test("sequence packing: contiguous fill, straddle allowed, shard resets") {
+    // 3-token docs, cap 4: offsets 0,3,6,… → packs 0,0,1 within a shard
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i"), (3L, "j k l"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = graft.ext.Curation.sequencePack(docs, col("doc_id"), col("text"),
+        col("lang"), capTokens = 4, shardSize = 3)
+      .select("shard", "pack_id", "doc_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    // shard 0: offsets 0,3,6 → packs 0,0,1; shard 1 (doc 3) restarts at 0
+    assert(out === Seq((0L, 0L, 0L), (0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L)))
+  }
+
+  test("decontamination: shared 5-gram flags the doc with its hit count") {
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix the quick brown fox jumps over suffix"), // both bench 5-grams
+      (2L, "totally unrelated words with no overlap at all")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.flagContaminated(docs, col("doc_id"), col("text"),
+        bench, col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L))
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
