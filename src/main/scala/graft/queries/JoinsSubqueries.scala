@@ -141,6 +141,20 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q69_join_full_outer" -> ((s, dir) => {
+      // Full outer join exercising BOTH null directions: nations < 20 on the
+      // left, rich-customer counts per nation on the right — left-only rows
+      // (nations with no rich customers) and right-only rows (rich customers
+      // of nations >= 20) both survive.
+      val nations = t(s, dir, "nation").filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+      nations.join(rich, col("n_nationkey") === col("c_nationkey"), "full")
+        .select(coalesce(col("n_nationkey"), col("c_nationkey")).as("nk"),
+          col("n_name"), col("n_rich"))
+        .orderBy(col("nk"))
+    }),
     "q36_tpch_q5" -> ((s, dir) => {
       // TPC-H Q5 shape: 6-table snowflake join -> per-nation revenue. The
       // three dimension chains (region→nation→{customer,supplier}) broadcast;
@@ -308,6 +322,15 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q69_join_full_outer" ->
+      """WITH nations AS (
+        |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20),
+        |rich AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rich
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey)
+        |SELECT coalesce(n_nationkey, c_nationkey) AS nk, n_name, n_rich
+        |FROM nations FULL JOIN rich ON n_nationkey = c_nationkey
+        |ORDER BY nk""".stripMargin,
     "q36_tpch_q5" ->
       """SELECT n_name,
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue

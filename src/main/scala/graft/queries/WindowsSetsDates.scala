@@ -35,6 +35,30 @@ object WindowsSetsDates {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_sum"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    "q70_window_frames" -> ((s, dir) => {
+      // Frame-spec completeness: ntile / percent_rank / cume_dist (order
+      // fully tie-broken so both engines agree), first/last over an
+      // unbounded ROWS frame, and a numeric RANGE frame sum (decimal-stable
+      // accumulation — a RANGE frame is a set of rows, summation order is
+      // engine-specific).
+      val w1 = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wAll = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRange = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_custkey")).rangeBetween(-10, 0)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w1).cast("long").as("quartile"),
+          round(percent_rank().over(w1), 6).as("pr"),
+          round(cume_dist().over(w1), 6).as("cd"),
+          first(col("c_custkey")).over(wAll).as("poorest"),
+          last(col("c_custkey")).over(wAll).as("richest"),
+          round(sum(col("c_acctbal").cast("decimal(30,10)")).over(wRange)
+            .cast("double"), 2).as("nearby_bal"))
+        .filter(col("c_custkey") < 200)
+        .orderBy(col("c_custkey"))
+    }),
     "q24_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -132,6 +156,23 @@ object WindowsSetsDates {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey, o_totalprice),
         |  wd AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q70_window_frames" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(ntile(4) OVER w1 AS BIGINT) AS quartile,
+        |    round(percent_rank() OVER w1, 6) AS pr,
+        |    round(cume_dist() OVER w1, 6) AS cd,
+        |    first_value(c_custkey) OVER wall AS poorest,
+        |    last_value(c_custkey) OVER wall AS richest,
+        |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) OVER wrange AS DOUBLE), 2) AS nearby_bal
+        |  FROM customer
+        |  WINDOW
+        |    w1 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+        |    wall AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |    wrange AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+        |               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |) WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
     "q24_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS s
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
