@@ -433,6 +433,51 @@ object PipelineOps {
         |r AS (SELECT q_id, c_id, sim,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    // IVF is deterministic end-to-end (no random hyperplanes): centroids are
+    // the 16 lowest-id vectors L2-normalized, corpus cell = argmax centroid
+    // dot (first max → lowest cid), query probes = top-4 cells by
+    // (score DESC, cid DESC) — Spark's reverse(array_sort(struct)) order —
+    // and the re-rank rounds to 5. Every step is the same IEEE op sequence
+    // in DuckDB, so the full operator is oracle-expressible.
+    "q49b_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
+        |  FROM embeddings WHERE vec_id < 16),
+        |scores AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
+        |  FROM embeddings e, cents c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scores) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        |    FROM scores WHERE vec_id < 10) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS c_id
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.vec_id != p.q_id),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     // LSH-blocked q50 equals the exact all-pairs answer at oracle scale
     // (recall 1.000 at sf0.001/sf0.01, deterministic under seeded
     // hyperplanes; ExtSpec pins the equality) — q51's oracle, verbatim.
