@@ -92,6 +92,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sel.count() > 0)
   }
 
+  test("z-order layout: footer ranges prune on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+    graft.tables.Layout.writeZOrdered(li, dir, 8, col("l_orderkey"), col("l_partkey"))
+
+    val conf = spark.sessionState.newHadoopConf()
+    def fileRanges(colName: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val stats = r.getFooter.getBlocks.asScala.map(
+              _.getColumns.asScala.find(_.getPath.toDotString == colName).get.getStatistics)
+            (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+              stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+          } finally r.close()
+        }
+
+    // On each dimension independently, a narrow range predicate must be able
+    // to skip files: the fraction of files whose [min,max] intersects a
+    // 1/8-of-domain query window must be well under all of them. (A layout
+    // clustered on one key alone fails this on the other key — every file
+    // spans the whole second-key domain.)
+    def prunable(colName: String): Boolean = {
+      val ranges = fileRanges(colName)
+      val lo = ranges.map(_._1).min
+      val hi = ranges.map(_._2).max
+      val w = (hi - lo) / 8
+      // probe 8 disjoint windows, take the mean overlap fraction
+      val fracs = (0 until 8).map { i =>
+        val (qlo, qhi) = (lo + i * w, lo + (i + 1) * w)
+        ranges.count { case (mn, mx) => mx >= qlo && mn <= qhi }.toDouble / ranges.size
+      }
+      fracs.sum / fracs.size <= 0.75
+    }
+    assert(fileRanges("l_orderkey").size >= 4, "need multiple files to show pruning")
+    assert(prunable("l_orderkey"), "orderkey windows must skip files")
+    assert(prunable("l_partkey"), "partkey windows must skip files")
+
+    // round-trip integrity
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
+
   test("keyHistogram surfaces the hot key") {
     val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
