@@ -13,10 +13,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // one per operator family: hash agg, window/limit-by, join+topk, dedup,
-  // ANN, sessionize, set ops
+  // ANN, sessionize, set ops, sampling, tfidf ranking, curation pipeline,
+  // sequence packing, centroid clustering, full outer, window frames
   private val representative = Seq(
     "q04_tpch_q1", "q08_limit_by", "q20_tpch_q3", "q40_dedup_exact",
-    "q48_ann_brute", "q31_sessionize", "q18_setops", "q46_minhash_lsh")
+    "q48_ann_brute", "q31_sessionize", "q18_setops", "q46_minhash_lsh",
+    "q59_stratified_sample", "q61_tfidf", "q64_curation_pipeline",
+    "q67_sequence_pack", "q62_kmeans_assign", "q69_join_full_outer",
+    "q70_window_frames")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)

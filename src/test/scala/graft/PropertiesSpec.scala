@@ -116,4 +116,64 @@ class PropertiesSpec extends AnyFunSuite {
     val want = data.groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.sorted.take(3) }.toSet
     assert(got == want)
   }
+
+  test("morton interleave is a bijection on bits×bits rank pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // decode the interleave on the driver and demand exact round-trip
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      (0 until bits).foreach { i =>
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val bits = 6
+    val pairs = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.tables.Layout.morton(col("a"), col("b"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).distinct.length == pairs.length, "collision in morton codes")
+    got.foreach { case (a, b, z) => assert(deinterleave(z, bits) == ((a, b))) }
+  }
+
+  test("sampleKey: stays in [0, buckets), deterministic, well spread") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val keys = (0L until 10000L).toDF("id")
+      .select(graft.ext.Curation.sampleKey(col("id")).as("k"))
+      .as[Long].collect()
+    assert(keys.forall(k => k >= 0 && k < 1000))
+    // spread: every decile of the key space is hit roughly uniformly
+    val byDecile = keys.groupBy(_ / 100).view.mapValues(_.length).toMap
+    assert(byDecile.size == 10)
+    byDecile.values.foreach(n => assert(n > 700 && n < 1300, byDecile.toString))
+  }
+
+  test("sequencePack: every doc assigned exactly once; packs fill contiguously") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i => (i, Seq.fill(1 + r.nextInt(9))("w").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("lang", (col("doc_id") % 3).cast("string"))
+    val out = graft.ext.Curation.sequencePack(docs, col("doc_id"), col("text"),
+        col("lang"), capTokens = 16, shardSize = 50)
+      .select("stratum", "shard", "pack_id", "doc_id", "n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._4).sorted.toSeq == (0L until 300L), "each doc exactly once")
+    // within each (stratum, shard): pack ids start at 0, are contiguous, and
+    // match the running-offset formula
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._4)
+      var cum = 0L
+      ordered.foreach { case (_, _, pack, _, nTok) =>
+        assert(pack == cum / 16, s"pack mismatch at offset $cum")
+        cum += nTok
+      }
+      val packs = ordered.map(_._3).distinct.sorted.toSeq
+      assert(packs.head == 0L && packs == (packs.head to packs.last).toSeq)
+    }
+  }
 }
