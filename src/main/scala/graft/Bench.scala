@@ -39,6 +39,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(spark)
+    graft.plans.CountFromStats.install(spark)
     graft.plans.RangeAggStrategy.install(spark)
 
     // JVM/session warm-up so the first timed query doesn't pay executor spin-up.

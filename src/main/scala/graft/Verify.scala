@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(spark)
+    graft.plans.CountFromStats.install(spark)
     graft.plans.RangeAggStrategy.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -18,6 +18,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(s)
+    graft.plans.CountFromStats.install(s)
     graft.plans.RangeAggStrategy.install(s)
     s
   }
