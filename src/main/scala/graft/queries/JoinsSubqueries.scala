@@ -141,6 +141,38 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q74_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue): CORRELATED scalar subquery
+      // — Catalyst must decorrelate the per-part average into an aggregate +
+      // join, not a per-row re-scan. Entered through SQL so the subquery
+      // actually exercises the decorrelation rules.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+          |    AS avg_yearly
+          |FROM lineitem, part
+          |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin)
+    }),
+    "q75_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier): revenue rollup reused twice — once joined
+      // to supplier, once under max() — plus an uncorrelated scalar subquery.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+          |      AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
     "q72_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 (large-volume customer): aggregate-then-join — the
       // order-quantity rollup happens BEFORE the joins, so the join inputs
@@ -355,6 +387,26 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q74_tpch_q17" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+        |    AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q75_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q72_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
         |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
