@@ -141,6 +141,54 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q76_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping): dual-role dimension — nation joins TWICE
+      // under different keys (supplier's and customer's), with a symmetric
+      // two-nation disjunction and a per-year rollup. Both nation sides
+      // broadcast; the fact chain shuffles once on the order key.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  round(CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |    l_extendedprice * (1 - l_discount) AS volume
+          |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |    AND c_custkey = o_custkey
+          |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+    "q77_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (market share): 7-table join + conditional share of a
+      // decimal-stable sum per year (values adapted to the synthetic
+      // dimension domains: region AMERICA, nation NATION_1, p_type MEDIUM).
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_year,
+          |  round(CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+          |      AS DECIMAL(30,10))) AS DOUBLE)
+          |    / CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |    l_extendedprice * (1 - l_discount) AS volume,
+          |    n2.n_name AS nation
+          |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |    AND p_type = 'MEDIUM') all_nations
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    }),
     "q74_tpch_q17" -> ((s, dir) => {
       // TPC-H Q17 (small-quantity-order revenue): CORRELATED scalar subquery
       // — Catalyst must decorrelate the per-part average into an aggregate +
@@ -387,6 +435,41 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q76_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q77_tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+        |      AS DECIMAL(30,10))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND p_type = 'MEDIUM') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q74_tpch_q17" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
         |    AS avg_yearly
