@@ -137,6 +137,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(aggIdx >= 0 && joinIdx >= 0, p)
   }
 
+  test("q76/q77 (TPC-H Q7/Q8): dims broadcast, the fact chain shuffles at most once") {
+    Seq("q76_tpch_q7", "q77_tpch_q8").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"$name:\n$p")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+        s"$name fact side must shuffle at most once:\n$p")
+    }
+  }
+
   test("q66 incremental dedup: anti-join on the fingerprint key, no cartesian") {
     val p = plan("q66_incremental_dedup")
     assert(p.contains("LeftAnti"), p)
