@@ -141,6 +141,20 @@ object JoinsSubqueries {
         .agg(count(col("c_custkey")).as("n_cust"))
         .orderBy(col("n_nationkey"))
     }),
+    "q78_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 (customer distribution, adapted — no o_comment filter in
+      // this schema): LEFT join so zero-order customers count as c_count=0,
+      // then a second aggregation over the first's result — the
+      // aggregate-of-aggregate shape.
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
     "q76_tpch_q7" -> ((s, dir) => {
       // TPC-H Q7 (volume shipping): dual-role dimension — nation joins TWICE
       // under different keys (supplier's and customer's), with a symmetric
@@ -435,6 +449,13 @@ object JoinsSubqueries {
         |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
         |  ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q78_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q76_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  round(CAST(sum(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
