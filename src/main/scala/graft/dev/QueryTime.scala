@@ -17,6 +17,7 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKStrategy.install(spark)
+    graft.plans.CountFromStats.install(spark)
     graft.plans.RangeAggStrategy.install(spark)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
