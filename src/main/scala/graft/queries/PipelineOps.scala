@@ -294,6 +294,21 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q79_skew_salted_join" -> ((s, dir) => {
+      // Skew-salted equi-join under the driver's gate: events (the heavy,
+      // potentially hot-keyed side) salt 8 ways, customer dim replicated per
+      // salt, join on (key, salt). The salted result must be row-identical
+      // to the plain join — which IS the oracle (plain SQL join + rollup).
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val dim = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Stable.sumD(col("value")), 2).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
     "q67_sequence_pack" -> ((s, dir) => {
       // Sequence packing (context-window fill): contiguous token-capacity
       // packs per (stratum, shard); per-pack rollup. Integer-exact.
@@ -690,6 +705,13 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // the salted join is row-identical to the plain join — plain SQL oracle
+    "q79_skew_salted_join" ->
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "q67_sequence_pack" ->
       """WITH b AS (
         |  SELECT lang AS stratum, doc_id,
