@@ -294,6 +294,26 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q80_bucketed_join" -> ((s, dir) => {
+      // Bucketed co-located join under the driver's gate: both sides are
+      // written as 8-bucket catalog tables (the shuffle paid ONCE, at write
+      // time — the 100 TB amortization for repeated fact⋈fact joins), then
+      // joined on the bucket key with zero Exchange on either side
+      // (ScaleOpsSpec asserts the plan). The result must equal the plain
+      // join — the oracle.
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val ords = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.tables.Bucketing.writeBucketed(li, "q80_li_bkt", 8, Seq("l_orderkey"))
+      graft.tables.Bucketing.writeBucketed(ords, "q80_ord_bkt", 8, Seq("l_orderkey"))
+      graft.tables.Bucketing.bucketedJoin(s, "q80_li_bkt", "q80_ord_bkt", Seq("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          round(graft.functions.Stable.sumD(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q79_skew_salted_join" -> ((s, dir) => {
       // Skew-salted equi-join under the driver's gate: events (the heavy,
       // potentially hot-keyed side) salt 8 ways, customer dim replicated per
@@ -705,6 +725,13 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // the bucketed join is row-identical to the plain join — plain SQL oracle
+    "q80_bucketed_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the salted join is row-identical to the plain join — plain SQL oracle
     "q79_skew_salted_join" ->
       """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
