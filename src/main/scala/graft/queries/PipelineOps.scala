@@ -301,18 +301,44 @@ object PipelineOps {
       // joined on the bucket key with zero Exchange on either side
       // (ScaleOpsSpec asserts the plan). The result must equal the plain
       // join — the oracle.
+      // Scratch-table hygiene: drop catalog entries AND any orphaned
+      // warehouse directory a previous aborted run left behind (saveAsTable
+      // refuses a managed location that exists without a catalog entry).
+      def dropScratch(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        val d = new java.io.File(wh, name)
+        if (d.exists) rm(d)
+      }
+      dropScratch("q80_li_bkt")
+      dropScratch("q80_ord_bkt")
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       val ords = Tables.table(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
       graft.tables.Bucketing.writeBucketed(li, "q80_li_bkt", 8, Seq("l_orderkey"))
       graft.tables.Bucketing.writeBucketed(ords, "q80_ord_bkt", 8, Seq("l_orderkey"))
-      graft.tables.Bucketing.bucketedJoin(s, "q80_li_bkt", "q80_ord_bkt", Seq("l_orderkey"))
+      val out = graft.tables.Bucketing
+        .bucketedJoin(s, "q80_li_bkt", "q80_ord_bkt", Seq("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).as("sum_qty"),
           round(graft.functions.Stable.sumD(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("l_returnflag"))
+      // Evaluate eagerly (3 rows) so the scratch catalog tables can be
+      // dropped before returning — they must not leak into the session's
+      // catalog (SHOW TABLES / system.databases goldens pin the catalog
+      // contents). The collect is the final per-flag rollup, not data.
+      val rows = out.collect().toSeq
+      val result = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
+      s.sql("DROP TABLE IF EXISTS q80_li_bkt")
+      s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
+      result
     }),
     "q79_skew_salted_join" -> ((s, dir) => {
       // Skew-salted equi-join under the driver's gate: events (the heavy,
