@@ -87,6 +87,14 @@ object StreamingQueries {
           col("c_name"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
+    "q81_stream_sliding" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Sliding (overlapping) event-time windows: width 1 h, slide 30 min —
+      // every event lands in exactly two buckets; AvailableNow == batch.
+      val agg = EventStreams.slidingAgg(EventStreams.readEvents(s, dir),
+        width = "1 hour", slide = "30 minutes")
+      EventStreams.runAvailableNow(agg, "q81_sink", needFinalBatch = false)
+        .orderBy(col("ws"), col("event_type"))
+    }),
     "q65_stream_stream_join" -> ((s, dir) => withStatePartitions(s, 4) {
       // Stream–stream interval join: purchases within 1 h after a click by
       // the same user. Inner join + two-sided time bound → buffered state
@@ -173,6 +181,19 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // Each event belongs to the two 1 h windows starting at its 30 min
+    // bucket and 30 min earlier (width/slide = 2 buckets per event).
+    "q81_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, event_type, value
+        |  FROM events),
+        |x AS (
+        |  SELECT tb - (i * INTERVAL '30 minutes') AS ws, event_type, value
+        |  FROM e, unnest([0, 1]) AS t(i))
+        |SELECT ws, ws + INTERVAL '1 hour' AS we, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
+        |FROM x GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     // µs resolution matches the Spark reader (`ts div 1000` on nanos).
     "q65_stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us

@@ -63,12 +63,15 @@ object EventStreams {
         round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2).as("s"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("s"))
 
-  /** Sliding (overlapping) windows — each event lands in width/slide buckets. */
+  /** Sliding (overlapping) windows — each event lands in width/slide
+    * buckets. Sums accumulate in decimal (order-stable, oracle-exact) like
+    * [[tumblingAgg]]. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermarkDelay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2).as("s"))
       .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"), col("n"), col("s"))
 
   /** Gap-based sessions via the built-in `session_window` (merge-on-overlap
