@@ -1,7 +1,6 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout control for data skipping: range- and Z-order-clustered
@@ -39,18 +38,30 @@ object Layout {
     * perfectly on its leading key and not at all on the second; Z-order
     * trades a little of the first dimension's locality for pruning on both.
     *
-    * Ranks come from `ntile(2^bits)` — two window sorts, paid once at write
-    * time (the write already pays a range shuffle + sort; at 100 TB the rank
-    * pass can be replaced by a sampled quantile map, same layout). */
+    * Ranks come from a SAMPLED QUANTILE MAP, not a global sort: one
+    * `approxQuantile` pass (Greenwald–Khanna sketch — bounded memory per
+    * partition, merged on the driver, never shuffled) yields the 2^bits
+    * bucket boundaries per dimension, and each row ranks itself against the
+    * broadcast boundary array with a codegen'd binary search
+    * ([[graft.functions.SearchSorted]]). A `ntile` window would funnel the
+    * whole dataset through ONE task per dimension — at 100 TB that write
+    * never completes; the sketch pass is embarrassingly parallel and the
+    * rank map it produces is a few KB regardless of data size. */
   def writeZOrdered(df: DataFrame, path: String, files: Int,
       a: Column, b: Column, bits: Int = 12): Unit = {
     val buckets = 1 << bits
-    val ra = (ntile(buckets).over(Window.orderBy(a)) - 1).cast("long")
-    val rb = (ntile(buckets).over(Window.orderBy(b)) - 1).cast("long")
-    df.withColumn("__z", morton(ra, rb, bits))
+    val tagged = df.withColumn("__za", a.cast("double")).withColumn("__zb", b.cast("double"))
+    // boundary at each interior quantile; sketch error a quarter-bucket so
+    // neighboring buckets stay distinct where the data has spread
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val eps = 1.0 / (4.0 * buckets)
+    val Array(qa, qb) = tagged.stat.approxQuantile(Array("__za", "__zb"), probs, eps)
+    val ra = graft.functions.SearchSorted.searchSorted(col("__za"), qa)
+    val rb = graft.functions.SearchSorted.searchSorted(col("__zb"), qb)
+    tagged.withColumn("__z", morton(ra, rb, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__za", "__zb")
       .write.mode("overwrite").parquet(path)
   }
 }

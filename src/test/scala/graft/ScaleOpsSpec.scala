@@ -137,6 +137,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == li.count())
   }
 
+  test("z-order rank pass plans without a global window or single-partition exchange") {
+    // The quantile-rank formulation must never serialize the dataset through
+    // one task: the plan that computes the Morton key may contain only the
+    // range repartition the write itself pays — no Window operator and no
+    // SinglePartition exchange anywhere.
+    val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val bits = 12
+    val buckets = 1 << bits
+    val tagged = li.withColumn("__za", col("l_orderkey").cast("double"))
+      .withColumn("__zb", col("l_partkey").cast("double"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(qa, qb) = tagged.stat.approxQuantile(Array("__za", "__zb"), probs, 1.0 / (4.0 * buckets))
+    val ranked = tagged.withColumn("__z", graft.tables.Layout.morton(
+        graft.functions.SearchSorted.searchSorted(col("__za"), qa),
+        graft.functions.SearchSorted.searchSorted(col("__zb"), qb), bits))
+      .repartitionByRange(8, col("__z"))
+      .sortWithinPartitions(col("__z"))
+    ranked.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "z-order rank must not use a window:\n" + p)
+    assert(!p.contains("SinglePartition"), "z-order rank must not serialize:\n" + p)
+    // the searchsorted rank stays inside whole-stage codegen (the `*(n)`
+    // stage marker on the Project that computes the Morton key)
+    val rankLine = p.linesIterator.find(_.contains("search_sorted")).get
+    assert(rankLine.contains("*("), "rank expression should codegen:\n" + rankLine)
+  }
+
   test("keyHistogram surfaces the hot key") {
     val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
