@@ -60,6 +60,28 @@ object Dedup {
     batch.join(seen, Seq("fp"), "left_anti").drop("fp")
   }
 
+  /** Build (or refresh) the production shape of [[novelAgainst]]'s corpus
+    * side: the distinct fingerprint set as a bucketed, bucket-sorted catalog
+    * table. The shuffle over the (100 TB) corpus is paid ONCE here; every
+    * subsequent ingest anti-joins against the snapshot with zero Exchange on
+    * the snapshot side ([[novelAgainstSnapshot]]). */
+  def snapshotFingerprints(corpus: DataFrame, fingerprint: Column,
+      table: String, buckets: Int): Unit =
+    graft.tables.Bucketing.writeBucketed(
+      corpus.select(fingerprint.as("fp")).distinct(), table, buckets, Seq("fp"))
+
+  /** Incremental dedup against a pre-built bucketed fingerprint snapshot
+    * (see [[snapshotFingerprints]]): the anti-join consumes the snapshot in
+    * its bucket layout — no shuffle and no sort on the snapshot side, only
+    * the (daily-sized) incoming batch repartitions to the bucket count.
+    * ScaleOpsSpec asserts the shuffle-free snapshot subtree. */
+  def novelAgainstSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotTable: String,
+      incoming: DataFrame, fingerprint: Column, keep: Column): DataFrame = {
+    val seen = spark.table(snapshotTable)
+    val batch = exactDedup(incoming.withColumn("fp", fingerprint), Seq(col("fp")), keep)
+    batch.join(seen, Seq("fp"), "left_anti").drop("fp")
+  }
+
   // ---------- n-grams ----------------------------------------------------
 
   /** Word n-grams of a text column (empty array when fewer than n tokens) —

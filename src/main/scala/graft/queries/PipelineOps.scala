@@ -18,6 +18,32 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Scratch-table hygiene for queries that build bucketed catalog tables:
+    * drop the catalog entry AND any orphaned warehouse directory a previous
+    * aborted run left behind (saveAsTable refuses a managed location that
+    * exists without a catalog entry). */
+  private def dropScratch(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val d = new java.io.File(wh, name)
+    if (d.exists) rm(d)
+  }
+
+  /** Evaluate `df` eagerly into a local-relation DataFrame (row order kept)
+    * so scratch catalog tables can be dropped before the query returns —
+    * they must not leak into the session catalog (SHOW TABLES / system
+    * .databases goldens pin the catalog contents). Only for final rollups /
+    * driver-bounded results, never data-sized frames. */
+  private def materialize(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), df.schema)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, dir) => {
       // Exact duplicate-row detection: one hash aggregation over all columns.
@@ -301,20 +327,8 @@ object PipelineOps {
       // joined on the bucket key with zero Exchange on either side
       // (ScaleOpsSpec asserts the plan). The result must equal the plain
       // join — the oracle.
-      // Scratch-table hygiene: drop catalog entries AND any orphaned
-      // warehouse directory a previous aborted run left behind (saveAsTable
-      // refuses a managed location that exists without a catalog entry).
-      def dropScratch(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        val d = new java.io.File(wh, name)
-        if (d.exists) rm(d)
-      }
-      dropScratch("q80_li_bkt")
-      dropScratch("q80_ord_bkt")
+      dropScratch(s, "q80_li_bkt")
+      dropScratch(s, "q80_ord_bkt")
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       val ords = Tables.table(s, dir, "orders")
@@ -328,16 +342,30 @@ object PipelineOps {
           sum(col("l_quantity")).as("sum_qty"),
           round(graft.functions.Stable.sumD(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("l_returnflag"))
-      // Evaluate eagerly (3 rows) so the scratch catalog tables can be
-      // dropped before returning — they must not leak into the session's
-      // catalog (SHOW TABLES / system.databases goldens pin the catalog
-      // contents). The collect is the final per-flag rollup, not data.
-      val rows = out.collect().toSeq
-      val result = s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
+      // 3-row final rollup — safe to materialize so the scratch tables drop.
+      val result = materialize(s, out)
       s.sql("DROP TABLE IF EXISTS q80_li_bkt")
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
+      result
+    }),
+    "q82_incremental_dedup_bucketed" -> ((s, dir) => {
+      // q66's incremental ingest dedup in its PRODUCTION wiring: the corpus
+      // fingerprint set is a pre-built bucketed snapshot table (shuffle paid
+      // once at snapshot-build time), and the ingest anti-join co-locates on
+      // the bucket layout — zero Exchange on the snapshot side (ScaleOpsSpec
+      // asserts the plan). Result must equal the plain formulation — q66's
+      // oracle verbatim.
+      dropScratch(s, "q82_fp_snap")
+      val docs = t(s, dir, "documents")
+      val fp = TA.contentFingerprint(col("text"))
+      Dedup.snapshotFingerprints(docs.filter(col("doc_id") % 2 === 0), fp, "q82_fp_snap", 8)
+      val out = Dedup.novelAgainstSnapshot(s, "q82_fp_snap",
+          docs.filter(col("doc_id") % 2 === 1), fp, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      // bounded result (novel docs of a half-corpus batch at oracle scale)
+      val result = materialize(s, out)
+      s.sql("DROP TABLE IF EXISTS q82_fp_snap")
       result
     }),
     "q79_skew_salted_join" -> ((s, dir) => {
@@ -739,6 +767,20 @@ object PipelineOps {
          |  CAST(sum(doc_id) AS BIGINT) AS checksum
          |FROM smp GROUP BY plang ORDER BY plang""".stripMargin,
     "q66_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp WHERE doc_id % 2 = 1)
+        |SELECT doc_id, lang, n_chars FROM batch
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
+    // bucketed-snapshot wiring is row-identical to q66's plain formulation
+    "q82_incremental_dedup_bucketed" ->
       """WITH fp AS (
         |  SELECT doc_id, lang, n_chars,
         |    md5(array_to_string(list_sort(list_distinct(

@@ -164,6 +164,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rankLine.contains("*("), "rank expression should codegen:\n" + rankLine)
   }
 
+  test("incremental dedup against a bucketed snapshot: snapshot side never shuffles") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val fp = graft.ext.TextAnalysis.contentFingerprint(col("text"))
+    spark.sql("DROP TABLE IF EXISTS dedup_snap")
+    graft.ext.Dedup.snapshotFingerprints(docs.filter(col("doc_id") % 2 === 0), fp, "dedup_snap", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val novel = graft.ext.Dedup.novelAgainstSnapshot(spark, "dedup_snap",
+        docs.filter(col("doc_id") % 2 === 1), fp, col("doc_id"))
+      // result equality with the snapshot-less formulation
+      val expected = graft.ext.Dedup.novelAgainst(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        fp, col("doc_id"))
+      val got = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected.select("doc_id").collect().map(_.getLong(0)).toSet && got.nonEmpty)
+      // plan: the anti-join's snapshot (right) subtree reads the bucket
+      // layout directly — zero Exchange below it
+      val finalPlan = novel.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val join = finalPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.getOrElse(fail("expected a shuffled anti join:\n" + finalPlan))
+      val snapSide = join.children(1).toString
+      assert(snapSide.contains("dedup_snap"), "right side should be the snapshot:\n" + snapSide)
+      assert(!snapSide.contains("Exchange"), "snapshot side must not shuffle:\n" + snapSide)
+      assert(snapSide.contains("Bucketed: true"), "snapshot must read its bucket layout:\n" + snapSide)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS dedup_snap")
+    }
+  }
+
   test("keyHistogram surfaces the hot key") {
     val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
