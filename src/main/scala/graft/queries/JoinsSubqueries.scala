@@ -337,6 +337,59 @@ object JoinsSubqueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q83_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 (suppliers who kept orders waiting), the EXISTS +
+      // NOT EXISTS decorrelation stressor: BOTH correlated subqueries rescan
+      // the fact table with an inequality on a second column — Catalyst must
+      // rewrite them to one left-semi and one left-anti join on l_orderkey
+      // (PlanQualitySpec pins it), never a per-row subquery. Adapted to this
+      // schema (no l_receiptdate/l_commitdate): "late" = l_returnflag 'R'.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM supplier, lineitem l1, orders, nation
+          |WHERE s_suppkey = l1.l_suppkey
+          |  AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |  AND s_nationkey = n_nationkey
+          |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+    "q84_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 (global sales opportunity): NOT IN (null-aware anti join)
+      // + uncorrelated scalar aggregate subqueries. The classic avg() compare
+      // is restated as decimal sum/count cross-multiplication so the
+      // threshold is EXACT in both engines (a double avg differs in the last
+      // ulp between summation orders — memory: oracle-parity rules). Adapted
+      // to this schema (no c_phone): cntrycode = c_nationkey % 10; "without
+      // orders" = without large orders (every synthetic customer has some).
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+          |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS totacctbal
+          |FROM (
+          |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+          |  FROM customer
+          |  WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+          |    AND CAST(c_acctbal AS DECIMAL(30,10)) *
+          |        (SELECT count(*) FROM customer
+          |         WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7)) >
+          |        (SELECT sum(CAST(c_acctbal AS DECIMAL(30,10))) FROM customer
+          |         WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
+          |) c
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+    }),
     "q56_asof_join" -> ((s, dir) => {
       // As-of (backward, inclusive) join: each click event carries the
       // latest at-or-before purchase of the same user — graft.ops.AsofJoin's
@@ -361,6 +414,40 @@ object JoinsSubqueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q83_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q84_tpch_q22" ->
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+        |    AND CAST(c_acctbal AS DECIMAL(30,10)) *
+        |        (SELECT count(*) FROM customer
+        |         WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7)) >
+        |        (SELECT sum(CAST(c_acctbal AS DECIMAL(30,10))) FROM customer
+        |         WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7))
+        |) c
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q56_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'click'),

@@ -147,6 +147,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q83 (TPC-H Q21): EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q83_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join:\n" + p)
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q84 (TPC-H Q22): NOT IN decorrelates to a null-aware anti join; scalar subqueries broadcast") {
+    val p = plan("q84_tpch_q22")
+    assert(p.contains("LeftAnti"), "NOT IN must become an anti join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "scalar thresholds should plan as reusable subqueries:\n" + p)
+  }
+
   test("q66 incremental dedup: anti-join on the fingerprint key, no cartesian") {
     val p = plan("q66_incremental_dedup")
     assert(p.contains("LeftAnti"), p)
