@@ -348,6 +348,33 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q85_layout_pruning" -> ((s, dir) => {
+      // Z-order layout under the driver's gate: lineitem is rewritten
+      // clustered on the Morton interleave of (l_orderkey, l_partkey)
+      // quantile ranks — the sampled-sketch rank pass, no global window —
+      // then filtered on BOTH cluster dimensions and rolled up. The filtered
+      // result must equal the same filter over the original table (the
+      // oracle); ScaleOpsSpec asserts the footer math that makes the scan
+      // skip most row groups for exactly this predicate shape.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q85-z").toString
+      try {
+        val li = t(s, dir, "lineitem")
+        graft.tables.Layout.writeZOrdered(li, tmp, 8, col("l_orderkey"), col("l_partkey"))
+        val out = s.read.parquet(tmp)
+          .filter(col("l_orderkey").between(100, 300) && col("l_partkey").between(50, 250))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_ok"),
+            sum(col("l_partkey")).as("sum_pk"))
+        materialize(s, out) // 1 row; lets the scratch dir drop immediately
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
     "q82_incremental_dedup_bucketed" -> ((s, dir) => {
       // q66's incremental ingest dedup in its PRODUCTION wiring: the corpus
       // fingerprint set is a pre-built bucketed snapshot table (shuffle paid
@@ -779,6 +806,14 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // the clustered rewrite is row-preserving — plain filter+rollup oracle
+    "q85_layout_pruning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 300 AND l_partkey BETWEEN 50 AND 250""".stripMargin,
     // bucketed-snapshot wiring is row-identical to q66's plain formulation
     "q82_incremental_dedup_bucketed" ->
       """WITH fp AS (

@@ -135,6 +135,21 @@ class ScaleOpsSpec extends AnyFunSuite {
 
     // round-trip integrity
     assert(spark.read.parquet(dir).count() == li.count())
+
+    // q85's predicate shape: a narrow window on BOTH dimensions must rule
+    // out most files by footer stats alone — this is the exact min/max test
+    // the parquet reader applies when it skips row groups for that query.
+    val ro = fileRanges("l_orderkey")
+    val rp = fileRanges("l_partkey")
+    val domO = (ro.map(_._1).min, ro.map(_._2).max)
+    val domP = (rp.map(_._1).min, rp.map(_._2).max)
+    val (oLo, oHi) = (domO._1, domO._1 + (domO._2 - domO._1) / 16)
+    val (pLo, pHi) = (domP._1, domP._1 + (domP._2 - domP._1) / 16)
+    val matching = ro.zip(rp).count { case ((omn, omx), (pmn, pmx)) =>
+      omx >= oLo && omn <= oHi && pmx >= pLo && pmn <= pHi
+    }
+    assert(matching.toDouble / ro.size <= 0.5,
+      s"two-dim window should skip most files: $matching of ${ro.size} match")
   }
 
   test("z-order rank pass plans without a global window or single-partition exchange") {
