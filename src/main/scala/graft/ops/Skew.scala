@@ -42,4 +42,42 @@ object Skew {
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key")).limit(topN)
+
+  /** Salt factor decision from a sampled key histogram: 0 (don't salt) when
+    * no key holds ≥ `hotShare` of the sampled rows, else enough replicas to
+    * spread the hottest key across the cluster (share × parallelism, clamped
+    * to [2, maxFactor]).
+    *
+    * The sample is a deterministic row-hash slice (1/`sampleDenom` of rows,
+    * same rows on every retry/replay — no RNG state), so the decision pass
+    * reads a bounded fraction of the input and one tiny aggregate. At 100 TB
+    * raise `sampleDenom`; share estimation only needs enough rows for the
+    * hot key to surface, and a key worth salting is by definition frequent. */
+  def autoSaltFactor(left: DataFrame, key: String, hotShare: Double = 0.2,
+      maxFactor: Int = 32, sampleDenom: Long = 10L): Int = {
+    require(hotShare > 0 && hotShare <= 1, "hotShare must be in (0, 1]")
+    val sampled = left.filter(
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(sampleDenom)) === 0L)
+    val top = sampled.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("top"), sum(col("n")).as("tot"))
+      .collect()(0)
+    if (top.isNullAt(0) || top.getLong(1) == 0L) 0
+    else {
+      val share = top.getLong(0).toDouble / top.getLong(1)
+      if (share < hotShare) 0
+      else {
+        val parallelism = left.sparkSession.sparkContext.defaultParallelism
+        math.min(maxFactor, math.max(2, math.ceil(share * parallelism).toInt))
+      }
+    }
+  }
+
+  /** [[saltedJoin]] with the factor chosen by [[autoSaltFactor]]; a uniform
+    * key distribution degrades to the plain (unsalted) join. */
+  def saltedJoinAuto(left: DataFrame, right: DataFrame, key: String,
+      joinType: String = "inner", hotShare: Double = 0.2, maxFactor: Int = 32): DataFrame = {
+    val factor = autoSaltFactor(left, key, hotShare, maxFactor)
+    if (factor == 0) left.join(right, Seq(key), joinType)
+    else saltedJoin(left, right, key, factor, joinType)
+  }
 }

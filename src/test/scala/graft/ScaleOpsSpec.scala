@@ -220,4 +220,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
     assert(top.getLong(0) == 7L && top.getLong(1) == 100L)
   }
+
+  test("saltedJoinAuto: a 90%-skew key salts, a uniform key doesn't") {
+    val r = new scala.util.Random(5)
+    val skewed = Seq.tabulate(4000)(i =>
+      (if (r.nextInt(10) < 9) 1L else r.nextInt(50).toLong, i.toLong)).toDF("k", "lv")
+    val uniform = Seq.tabulate(4000)(i => (i % 50L, i.toLong)).toDF("k", "lv")
+    val right = Seq.tabulate(50)(i => (i.toLong, s"r$i")).toDF("k", "rv")
+
+    assert(Skew.autoSaltFactor(skewed, "k") >= 2, "hot key must trigger salting")
+    assert(Skew.autoSaltFactor(uniform, "k") == 0, "uniform keys must not salt")
+
+    // auto-salted result still equals the plain join
+    val auto = Skew.saltedJoinAuto(skewed, right, "k")
+      .select("k", "lv", "rv").collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    val plain = skewed.join(right, "k")
+      .select("k", "lv", "rv").collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(auto == plain && auto.nonEmpty)
+  }
 }
