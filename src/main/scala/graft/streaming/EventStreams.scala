@@ -194,6 +194,18 @@ object EventStreams {
     *     one of the two micro-batches a single-file source pays. Append-mode
     *     event-time operators (the stateful sessionizer) NEED it — that
     *     final watermark advance is what flushes timed-out state. */
+  /** State store provider for every stateful operator here: RocksDB. The
+    * default HDFS-backed provider keeps ALL open state on-heap — fine at
+    * sf0.1, an executor OOM at 100 TB session/dedup/join state. RocksDB
+    * spills state to local disk with a bounded block cache, and changelog
+    * checkpointing ships per-batch deltas instead of full snapshots — the
+    * production configuration for large state, pure config (no operator
+    * changes; StreamingSpec + the q33–q81 oracles run under it verbatim). */
+  private val stateStoreConf = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Complete,
       needFinalBatch: Boolean = true): DataFrame = {
@@ -204,9 +216,10 @@ object EventStreams {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val cp = java.nio.file.Files.createTempDirectory(base, s"graft-ck-$name-")
-    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(noDataKey)
-    spark.conf.set(noDataKey, needFinalBatch.toString)
+    val overrides = ("spark.sql.streaming.noDataMicroBatches.enabled"
+      -> needFinalBatch.toString) +: stateStoreConf
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -216,9 +229,9 @@ object EventStreams {
         .start()
       q.awaitTermination()
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(noDataKey, v)
-        case None => spark.conf.unset(noDataKey)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
       // best-effort temp cleanup (tmpfs/tmp either way)
       def rm(p: java.io.File): Unit = {
