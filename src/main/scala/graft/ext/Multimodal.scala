@@ -21,14 +21,23 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
+  /** The codec contract [[decodeImages]] batches over: payload bytes →
+    * (width, height, channels, format). Implementations must be
+    * Serializable — they ship to executors inside the mapPartitions
+    * closure. */
+  trait PayloadCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, String)
+  }
+
   /** ======== STUB ========
     * Deterministic fake decoder: "decodes" a payload into plausible image
     * metadata derived from the byte length via fixed multiplicative mixers.
     * Chosen over a hash precisely so an external SQL oracle can recompute
     * every field from `octet_length(payload)` — the decode itself is the
-    * sanctioned stub, the verifiable plumbing is the contract. Replace
-    * `decode` with a real codec (e.g. TwelveMonkeys/JavaCV) in deployment. */
-  object FakeCodec {
+    * sanctioned stub, the verifiable plumbing is the contract (q54 keeps
+    * this codec so its DuckDB oracle stays exact). [[ImageIoCodec]] is the
+    * real-decode implementation of the same contract. */
+  object FakeCodec extends PayloadCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int, String) = {
       val len = payload.length.toLong
       val w = 64 + ((len * 2654435761L) % 1856L).toInt   // 64..1919
@@ -36,6 +45,30 @@ object Multimodal {
       val ch = if ((len * 7919L) % 4L == 0L) 1 else 3
       val fmt = if (len % 2L == 0L) "fake/png" else "fake/jpeg"
       (w, ht, ch, fmt)
+    }
+  }
+
+  /** Real decoder over the same contract: JDK ImageIO (PNG/JPEG/GIF/BMP —
+    * no external libraries). Reads dimensions from the header reader and
+    * channel count from the decoded raster; undecodable bytes throw rather
+    * than fabricate metadata (corrupt media must surface in a pipeline, not
+    * pass silently as plausible rows). MultimodalSpec drives it end-to-end
+    * through [[decodeImages]] over synthetic in-memory PNGs. */
+  object ImageIoCodec extends PayloadCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, String) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable payload: no ImageIO reader claims it")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val img = reader.read(0)
+          (img.getWidth, img.getHeight, img.getRaster.getNumBands,
+            "image/" + reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 
@@ -51,7 +84,8 @@ object Multimodal {
     * analogue of a pandas-UDF batch loop: amortizes codec init per batch,
     * never materializes a partition in memory). Appends `width/height/
     * channels/format` columns. */
-  def decodeImages(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeImages(docs: DataFrame, batchSize: Int = 64,
+      codec: PayloadCodec = FakeCodec): DataFrame = {
     val spark = docs.sparkSession
     val outSchema = StructType(docs.schema.fields ++ imageMetaSchema.fields)
     val enc = Encoders.row(outSchema)
@@ -61,7 +95,7 @@ object Multimodal {
         // one codec-context per batch in a real implementation
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]](payloadIdx)
-          val (w, h, c, f) = FakeCodec.decode(bytes)
+          val (w, h, c, f) = codec.decode(bytes)
           Row.fromSeq(r.toSeq ++ Seq(w, h, c, f))
         }
       }

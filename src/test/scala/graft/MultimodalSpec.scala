@@ -37,6 +37,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoCodec decodes real PNGs through the same decodeImages plumbing") {
+    // tiny synthetic PNGs, in memory: (w, h, color?) triples
+    def png(w: Int, h: Int, gray: Boolean): Array[Byte] = {
+      val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val specs = Seq((7, 5, false), (16, 9, false), (3, 11, true))
+    val docs = specs.zipWithIndex
+      .map { case ((w, h, g), i) => (i.toLong, png(w, h, g)) }
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeImages(docs, batchSize = 2, codec = Multimodal.ImageIoCodec)
+      .orderBy($"doc_id").collect()
+    specs.zip(decoded).foreach { case ((w, h, gray), r) =>
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == (if (gray) 1 else 3))
+      assert(r.getAs[String]("format") == "image/png")
+    }
+    // corrupt bytes must throw, not fabricate metadata
+    intercept[Exception] { Multimodal.ImageIoCodec.decode("not an image".getBytes) }
+  }
+
   test("resizePlan preserves aspect ratio and never upscales") {
     val df = Seq((1920, 1080), (100, 50), (256, 256), (64, 1079)).toDF("w", "h")
     val out = df.select($"w", $"h",
