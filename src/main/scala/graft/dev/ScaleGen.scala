@@ -1,0 +1,107 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: scale an sf directory N× (default: sf0.1 → "sf1" under /tmp)
+  * for super-linearity checks — the PERFNOTES scaling table.
+  *
+  * Replication is structure-preserving, not naive duplication:
+  *   - fact/dim keys shift per replica (orderkey/custkey/partkey/suppkey,
+  *     doc_id, vec_id), so join fan-outs and group cardinalities scale
+  *     exactly linearly;
+  *   - document TOKENS are prefixed per replica (`rI_`): a bijection on the
+  *     token alphabet keeps every within-replica n-gram/Jaccard relation
+  *     identical while making cross-replica intersections empty — naive
+  *     copies would add C(N,2) planted J=1.0 pairs per doc and any near-dup
+  *     plan would (correctly) report quadratic output, measuring the data,
+  *     not the plan;
+  *   - embeddings get a per-replica deterministic sign-flip pattern (an
+  *     orthogonal transform: within-replica cosines are bit-preserved,
+  *     cross-replica similarities decohere), replica 0 is the original;
+  *   - nation/region (true dims) and events copy verbatim.
+  *
+  * Usage: runMain graft.dev.ScaleGen [srcDir] [dstDir] [copies]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def shift(t: DataFrame): Long = 1L // placeholder (overridden below)
+
+    // key strides: one past the source max, so replica key spaces are disjoint
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    val li = rd("lineitem"); val ords = rd("orders"); val cust = rd("customer")
+    val part = rd("part"); val supp = rd("supplier")
+    val docs = rd("documents"); val emb = rd("embeddings")
+    val oS = stride(li, "l_orderkey"); val cS = stride(cust, "c_custkey")
+    val pS = stride(part, "p_partkey"); val sS = stride(supp, "s_suppkey")
+    val dS = stride(docs, "doc_id"); val vS = stride(emb, "vec_id")
+
+    def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val out = Map(
+      "lineitem" -> replicate(li)((d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + i * oS)
+        .withColumn("l_partkey", col("l_partkey") + i * pS)
+        .withColumn("l_suppkey", col("l_suppkey") + i * sS)),
+      "orders" -> replicate(ords)((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + i * oS)
+        .withColumn("o_custkey", col("o_custkey") + i * cS)),
+      "customer" -> replicate(cust)((d, i) => d
+        .withColumn("c_custkey", col("c_custkey") + i * cS)),
+      "part" -> replicate(part)((d, i) => d
+        .withColumn("p_partkey", col("p_partkey") + i * pS)),
+      "supplier" -> replicate(supp)((d, i) => d
+        .withColumn("s_suppkey", col("s_suppkey") + i * sS)),
+      "documents" -> replicate(docs)((d, i) => {
+        val txt = if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+        d.withColumn("doc_id", col("doc_id") + i * dS)
+          .withColumn("text", txt)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }),
+      "embeddings" -> replicate(emb)((d, i) =>
+        d.withColumn("vec_id", col("vec_id") + i * vS)
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else transform(col("embedding"), (x, dIdx) =>
+              // avalanche-hash parity per (replica, dim) — NOT a linear
+              // congruence: any affine mask makes far replica pairs' relative
+              // flip pattern near-constant (observed: mod-7 gave replicas
+              // 1/8 identical masks, a shifted LCG gave pairs 6 apart a
+              // 96%-coherent flip = near-negated twins; both inflate the
+              // cross-replica pair count ~15×)
+              when(pmod(xxhash64(dIdx, lit(i)), lit(2L)) === 0, -x).otherwise(x)))),
+      "nation" -> rd("nation"),
+      "region" -> rd("region"))
+
+    out.foreach { case (name, df) =>
+      df.repartition(math.max(cpus / 2, 4))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] $name written")
+    }
+    // events copies verbatim as bytes — its TIMESTAMP(NANOS) physical type
+    // round-trips only as a raw copy (the reader maps it to long)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$src/events.parquet"),
+      java.nio.file.Paths.get(s"$dst/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println("[scalegen] events copied")
+    spark.stop()
+  }
+}

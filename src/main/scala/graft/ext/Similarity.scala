@@ -219,6 +219,18 @@ object Similarity {
     * (the previous formulation) shuffles ~50× the bytes and was the
     * measured source of run-to-run variance; embeddings rejoin afterwards,
     * once, on the deduplicated pair ids. */
+  /** The scale rule for [[embeddingNearDupPairs]]'s bucket granularity:
+    * planes = log2(corpus / targetLoad), floored at the verified-recall
+    * default. Bucket count must grow WITH the corpus — at fixed planes the
+    * per-bucket occupancy rises linearly and the bucket self-join's pair
+    * count quadratically (measured: 10× data at planes=8 cost 12.8× wall;
+    * at the rule's planes it returns to ~linear, PERFNOTES scaling table).
+    * Recall lost to tighter buckets is recovered by tables × multiprobe,
+    * the same trade documented on the defaults. */
+  def neardupPlanesFor(corpusRows: Long, targetLoad: Int = 8): Int =
+    math.max(8, (math.log(math.max(corpusRows, 1L).toDouble / targetLoad)
+      / math.log(2.0)).ceil.toInt)
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 8, tables: Int = 12, dim: Int = 64,
       probes: Int = 16): DataFrame = {
