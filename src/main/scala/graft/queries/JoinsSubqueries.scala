@@ -20,6 +20,107 @@ object JoinsSubqueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  // ---- round-4 TPC-H additions: ANSI SQL identical in Spark and DuckDB,
+  // defined once so the query path and the oracle can never drift ----
+
+  /** TPC-H Q4 (order-priority checking): EXISTS over the fact table
+    * aggregated by priority — decorrelates to a semi join before the agg.
+    * Adapted: "late line" = l_returnflag 'R' (schema has no receipt dates). */
+  private val TpchQ4 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12 (shipping modes): conditional counts over a fact⋈fact join.
+    * Adapted: l_linestatus stands in for l_shipmode (absent here). */
+  private val TpchQ12 =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q11 (important stock): GROUP BY + HAVING against a scalar
+    * subquery share of the global total — both sides accumulate in decimal
+    * so the threshold comparison is exact in both engines. Adapted: part
+    * value via lineitem revenue (no partsupp table in this schema). */
+  private val TpchQ11 =
+    """SELECT l_partkey,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS value
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) >
+      |  (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 0.0007
+      |   FROM lineitem)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship): count(DISTINCT) per part
+    * attributes + NOT IN exclusion subquery. Adapted: lineitem is the
+    * part↔supplier bridge (no partsupp); "complaint" suppliers =
+    * negative account balance. */
+  private val TpchQ16 =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier): correlated equality-to-min subquery
+    * — every (part, supplier) row must match the per-part minimum, which
+    * Catalyst rewrites to an aggregate + join, not a per-row rescan.
+    * Adapted: min lineitem price via the lineitem bridge (no partsupp);
+    * DISTINCT collapses multiple min-price shipments of the same pair. */
+  private val TpchQ2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+      |  l_extendedprice AS min_price
+      |FROM part, lineitem, supplier, nation
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = n_nationkey AND p_size = 15
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |                         WHERE l2.l_partkey = part.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_type, min_price
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 (product-type profit): 5-table join, profit per nation/year.
+    * Adapted: supply cost = 1% of p_retailprice × quantity (no partsupp);
+    * color predicate on the synthetic p_name domain. Per-row arithmetic is
+    * IEEE-deterministic; the accumulation is decimal. */
+  private val TpchQ9 =
+    """SELECT nation, o_year,
+      |  round(CAST(sum(CAST(amount AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01 AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion): nested IN subqueries with an
+    * aggregate HAVING gate in the middle — IN(IN(...)) must plan as two
+    * semi joins around the rollup. Adapted: fixed quantity threshold
+    * (partsupp availqty is absent). */
+  private val TpchQ20 =
+    """SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+      |ORDER BY s_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_exists_subquery" -> ((s, dir) => {
       // Correlated EXISTS — reference supports uncorrelated exists() only
@@ -337,6 +438,13 @@ object JoinsSubqueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q86_tpch_q4" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ4) }),
+    "q87_tpch_q12" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ12) }),
+    "q88_tpch_q11" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ11) }),
+    "q89_tpch_q16" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ16) }),
+    "q90_tpch_q2" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ2) }),
+    "q91_tpch_q9" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ9) }),
+    "q92_tpch_q20" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(TpchQ20) }),
     "q83_tpch_q21" -> ((s, dir) => {
       // TPC-H Q21 (suppliers who kept orders waiting), the EXISTS +
       // NOT EXISTS decorrelation stressor: BOTH correlated subqueries rescan
@@ -414,6 +522,13 @@ object JoinsSubqueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q86_tpch_q4" -> TpchQ4,
+    "q87_tpch_q12" -> TpchQ12,
+    "q88_tpch_q11" -> TpchQ11,
+    "q89_tpch_q16" -> TpchQ16,
+    "q90_tpch_q2" -> TpchQ2,
+    "q91_tpch_q9" -> TpchQ9,
+    "q92_tpch_q20" -> TpchQ20,
     "q83_tpch_q21" ->
       """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM supplier, lineitem l1, orders, nation

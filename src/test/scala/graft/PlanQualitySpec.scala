@@ -162,6 +162,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "scalar thresholds should plan as reusable subqueries:\n" + p)
   }
 
+  test("q86/q90/q92 (TPC-H Q4/Q2/Q20): subqueries decorrelate to joins, never per-row rescans") {
+    val q86 = plan("q86_tpch_q4")
+    assert(q86.contains("LeftSemi") && !q86.contains("CartesianProduct"), q86)
+    // Q2's equality-to-min correlated subquery must become aggregate + join
+    val q90 = plan("q90_tpch_q2")
+    assert(q90.contains("HashAggregate") && q90.contains("Join"), q90)
+    assert(!q90.contains("CartesianProduct"), q90)
+    // Q20's nested IN(IN(...)) must plan as semi joins around the rollup
+    val q92 = plan("q92_tpch_q20")
+    assert(q92.contains("LeftSemi"), q92)
+    assert(!q92.contains("CartesianProduct"), q92)
+  }
+
   test("q66 incremental dedup: anti-join on the fingerprint key, no cartesian") {
     val p = plan("q66_incremental_dedup")
     assert(p.contains("LeftAnti"), p)
