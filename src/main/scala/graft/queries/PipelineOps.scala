@@ -390,10 +390,15 @@ object PipelineOps {
           docs.filter(col("doc_id") % 2 === 1), fp, col("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
-      // bounded result (novel docs of a half-corpus batch at oracle scale)
-      val result = materialize(s, out)
+      // The result is DATA-sized (the batch's novel docs), so unlike q80's
+      // 3-row rollup it must not collect to the driver: round-trip through
+      // a single-file parquet (order-preserving) so the scratch snapshot
+      // table can drop before returning. The operator itself never
+      // materializes — this is driver-gate hygiene only.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
       s.sql("DROP TABLE IF EXISTS q82_fp_snap")
-      result
+      s.read.parquet(tmp)
     }),
     "q79_skew_salted_join" -> ((s, dir) => {
       // Skew-salted equi-join under the driver's gate: events (the heavy,
