@@ -139,6 +139,32 @@ class PropertiesSpec extends AnyFunSuite {
     got.foreach { case (a, b, z) => assert(deinterleave(z, bits) == ((a, b))) }
   }
 
+  test("search_sorted equals upper_bound, codegen and interpreted agree (ties, extremes)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def upperBound(bounds: Array[Double], v: Double): Long = bounds.count(_ <= v).toLong
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0)),
+      Gen.listOfN(20, Gen.chooseNum(-120.0, 120.0))) { (bs, vs) =>
+      val bounds = bs.sorted.toArray
+      // include the boundary values themselves (tie cases) and ±∞-ish probes
+      val probes = (vs ++ bounds.take(3) ++ Seq(-1e18, 1e18)).toArray
+      val got = probes.toSeq.toDF("v")
+        .select(graft.functions.SearchSorted.searchSorted(col("v"), bounds).as("r"))
+        .as[Long].collect()
+      got.sameElements(probes.map(upperBound(bounds, _)))
+    }, n = 30)
+    // interpreted path (no codegen) must agree bit-for-bit
+    val bounds = Array(1.0, 2.0, 2.0, 5.0)
+    val expr = graft.functions.SearchSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal(2.0), bounds)
+    assert(expr.eval(null) == 3L) // ties: ALL boundaries <= v count (1.0, 2.0, 2.0)
+    assert(graft.functions.SearchSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.5), bounds).eval(null) == 0L)
+    assert(graft.functions.SearchSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal(9.9), bounds).eval(null) == 4L)
+  }
+
   test("sampleKey: stays in [0, buckets), deterministic, well spread") {
     val spark = TestSpark.spark
     import spark.implicits._
