@@ -131,6 +131,43 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
   }
 
+  /** Per-source document cap (domain balancing): keep at most `k` documents
+    * per source, chosen by `priority` descending (ties to the lowest id) —
+    * the "no domain may dominate the mixture" rule of a crawl-curation
+    * pipeline. One window shuffle keyed by source; at 100 TB the window
+    * partitions are per-domain and bounded by the cap's purpose (a domain
+    * large enough to serialize a partition is exactly one being capped —
+    * pre-filter such megadomains by a cheap count if they dominate). */
+  def capPerSource(docs: DataFrame, id: Column, source: Column,
+      priority: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("__src")).orderBy(col("__pri").desc, col("__cid"))
+    docs.withColumn("__src", source).withColumn("__pri", priority)
+      .withColumn("__cid", id)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__src", "__pri", "__cid", "__rn")
+  }
+
+  /** Token-budget sampling: per stratum, take documents in `priority`-desc
+    * order while the RUNNING token total stays within `budgetTokens` — the
+    * "best N billion tokens per language" selection rule. A document is kept
+    * iff the cumsum through itself is ≤ budget (documents after the first
+    * overflow are dropped even if a smaller later doc would fit — contiguous
+    * prefix semantics, deterministic and cross-engine exact in integer
+    * arithmetic). One window shuffle keyed by stratum; strata are language-
+    * sized, and the same shard trick as [[sequencePack]] applies when a
+    * stratum outgrows a partition and the budget is per-shard. */
+  def tokenBudgetSample(docs: DataFrame, id: Column, text: Column,
+      stratum: Column, priority: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("__str")).orderBy(col("__pri").desc, col("__bid"))
+    docs.withColumn("__str", stratum).withColumn("__pri", priority)
+      .withColumn("__bid", id)
+      .withColumn("__tok", TextAnalysis.tokenCount(text))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .drop("__str", "__pri", "__bid", "__tok", "__cum")
+  }
+
   /** Intra-document repetition signals (quality-filter features): total
     * token count, distinct-token ratio, and top-token dominance (count of
     * the most frequent token over all tokens — boilerplate and degenerate

@@ -348,6 +348,30 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q93_source_cap" -> ((s, dir) => {
+      // Domain balancing: at most 10 docs per source, longest-first (ties to
+      // the lowest id) — integer priority keeps the window order cross-engine
+      // exact. Per-source rollup of what survived.
+      Curation.capPerSource(t(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), k = 10)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("source"))
+    }),
+    "q94_token_budget" -> ((s, dir) => {
+      // "Best N tokens per language": take docs longest-first per lang while
+      // the running whitespace-token total stays within 2000 — contiguous
+      // prefix semantics, integer-exact in both engines.
+      Curation.tokenBudgetSample(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), col("n_chars"), budgetTokens = 2000L)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"))
+    }),
     "q85_layout_pruning" -> ((s, dir) => {
       // Z-order layout under the driver's gate: lineitem is rewritten
       // clustered on the Morton interleave of (l_orderkey, l_partkey)
@@ -811,6 +835,31 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    "q93_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM r WHERE rn <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q94_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tok) OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM c WHERE cum <= 2000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the clustered rewrite is row-preserving — plain filter+rollup oracle
     "q85_layout_pruning" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

@@ -305,6 +305,36 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L))
   }
 
+  test("capPerSource: exactly top-k by priority per source, ties to low id") {
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),
+      (5L, "b", 7L)).toDF("id", "src", "pri")
+    val kept = Curation.capPerSource(docs, col("id"), col("src"), col("pri"), k = 2)
+      .select("id").as[Long].collect().toSet
+    // source a: priority 90 (ids 2,3 — tie keeps both, they ARE the top 2); b: all fit
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
+  test("tokenBudgetSample: contiguous prefix — first overflow stops the stratum") {
+    // priority desc: id 1 (5 tok), id 2 (4 tok), id 3 (1 tok)
+    // budget 7: keep id 1 (cum 5); id 2 overflows (cum 9) and is dropped;
+    // id 3 would fit (5+1=6) but sits AFTER the overflow — prefix semantics
+    // drop it too (its cum through id 2 is 10 > 7).
+    val docs = Seq(
+      (1L, "w w w w w", "en", 30L),
+      (2L, "w w w w", "en", 20L),
+      (3L, "w", "en", 10L)).toDF("id", "text", "lang", "pri")
+    val kept = Curation.tokenBudgetSample(docs, col("id"), col("text"),
+        col("lang"), col("pri"), budgetTokens = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // exact fill boundary is KEPT (cum == budget)
+    val kept2 = Curation.tokenBudgetSample(docs, col("id"), col("text"),
+        col("lang"), col("pri"), budgetTokens = 9L)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L))
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
