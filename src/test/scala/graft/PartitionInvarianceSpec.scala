@@ -20,7 +20,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q48_ann_brute", "q31_sessionize", "q18_setops", "q46_minhash_lsh",
     "q59_stratified_sample", "q61_tfidf", "q64_curation_pipeline",
     "q67_sequence_pack", "q62_kmeans_assign", "q69_join_full_outer",
-    "q70_window_frames")
+    "q70_window_frames",
+    // round 4: decorrelated subqueries, bucketed-snapshot dedup, layout
+    // rewrite + pruned read, source caps, token budgets
+    "q83_tpch_q21", "q84_tpch_q22", "q90_tpch_q2",
+    "q82_incremental_dedup_bucketed", "q85_layout_pruning",
+    "q93_source_cap", "q94_token_budget")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
