@@ -42,8 +42,14 @@ object Bench {
     graft.plans.CountFromStats.install(spark)
     graft.plans.RangeAggStrategy.install(spark)
 
-    // JVM/session warm-up so the first timed query doesn't pay executor spin-up.
+    // JVM/session warm-up so the first timed query doesn't pay executor
+    // spin-up, parquet-reader init, or first-codegen compilation: one range
+    // agg + one tiny parquet scan→filter→agg (nation: 25 rows). Without the
+    // scan, q01 (alphabetically first) absorbs ~2.5 s of one-time reader and
+    // codegen setup that belongs to no query.
     spark.range(0, 1000000, 1, cpus.toInt).agg(sum("id")).collect()
+    Tables.table(spark, sfDir, "nation")
+      .filter(col("n_nationkey") >= 0).agg(count(lit(1))).collect()
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
