@@ -82,6 +82,64 @@ object Dedup {
     batch.join(seen, Seq("fp"), "left_anti").drop("fp")
   }
 
+  /** Connected components of a near-dup pair graph — the step that turns
+    * pairwise matches (from [[ngramJaccardPairs]], [[minhashLshPairs]],
+    * [[simhashPairs]], or [[Similarity.embeddingNearDupPairs]]) into dedup
+    * GROUPS, so "keep one doc per duplicate cluster" is well-defined even
+    * when similarity is not transitive (A≈B, B≈C, A̸≈C must still collapse
+    * to one kept doc).
+    *
+    * Bounded-round minimum-label propagation: every node starts labeled
+    * with itself; each round takes the min label over the neighborhood;
+    * stop when no label changes. Rounds = graph diameter — near-dup
+    * clusters are near-cliques, so 2–4 in practice; each round is one
+    * shuffle keyed by node id plus one O(1)-row convergence count (the
+    * standard Spark iterative-algorithm shape). For adversarially long
+    * chains at extreme scale, swap in the large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce") — same join
+    * primitive, O(log²) rounds. Deterministic: component id = min doc id
+    * in the component.
+    *
+    * Returns (node, comp). */
+  def connectedComponents(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+      .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep exactly one document per duplicate cluster: the component's min
+    * id survives, every other clustered doc drops; docs in no pair pass
+    * through untouched (they ARE their own component). One anti-join
+    * against the loser set. */
+  def dedupByComponents(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("__loser"))
+    docs.join(losers, id === col("__loser"), "left_anti")
+  }
+
   // ---------- n-grams ----------------------------------------------------
 
   /** Word n-grams of a text column (empty array when fewer than n tokens) —

@@ -348,6 +348,21 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q95_dedup_clusters" -> ((s, dir) => {
+      // Pair detection → duplicate CLUSTERS: connected components over the
+      // exact n-gram-Jaccard pair graph (min-label propagation, bounded
+      // rounds), rolled up per component. This is the step that makes
+      // "keep one per cluster" well-defined when similarity isn't
+      // transitive; the oracle recomputes components via a recursive
+      // transitive closure in DuckDB.
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("node")).as("checksum"))
+        .orderBy(col("comp"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -835,6 +850,37 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // components of the same pair graph via recursive transitive closure
+    "q95_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(node) AS BIGINT) AS checksum
+        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
     "q93_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

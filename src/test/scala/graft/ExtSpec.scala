@@ -305,6 +305,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L))
   }
 
+  test("connectedComponents: chains collapse (non-transitive similarity), min-id labels") {
+    // two chains and an isolated pair: 1-2-3-4 (a path, NOT a clique),
+    // 10-11, and 20-21-22 sharing hub 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), comp.toString)
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+
+    // keep-one-per-cluster: min ids survive, loners pass through
+    val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val kept = Dedup.dedupByComponents(docs, col("id"), pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
+  }
+
   test("capPerSource: exactly top-k by priority per source, ties to low id") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),

@@ -25,7 +25,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // rewrite + pruned read, source caps, token budgets
     "q83_tpch_q21", "q84_tpch_q22", "q90_tpch_q2",
     "q82_incremental_dedup_bucketed", "q85_layout_pruning",
-    "q93_source_cap", "q94_token_budget")
+    "q93_source_cap", "q94_token_budget", "q95_dedup_clusters")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
