@@ -348,6 +348,29 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q97_partitioned_read" -> ((s, dir) => {
+      // Hive-style partitioned layout under the driver's gate: documents
+      // rewritten partitioned by lang, then filtered on the partition
+      // column — pruning happens at file-LISTING time (ScaleOpsSpec asserts
+      // exactly one partition directory scans). Result must equal the same
+      // filter over the unpartitioned original.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q97-part").toString
+      try {
+        graft.tables.Layout.writePartitioned(t(s, dir, "documents"), tmp, Seq("lang"))
+        val out = s.read.parquet(tmp)
+          .filter(col("lang") === "en")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("checksum"))
+        materialize(s, out) // 1 row
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
     "q95_dedup_clusters" -> ((s, dir) => {
       // Pair detection → duplicate CLUSTERS: connected components over the
       // exact n-gram-Jaccard pair graph (min-label propagation, bounded
@@ -850,6 +873,12 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    // the partitioned rewrite is row-preserving — plain filter+rollup oracle
+    "q97_partitioned_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     // components of the same pair graph via recursive transitive closure
     "q95_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

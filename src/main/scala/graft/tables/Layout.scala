@@ -22,6 +22,45 @@ object Layout {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partitionCols` — the standard date/tenant/language layout at 100 TB.
+    * Unlike footer-stats clustering (above), pruning here happens at FILE
+    * LISTING time: a filter on the partition column never even enumerates
+    * the other directories (`PartitionFilters` in the scan, asserted in
+    * ScaleOpsSpec). The in-partition `repartition(filesPerPartition)` bounds
+    * small-file count — a naive partitioned write of a wide shuffle emits
+    * one file per (task × partition value), the classic small-file storm. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): Unit =
+    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into ~`targetBytes`
+    * files (computed from the CURRENT on-disk size, so compaction is
+    * idempotent). The read side of a 100 TB pipeline degrades linearly with
+    * file count — listing, footer fetches, task scheduling are all per-file
+    * — and streaming/incremental sinks produce exactly this fragmentation;
+    * scheduled compaction is the standing fix. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+    val bytes = du(new java.io.File(path))
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: parquet has no in-place rewrite; the tmp dir becomes
+    // the dataset only after a full successful write
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    assert(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"compact: rename $tmp -> $path failed")
+  }
+
   /** Morton (Z-order) interleave of two `bits`-bit nonneg ints: bit i of `a`
     * lands at position 2i, bit i of `b` at 2i+1. Pure shift/or expression
     * tree — codegen'd, no UDF. */

@@ -215,6 +215,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout: filter prunes at listing time (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
+    val langs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(langs.count(_.startsWith("lang=")) >= 2, langs.mkString(","))
+    val sel = spark.read.parquet(dir).filter(col("lang") === "en")
+    sel.collect()
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      "filter must prune at listing time:\n" + p)
+    // directory pruning, not row filtering: only the en partition's files scan
+    val scanned = sel.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected exactly the en partition, got $scanned")
+    assert(sel.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("compact: many small files become few, data identical, idempotent sizing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+    li.repartition(24).write.mode("overwrite").parquet(dir) // fragment
+    def parquetFiles = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 20)
+    val expected = li.orderBy(li.columns.map(col).toIndexedSeq: _*).collect().map(_.toString)
+    graft.tables.Layout.compact(spark, dir, targetBytes = 4L << 20)
+    assert(parquetFiles < before / 2, s"$before -> $parquetFiles")
+    val after = spark.read.parquet(dir)
+    assert(after.orderBy(after.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sameElements(expected))
+  }
+
   test("keyHistogram surfaces the hot key") {
     val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
