@@ -112,6 +112,54 @@ object Curation {
         col("doc_id"), col("n_tok"))
   }
 
+  /** Materialize packed training shards: per (stratum, shard, pack), the
+    * member documents concatenated in id order with an explicit separator
+    * token — the text a shard writer actually emits after [[sequencePack]]
+    * assigns packs. `collect_list` order is partition-dependent; sorting
+    * the collected (id, text) structs restores determinism (struct order =
+    * first-field order), so the concatenation is cross-engine exact and the
+    * pack hash is stable under any partitioning. Pack contents are
+    * pack-sized by construction (capTokens), so the per-group collect is
+    * bounded — this is the one curation op whose group payload is the data
+    * itself, which is precisely its job. */
+  def packConcat(docs: DataFrame, id: Column, text: Column, stratum: Column,
+      capTokens: Int, shardSize: Int = 1000, sep: String = "<|eos|>"): DataFrame = {
+    val packed = sequencePack(docs, id, text, stratum, capTokens, shardSize)
+    val withText = docs.select(id.as("doc_id"), text.as("__text"))
+    packed.join(withText, "doc_id")
+      .groupBy(col("stratum"), col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tok"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+          e => e("__text"))).as("pack_text"))
+  }
+
+  /** Mixture weights ABOVE 1.0 — "epochs per domain": each row repeats
+    * `rate/1000` full times, plus one more when its [[sampleKey]] falls
+    * under the fractional remainder (rate 2300 = every doc twice, a
+    * deterministic 30% of docs a third time). The up-weighting half of data
+    * mixing ([[stratifiedSample]] is the down-weighting half; both keys are
+    * the same modular arithmetic, so a doc's fate is reproducible across
+    * engines and runs). Output carries a `copy` index (1-based): downstream
+    * shuffles can't collapse the replicas, and a copy-aware consumer can
+    * e.g. drop copy > 1 for eval splits. */
+  def epochMixture(df: DataFrame, id: Column, stratum: Column,
+      ratesPermille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r.toLong)).otherwise(acc)
+    }
+    val copies = (rate.cast("long") / 1000L).cast("long") +
+      when(sampleKey(id) < pmod(rate, lit(1000L)), 1L).otherwise(0L)
+    // filter BEFORE the sequence: sequence(1, 0) steps DOWNWARD in Spark
+    // (it would fabricate copies for zero-rate strata, not drop them)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark set, with the count of distinct shared grams.
     * The benchmark side is tiny by nature (eval sets) — its distinct n-gram

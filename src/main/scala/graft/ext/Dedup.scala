@@ -117,12 +117,14 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .persist()
-      val changed = next.alias("n")
+      // isEmpty, not count(): the convergence probe stops at the first
+      // changed row (limit-1 semantics) instead of counting all of them
+      val anyChanged = !next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+        .filter(col("n.comp") =!= col("o.comp")).isEmpty
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = !anyChanged
       i += 1
     }
     edges.unpersist()

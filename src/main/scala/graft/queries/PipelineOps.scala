@@ -348,6 +348,30 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q98_pack_concat" -> ((s, dir) => {
+      // Shard materialization: per pack, member texts concatenated in id
+      // order with an explicit separator. The pack hash pins the ORDERED
+      // string aggregation cross-engine (DuckDB: string_agg ... ORDER BY);
+      // collect_list alone would be partition-order-dependent — the sorted
+      // struct collect is what makes it deterministic.
+      Curation.packConcat(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), capTokens = 4096)
+        .select(col("stratum"), col("shard"), col("pack_id"),
+          col("n_docs"), col("pack_tok"), md5(col("pack_text")).as("pack_md5"))
+        .orderBy(col("stratum"), col("shard"), col("pack_id"))
+    }),
+    "q99_epoch_mixture" -> ((s, dir) => {
+      // Up-weighting mixture: en 2.3 epochs, fr 1.5, de 0.5, default 1.0 —
+      // full copies plus a deterministic fractional tail (same modular key
+      // as the down-sampler). Rollup over the replicated rows.
+      Curation.epochMixture(t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 2300, "fr" -> 1500, "de" -> 500), defaultPermille = 1000)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id") * col("copy")).as("checksum"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
     "q97_partitioned_read" -> ((s, dir) => {
       // Hive-style partitioned layout under the driver's gate: documents
       // rewritten partitioned by lang, then filtered on the partition
@@ -873,6 +897,42 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    "q98_pack_concat" ->
+      """WITH b AS (
+        |  SELECT lang AS stratum, doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    doc_id // 1000 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (
+        |    PARTITION BY stratum, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+        |p AS (SELECT stratum, shard, (cum - n_tok) // 4096 AS pack_id,
+        |             doc_id, text, n_tok FROM c)
+        |SELECT stratum, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS pack_tok,
+        |  md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS pack_md5
+        |FROM p GROUP BY stratum, shard, pack_id
+        |ORDER BY stratum, shard, pack_id""".stripMargin,
+    "q99_epoch_mixture" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2300 WHEN 'fr' THEN 1500
+        |              WHEN 'de' THEN 500 ELSE 1000 END AS rate
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, rate // 1000 +
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < rate % 1000
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM base),
+        |x AS (
+        |  SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+        |  FROM n WHERE copies >= 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id * copy) AS BIGINT) AS checksum,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     // the partitioned rewrite is row-preserving — plain filter+rollup oracle
     "q97_partitioned_read" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

@@ -323,6 +323,28 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
   }
 
+  test("epochMixture: full copies + deterministic fractional tail; zero-rate strata vanish") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "xx" else "drop")).toDF("id", "lang")
+    val out = Curation.epochMixture(docs, col("id"), col("lang"),
+        Map("en" -> 2400, "drop" -> 0), defaultPermille = 1000)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("d"), max(col("copy")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // en: 334 docs × (2 + tail@40%) — every doc at least twice, some thrice
+    val (enN, enD, enMx) = out("en")
+    assert(enD == 334 && enMx == 3 && enN > 334 * 2 && enN < 334 * 3, out.toString)
+    // default stratum: exactly once
+    assert(out("xx") == ((333L, 333L, 1L)), out.toString)
+    // zero rate: not present at all
+    assert(!out.contains("drop"), out.toString)
+    // determinism: same mixture on a re-run
+    val again = Curation.epochMixture(docs, col("id"), col("lang"),
+        Map("en" -> 2400, "drop" -> 0), defaultPermille = 1000)
+      .groupBy(col("lang")).agg(count(lit(1))).collect().map(_.toString).sorted
+    assert(again.length == 2)
+  }
+
   test("capPerSource: exactly top-k by priority per source, ties to low id") {
     val docs = Seq(
       (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),

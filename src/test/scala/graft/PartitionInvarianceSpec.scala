@@ -25,7 +25,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // rewrite + pruned read, source caps, token budgets
     "q83_tpch_q21", "q84_tpch_q22", "q90_tpch_q2",
     "q82_incremental_dedup_bucketed", "q85_layout_pruning",
-    "q93_source_cap", "q94_token_budget", "q95_dedup_clusters")
+    "q93_source_cap", "q94_token_budget", "q95_dedup_clusters",
+    // ordered string agg (collect_list is partition-order-dependent without
+    // the struct sort) and replicated-row mixtures
+    "q98_pack_concat", "q99_epoch_mixture")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
