@@ -51,14 +51,21 @@ object Layout {
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + ".compact-tmp"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: parquet has no in-place rewrite; the tmp dir becomes
-    // the dataset only after a full successful write
+    // non-destructive swap: the original moves aside FIRST, so every failure
+    // point leaves a complete copy on disk (the write above, the rename in,
+    // or the final cleanup — never a window with only a partial dataset)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(new java.io.File(path))
-    assert(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"compact: rename $tmp -> $path failed")
+    val bak = new java.io.File(path.stripSuffix("/") + ".compact-bak")
+    if (bak.exists) rm(bak)
+    require(new java.io.File(path).renameTo(bak),
+      s"compact: could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+      bak.renameTo(new java.io.File(path)) // roll back
+      throw new IllegalStateException(s"compact: rename $tmp -> $path failed; original restored")
+    }
+    rm(bak)
   }
 
   /** Morton (Z-order) interleave of two `bits`-bit nonneg ints: bit i of `a`
