@@ -128,6 +128,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // A silent early stop would return UNMERGED components — plausible
+    // output, wrong dedup groups. Diameter > maxIter must fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds — the pair " +
+        "graph has longer chains than expected; raise maxIter or switch to " +
+        "the large-star/small-star formulation for this input")
     labels
   }
 

@@ -316,6 +316,11 @@ class ExtSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(comp(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
 
+    // an unconverged run must FAIL, not return plausible-but-unmerged groups
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+
     // keep-one-per-cluster: min ids survive, loners pass through
     val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("id", "body")
     val kept = Dedup.dedupByComponents(docs, col("id"), pairs)
