@@ -136,6 +136,32 @@ object Curation {
           e => e("__text"))).as("pack_text"))
   }
 
+  /** Fixed-token chunking with overlap — the per-document counterpart of
+    * [[sequencePack]]: each document's token sequence splits into windows of
+    * `chunkTokens` advancing by `chunkTokens - overlapTokens`, the context
+    * units a pretraining/retrieval pipeline actually embeds or trains on.
+    * Pure per-row expressions (tokenize once, explode chunk ids, slice) —
+    * no shuffle, no window, scan-speed at any scale; chunk count per doc is
+    * `ceil((n - overlap) / step)` (one chunk when the doc fits), so short
+    * docs never emit empty tails. Integer arithmetic end-to-end. */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+    val nChunks = when(col("__n") <= chunkTokens, lit(1L))
+      .otherwise(ceil((col("__n") - lit(overlapTokens.toLong)).cast("double") / step).cast("long"))
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("__chunk", slice(col("__tk"),
+        (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("chunk_tok"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** Mixture weights ABOVE 1.0 — "epochs per domain": each row repeats
     * `rate/1000` full times, plus one more when its [[sampleKey]] falls
     * under the fractional remainder (rate 2300 = every doc twice, a

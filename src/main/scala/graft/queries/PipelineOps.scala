@@ -348,6 +348,16 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q80_ord_bkt")
       result
     }),
+    "q100_chunking" -> ((s, dir) => {
+      // Fixed-token chunking with overlap (64-token windows, 16 overlap):
+      // per-chunk token counts and content hashes — the md5 pins the exact
+      // slice boundaries cross-engine.
+      Curation.chunkDocuments(t(s, dir, "documents").filter(col("doc_id") < 50),
+          col("doc_id"), col("text"), chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tok"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "q98_pack_concat" -> ((s, dir) => {
       // Shard materialization: per pack, member texts concatenated in id
       // order with an explicit separator. The pack hash pins the ORDERED
@@ -897,6 +907,20 @@ object PipelineOps {
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+    "q100_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok FROM t),
+        |c AS (
+        |  SELECT doc_id, tk, n_tok, unnest(generate_series(0,
+        |    CASE WHEN n_tok <= 64 THEN 0
+        |         ELSE CAST(ceil((n_tok - 16.0) / 48) AS BIGINT) - 1 END)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(tk[chunk_id*48+1 : least(chunk_id*48+64, n_tok)]) AS BIGINT) AS chunk_tok,
+        |  md5(array_to_string(tk[chunk_id*48+1 : least(chunk_id*48+64, n_tok)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q98_pack_concat" ->
       """WITH b AS (
         |  SELECT lang AS stratum, doc_id, text,

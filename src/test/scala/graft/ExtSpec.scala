@@ -328,6 +328,27 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
   }
 
+  test("chunkDocuments: boundary chunk counts and exact overlap slices") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(8)), (2L, doc(9)), (3L, doc(14)), (4L, doc(2)))
+      .toDF("id", "text")
+    val out = Curation.chunkDocuments(docs, col("id"), col("text"),
+        chunkTokens = 8, overlapTokens = 2)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // n=8 fits exactly: ONE chunk (no empty tail)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(8L))
+    // n=9: two chunks, second starts at token 7 (overlap 2) and holds 3
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq(8L, 3L))
+    assert(d2(1)._4 == "t7 t8 t9")
+    // n=14: ceil((14-2)/6) = 2 chunks, tail covers t7..t14
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._3).toSeq == Seq(8L, 8L) && d3(1)._4.startsWith("t7 "))
+    // n=2 (short doc): one chunk, whole doc
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq("t1 t2"))
+  }
+
   test("epochMixture: full copies + deterministic fractional tail; zero-rate strata vanish") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "xx" else "drop")).toDF("id", "lang")

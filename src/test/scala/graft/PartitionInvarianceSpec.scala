@@ -28,7 +28,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q93_source_cap", "q94_token_budget", "q95_dedup_clusters",
     // ordered string agg (collect_list is partition-order-dependent without
     // the struct sort) and replicated-row mixtures
-    "q98_pack_concat", "q99_epoch_mixture")
+    "q98_pack_concat", "q99_epoch_mixture", "q100_chunking")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
