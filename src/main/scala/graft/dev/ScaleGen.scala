@@ -38,7 +38,6 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def shift(t: DataFrame): Long = 1L // placeholder (overridden below)
 
     // key strides: one past the source max, so replica key spaces are disjoint
     def stride(df: DataFrame, key: String): Long =
