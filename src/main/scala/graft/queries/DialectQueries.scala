@@ -54,12 +54,17 @@ object DialectQueries {
           |WHERE c_nationkey < 5
           |GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""".stripMargin)
       // evaluate the bounded rollup, then unmount the scratch table so the
-      // session catalog stays pinned (same hygiene as q80/q82)
+      // session catalog stays pinned (same hygiene as q80/q82) and drop the
+      // CSV scratch dir
       val rows = out.collect().toSeq
       val result = s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
       gs.sql("DROP TABLE IF EXISTS q96_cust_csv")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
       result
     }),
   )
