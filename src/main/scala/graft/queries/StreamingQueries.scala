@@ -73,6 +73,21 @@ object StreamingQueries {
           col("value"), col("props"))
         .orderBy(col("event_id"))
     }),
+    "q101_stream_dedup_jitter" -> ((s, dir) => withStatePartitions(s, 4) {
+      // At-least-once redelivery dedup: the second copy of every event
+      // arrives restamped +1s — (id, ts)-keyed dedup would pass it, the
+      // watermark-scoped id-keyed state drops it. Projection excludes ts:
+      // which copy survives is arrival order; every projected column is
+      // identical across copies, so the output is deterministic and the
+      // batch oracle is a plain DISTINCT.
+      val ev = EventStreams.readEvents(s, dir)
+      val redelivered = ev.unionByName(
+        ev.withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND")))
+      val deduped = EventStreams.dedupStreamWithinWatermark(redelivered, Seq("event_id"))
+      EventStreams.runAvailableNow(deduped, "q101_sink", OutputMode.Append)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
     "q58_stream_enrich" -> ((s, dir) => withStatePartitions(s, 4) {
       // Stream ⋈ static dimension (broadcast: the stream never shuffles).
       // Stateless — rows emit as they arrive; batch oracle is the plain
@@ -176,6 +191,9 @@ object StreamingQueries {
     "q57_stream_dedup" ->
       """SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id,
         |  event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q101_stream_dedup_jitter" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "q58_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment

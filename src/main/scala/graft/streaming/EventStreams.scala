@@ -152,6 +152,19 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming dedup for REDELIVERED events: duplicates that arrive with a
+    * DIFFERENT event time (producer retries restamp). [[dedupStream]] keys
+    * its state on (id, ts) and would pass both copies;
+    * `dropDuplicatesWithinWatermark` keys on the id columns alone and keeps
+    * each id's state until the watermark clears it — the at-least-once-
+    * delivery dedup. Which physical copy survives is arrival-order-
+    * dependent, so downstream consumers (and the q101 oracle) must project
+    * only columns identical across copies. */
+  def dedupStreamWithinWatermark(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream ⋈ static dimension: the static side broadcasts under the
     * autoBroadcast threshold, so the stream never shuffles — enrichment at
     * scan speed. */

@@ -154,6 +154,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // both duplicate 1s dropped
   }
 
+  test("watermark-scoped dedup drops RESTAMPED redeliveries; (id,ts) dedup passes them") {
+    implicit val ctx = spark.sqlContext
+    // redelivered copy of event 1 arrives with a different timestamp
+    val redelivered = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:01"),
+      ev(2, "2024-01-01 10:01:00"))
+
+    val inA = MemoryStream[TestEv]
+    val qA = EventStreams.dedupStreamWithinWatermark(inA.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("wmdedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try { inA.addData(redelivered: _*); qA.processAllAvailable() } finally qA.stop()
+    val a = spark.table("wmdedup_sink").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == Seq(1L, 2L), "restamped duplicate must be dropped")
+
+    // the (id, ts)-keyed op treats the restamp as a NEW event — this is the
+    // gap dedupStreamWithinWatermark exists to close
+    val inB = MemoryStream[TestEv]
+    val qB = EventStreams.dedupStream(inB.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("tsdedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try { inB.addData(redelivered: _*); qB.processAllAvailable() } finally qB.stop()
+    assert(spark.table("tsdedup_sink").count() == 3)
+  }
+
   test("stream-static enrichment joins without shuffling the stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEv]
