@@ -256,6 +256,58 @@ object Dedup {
     * the string, no token-array allocation). */
   def simhash(text: Column): Column = HashExpressions.simhash64(text)
 
+  /** 60-bit SimHash over whitespace tokens built ONLY from cross-engine
+    * primitives — the oracle-expressible twin of [[simhash]] (whose SipHash
+    * token mixing is engine-internal). Per-token hash = the first 15 hex
+    * chars of `md5(token)` folded base-16: an exact 60-bit integer that any
+    * engine with md5 reproduces bit-for-bit (md5 string equality is already
+    * cross-engine-proven by q44's content fingerprint). Per-bit votes and
+    * the sign rule (`votes > 0` → bit set) are pure integer arithmetic, so
+    * the full signature — and everything downstream of it — hash-matches a
+    * DuckDB restatement (q102). One pass over the token array: votes
+    * accumulate into a 60-long array via `aggregate`+`zip_with`, the
+    * signature folds out of the votes; md5 runs once per token. */
+  def simhash60Md5(text: Column): Column = {
+    val hexVal = (c: Column) =>
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48).cast("long")
+    val tokHash = (t: Column) =>
+      aggregate(slice(split(md5(t), ""), 1, 15), lit(0L), (a, c) => a * 16 + hexVal(c))
+    val gs = transform(TextAnalysis.tokens(text), tokHash)
+    val votes = aggregate(gs, array_repeat(lit(0L), 60),
+      (acc, g) => zip_with(acc, sequence(lit(0), lit(59)),
+        (a, b) => a + (call_function("shiftright", g, b).bitwiseAND(lit(1L)) * 2 - 1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** Near-dup pairs from [[simhash60Md5]]: 4×15-bit band blocking, Hamming ≤
+    * `maxHamming` (band agreement is guaranteed by pigeonhole only for
+    * Hamming ≤ 3 — wider distances may be missed, simhash's standard recall
+    * trade). Unlike [[simhashPairs]] (q47), every step here is deterministic
+    * integer arithmetic on a SQL-recomputable signature, so the emitted pair
+    * SET has a full DuckDB oracle: the oracle recomputes the same banding,
+    * not a Jaccard ground truth. Plan shape is identical to production: the
+    * only shuffle is the band-key equi-join, pairs dedup on bare ids. */
+  def simhash60Md5Pairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int): DataFrame = {
+    val f = docs.select(id.as("doc_id"), simhash60Md5(text).as("fp"))
+    val bands = f.select(col("doc_id"), col("fp"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bidx"),
+          shiftright(col("fp"), 15 * i).bitwiseAND(lit(32767L)).as("bval"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.bidx").as("bidx"), col("b.bval").as("bval"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.fp").as("fp1"), col("y.fp").as("fp2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, blocked on
     * 4×16-bit fingerprint bands (a pair within Hamming ≤ 3 of a 64-bit hash
     * must agree on at least one of 4 bands; wider distances may be missed —

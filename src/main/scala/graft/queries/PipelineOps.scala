@@ -162,6 +162,32 @@ object PipelineOps {
           nlist = 16, nprobe = 4)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "q102_simhash_oracle" -> ((s, dir) => {
+      // The oracle-expressible SimHash twin of q47: 60-bit signature from
+      // md5-derived token hashes (exact integer fold of the first 15 hex
+      // chars), 4×15-bit band blocking, Hamming ≤ 5. Every step is
+      // deterministic cross-engine arithmetic, so unlike q47 the emitted
+      // pair SET itself hash-matches a full DuckDB restatement — closing the
+      // "hash-dependent by nature" gap for the simhash operator class. Plan
+      // shape is the production one: band-key equi-join, bare-id pair
+      // dedup, no all-pairs work.
+      Dedup.simhash60Md5Pairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), maxHamming = 5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q103_ann_lsh_oracle" -> ((s, dir) => {
+      // The oracle-expressible LSH-ANN twin of q49: 20 tables × 6
+      // formula-derived integer hyperplanes over floor(1e6·x) quantized
+      // embeddings, radius-1 multiprobe on the query side only, exact-cosine
+      // re-rank. Bucket assignment is exact integer arithmetic → the full
+      // operator (candidates, ranks, sims) is restated verbatim in DuckDB —
+      // closing the "engine-internal seeded hyperplanes" gap for the LSH
+      // operator class. Recall@3 = 0.667 vs brute force at sf0.01 (the
+      // production margin-directed kernel's 0.68), asserted in ExtSpec.
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKDeterministic(emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "q50_embedding_neardup" -> ((s, dir) => {
       // Embedding near-dup pairs via multi-table multiprobe hyperplane-LSH
       // blocking, exact-cosine verified. At the driver's oracle scales the
@@ -682,6 +708,74 @@ object PipelineOps {
         |  SELECT p.q_id, c.vec_id AS c_id
         |  FROM probes p JOIN cells c USING (cell)
         |  WHERE c.vec_id != p.q_id),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    // Full restatement of the deterministic SimHash twin: md5-token-hash →
+    // per-bit votes → 60-bit signature → 4×15-bit bands → banded pairs at
+    // Hamming ≤ 5. Same integer op sequence as the Spark side.
+    "q102_simhash_oracle" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> list_reduce(
+        |             list_transform(string_split(md5(t), '')[1:15],
+        |               c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                         ELSE unicode(c) - 48 END AS BIGINT)),
+        |             (a, v) -> a * 16 + v)) AS gs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        |      CASE WHEN list_sum(list_transform(gs, g -> ((g >> b) & 1) * 2 - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM g),
+        |bands AS (
+        |  SELECT doc_id, fp, bb.bidx AS bidx, (fp >> (15 * bb.bidx)) & 32767 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bidx) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.fp AS fp1, y.fp AS fp2
+        |  FROM bands x JOIN bands y
+        |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 5 ORDER BY d1, d2""".stripMargin,
+    // Full restatement of the deterministic LSH-ANN twin: integer plane
+    // weights from the public formula, exact integer projections over
+    // quantized embeddings, packed (table << 20) | bucket keys, radius-1
+    // probes, q48's cosine/rank tail.
+    "q103_ann_lsh_oracle" ->
+      """WITH qe AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |bt AS (
+        |  SELECT vec_id, tt.t AS t,
+        |    CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071 - 65535))) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM qe CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS t) tt),
+        |ckeys AS (SELECT vec_id AS c_id, (t << 20) | bucket AS bkt FROM bt),
+        |qkeys AS (
+        |  SELECT vec_id AS q_id, (t << 20) | bucket AS bkt FROM bt WHERE vec_id < 10
+        |  UNION
+        |  SELECT vec_id, (t << 20) | xor(bucket, CAST(1 AS BIGINT) << p)
+        |  FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) pp
+        |  WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q_id, c_id FROM qkeys JOIN ckeys USING (bkt)
+        |  WHERE c_id != q_id),
         |s AS (
         |  SELECT q_id, c_id, round(
         |    list_sum(list_transform(generate_series(1, 64),

@@ -150,6 +150,62 @@ class ExtSpec extends AnyFunSuite {
     assert(pairSet("q46_minhash_lsh") === pairSet("q45_ngram_jaccard"))
   }
 
+  test("deterministic simhash twin (q102): signature matches a JVM recomputation") {
+    // simhash60Md5 claims every step is cross-engine-exact integer
+    // arithmetic; pin it against an independent plain-Scala recomputation
+    // (MessageDigest md5 → 15-hex fold → votes → sign) over real docs.
+    def jvmSimhash(text: String): Long = {
+      val toks = text.trim.split("\\s+", -1)
+      val votes = new Array[Long](60)
+      for (t <- toks) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        val g = hex.foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+        for (b <- 0 until 60) votes(b) += ((g >> b) & 1L) * 2 - 1
+      }
+      (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    val rows = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("text"), Dedup.simhash60Md5(col("text")).as("fp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === jvmSimhash(r.getString(0))))
+    // and byte-identical texts surface at hamming 0 in the pair query
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely disjoint vocabulary set here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhash60Md5Pairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
+
+  test("deterministic LSH twin (q103): recall floor and exact-cosine sims") {
+    // The formula-plane twin must stay an honest ANN: recall@3 vs brute
+    // force clears the floor (measured 0.667 — production q49's kernel is
+    // 0.68), and every emitted sim is the pair's exact cosine (same value
+    // brute force computes — the twin approximates the candidate SET, never
+    // the scores).
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def scored(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("q_id", "c_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = scored(Similarity.bruteForceTopK(q, emb, k = 500))
+    val got = scored(Similarity.lshTopKDeterministic(q, emb, k = 3))
+    val top3 = scored(Similarity.bruteForceTopK(q, emb, k = 3))
+    val recall = (got.keySet & top3.keySet).size.toDouble / top3.size
+    info(f"q103 recall = $recall%.3f")
+    assert(recall >= 0.5, s"deterministic-LSH recall collapsed: $recall")
+    got.foreach { case (pair, sim) => assert(brute(pair) === sim) }
+    // every query returns exactly k ranked rows
+    val perQ = Similarity.lshTopKDeterministic(q, emb, k = 3)
+      .groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQ.length == 10 && perQ.forall(_ == 3))
+  }
+
   test("word-ngram kernel is bit-identical to the HOF spelling on real docs") {
     val d = graft.tables.Tables.table(TestSpark.spark, TestSpark.sfDir, "documents")
       // edge inputs exercising trim/split quirks alongside the corpus
