@@ -264,10 +264,17 @@ object Dedup {
     * cross-engine-proven by q44's content fingerprint). Per-bit votes and
     * the sign rule (`votes > 0` → bit set) are pure integer arithmetic, so
     * the full signature — and everything downstream of it — hash-matches a
-    * DuckDB restatement (q102). One pass over the token array: votes
-    * accumulate into a 60-long array via `aggregate`+`zip_with`, the
-    * signature folds out of the votes; md5 runs once per token. */
-  def simhash60Md5(text: Column): Column = {
+    * DuckDB restatement (q102). Evaluated by a one-pass compiled kernel
+    * ([[graft.functions.HashExpressions.SimHash60Md5]] — md5 once per token,
+    * no per-char string churn; the interpreted HOF spelling below measured
+    * 16 s at sf0.1, the kernel ~1 s). */
+  def simhash60Md5(text: Column): Column =
+    HashExpressions.simhash60md5(text)
+
+  /** The equivalent higher-order-function spelling — kept as the semantic
+    * specification the kernel is tested against (ExtSpec equivalence on
+    * real docs), and as the direct mirror of q102's DuckDB SQL. */
+  private[graft] def simhash60Md5Hof(text: Column): Column = {
     val hexVal = (c: Column) =>
       when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48).cast("long")
     val tokHash = (t: Column) =>

@@ -126,32 +126,15 @@ object Similarity {
     * ~190 vs ~100 candidates/query. */
   def lshTopKDeterministic(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 6, tables: Int = 20, dim: Int = 64): DataFrame = {
-    def w(t: Int, p: Int): Seq[Long] =
-      (0 until dim).map(d =>
-        (((t.toLong * planes + p) * dim + d) * 2654435761L) % 131071L - 65535L)
-    val qv = transform(col("embedding"), x => floor(x.cast("double") * 1000000))
-    def bucket(t: Int): Column =
-      (0 until planes).map { p =>
-        val dotTp = aggregate(zip_with(qv, typedlit(w(t, p)), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)
-        when(dotTp > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    // buckets materialize as columns once per row; keys derive from them.
-    def withBuckets(df: DataFrame): DataFrame =
-      df.select(col("*") +: (0 until tables).map(t => bucket(t).as(s"_b$t")): _*)
-    def packed(t: Int, b: Column): Column = lit(t.toLong << 20).bitwiseOR(b)
-    val c = withBuckets(corpus.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"), col("embedding")))
-      .select(col("c_id"), col("c_emb"), col("c_n"),
-        explode(array((0 until tables).map(t => packed(t, col(s"_b$t"))): _*)).as("bkt"))
-    val probeKeys = (0 until tables).flatMap { t =>
-      packed(t, col(s"_b$t")) +: (0 until planes).map(p =>
-        packed(t, col(s"_b$t").bitwiseXOR(lit(1L << p))))
-    }
-    val q = withBuckets(queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"), col("embedding")))
-      .select(col("q_id"), col("q_emb"), col("q_n"),
-        explode(array(probeKeys: _*)).as("bkt"))
+    import graft.functions.LshExpressions.lshKeysDeterministic
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"),
+      explode(lshKeysDeterministic(col("embedding"), planes, tables, dim,
+        flips = false)).as("bkt"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"),
+      explode(lshKeysDeterministic(col("embedding"), planes, tables, dim,
+        flips = true)).as("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("q_id") =!= col("c_id"))
       .dropDuplicates("q_id", "c_id")

@@ -209,6 +209,75 @@ object HashExpressions {
     override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
   }
 
+  /** Oracle-expressible 60-bit SimHash (q102; see
+    * [[graft.ext.Dedup.simhash60Md5]]): per-token hash = the first 15 hex
+    * nibbles of md5(token) as one 60-bit integer, per-bit ±1 votes, sign
+    * rule `votes > 0`. Tokenization mirrors `split(trim(text), "\\s+")`
+    * EXACTLY (trim strips ASCII spaces only; Java regex split with
+    * limit -1 keeps trailing empty tokens) — the Column-HOF spelling, the
+    * DuckDB restatement and this kernel must stay three spellings of one
+    * function. One compiled pass per row, md5 once per token via a
+    * thread-local digest; the HOF spelling (interpreted, 33 single-char
+    * strings per token) measured 16 s at sf0.1 — this kernel exists so the
+    * oracle twin is also a production-shape operator. */
+  object SimHash60Md5 {
+    private val WS = java.util.regex.Pattern.compile("\\s+")
+    private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** First 60 bits of md5(token): bytes 0..6 big-endian, then the high
+      * nibble of byte 7 — identical to folding the first 15 lowercase-hex
+      * chars base-16. */
+    def tokenHash(md: java.security.MessageDigest, token: String): Long = {
+      md.reset()
+      val d = md.digest(token.getBytes("UTF-8"))
+      var g = 0L
+      var i = 0
+      while (i < 7) { g = (g << 8) | (d(i) & 0xffL); i += 1 }
+      (g << 4) | ((d(7) >> 4) & 0xfL)
+    }
+
+    def simhash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val str = s.toString
+      // trim = ASCII space only (Spark/DuckDB `trim` semantics, NOT
+      // Java String.trim which also strips control chars)
+      var a = 0
+      var b = str.length
+      while (a < b && str.charAt(a) == ' ') a += 1
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      val toks = WS.split(str.substring(a, b), -1)
+      val md = mdLocal.get()
+      val counts = new Array[Int](60)
+      var i = 0
+      while (i < toks.length) {
+        val g = tokenHash(md, toks(i))
+        var bit = 0
+        while (bit < 60) {
+          if (((g >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 60) { if (counts(bit) > 0) out |= 1L << bit; bit += 1 }
+      out
+    }
+  }
+
+  case class SimHash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash60md5"
+    override protected def nullSafeEval(input: Any): Any =
+      SimHash60Md5.simhash60(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions$$SimHash60Md5$$.MODULE$$.simhash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(newChild)
+  }
+
   /** One-pass k=32 MinHash over an array of shingles.
     *
     * Semantics match the higher-order-function spelling in [[graft.ext.Dedup]]
@@ -308,6 +377,7 @@ object HashExpressions {
   import org.apache.spark.sql.graft.Bridge
   def siphash64(c: Column): Column = Bridge.column(SipHash64(Bridge.expression(c)))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def simhash60md5(c: Column): Column = Bridge.column(SimHash60(Bridge.expression(c)))
   def minhash32(c: Column): Column = Bridge.column(MinHash32(Bridge.expression(c)))
   def toTypeName(c: Column): Column = Bridge.column(TypeName(Bridge.expression(c)))
 }

@@ -170,6 +170,107 @@ object LshKernel {
     val trimmed = if (m == out.length) out else java.util.Arrays.copyOf(out, m)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(trimmed)
   }
+
+  /** Deterministic-integer keys for one vector; see [[LshKeysDeterministic]].
+    * The float→double→×1e6→floor quantization here is the same IEEE op
+    * sequence the DuckDB restatement runs — exact, both engines. */
+  def detKeys(vec: ArrayData, w: Array[Long], planes: Int, tables: Int,
+      dim: Int, flips: Boolean, isFloat: Boolean): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val qv = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      qv(d) = math.floor(x * 1000000.0).toLong
+      d += 1
+    }
+    val perTable = if (flips) planes + 1 else 1
+    val out = new Array[Long](tables * perTable)
+    var m = 0
+    var t = 0
+    while (t < tables) {
+      val base0 = t * planes * dim
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0L
+        val off = base0 + p * dim
+        var i = 0
+        while (i < n) { s += qv(i) * w(off + i); i += 1 }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(m) = (t.toLong << 20) | bucket
+      m += 1
+      if (flips) {
+        var p2 = 0
+        while (p2 < planes) {
+          out(m) = (t.toLong << 20) | (bucket ^ (1L << p2))
+          m += 1
+          p2 += 1
+        }
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Deterministic-integer LSH keys — the oracle-expressible twin of
+  * [[LshKeys]] (q103; see [[graft.ext.Similarity.lshTopKDeterministic]]).
+  * Plane weights come from the public integer formula
+  * `w(t,p,d) = (((t·planes+p)·dim + d) · 2654435761) % 131071 − 65535` and
+  * projections run in exact integer arithmetic over `floor(1e6·x)` quantized
+  * components, so bucket assignment is bit-identical in any engine. Keys
+  * pack as `(table << 20) | bucket`. `flips = false` emits one key per
+  * table (corpus side); `flips = true` adds every radius-1 bit flip
+  * (query side, `planes + 1` keys per table — blind flips, not
+  * margin-ranked: margins would need the float projections the SQL
+  * restatement deliberately avoids). Flip keys can't collide (they differ
+  * from base and each other in exactly one bit) — no dedup pass needed. */
+case class LshKeysDeterministic(child: Expression, planes: Int, tables: Int,
+    dim: Int, flips: Boolean) extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 20, s"planes in [1,20], got $planes")
+  require(tables >= 1 && tables <= 1024, s"tables in [1,1024], got $tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_keys_det"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_keys_det needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** tables × planes × dim integer weights, flattened row-major — tiny
+    * (20×6×64 = 7 680 longs at the defaults), computed once on the driver. */
+  @transient private lazy val flat: Array[Long] = {
+    val a = new Array[Long](tables * planes * dim)
+    var i = 0
+    while (i < a.length) { a(i) = (i * 2654435761L) % 131071L - 65535L; i += 1 }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshKernel.detKeys(input.asInstanceOf[ArrayData], flat, planes, tables, dim,
+      flips, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshDetWeights", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.LshKernel.detKeys($v, $wRef, " +
+        s"$planes, $tables, $dim, $flips, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshKeysDeterministic =
+    copy(child = newChild)
 }
 
 object LshExpressions {
@@ -179,4 +280,9 @@ object LshExpressions {
   def lshKeys(vec: Column, planes: Int, tables: Int, dim: Int,
       probes: Int = 1, seed: Long = 7L): Column =
     Bridge.column(LshKeys(Bridge.expression(vec), planes, tables, dim, probes, seed))
+
+  /** Deterministic-integer LSH keys (see [[LshKeysDeterministic]]). */
+  def lshKeysDeterministic(vec: Column, planes: Int, tables: Int, dim: Int,
+      flips: Boolean): Column =
+    Bridge.column(LshKeysDeterministic(Bridge.expression(vec), planes, tables, dim, flips))
 }

@@ -155,7 +155,9 @@ class ExtSpec extends AnyFunSuite {
     // arithmetic; pin it against an independent plain-Scala recomputation
     // (MessageDigest md5 → 15-hex fold → votes → sign) over real docs.
     def jvmSimhash(text: String): Long = {
-      val toks = text.trim.split("\\s+", -1)
+      // trim = ASCII space only (Spark/DuckDB trim), NOT Java String.trim
+      val sp = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = sp.split("\\s+", -1)
       val votes = new Array[Long](60)
       for (t <- toks) {
         val hex = java.security.MessageDigest.getInstance("MD5")
@@ -171,6 +173,16 @@ class ExtSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) === jvmSimhash(r.getString(0))))
+    // kernel == the HOF spelling (the direct mirror of the DuckDB oracle)
+    // on real docs plus tokenizer edge inputs
+    val edge = Seq("", "   ", "one", "a b", " a  b\tc ", "\ta b c", "a b\n")
+      .toDF("text")
+    val mism = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(col("text")).union(edge)
+      .select(Dedup.simhash60Md5(col("text")).as("kernel"),
+        Dedup.simhash60Md5Hof(col("text")).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(mism.count() == 0)
     // and byte-identical texts surface at hamming 0 in the pair query
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -204,6 +216,40 @@ class ExtSpec extends AnyFunSuite {
     val perQ = Similarity.lshTopKDeterministic(q, emb, k = 3)
       .groupBy("q_id").count().select("count").as[Long].collect()
     assert(perQ.length == 10 && perQ.forall(_ == 3))
+  }
+
+  test("deterministic LSH keys match a plain-Scala recomputation") {
+    // The kernel claims w(t,p,d) = (((t·P+p)·dim+d)·2654435761) % 131071
+    // − 65535 over floor(1e6·x) quantized components, keys packed
+    // (t << 20) | bucket — recompute independently for real vectors, both
+    // the corpus form (1 key/table) and the radius-1 probe form.
+    val planes = 6; val tables = 20; val dim = 64
+    def jvmKeys(v: Array[Float], flips: Boolean): Seq[Long] = {
+      val qv = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      (0 until tables).flatMap { t =>
+        val bucket = (0 until planes).map { p =>
+          val dot = (0 until dim).map(d =>
+            qv(d) * ((((t.toLong * planes + p) * dim + d) * 2654435761L) % 131071L - 65535L)).sum
+          if (dot > 0) 1L << p else 0L
+        }.sum
+        val base = (t.toLong << 20) | bucket
+        if (flips) base +: (0 until planes).map(p => (t.toLong << 20) | (bucket ^ (1L << p)))
+        else Seq(base)
+      }
+    }
+    import graft.functions.LshExpressions.lshKeysDeterministic
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") < 25)
+    for (flips <- Seq(false, true)) {
+      val rows = emb.select(col("embedding"),
+          lshKeysDeterministic(col("embedding"), planes, tables, dim, flips).as("keys"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val v = r.getSeq[Float](0).toArray
+        assert(r.getSeq[Long](1) === jvmKeys(v, flips))
+      }
+    }
   }
 
   test("word-ngram kernel is bit-identical to the HOF spelling on real docs") {
