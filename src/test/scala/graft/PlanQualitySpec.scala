@@ -70,6 +70,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "bucket join must be key-based:\n" + p)
   }
 
+  test("q102 simhash twin: band join is an equi-join, no cartesian") {
+    val p = plan("q102_simhash_oracle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join must be key-based:\n" + p)
+  }
+
+  test("q103 deterministic LSH: bucket equi-join with the query side broadcast") {
+    val p = plan("q103_ann_lsh_oracle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe keys must broadcast against the corpus buckets:\n" + p)
+  }
+
   test("codegen'd kernels stay inside whole-stage codegen (dot product)") {
     import graft.ext.Vectors
     val df = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
