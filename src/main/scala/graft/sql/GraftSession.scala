@@ -256,6 +256,45 @@ object GraftSession {
     // the cap keeps a stray `SELECT sleep(1) FROM big` from wedging executors
     // (SURVEY.md §7.4 documents the divergence). crashme()/example() are
     // test scaffolding, deliberately not ported.
+    // Pipeline scalar surface: the ext/ kernels, SQL-reachable — the
+    // reference's model is a rich scalar registry (function_factory.rs);
+    // ours extends it with the 100TB-pipeline functions. Kernel-backed
+    // entries stay codegen'd; Column-composed helpers register as
+    // macro-style builders (the builder inlines the composed expression
+    // tree — still whole-stage-codegen'd, never a UDF).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    import graft.ext.{TextAnalysis => TA, Vectors}
+    def lint(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
+    Bridge.registerFunction(spark, "simhash60md5",
+      { case Seq(e) => HashExpressions.SimHash60(e) })
+    Bridge.registerFunction(spark, "minhash32",
+      { case Seq(e) => HashExpressions.MinHash32(e) })
+    Bridge.registerFunction(spark, "word_ngrams",
+      { case Seq(e, n) => graft.functions.TextExpressions.WordNgrams(e, lint(n)) })
+    Bridge.registerFunction(spark, "word_ngram_hashes",
+      { case Seq(e, n) => graft.functions.TextExpressions.WordNgramHashes(e, lint(n)) })
+    Bridge.registerFunction(spark, "dot_product",
+      { case Seq(a, b) => graft.functions.DotProduct(a, b) })
+    def macroFn(name: String,
+        f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      Bridge.registerFunction(spark, name,
+        exprs => Bridge.sessionExpression(spark, f(exprs.map(Bridge.column))))
+    macroFn("cosine_sim", { case Seq(a, b) => Vectors.cosine(a, b) })
+    macroFn("vec_norm", { case Seq(a) => Vectors.norm(a) })
+    macroFn("token_count", { case Seq(e) => TA.tokenCount(e) })
+    macroFn("bpeish_token_count", { case Seq(e) => TA.bpeishTokenCount(e) })
+    macroFn("quality_score", { case Seq(e) => TA.qualityScore(e) })
+    macroFn("alpha_ratio", { case Seq(e) => TA.alphaRatio(e) })
+    macroFn("stopword_ratio", { case Seq(e) => TA.stopwordRatio(e) })
+    macroFn("mean_token_len", { case Seq(e) => TA.meanTokenLen(e) })
+    macroFn("lang_id", { case Seq(e) => TA.langId(e) })
+    macroFn("content_fingerprint", { case Seq(e) => TA.contentFingerprint(e) })
+    macroFn("rolling_fingerprint", { case Seq(e) => TA.rollingFingerprint(e) })
     graft.functions.UniqExactAggregator.register(spark)
     spark.udf.register("sleep", (secs: Double) => {
       require(secs >= 0, "sleep: negative duration")

@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Session-aware Column→Expression conversion: fully converts a COMPOSED
+    * Column AST (functions._ builders) into catalyst expressions, unlike
+    * [[expression]] which wraps the node unevaluated. Needed when a composed
+    * Column is embedded inside an analyzer context (e.g. macro-style SQL
+    * function builders) rather than passed through the DataFrame API. */
+  def sessionExpression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** Register a Catalyst-expression-backed SQL function on a session (the
     * reference registers scalar functions in a name→ctor factory map,
     * common/functions/src/scalars/function_factory.rs:30-36; this is the

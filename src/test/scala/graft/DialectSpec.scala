@@ -208,6 +208,38 @@ class DialectSpec extends AnyFunSuite {
       === "SELECT rank() OVER (ORDER BY x DESC NULLS FIRST) FROM t")
   }
 
+  test("pipeline scalar surface is SQL-reachable (ext kernels as functions)") {
+    // kernel-backed and macro-style registrations both resolve in SQL text
+    // and agree with their Column spellings
+    val r = g.sql(
+      """SELECT simhash60md5('a b c') AS sh,
+        |       token_count('  one two  three ') AS tc,
+        |       lang_id('the cat and the dog is in the house') AS lid,
+        |       word_ngram_hashes('a b c d', 3) AS ngh,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
+        |       rolling_fingerprint('a b c') AS rfp
+        |""".stripMargin).collect()(0)
+    import org.apache.spark.sql.functions._
+    val col0 = TestSpark.spark.sql("SELECT 'a b c' AS t, 'the cat and the dog is in the house' AS e")
+      .select(
+        graft.ext.Dedup.simhash60Md5(col("t")).as("sh"),
+        graft.ext.TextAnalysis.langId(col("e")).as("lid"),
+        graft.ext.TextAnalysis.rollingFingerprint(col("t")).as("rfp"))
+      .collect()(0)
+    assert(r.getLong(0) === col0.getLong(0))
+    assert(r.getLong(1) === 3L)
+    assert(r.getString(2) === col0.getString(1))
+    assert(r.getSeq[Long](3).length === 2)
+    assert(r.getDouble(4) === 11.0)
+    assert(r.getDouble(5) === 1.0)
+    assert(r.getLong(6) === col0.getLong(2))
+    // registry surfaces them in system.functions
+    val fns = g.sql("SELECT name FROM system.functions").collect().map(_.getString(0)).toSet
+    Seq("simhash60md5", "minhash32", "word_ngrams", "quality_score",
+      "cosine_sim", "content_fingerprint").foreach(f => assert(fns.contains(f), f))
+  }
+
   test("LIMIT n BY ignores a subquery's ORDER BY / LIMIT (depth-aware)") {
     TestSpark.spark.sql("SELECT 1 AS k, 2 AS a UNION ALL SELECT 1, 3 UNION ALL SELECT 2, 4")
       .createOrReplaceTempView("t_lby")
