@@ -67,9 +67,84 @@ object DialectQueries {
       rm(new java.io.File(tmp))
       result
     }),
+    "q104_sql_pipeline" -> ((s, dir) => {
+      // The pipeline scalar surface END-TO-END as SQL text: curation
+      // (quality gate) + simhash fingerprint dedup (keep-lowest) + language
+      // rollup, every function resolved through the dialect's registry
+      // (simhash60md5 / token_count / quality_score / lang_id) — the
+      // parser → registry → codegen path itself sits under the oracle
+      // gate, not just the Column spellings the other queries use.
+      g(s, dir).sql(
+        """WITH f AS (
+          |  SELECT doc_id, lang,
+          |         simhash60md5(text) AS fp,
+          |         token_count(text) AS n_tok,
+          |         quality_score(text) AS q,
+          |         lang_id(text) AS pred
+          |  FROM documents),
+          |d AS (
+          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |  FROM f)
+          |SELECT lang, pred, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+          |       min(q) AS min_q, max(q) AS max_q,
+          |       sum(doc_id) AS checksum
+          |FROM d WHERE rn = 1 AND q >= 0.3
+          |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)
+    }),
   )
 
+  private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
+
   def oracle: Map[String, String] = Map(
+    // restates the full SQL pipeline from proven fragments: q102's simhash
+    // construction, q41's token/quality math, q43's language heuristic
+    "q104_sql_pipeline" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, text,
+         |    list_transform(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_reduce(
+         |             list_transform(string_split(md5(t), '')[1:15],
+         |               c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                         ELSE unicode(c) - 48 END AS BIGINT)),
+         |             (a, v) -> a * 16 + v)) AS gs,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS s_en,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['le','la','les','de','et','un','est'], t))) AS s_fr,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS s_de,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['el','los','las','y','un','es','que'], t))) AS s_es
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |      CASE WHEN list_sum(list_transform(gs, g -> ((g >> b) & 1) * 2 - 1)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    round(0.5 * round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |            / greatest(length(text), 1), 6)
+         |        + 0.3 * least(round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |            t -> list_contains($stopList, t))) AS DOUBLE)
+         |            / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 3, 1.0)
+         |        + 0.2 * least(round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |            / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) / 8, 1.0), 6) AS q,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |      WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         |      WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         |      WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         |      ELSE 'es' END AS pred
+         |  FROM g),
+         |d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM f)
+         |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |       min(q) AS min_q, max(q) AS max_q,
+         |       CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM d WHERE rn = 1 AND q >= 0.3
+         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
     "q38_dialect_combinators" ->
       """SELECT l_returnflag,
         |  round(sum(CASE WHEN l_discount > 0.05 THEN l_quantity END), 2) AS sq,
