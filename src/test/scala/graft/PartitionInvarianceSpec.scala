@@ -28,7 +28,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q93_source_cap", "q94_token_budget", "q95_dedup_clusters",
     // ordered string agg (collect_list is partition-order-dependent without
     // the struct sort) and replicated-row mixtures
-    "q98_pack_concat", "q99_epoch_mixture", "q100_chunking")
+    "q98_pack_concat", "q99_epoch_mixture", "q100_chunking",
+    // oracle twins (banded simhash pairs, deterministic LSH ANN) and the
+    // SQL-text pipeline through the function registry
+    "q102_simhash_oracle", "q103_ann_lsh_oracle", "q104_sql_pipeline")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
