@@ -12,7 +12,7 @@ object DialectQueries {
 
   private def g(s: SparkSession, dir: String): GraftSession = {
     Tables.registerAll(s, dir)
-    new GraftSession(s)
+    GraftSession.cached(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -208,6 +208,20 @@ class GraftSession(val spark: SparkSession) {
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
+  /** One dialect session per SparkSession (weakly held): construction
+    * registers system-table views + the function registry and installs the
+    * planner strategies — idempotent but not free (catalog enumeration,
+    * ~2-3 s of driver work per call in the bench). Driver queries that
+    * enter through the SQL front door share the cached instance the way a
+    * real application holds one session. */
+  private val sessions = new java.util.WeakHashMap[SparkSession, GraftSession]
+
+  def cached(spark: SparkSession): GraftSession = sessions.synchronized {
+    var g = sessions.get(spark)
+    if (g == null) { g = new GraftSession(spark); sessions.put(spark, g) }
+    g
+  }
+
   /** One engine-settings map per SparkSession (weakly held). */
   private val registries =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]
