@@ -102,6 +102,99 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------- audio ------------------------------------------------------
+
+  /** Metadata schema for a decoded audio payload. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("audio_channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("audio_format", StringType, nullable = false)))
+
+  /** Audio analogue of [[PayloadCodec]]: payload bytes →
+    * (sample_rate, channels, frames, format). */
+  trait AudioCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Long, String)
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake audio decoder (same design as [[FakeCodec]]): every
+    * field derives from the byte length via fixed mixers so an external SQL
+    * oracle recomputes them from `octet_length(payload)` alone — the decode
+    * is the sanctioned stub, the batch plumbing is the tested contract.
+    * [[WavCodec]] is the real-decode implementation. */
+  object FakeAudioCodec extends AudioCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Long, String) = {
+      val len = payload.length.toLong
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val sr = rates(((len * 2654435761L) % 5L).toInt)
+      val ch = if ((len * 7919L) % 3L == 0L) 1 else 2
+      val frames = len * 4L + 1000L
+      val fmt = if (len % 2L == 0L) "fake/wav" else "fake/flac"
+      (sr, ch, frames, fmt)
+    }
+  }
+
+  /** Real decoder over the same contract: JDK `javax.sound.sampled` (WAV /
+    * AU / AIFF — no external libraries, parity with [[ImageIoCodec]]).
+    * Header-only parse; undecodable bytes throw rather than fabricate
+    * metadata. MultimodalSpec drives it through [[decodeAudio]] over
+    * synthetic in-memory WAVs. */
+  object WavCodec extends AudioCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Long, String) = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      val aff =
+        try javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "undecodable payload: no audio reader claims it", e)
+        }
+      val f = aff.getFormat
+      (f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong,
+        "audio/" + aff.getType.toString.toLowerCase(java.util.Locale.ROOT))
+    }
+  }
+
+  /** Batch-wise audio decode — same mapPartitions shape as
+    * [[decodeImages]]; appends `sample_rate/audio_channels/n_frames/
+    * audio_format`. */
+  def decodeAudio(docs: DataFrame, batchSize: Int = 64,
+      codec: AudioCodec = FakeAudioCodec): DataFrame = {
+    val outSchema = StructType(docs.schema.fields ++ audioMetaSchema.fields)
+    val enc = Encoders.row(outSchema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val (sr, ch, fr, fmt) = codec.decode(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(sr, ch, fr, fmt))
+        }
+      }
+    }(enc)
+  }
+
+  /** Duration in milliseconds from decoded audio metadata — integral
+    * division (`div`), exact cross-engine (a plain `/` on longs is DOUBLE
+    * division in Spark — truncation of an inexact quotient can differ from
+    * an engine's integer divide). */
+  def audioDurationMs(nFrames: Column, sampleRate: Column): Column =
+    call_function("div", nFrames * 1000L, sampleRate)
+
+  /** Fixed-length audio windowing plan: `windowMs`-sized chunk starts (in
+    * frames) over the clip — the seek plan a feature extractor schedules
+    * on; pure integer arithmetic (ceil via `(a + b - 1) div b`),
+    * SQL-mirrorable. Capped at `maxWindows`. */
+  def audioWindowStarts(nFrames: Column, sampleRate: Column,
+      windowMs: Int, maxWindows: Int = 16): Column = {
+    val winFrames = call_function("div", sampleRate.cast("long") * windowMs, lit(1000L))
+    val n = greatest(least(
+      call_function("div", nFrames + winFrames - 1L, winFrames),
+      lit(maxWindows.toLong)), lit(1L))
+    transform(sequence(lit(0L), n - 1), i => i * winFrames)
+  }
+
   /** Resize planning: scales metadata to fit a bounding box, preserving
     * aspect ratio (real resize happens in the codec; the plan is what the
     * pipeline schedules on). */

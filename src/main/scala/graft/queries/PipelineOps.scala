@@ -263,6 +263,26 @@ object PipelineOps {
         concat_ws(",", Multimodal.frameSampleOffsets(col("payload"), 4)).as("frames"))
         .orderBy(col("doc_id"))
     }),
+    "q105_multimodal_audio" -> ((s, dir) => {
+      // The audio half of the multimodal contract: batch decode
+      // (FakeAudioCodec — sanctioned stub, every field derived from
+      // octet_length so the oracle recomputes it), duration math and the
+      // fixed-window seek plan as exact integer expressions. Same
+      // mapPartitions plumbing as q54; WavCodec (real JDK decode) runs the
+      // identical contract in MultimodalSpec.
+      val d = Multimodal.decodeAudio(
+        Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+      d.select(
+        col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("audio_channels").cast("long").as("audio_channels"),
+        col("n_frames"),
+        col("audio_format"),
+        Multimodal.audioDurationMs(col("n_frames"), col("sample_rate")).as("dur_ms"),
+        concat_ws(",", Multimodal.audioWindowStarts(col("n_frames"),
+          col("sample_rate"), windowMs = 250)).as("win_starts"))
+        .orderBy(col("doc_id"))
+    }),
     "q59_stratified_sample" -> ((s, dir) => {
       // Deterministic stratified sampling (domain/language mixing): keep-rate
       // per stratum, keyed by modular arithmetic on doc_id — reproducible,
@@ -887,6 +907,33 @@ object PipelineOps {
         |  CAST(floor(height * scale) AS BIGINT) AS resized_h,
         |  array_to_string(list_transform(generate_series(0, 3), i -> (i * len) // 4), ',') AS frames
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q105_multimodal_audio" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE (len * 2654435761) % 5
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |      WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+        |    CASE WHEN (len * 7919) % 3 = 0 THEN 1 ELSE 2 END AS audio_channels,
+        |    len * 4 + 1000 AS n_frames,
+        |    CASE WHEN len % 2 = 0 THEN 'fake/wav' ELSE 'fake/flac' END AS audio_format
+        |  FROM b),
+        |w AS (
+        |  SELECT *, (sample_rate * 250) // 1000 AS win_frames,
+        |    greatest(least((n_frames + (sample_rate * 250) // 1000 - 1)
+        |      // ((sample_rate * 250) // 1000), 16), 1) AS n_win
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(audio_channels AS BIGINT) AS audio_channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  audio_format,
+        |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS dur_ms,
+        |  array_to_string(list_transform(generate_series(0, CAST(n_win - 1 AS BIGINT)),
+        |    i -> i * win_frames), ',') AS win_starts
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q59_stratified_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -64,6 +64,53 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.ImageIoCodec.decode("not an image".getBytes) }
   }
 
+  test("WavCodec decodes real WAVs through the same decodeAudio plumbing") {
+    // tiny synthetic PCM WAVs, in memory: (sampleRate, channels, frames)
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 31) & 0xff).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val specs = Seq((8000, 1, 800), (44100, 2, 441), (16000, 1, 1600))
+    val docs = specs.zipWithIndex
+      .map { case ((r, c, f), i) => (i.toLong, wav(r, c, f)) }
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeAudio(docs, batchSize = 2, codec = Multimodal.WavCodec)
+      .orderBy($"doc_id").collect()
+    specs.zip(decoded).foreach { case ((rate, ch, frames), r) =>
+      assert(r.getAs[Int]("sample_rate") == rate)
+      assert(r.getAs[Int]("audio_channels") == ch)
+      assert(r.getAs[Long]("n_frames") == frames.toLong)
+      assert(r.getAs[String]("audio_format") == "audio/wave")
+    }
+    // corrupt bytes must throw, not fabricate metadata
+    intercept[Exception] { Multimodal.WavCodec.decode("not audio".getBytes) }
+  }
+
+  test("audio duration and window plan are exact integer arithmetic") {
+    val docs = Seq((1L, "x" * 50), (2L, "y" * 3)).toDF("doc_id", "text")
+    val d = Multimodal.decodeAudio(Multimodal.withPayload(docs))
+    val rows = d.select($"doc_id", $"sample_rate", $"n_frames",
+        Multimodal.audioDurationMs($"n_frames", $"sample_rate").as("ms"),
+        Multimodal.audioWindowStarts($"n_frames", $"sample_rate", 250).as("ws"))
+      .orderBy($"doc_id").collect()
+    rows.foreach { r =>
+      val sr = r.getAs[Int]("sample_rate").toLong
+      val nf = r.getAs[Long]("n_frames")
+      assert(r.getAs[Long]("ms") == nf * 1000L / sr)
+      val winFrames = sr * 250L / 1000L
+      val nWin = math.max(math.min((nf + winFrames - 1) / winFrames, 16L), 1L)
+      assert(r.getAs[scala.collection.Seq[Long]]("ws") ==
+        (0L until nWin).map(_ * winFrames))
+    }
+  }
+
   test("resizePlan preserves aspect ratio and never upscales") {
     val df = Seq((1920, 1080), (100, 50), (256, 256), (64, 1079)).toDF("w", "h")
     val out = df.select($"w", $"h",
