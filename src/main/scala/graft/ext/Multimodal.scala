@@ -195,6 +195,89 @@ object Multimodal {
     transform(sequence(lit(0L), n - 1), i => i * winFrames)
   }
 
+  // ---------- video ------------------------------------------------------
+
+  /** Metadata schema for a decoded video payload. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("v_width", IntegerType, nullable = false),
+    StructField("v_height", IntegerType, nullable = false),
+    StructField("v_frames", IntegerType, nullable = false),
+    StructField("fps_milli", IntegerType, nullable = false), // fps × 1000
+    StructField("video_format", StringType, nullable = false)))
+
+  /** Video analogue of [[PayloadCodec]]: payload bytes →
+    * (width, height, frames, fps×1000, format). */
+  trait VideoCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int, String)
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake video decoder ([[FakeCodec]] design: every field
+    * from the byte length, SQL-recomputable). */
+  object FakeVideoCodec extends VideoCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int, String) = {
+      val len = payload.length.toLong
+      val w = 160 + ((len * 2654435761L) % 1760L).toInt
+      val ht = 120 + ((len * 40503L) % 960L).toInt
+      val frames = 24 + ((len * 7919L) % 2400L).toInt
+      val fpsMilli = if (len % 2L == 0L) 24000 else 29970
+      (w, ht, frames, fpsMilli, "fake/mp4")
+    }
+  }
+
+  /** Real multi-frame decoder over the same contract: animated GIF via JDK
+    * ImageIO (the one multi-frame container the JDK decodes natively —
+    * parity with [[ImageIoCodec]]/[[WavCodec]]). Frame count from
+    * `getNumImages(allowSearch = true)`; GIF carries no global fps, so
+    * `fps_milli` is 0 (per-frame delays live in stream metadata a real
+    * pipeline would read). Undecodable bytes throw. */
+  object GifCodec extends VideoCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int, String) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable payload: no ImageIO reader claims it")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          require(reader.getFormatName.equalsIgnoreCase("gif"),
+            s"not a multi-frame container: ${reader.getFormatName}")
+          (reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true), 0,
+            "video/gif")
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** Batch-wise video decode — same mapPartitions shape as
+    * [[decodeImages]]/[[decodeAudio]]. */
+  def decodeVideo(docs: DataFrame, batchSize: Int = 64,
+      codec: VideoCodec = FakeVideoCodec): DataFrame = {
+    val outSchema = StructType(docs.schema.fields ++ videoMetaSchema.fields)
+    val enc = Encoders.row(outSchema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val (w, h, fr, fps, fmt) = codec.decode(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(w, h, fr, fps, fmt))
+        }
+      }
+    }(enc)
+  }
+
+  /** Evenly spaced frame indices for sampling `n` frames of a clip —
+    * integer arithmetic over the decoded frame count (unlike
+    * [[frameSampleOffsets]], which seeks bytes of an opaque payload).
+    * Clips shorter than `n` sample every frame once. */
+  def frameIndexSample(vFrames: Column, n: Int): Column =
+    when(vFrames >= n,
+      transform(sequence(lit(0), lit(n - 1)),
+        i => call_function("div", i.cast("long") * vFrames, lit(n.toLong))))
+      .otherwise(sequence(lit(0L), vFrames.cast("long") - 1))
+
   /** Resize planning: scales metadata to fit a bounding box, preserving
     * aspect ratio (real resize happens in the codec; the plan is what the
     * pipeline schedules on). */

@@ -283,6 +283,29 @@ object PipelineOps {
           col("sample_rate"), windowMs = 250)).as("win_starts"))
         .orderBy(col("doc_id"))
     }),
+    "q106_multimodal_video" -> ((s, dir) => {
+      // The video third of the multimodal contract: batch decode
+      // (FakeVideoCodec stub — oracle-recomputable), resize planning on the
+      // frame dims, duration from frames/fps, and evenly-spaced frame-index
+      // sampling — all exact integer expressions. GifCodec (real JDK
+      // multi-frame decode) runs the same contract in MultimodalSpec.
+      val d = Multimodal.decodeVideo(
+        Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+      val resized = Multimodal.resizePlan(col("v_width"), col("v_height"), 384)
+      d.select(
+        col("doc_id"),
+        col("v_width").cast("long").as("v_width"),
+        col("v_height").cast("long").as("v_height"),
+        col("v_frames").cast("long").as("v_frames"),
+        col("fps_milli").cast("long").as("fps_milli"),
+        col("video_format"),
+        resized.getField("width").cast("long").as("resized_w"),
+        resized.getField("height").cast("long").as("resized_h"),
+        call_function("div", col("v_frames").cast("long") * 1000000L,
+          col("fps_milli")).as("dur_ms"),
+        concat_ws(",", Multimodal.frameIndexSample(col("v_frames"), 8)).as("sample_idx"))
+        .orderBy(col("doc_id"))
+    }),
     "q59_stratified_sample" -> ((s, dir) => {
       // Deterministic stratified sampling (domain/language mixing): keep-rate
       // per stratum, keyed by modular arithmetic on doc_id — reproducible,
@@ -934,6 +957,34 @@ object PipelineOps {
         |  array_to_string(list_transform(generate_series(0, CAST(n_win - 1 AS BIGINT)),
         |    i -> i * win_frames), ',') AS win_starts
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q106_multimodal_video" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT doc_id,
+        |    160 + (len * 2654435761) % 1760 AS v_width,
+        |    120 + (len * 40503) % 960 AS v_height,
+        |    24 + (len * 7919) % 2400 AS v_frames,
+        |    CASE WHEN len % 2 = 0 THEN 24000 ELSE 29970 END AS fps_milli,
+        |    'fake/mp4' AS video_format
+        |  FROM b),
+        |r AS (SELECT *, least(384.0 / greatest(v_width, v_height), 1.0) AS scale FROM m)
+        |SELECT doc_id,
+        |  CAST(v_width AS BIGINT) AS v_width,
+        |  CAST(v_height AS BIGINT) AS v_height,
+        |  CAST(v_frames AS BIGINT) AS v_frames,
+        |  CAST(fps_milli AS BIGINT) AS fps_milli,
+        |  video_format,
+        |  CAST(floor(v_width * scale) AS BIGINT) AS resized_w,
+        |  CAST(floor(v_height * scale) AS BIGINT) AS resized_h,
+        |  CAST(v_frames * 1000000 // fps_milli AS BIGINT) AS dur_ms,
+        |  CASE WHEN v_frames >= 8
+        |    THEN array_to_string(list_transform(generate_series(0, 7),
+        |      i -> (i * v_frames) // 8), ',')
+        |    ELSE array_to_string(generate_series(0, v_frames - 1), ',')
+        |  END AS sample_idx
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q59_stratified_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -93,6 +93,62 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.WavCodec.decode("not audio".getBytes) }
   }
 
+  test("GifCodec decodes real animated GIFs through the same decodeVideo plumbing") {
+    // tiny synthetic animated GIFs, in memory: (w, h, frames) triples
+    def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y =>
+          img.setRGB(x, y, (x * 31 + y * 17 + f * 7) & 0xffffff)))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+    val specs = Seq((8, 6, 3), (5, 5, 1), (12, 4, 7))
+    val docs = specs.zipWithIndex
+      .map { case ((w, h, f), i) => (i.toLong, gif(w, h, f)) }
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeVideo(docs, batchSize = 2, codec = Multimodal.GifCodec)
+      .orderBy($"doc_id").collect()
+    specs.zip(decoded).foreach { case ((w, h, frames), r) =>
+      assert(r.getAs[Int]("v_width") == w && r.getAs[Int]("v_height") == h)
+      assert(r.getAs[Int]("v_frames") == frames)
+      assert(r.getAs[String]("video_format") == "video/gif")
+    }
+    // corrupt bytes must throw, not fabricate metadata; single-frame
+    // stills are fine (a 1-frame GIF is a degenerate clip), but a PNG is
+    // not a multi-frame container and must be rejected
+    intercept[Exception] { Multimodal.GifCodec.decode("not a video".getBytes) }
+  }
+
+  test("frameIndexSample is exact integer arithmetic, short clips take every frame") {
+    val docs = Seq((1L, "x" * 40), (2L, "y" * 7)).toDF("doc_id", "text")
+    val d = Multimodal.decodeVideo(Multimodal.withPayload(docs))
+    val rows = d.select($"doc_id", $"v_frames",
+        Multimodal.frameIndexSample($"v_frames", 8).as("idx"))
+      .orderBy($"doc_id").collect()
+    rows.foreach { r =>
+      val nf = r.getAs[Int]("v_frames").toLong
+      val expected =
+        if (nf >= 8) (0 until 8).map(i => i * nf / 8)
+        else 0L until nf
+      assert(r.getAs[scala.collection.Seq[Long]]("idx") == expected)
+    }
+    // the short-clip branch directly (FakeVideoCodec's floor is 24 frames)
+    val short = Seq(Tuple1(3)).toDF("v_frames")
+      .select(Multimodal.frameIndexSample($"v_frames", 8).as("idx")).head()
+    assert(short.getAs[scala.collection.Seq[Long]]("idx") == Seq(0L, 1L, 2L))
+  }
+
   test("audio duration and window plan are exact integer arithmetic") {
     val docs = Seq((1L, "x" * 50), (2L, "y" * 3)).toDF("doc_id", "text")
     val d = Multimodal.decodeAudio(Multimodal.withPayload(docs))
