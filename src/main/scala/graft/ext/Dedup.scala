@@ -199,6 +199,63 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  // ---------- span-level (cross-document substring) dedup -----------------
+
+  /** Fixed-width token spans of a text column: non-overlapping windows of
+    * `span` tokens, each rendered back to a string (the last window may be
+    * shorter). Empty/whitespace-only text yields an empty array — guarded
+    * explicitly because `sequence(0, -1)` would count DOWN, not return
+    * empty. */
+  def tokenSpans(text: Column, span: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val nSegs = (size(toks) + (span - 1)) / span
+    when(size(toks) > 0,
+      transform(sequence(lit(0), nSegs.cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * span + 1, lit(span)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document span-level dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": repeated long substrings are the
+    * dominant duplication mode in web corpora). Fixed `span`-token windows
+    * approximate the suffix-array substring pass at boundary granularity:
+    * any span whose text occurs in at least `minDf` distinct documents is
+    * removed from EVERY document carrying it, and each document's survivors
+    * are reassembled in order.
+    *
+    * Returns (doc_id, n_segs, n_removed, clean_text) for every doc with at
+    * least one token.
+    *
+    * 100 TB shape: spans explode once; the document-frequency count runs on
+    * `xxhash64(span)` longs (same rationale as [[wordNgramHashes]]: only
+    * membership matters downstream, ~5× lighter shuffle than the span
+    * strings; collisions ~n²/2⁶⁵ merge two span groups); the frequent-span
+    * set is heavy-hitter-bounded (df ≥ minDf caps it at |spans|/minDf, in
+    * practice vocabulary-sized), so the removal anti-join broadcasts;
+    * reassembly is one shuffle keyed by doc id. No step touches a pair
+    * space. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+      span: Int, minDf: Int): DataFrame = {
+    val segs = docs
+      .select(id.as("doc_id"), posexplode(tokenSpans(text, span)).as(Seq("si", "s")))
+      .withColumn("h", xxhash64(col("s")))
+    val frequent = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val counts = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    val rebuilt = segs.join(frequent, Seq("h"), "left_anti")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("si"), col("s")))),
+          x => x.getField("s"))).as("clean_text"))
+    counts.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------- MinHash + LSH ----------------------------------------------
 
   /** k=32 MinHash signature over word-`n`-gram shingles — a one-pass codegen'd

@@ -91,6 +91,18 @@ object PipelineOps {
           col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
         .orderBy(col("d1"), col("d2"))
     }),
+    "q107_span_dedup" -> ((s, dir) => {
+      // Cross-document span-level dedup (the fixed-boundary form of Lee et
+      // al.'s substring dedup): 12-token spans occurring in ≥2 distinct docs
+      // are cut from every doc carrying them; survivors reassemble in order.
+      // The corpus's planted near-dups share real spans, so removal is
+      // non-trivial (~4% of spans at sf0.01). DF counting runs on
+      // xxhash64(span) longs; the frequent set is df-bounded → broadcast
+      // anti-join; reassembly is the one doc-keyed shuffle.
+      Dedup.spanDedup(t(s, dir, "documents"), col("doc_id"), col("text"),
+          span = 12, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
     "q46_minhash_lsh" -> ((s, dir) => {
       // MinHash(32) + LSH(8×4) candidates, exact-Jaccard verified on the
       // candidate set only. The murmur3 signatures aren't SQL-expressible,
@@ -700,6 +712,27 @@ object PipelineOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q45_ngram_jaccard" -> NgramJaccardOracle,
+    "q107_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(ceil(len(t) / 12.0) AS BIGINT) - 1)) AS si, t
+        |  FROM toks WHERE len(t) > 0),
+        |s2 AS (
+        |  SELECT doc_id, si, array_to_string(t[si*12+1 : si*12+12], ' ') AS s FROM seg),
+        |freq AS (
+        |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM s2 GROUP BY s)
+        |  WHERE df >= 2),
+        |nseg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM s2 GROUP BY doc_id),
+        |reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(s, ' ' ORDER BY si) AS clean_text
+        |  FROM s2 WHERE s NOT IN (SELECT s FROM freq) GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_segs,
+        |  CAST(n.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM nseg n LEFT JOIN reb r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // MinHash+LSH's verified candidate set equals the exact inverted-index
     // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
     // odds ~2e-4 with 8 bands) — the exact-pairs oracle applies verbatim.

@@ -430,6 +430,37 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
   }
 
+  test("spanDedup: shared spans cut from every carrier, survivors reassemble in order") {
+    // span=3: docs 1 and 2 share the middle span "d e f" exactly at a
+    // window boundary; doc 3 repeats it too (df=3); doc 4 is untouched.
+    // Unique spans survive even when the doc loses others.
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),   // spans: [a b c][d e f][g h i]
+      (2L, "x y z d e f q r s"),   // shares [d e f]
+      (3L, "d e f"),               // IS the shared span — fully removed
+      (4L, "m n o p")              // spans: [m n o][p] — short tail kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("doc_id"), col("text"), span = 3, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 1L, "a b c g h i")))
+    assert(out(1) == ((2L, 3L, 1L, "x y z q r s")))
+    assert(out(2) == ((3L, 1L, 1L, "")))           // all content removed
+    assert(out(3) == ((4L, 2L, 0L, "m n o p")))    // partial tail span intact
+  }
+
+  test("tokenSpans: ceil-div segment count, short tails, empty-text guard") {
+    val df = Seq(("a b c d e", 1), ("a", 2), ("", 3), ("   ", 4)).toDF("text", "k")
+    val rows = df.select($"k", Dedup.tokenSpans($"text", 2).as("sp"))
+      .orderBy($"k").collect()
+    assert(rows(0).getAs[scala.collection.Seq[String]]("sp") == Seq("a b", "c d", "e"))
+    assert(rows(1).getAs[scala.collection.Seq[String]]("sp") == Seq("a"))
+    // split("", "\\s+") yields [""] in Spark — one empty token, one span;
+    // the sequence(0,-1) guard is for genuinely empty token arrays
+    assert(rows(2).getAs[scala.collection.Seq[String]]("sp") == Seq(""))
+    assert(rows(3).getAs[scala.collection.Seq[String]]("sp") == Seq(""))
+  }
+
   test("chunkDocuments: boundary chunk counts and exact overlap slices") {
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, doc(8)), (2L, doc(9)), (3L, doc(14)), (4L, doc(2)))
