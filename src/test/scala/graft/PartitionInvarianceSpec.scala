@@ -31,7 +31,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q98_pack_concat", "q99_epoch_mixture", "q100_chunking",
     // oracle twins (banded simhash pairs, deterministic LSH ANN) and the
     // SQL-text pipeline through the function registry
-    "q102_simhash_oracle", "q103_ann_lsh_oracle", "q104_sql_pipeline")
+    "q102_simhash_oracle", "q103_ann_lsh_oracle", "q104_sql_pipeline",
+    // span dedup (ordered span reassembly via collect_list + struct sort)
+    // and the batch video decode
+    "q107_span_dedup", "q106_multimodal_video")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
