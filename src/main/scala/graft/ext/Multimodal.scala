@@ -271,12 +271,15 @@ object Multimodal {
   /** Evenly spaced frame indices for sampling `n` frames of a clip —
     * integer arithmetic over the decoded frame count (unlike
     * [[frameSampleOffsets]], which seeks bytes of an opaque payload).
-    * Clips shorter than `n` sample every frame once. */
+    * Clips shorter than `n` sample every frame once; a zero-frame clip
+    * samples nothing (guarded explicitly — `sequence(0, -1)` would count
+    * DOWN, not return empty). */
   def frameIndexSample(vFrames: Column, n: Int): Column =
     when(vFrames >= n,
       transform(sequence(lit(0), lit(n - 1)),
         i => call_function("div", i.cast("long") * vFrames, lit(n.toLong))))
-      .otherwise(sequence(lit(0L), vFrames.cast("long") - 1))
+      .when(vFrames > 0, sequence(lit(0L), vFrames.cast("long") - 1))
+      .otherwise(array().cast("array<long>"))
 
   /** Resize planning: scales metadata to fit a bounding box, preserving
     * aspect ratio (real resize happens in the codec; the plan is what the

@@ -461,6 +461,16 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(3).getAs[scala.collection.Seq[String]]("sp") == Seq(""))
   }
 
+  test("frameIndexSample: zero-frame clips sample nothing, not a descending range") {
+    import graft.ext.Multimodal
+    val rows = Seq(0, 3, 16).toDF("f")
+      .select($"f", Multimodal.frameIndexSample($"f", 8).as("idx"))
+      .orderBy($"f").collect()
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("idx").isEmpty)
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("idx") == Seq(0L, 1L, 2L))
+    assert(rows(2).getAs[scala.collection.Seq[Long]]("idx") == (0 until 8).map(_ * 2L))
+  }
+
   test("chunkDocuments: boundary chunk counts and exact overlap slices") {
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, doc(8)), (2L, doc(9)), (3L, doc(14)), (4L, doc(2)))
