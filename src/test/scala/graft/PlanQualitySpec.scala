@@ -194,4 +194,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q107 span dedup: frequent-set removal is an equi anti-join, no cartesian") {
+    // the AQE-final plan builds the df-bounded frequent set as the broadcast
+    // side (verified by executed-plan inspection); statically we pin the
+    // join type and that nothing degenerates to a nested-loop/cartesian
+    val p = plan("q107_span_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
