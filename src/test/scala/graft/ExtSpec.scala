@@ -461,6 +461,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(3).getAs[scala.collection.Seq[String]]("sp") == Seq(""))
   }
 
+  test("spanDedup laws: lossless segmentation, minDf extremes") {
+    // a deterministic varied corpus: lengths straddle every span boundary
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (0 until i * 3 % 17 + 1).map(j => s"w${(i * 7 + j) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (span <- Seq(1, 2, 3, 7)) {
+      // segmentation is lossless on the token stream: rejoining the spans
+      // reproduces the whitespace-normalized text
+      val bad = docs.select($"text",
+          concat_ws(" ", Dedup.tokenSpans($"text", span)).as("rejoined"))
+        .filter(concat_ws(" ", graft.ext.TextAnalysis.tokens($"text")) =!= $"rejoined")
+      assert(bad.isEmpty, s"span=$span lost tokens")
+      // minDf=1: every span occurs in >=1 doc, so everything is removed
+      val all = Dedup.spanDedup(docs, col("doc_id"), col("text"), span, minDf = 1)
+        .filter($"n_removed" =!= $"n_segs" || $"clean_text" =!= "")
+      assert(all.isEmpty, s"span=$span minDf=1 kept content")
+      // minDf > |docs|: nothing can clear the threshold, every doc intact
+      val none = Dedup.spanDedup(docs, col("doc_id"), col("text"), span, minDf = 13)
+        .filter($"n_removed" =!= 0L)
+      assert(none.isEmpty, s"span=$span minDf>ndocs removed content")
+    }
+  }
+
   test("frameIndexSample: zero-frame clips sample nothing, not a descending range") {
     import graft.ext.Multimodal
     val rows = Seq(0, 3, 16).toDF("f")
