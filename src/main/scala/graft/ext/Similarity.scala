@@ -272,13 +272,15 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 0, tables: Int = 12, dim: Int = 64,
       probes: Int = 16): DataFrame = {
-    // planes <= 0 → the scale rule decides: bucket granularity MUST grow
-    // with the corpus or the bucket self-join turns quadratic (measured
-    // 34.8× wall at 10× data with planes pinned to 8; ~1.8× under the
-    // rule). The count is one footer-stats job on a parquet-backed corpus.
-    // At the verified-recall scales (≤ 2048 rows) the rule returns the
-    // floor 8, so oracle behavior is unchanged there.
-    val p = if (planes > 0) planes else neardupPlanesFor(emb.count())
+    // The corpus count steers both scale decisions below (one footer-stats
+    // job on a parquet-backed corpus). planes <= 0 → the rule decides:
+    // bucket granularity MUST grow with the corpus or the bucket self-join
+    // turns quadratic (measured 34.8× wall at 10× data with planes pinned
+    // to 8; ~1.8× under the rule). At the verified-recall scales (≤ 2048
+    // rows) the rule returns the floor 8, so oracle behavior is unchanged
+    // there.
+    val n = emb.count()
+    val p = if (planes > 0) planes else neardupPlanesFor(n)
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
@@ -286,14 +288,26 @@ object Similarity {
       explode(lshProbeKeys(col("embedding"), p, tables, dim, probes)).as("bkt"))
     val v = emb.select(col("vec_id"),
       explode(lshTableKeys(col("embedding"), p, tables, dim)).as("bkt"))
-    val cand = a.alias("a").join(v.alias("b"),
+    // Join-strategy guard for the post-broadcast regime: while the corpus
+    // fits a broadcast (~≤40k vectors at dim 64) the planner's broadcast
+    // joins are optimal and the hint would force a worse shuffle join —
+    // but past that size the planner falls back to sort-merge, and sorting
+    // the (linearly growing) probe/pair volume dominated the 100× scaling
+    // probe: q50 measured ~500 s at 100× data from exactly these sorts.
+    // shuffle_hash keeps those stages sort-free and the wall linear
+    // (PERFNOTES 100× table); the build sides (base keys / corpus rows per
+    // partition) stay hash-table-sized.
+    val rowBytes = dim * 4L + 24L
+    val hashHint = n * rowBytes > (8L << 20)
+    def h(df: DataFrame): DataFrame = if (hashHint) df.hint("shuffle_hash") else df
+    val cand = a.alias("a").join(h(v.alias("b")),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
     val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
-      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
+      .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
+      .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
       .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
       .filter(col("sim") >= threshold)
       .select(col("v1"), col("v2"), col("sim"))
