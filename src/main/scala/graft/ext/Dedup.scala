@@ -346,6 +346,55 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
+  /** (doc_id, fp, bkey) band frame of [[simhash60Md5]]: the four 15-bit
+    * bands packed into ONE long key `bkey = bidx·2¹⁵ + bval` (17 bits) —
+    * the single-column form a bucketed band snapshot wants (one bucket key,
+    * not a composite). */
+  private[graft] def simhash60BandFrame(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), simhash60Md5(text).as("fp"))
+      .select(col("doc_id"), col("fp"), explode(array((0 until 4).map(i =>
+        (shiftright(col("fp"), 15 * i).bitwiseAND(lit(32767L)) + lit(i * 32768L)).as("bkey")): _*))
+        .as("bkey"))
+
+  /** Build the production corpus side of incremental NEAR-dup ingest: the
+    * corpus's distinct (band key, fingerprint) pairs as a bucketed,
+    * bucket-sorted catalog table keyed by `bkey`. The shuffle over the
+    * (100 TB) corpus is paid ONCE here — every subsequent ingest probes the
+    * snapshot in its bucket layout with zero Exchange on the snapshot side
+    * ([[novelNearDupAgainstSnapshot]]; the near-dup analogue of
+    * [[snapshotFingerprints]]). Size: ≤ 4 rows per corpus doc, minus
+    * (bkey, fp) duplicates — exact-dup docs collapse to one snapshot row
+    * per band. */
+  def snapshotSimhashBands(corpus: DataFrame, id: Column, text: Column,
+      table: String, buckets: Int): Unit =
+    graft.tables.Bucketing.writeBucketed(
+      simhash60BandFrame(corpus, id, text).select(col("bkey"), col("fp")).distinct(),
+      table, buckets, Seq("bkey"))
+
+  /** Incremental NEAR-dup ingest against a pre-built band snapshot
+    * ([[snapshotSimhashBands]]): a batch doc is dropped when it band-collides
+    * within Hamming ≤ `maxHamming` of any corpus fingerprint, or of a
+    * SMALLER-id batch doc (the deterministic keep-min rule; chains need
+    * [[connectedComponents]], near-dup ingests are near-cliques). The corpus
+    * probe consumes the snapshot in its bucket layout — no shuffle and no
+    * sort on the snapshot side, only the (daily-sized) batch repartitions to
+    * the bucket count; the within-batch pass is [[simhash60Md5Pairs]]'s
+    * band equi-join. Every step is deterministic cross-engine integer
+    * arithmetic (the [[simhash60Md5]] signature), so the surviving-doc set
+    * carries a full DuckDB oracle (q108). */
+  def novelNearDupAgainstSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, incoming: DataFrame, id: Column, text: Column,
+      maxHamming: Int): DataFrame = {
+    val snap = spark.table(snapshotTable).withColumnRenamed("fp", "cfp")
+    val probe = simhash60BandFrame(incoming, id, text)
+    val corpusHit = probe.join(snap, Seq("bkey"))
+      .filter(bit_count(col("fp").bitwiseXOR(col("cfp"))) <= maxHamming)
+      .select(col("doc_id").as("__hit"))
+    val batchHit = simhash60Md5Pairs(incoming, id, text, maxHamming)
+      .select(col("d2").as("__hit"))
+    incoming.join(corpusHit.union(batchHit).distinct(), id === col("__hit"), "left_anti")
+  }
+
   /** Near-dup pairs from [[simhash60Md5]]: 4×15-bit band blocking, Hamming ≤
     * `maxHamming` (band agreement is guaranteed by pigeonhole only for
     * Hamming ≤ 3 — wider distances may be missed, simhash's standard recall

@@ -577,6 +577,33 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q82_fp_snap")
       s.read.parquet(tmp)
     }),
+    "q108_incremental_neardup" -> ((s, dir) => {
+      // q82's incremental-ingest wiring applied to NEAR-dup dedup: the
+      // corpus's simhash60Md5 band keys (4×15-bit bands packed into one
+      // long) are a pre-built bucketed snapshot; the batch probes it
+      // co-located (zero Exchange on the snapshot side, ScaleOpsSpec) and
+      // drops docs within Hamming ≤ 5 of any corpus fingerprint or of a
+      // smaller-id batch doc. Every step is deterministic cross-engine
+      // integer arithmetic (the q102 signature), so the surviving-doc set
+      // carries a full DuckDB restatement — the production daily-ingest
+      // shape (exact-dup ingest = q82, near-dup ingest = this) under the
+      // full oracle gate.
+      dropScratch(s, "q108_band_snap")
+      val docs = t(s, dir, "documents")
+      Dedup.snapshotSimhashBands(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), "q108_band_snap", 8)
+      val out = Dedup.novelNearDupAgainstSnapshot(s, "q108_band_snap",
+          docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+          maxHamming = 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      // data-sized result — same scratch-table hygiene as q82: round-trip
+      // through a single-file parquet, drop the snapshot, read back.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q108").toString
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+      s.sql("DROP TABLE IF EXISTS q108_band_snap")
+      s.read.parquet(tmp)
+    }),
     "q79_skew_salted_join" -> ((s, dir) => {
       // Skew-salted equi-join under the driver's gate: events (the heavy,
       // potentially hot-keyed side) salt 8 ways, customer dim replicated per
@@ -1265,6 +1292,42 @@ object PipelineOps {
         |  FROM fp WHERE doc_id % 2 = 1)
         |SELECT doc_id, lang, n_chars FROM batch
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
+    // full restatement of near-dup ingest: q102's signature, bands split by
+    // doc parity, corpus-hit + smaller-batch-hit anti-joins
+    "q108_incremental_neardup" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> list_reduce(
+        |             list_transform(string_split(md5(t), '')[1:15],
+        |               c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                         ELSE unicode(c) - 48 END AS BIGINT)),
+        |             (a, v) -> a * 16 + v)) AS gs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        |      CASE WHEN list_sum(list_transform(gs, g -> ((g >> b) & 1) * 2 - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM g),
+        |bands AS (
+        |  SELECT doc_id, fp, bb.bidx AS bidx, (fp >> (15 * bb.bidx)) & 32767 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bidx) bb),
+        |corp_hit AS (
+        |  SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+        |    ON b.bidx = c.bidx AND b.bval = c.bval
+        |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        |    AND bit_count(xor(b.fp, c.fp)) <= 5),
+        |batch_hit AS (
+        |  SELECT DISTINCT y.doc_id FROM bands x JOIN bands y
+        |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1
+        |    AND bit_count(xor(x.fp, y.fp)) <= 5)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM corp_hit)
+        |  AND doc_id NOT IN (SELECT doc_id FROM batch_hit)
         |ORDER BY doc_id""".stripMargin,
     // the bucketed join is row-identical to the plain join — plain SQL oracle
     "q80_bucketed_join" ->

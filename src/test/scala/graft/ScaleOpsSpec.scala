@@ -215,6 +215,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental NEAR-dup ingest: snapshot probe is co-located, semantics keep-min") {
+    // handcrafted semantics first: exact dup of corpus drops (h=0), novel
+    // doc survives, within-batch twin keeps the min id
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus text about something else entirely"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // = doc 0
+      (3L, "unrelated novel content that matches nothing in the corpus"),
+      (5L, "unrelated novel content that matches nothing in the corpus")  // = doc 3
+    ).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS nd_snap")
+    graft.ext.Dedup.snapshotSimhashBands(docs.filter($"doc_id" % 2 === 0),
+      col("doc_id"), col("text"), "nd_snap", 2)
+    val novel = graft.ext.Dedup.novelNearDupAgainstSnapshot(spark, "nd_snap",
+      docs.filter($"doc_id" % 2 === 1), col("doc_id"), col("text"), maxHamming = 5)
+    assert(novel.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    spark.sql("DROP TABLE IF EXISTS nd_snap")
+
+    // plan shape on the real corpus: the probe join reads the snapshot's
+    // bucket layout directly — zero Exchange below the snapshot side
+    val real = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    graft.ext.Dedup.snapshotSimhashBands(real.filter($"doc_id" % 2 === 0),
+      col("doc_id"), col("text"), "nd_snap", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      // AQE wraps completed stages in leaf QueryStageExec nodes that
+      // collect() can't descend into — the static plan shows the real tree
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.ext.Dedup.novelNearDupAgainstSnapshot(spark, "nd_snap",
+        real.filter($"doc_id" % 2 === 1), col("doc_id"), col("text"), maxHamming = 5)
+      out.collect()
+      // the probe join is the one with the snapshot scan on one side
+      val probeSides = out.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.children
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.children
+      }.flatten.map(_.toString).filter(_.contains("nd_snap"))
+      assert(probeSides.nonEmpty, "expected a shuffled probe join against the snapshot:\n"
+        + out.queryExecution.executedPlan)
+      // outer joins above the probe transitively contain the snapshot scan
+      // too — the probe's own snapshot side is the innermost (shortest) one
+      val snapSide = probeSides.minBy(_.length)
+      assert(!snapSide.contains("Exchange"), "snapshot side must not shuffle:\n" + snapSide)
+      assert(snapSide.contains("Bucketed: true"), "snapshot must read its bucket layout:\n" + snapSide)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS nd_snap")
+    }
+  }
+
   test("partitioned layout: filter prunes at listing time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
