@@ -162,6 +162,39 @@ object Curation {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Seeded shuffle key: `md5(seed || ':' || id)` — a deterministic,
+    * engine-portable total order (md5 string equality is already
+    * cross-engine-proven by the content fingerprints). Different seeds give
+    * independent orders, so per-epoch reshuffles are one seed change. */
+  def shuffleKey(id: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), id.cast("string")))
+
+  /** Deterministic global shuffle of a training corpus: total order by
+    * [[shuffleKey]] (id tie-break for md5-collision paranoia). Spark executes
+    * a global ORDER BY as a RANGE-partitioned sort — boundary sampling, then
+    * independent per-partition sorts; no single-task pass at any scale. The
+    * epoch-shuffle every trainer needs, reproducible across runs, engines,
+    * and cluster sizes. */
+  def shuffled(df: DataFrame, id: Column, seed: String): DataFrame = {
+    val key = shuffleKey(id, seed)
+    df.withColumn("shuffle_key", key).orderBy(col("shuffle_key"), id)
+  }
+
+  /** Materialized form of [[shuffled]]: write the corpus as `files` parquet
+    * files whose CONCATENATION in filename order is the shuffled order —
+    * `repartitionByRange` on the shuffle key gives each file a disjoint key
+    * range (balanced by sampling) and `sortWithinPartitions` orders inside,
+    * so a shard reader streaming files sequentially replays the exact
+    * global permutation without any single global sort task. */
+  def writeShuffled(df: DataFrame, id: Column, seed: String,
+      path: String, files: Int): Unit = {
+    val keyed = df.withColumn("__sk", shuffleKey(id, seed)).withColumn("__id", id)
+    keyed.repartitionByRange(files, col("__sk"), col("__id"))
+      .sortWithinPartitions(col("__sk"), col("__id"))
+      .drop("__sk", "__id")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Mixture weights ABOVE 1.0 — "epochs per domain": each row repeats
     * `rate/1000` full times, plus one more when its [[sampleKey]] falls
     * under the fractional remainder (rate 2300 = every doc twice, a

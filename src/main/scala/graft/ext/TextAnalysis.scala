@@ -80,6 +80,32 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  // ---------- PII scrubbing ------------------------------------------------
+
+  /** Conservative PII patterns — the character classes are chosen to parse
+    * identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+    * no backreferences, explicit whitespace classes. Public-knowledge
+    * constructions (the standard "good enough for web text" shapes). */
+  private[graft] val urlRe = "https?://[^ \\t\\r\\n]+"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val longNumRe = "[0-9]{7,}"
+
+  /** Redact personally-identifying spans from web text: URLs, email
+    * addresses, and long digit runs (phone numbers, account ids) each
+    * collapse to a typed placeholder token. Order matters and is fixed —
+    * URLs first (their query strings contain digit runs and @-forms that
+    * must vanish as part of the URL, not survive as a half-redacted
+    * remnant), then emails, then bare digit runs. A pure per-row codegen'd
+    * expression chain: no shuffle, no UDF, scan-speed at any scale — and
+    * every pattern/replacement is engine-portable, so redacted text (and
+    * its md5) is cross-engine exact (q110). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      longNumRe, "<NUM>")
+
   /** Rolling polynomial fingerprint over tokens (mod 1e9+7, ascii+length
     * token features) — an order-SENSITIVE sketch, cross-engine mirrorable
     * (DuckDB `list_reduce` seeds with the first element, so we fold from the

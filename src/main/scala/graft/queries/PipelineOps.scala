@@ -604,6 +604,38 @@ object PipelineOps {
       s.sql("DROP TABLE IF EXISTS q108_band_snap")
       s.read.parquet(tmp)
     }),
+    "q109_epoch_shuffle" -> ((s, dir) => {
+      // Deterministic global corpus shuffle: total order by md5(seed:id) —
+      // the epoch shuffle every trainer needs, reproducible across engines
+      // and cluster sizes (a different seed is a fresh permutation). Spark
+      // plans the global ORDER BY as a range-partitioned sort (sampled
+      // boundaries, per-partition sorts — no single-task pass);
+      // Curation.writeShuffled materializes the same order as ordered
+      // parquet shards (ScaleOpsSpec covers the file form).
+      Curation.shuffled(t(s, dir, "documents"), col("doc_id"), seed = "epoch1")
+        .select(col("shuffle_key"), col("doc_id"), col("lang"))
+    }),
+    "q110_pii_redaction" -> ((s, dir) => {
+      // PII scrubbing: URLs, emails, and long digit runs collapse to typed
+      // placeholders (TextAnalysis.redactPii — codegen'd regexp chain, no
+      // shuffle, scan-speed). The synthetic corpus carries no PII, so the
+      // query plants a deterministic PII suffix per doc ON BOTH SIDES (the
+      // oracle builds the identical string) — the redaction itself, and its
+      // md5, must then match cross-engine, which pins Java-regex and RE2
+      // agreement on the conservative pattern classes.
+      val piiText = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or https://ex.example/p/"),
+        col("doc_id").cast("string"),
+        lit("?sid=98765432 ref 123456789"))
+      val red = TA.redactPii(piiText)
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), md5(red).as("red_md5"),
+          size(regexp_extract_all(red, lit("<URL>"), lit(0))).cast("long").as("n_url"),
+          size(regexp_extract_all(red, lit("<EMAIL>"), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(red, lit("<NUM>"), lit(0))).cast("long").as("n_num"))
+        .orderBy(col("doc_id"))
+    }),
     "q79_skew_salted_join" -> ((s, dir) => {
       // Skew-salted equi-join under the driver's gate: events (the heavy,
       // potentially hot-keyed side) salt 8 ways, customer dim replicated per
@@ -1329,6 +1361,32 @@ object PipelineOps {
         |  AND doc_id NOT IN (SELECT doc_id FROM corp_hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM batch_hit)
         |ORDER BY doc_id""".stripMargin,
+    // identical PII construction + RE2 spelling of the same regex cascade
+    "q110_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or https://ex.example/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?sid=98765432 ref 123456789' AS pii
+        |  FROM documents WHERE doc_id < 200),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(pii,
+        |      'https?://[^ \t\r\n]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, md5(red) AS red_md5,
+        |  CAST(length(regexp_extract_all(red, '<URL>')) AS BIGINT) AS n_url,
+        |  CAST(length(regexp_extract_all(red, '<EMAIL>')) AS BIGINT) AS n_email,
+        |  CAST(length(regexp_extract_all(red, '<NUM>')) AS BIGINT) AS n_num
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the seeded md5 order is engine-portable — restated verbatim
+    "q109_epoch_shuffle" ->
+      """SELECT md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  doc_id, lang
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
     // the bucketed join is row-identical to the plain join — plain SQL oracle
     "q80_bucketed_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

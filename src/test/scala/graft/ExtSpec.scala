@@ -567,6 +567,26 @@ class ExtSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("redactPii: urls, emails, digit runs collapse to typed placeholders") {
+    val rows = Seq(
+      // url swallows its query string (digits + @-form inside must not
+      // survive as half-redacted remnants)
+      (1L, "see https://ex.com/a?u=bob@x.com&id=12345678 now"),
+      (2L, "mail bob.smith+tag@sub.example.org please"),
+      (3L, "call 5551234567 or 123456 short stays"),
+      (4L, "plain text with no pii at all"),
+      (5L, "")).toDF("id", "text")
+    val got = rows.select(col("id"),
+        graft.ext.TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "see <URL> now")
+    assert(got(2L) == "mail <EMAIL> please")
+    // 10-digit run redacts, 6-digit run stays (threshold is 7)
+    assert(got(3L) == "call <NUM> or 123456 short stays")
+    assert(got(4L) == "plain text with no pii at all")
+    assert(got(5L) == "")
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)

@@ -267,6 +267,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShuffled: reading shards in filename order replays the global permutation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "lang")
+    graft.ext.Curation.writeShuffled(docs, col("doc_id"), "ep1", dir, 6)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 6, s"expected 6 shard files, got ${files.length}")
+    // each tiny file is one split, so per-file read order = written order;
+    // concatenation in filename order must equal the orderBy spelling
+    val replayed = files.flatMap(f =>
+      spark.read.parquet(f.toString).select("doc_id").collect().map(_.getLong(0)))
+    val expected = graft.ext.Curation.shuffled(docs, col("doc_id"), "ep1")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(replayed.toSeq == expected.toSeq,
+      "shard concatenation must replay the global shuffled order")
+    // a different seed is an (almost surely) different permutation
+    val other = graft.ext.Curation.shuffled(docs, col("doc_id"), "ep2")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(other.toSeq != expected.toSeq)
+  }
+
   test("partitioned layout: filter prunes at listing time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
