@@ -103,11 +103,17 @@ object Dedup {
     * Returns (node, comp). */
   def connectedComponents(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
       maxIter: Int = 20): DataFrame = {
+    // labels are referenced several times per round (neighbor-min join,
+    // convergence probe, next round) — persist() caches data but the logical
+    // plan still nests geometrically, which OOMs the driver on deep chains
+    // long before maxIter trips. localCheckpoint (eager) truncates lineage
+    // each round; swap in a reliable checkpoint dir when executor loss is in
+    // play at cluster scale.
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct().persist()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
+      .withColumn("comp", col("node")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -116,7 +122,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint()
       // isEmpty, not count(): the convergence probe stops at the first
       // changed row (limit-1 semantics) instead of counting all of them
       val anyChanged = !next.alias("n")
@@ -135,6 +141,79 @@ object Dedup {
         "graph has longer chains than expected; raise maxIter or switch to " +
         "the large-star/small-star formulation for this input")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * extreme-scale variant [[connectedComponents]]'s doc points at: rounds
+    * are O(log²) in component size instead of O(diameter), so ADVERSARIALLY
+    * LONG CHAINS (page-link graphs, citation chains) converge in ~log rounds
+    * where min-label propagation walks the whole path one hop per round.
+    *
+    *   - large-star: every node connects its strictly-larger neighbors to
+    *     the minimum of its closed neighborhood;
+    *   - small-star: every node connects its smaller-or-equal neighbors
+    *     (and itself) to that minimum.
+    *
+    * Each phase is one shuffle keyed by node id (the same join primitive as
+    * the propagation variant); the edge set provably converges to a star
+    * forest whose centers are the component minima. Deterministic: component
+    * id = min node id. Returns (node, comp) for every node in a pair.
+    * Output equals [[connectedComponents]] wherever both converge
+    * (ExtSpec asserts it on the real near-dup graph). */
+  def connectedComponentsStar(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+      maxIter: Int = 30): DataFrame = {
+    // Each round references the previous edge set several times (both
+    // neighborhood orientations, two star phases, the fixpoint probe), so
+    // lineage grows geometrically — persist() caches data but Catalyst still
+    // re-analyzes the full logical tree. localCheckpoint (eager) truncates
+    // the plan each round; at cluster scale with executor loss in play,
+    // switch to a reliable checkpoint dir — same one-line seam.
+    var edges = pairs
+      .select(col(d1).as("a"), col(d2).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val allNodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct().persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u.
+      // m ≤ u < v, so the emitted edge is already canonical and loop-free.
+      val nbr = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbr.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star on the larger→smaller orientation: u's smaller neighbors
+      // (and u itself) all connect to m(u) = the smallest of them.
+      val dir = large.select(col("b").as("u"), col("a").as("v"))
+      val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = dir.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(smins.select(col("m").as("a"), col("u").as("b")))
+        .distinct().localCheckpoint()
+      // fixpoint = edge set unchanged (both phases emit canonical pairs)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxIter rounds — " +
+        "raise maxIter (rounds grow with log² of the largest component)")
+    // at the fixpoint edges form stars (root = component min): every
+    // non-root appears exactly once as b; roots label themselves
+    // allNodes and the final (star-forest-sized) edges stay cached — the
+    // returned frame is lazy and reads both; they expire with the session
+    allNodes
+      .join(edges.select(col("b").as("node"), col("a").as("comp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 
   /** Keep exactly one document per duplicate cluster: the component's min

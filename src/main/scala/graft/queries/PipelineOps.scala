@@ -501,6 +501,21 @@ object PipelineOps {
           sum(col("node")).as("checksum"))
         .orderBy(col("comp"))
     }),
+    "q111_cc_star_chains" -> ((s, dir) => {
+      // Duplicate clusters on an ADVERSARIAL-DIAMETER pair graph: 7 disjoint
+      // ~50-node chains (edges (d, d+7) over doc ids) — the shape where
+      // q95's min-label propagation needs diameter rounds, and the
+      // large-star/small-star contraction (Kiveris et al.) converges in
+      // ~log rounds (ExtSpec pins the contrast). Components roll up as in
+      // q95; the oracle recomputes them by recursive transitive closure.
+      val pairs = t(s, dir, "documents").filter(col("doc_id") < 343)
+        .select(col("doc_id").as("d1"), (col("doc_id") + 7).as("d2"))
+      Dedup.connectedComponentsStar(pairs)
+        .groupBy(col("comp")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("node")).as("checksum"))
+        .orderBy(col("comp"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1268,6 +1283,20 @@ object PipelineOps {
         |  JOIN sizes sa ON sa.doc_id = d1
         |  JOIN sizes sb ON sb.doc_id = d2
         |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(node) AS BIGINT) AS checksum
+        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // same chain graph, components via recursive transitive closure
+    "q111_cc_star_chains" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS d1, doc_id + 7 AS d2 FROM documents WHERE doc_id < 343),
         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges

@@ -430,6 +430,28 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L)))
   }
 
+  test("connectedComponentsStar: log-round convergence on chains, equals propagation") {
+    // same small graph as the propagation test — identical labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), comp.toString)
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+
+    // the adversarial case the variant exists for: a 200-node chain
+    // (diameter 199). Propagation at 10 rounds must throw unconverged;
+    // star contraction converges well inside 30 (≈ log² bound).
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 10).collect()
+    }
+    val starComp = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starComp.length == 200 && starComp.forall(_._2 == 0L))
+  }
+
   test("spanDedup: shared spans cut from every carrier, survivors reassemble in order") {
     // span=3: docs 1 and 2 share the middle span "d e f" exactly at a
     // window boundary; doc 3 repeats it too (df=3); doc 4 is untouched.
