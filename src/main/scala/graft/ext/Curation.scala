@@ -275,6 +275,30 @@ object Curation {
       .drop("__str", "__pri", "__bid", "__tok", "__cum")
   }
 
+  /** Single-pass column profile — the data-health report of an ingest
+    * pipeline (null rates, cardinalities, value ranges per column, e.g. to
+    * catch a broken upstream feed before it trains). ONE aggregation
+    * computes every metric for every column (Catalyst plans the multiple
+    * DISTINCTs as one scan + an Expand of factor |cols|, all map-side
+    * combined), then the wide row unpivots to one row per column. Exact
+    * distinct counts keep the operator oracle-checkable; at 100 TB swap
+    * `count_distinct` for `approx_count_distinct` — same single-pass plan
+    * without the Expand. min/max stringify AFTER aggregating in the native
+    * type, so numeric ranges are numeric, not lexicographic. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nn"),
+      count_distinct(col(c)).as(s"__${c}_nd"),
+      min(col(c)).cast("string").as(s"__${c}_mn"),
+      max(col(c)).cast("string").as(s"__${c}_mx")))
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("col_name"), col("__n").as("n"),
+      col(s"__${c}_nn").as("n_null"), col(s"__${c}_nd").as("n_distinct"),
+      col(s"__${c}_mn").as("min_str"), col(s"__${c}_mx").as("max_str")))
+    row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Intra-document repetition signals (quality-filter features): total
     * token count, distinct-token ratio, and top-token dominance (count of
     * the most frequent token over all tokens — boilerplate and degenerate

@@ -198,8 +198,9 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .union(smins.select(col("m").as("a"), col("u").as("b")))
         .distinct().localCheckpoint()
-      // fixpoint = edge set unchanged (both phases emit canonical pairs)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // fixpoint = edge set unchanged (both phases emit canonical, distinct
+      // pairs, so equal cardinality + one empty difference proves equality)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges.unpersist()
       edges = next
       i += 1

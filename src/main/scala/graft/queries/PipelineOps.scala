@@ -503,18 +503,30 @@ object PipelineOps {
     }),
     "q111_cc_star_chains" -> ((s, dir) => {
       // Duplicate clusters on an ADVERSARIAL-DIAMETER pair graph: 7 disjoint
-      // ~50-node chains (edges (d, d+7) over doc ids) — the shape where
+      // ~29-node chains (edges (d, d+7) over doc ids) — the shape where
       // q95's min-label propagation needs diameter rounds, and the
       // large-star/small-star contraction (Kiveris et al.) converges in
       // ~log rounds (ExtSpec pins the contrast). Components roll up as in
       // q95; the oracle recomputes them by recursive transitive closure.
-      val pairs = t(s, dir, "documents").filter(col("doc_id") < 343)
+      val pairs = t(s, dir, "documents").filter(col("doc_id") < 196)
         .select(col("doc_id").as("d1"), (col("doc_id") + 7).as("d2"))
       Dedup.connectedComponentsStar(pairs)
         .groupBy(col("comp")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("node")).as("checksum"))
         .orderBy(col("comp"))
+    }),
+    "q112_corpus_profile" -> ((s, dir) => {
+      // Data-health profile of the documents table: per-column null rate,
+      // exact cardinality, and native-typed min/max — one scan (the multi-
+      // DISTINCT plans as a single Expand aggregation), unpivoted to a row
+      // per column. Text profiles via its md5 (portable ordering; raw-text
+      // min/max would hinge on collation). The report an ingest pipeline
+      // checks before a batch trains.
+      Curation.profile(
+          t(s, dir, "documents").withColumn("text_md5", md5(col("text"))),
+          Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
+        .orderBy(col("col_name"))
     }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
@@ -1296,7 +1308,7 @@ object PipelineOps {
     // same chain graph, components via recursive transitive closure
     "q111_cc_star_chains" ->
       """WITH RECURSIVE pairs AS (
-        |  SELECT doc_id AS d1, doc_id + 7 AS d2 FROM documents WHERE doc_id < 343),
+        |  SELECT doc_id AS d1, doc_id + 7 AS d2 FROM documents WHERE doc_id < 196),
         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
@@ -1307,6 +1319,36 @@ object PipelineOps {
         |SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(node) AS BIGINT) AS checksum
         |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+    // per-column stats restated as one UNION ALL branch per column
+    "q112_corpus_profile" ->
+      """WITH d AS (SELECT *, md5(text) AS text_md5 FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_str,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_str FROM d
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'text_md5', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN text_md5 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT text_md5) AS BIGINT),
+        |    CAST(min(text_md5) AS VARCHAR), CAST(max(text_md5) AS VARCHAR) FROM d
+        |) ORDER BY col_name""".stripMargin,
     "q93_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

@@ -309,6 +309,7 @@ object GraftSession {
     macroFn("lang_id", { case Seq(e) => TA.langId(e) })
     macroFn("content_fingerprint", { case Seq(e) => TA.contentFingerprint(e) })
     macroFn("rolling_fingerprint", { case Seq(e) => TA.rollingFingerprint(e) })
+    macroFn("redact_pii", { case Seq(e) => TA.redactPii(e) })
     graft.functions.UniqExactAggregator.register(spark)
     spark.udf.register("sleep", (secs: Double) => {
       require(secs >= 0, "sleep: negative duration")

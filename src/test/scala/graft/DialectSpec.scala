@@ -218,7 +218,8 @@ class DialectSpec extends AnyFunSuite {
         |       word_ngram_hashes('a b c d', 3) AS ngh,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |       round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
-        |       rolling_fingerprint('a b c') AS rfp
+        |       rolling_fingerprint('a b c') AS rfp,
+        |       redact_pii('mail bob@x.com or https://a.b/c id 12345678') AS red
         |""".stripMargin).collect()(0)
     import org.apache.spark.sql.functions._
     val col0 = TestSpark.spark.sql("SELECT 'a b c' AS t, 'the cat and the dog is in the house' AS e")
@@ -234,10 +235,11 @@ class DialectSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 11.0)
     assert(r.getDouble(5) === 1.0)
     assert(r.getLong(6) === col0.getLong(2))
+    assert(r.getString(7) === "mail <EMAIL> or <URL> id <NUM>")
     // registry surfaces them in system.functions
     val fns = g.sql("SELECT name FROM system.functions").collect().map(_.getString(0)).toSet
     Seq("simhash60md5", "minhash32", "word_ngrams", "quality_score",
-      "cosine_sim", "content_fingerprint").foreach(f => assert(fns.contains(f), f))
+      "cosine_sim", "content_fingerprint", "redact_pii").foreach(f => assert(fns.contains(f), f))
   }
 
   test("LIMIT n BY ignores a subquery's ORDER BY / LIMIT (depth-aware)") {

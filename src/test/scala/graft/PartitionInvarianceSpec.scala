@@ -34,7 +34,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q102_simhash_oracle", "q103_ann_lsh_oracle", "q104_sql_pipeline",
     // span dedup (ordered span reassembly via collect_list + struct sort)
     // and the batch video decode
-    "q107_span_dedup", "q106_multimodal_video")
+    "q107_span_dedup", "q106_multimodal_video",
+    // near-dup ingest vs bucketed band snapshot, global epoch shuffle
+    // (range-sort order), star-contraction components (iterative fixpoint)
+    "q108_incremental_neardup", "q109_epoch_shuffle", "q111_cc_star_chains")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
