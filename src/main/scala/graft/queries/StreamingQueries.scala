@@ -110,6 +110,27 @@ object StreamingQueries {
       EventStreams.runAvailableNow(agg, "q81_sink", needFinalBatch = false)
         .orderBy(col("ws"), col("event_type"))
     }),
+    "q113_stream_novel_ingest" -> ((s, dir) => withStatePartitions(s, 4) {
+      // q82's incremental ingest dedup as a STREAM: odd-id documents arrive
+      // as a file stream, anti-join the static even-id corpus fingerprint
+      // set, and dedup within the stream by a fingerprint-keyed aggregation
+      // keeping the MIN doc id — deterministic under any micro-batch split
+      // or partition arrival order (a keep-first dropDuplicates would be
+      // neither). Output = q66/q82's answer, so their oracle applies
+      // verbatim.
+      val corpusFps = graft.tables.Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(graft.ext.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .distinct()
+      val stream = EventStreams.readDocuments(s, dir)
+        .filter(col("doc_id") % 2 === 1)
+      val novel = EventStreams.novelIngest(stream, corpusFps,
+        graft.ext.TextAnalysis.contentFingerprint(col("text")))
+      EventStreams.runAvailableNow(novel, "q113_sink", OutputMode.Complete,
+          needFinalBatch = false)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q65_stream_stream_join" -> ((s, dir) => withStatePartitions(s, 4) {
       // Stream–stream interval join: purchases within 1 h after a click by
       // the same user. Inner join + two-sided time bound → buffered state
@@ -212,6 +233,20 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
         |FROM x GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    // q82's oracle verbatim — the stream must land on the batch answer
+    "q113_stream_novel_ingest" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp WHERE doc_id % 2 = 1)
+        |SELECT doc_id, lang, n_chars FROM batch
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
     // µs resolution matches the Spark reader (`ts div 1000` on nanos).
     "q65_stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us

@@ -52,6 +52,40 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of an sf directory's documents table — the ingest-stream
+    * model of a training-data pipeline (documents arrive as files land;
+    * `maxFilesPerTrigger` bounds each micro-batch). */
+  def readDocuments(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/documents.parquet*")
+
+  /** Streaming incremental ingest dedup — q82's daily-ingest shape as a
+    * STREAM: arriving docs anti-join the static corpus fingerprint set
+    * (stream–static join, no stream shuffle when the snapshot broadcasts),
+    * and the within-stream dedup is a streaming aggregation keyed by
+    * fingerprint that keeps the MIN doc id — deterministic regardless of
+    * micro-batch boundaries or partition arrival order, where a
+    * dropDuplicates keep-first would depend on both. State = one row per
+    * novel fingerprint (Complete mode re-emits the running novel set each
+    * batch — the daily-batch model; a continuous deployment would switch to
+    * Update mode + watermarked eviction, same operator). */
+  def novelIngest(docs: DataFrame, corpusFps: DataFrame,
+      fingerprint: org.apache.spark.sql.Column): DataFrame =
+    docs.withColumn("fp", fingerprint)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+
   /** Tumbling event-time window aggregation with a watermark. Window starts
     * align to the epoch, so `1 hour` buckets equal `date_trunc('hour', ts)` —
     * which keeps the batch oracle comparable. */

@@ -218,6 +218,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should produce at least one join pair")
   }
 
+  test("streaming novel ingest equals the batch incremental dedup (min-id kept)") {
+    val fp = graft.ext.TextAnalysis.contentFingerprint(col("text"))
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val corpusFps = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp")).distinct()
+    // maxFilesPerTrigger=1 still exercises the stateful agg across the
+    // stream's partitioned arrival; result must be min-id deterministic
+    val stream = EventStreams.readDocuments(spark, TestSpark.sfDir, maxFilesPerTrigger = 1)
+      .filter(col("doc_id") % 2 === 1)
+    val got = EventStreams.runAvailableNow(
+        EventStreams.novelIngest(stream, corpusFps, fp), "novel_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete, needFinalBatch = false)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = graft.ext.Dedup.novelAgainst(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        fp, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("file source end-to-end: streaming tumbling agg equals batch over sf0.001 events") {
     val stream = EventStreams.tumblingAgg(
       EventStreams.readEvents(spark, TestSpark.sfDir), "1 hour")
