@@ -210,6 +210,69 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Distributed Lloyd k-means fit — the IVF index-BUILD path ([[ivfTopK]]
+    * deliberately uses untrained lowest-id centroids; this trains them) and
+    * the semantic-clustering trainer behind [[centroidAssign]].
+    *
+    * All arithmetic is exact integer: embeddings quantize once to
+    * `floor(1e6·x)` longs (the q103 construction), distances are integer
+    * squared-L2, and the centroid update is elementwise floor-division of
+    * integer sums — so assignments, centroids, and the returned distances
+    * are bit-identical in any engine and any partitioning (double means
+    * would depend on summation order), and the whole `iters`-round fit is
+    * restatable as unrolled SQL (q114's DuckDB oracle does exactly that).
+    *
+    * Scale shape, per iteration: assignment is a pure map (centroids ride as
+    * codegen literals — k·dim longs); the update is ONE shuffle of k keys
+    * whose map-side partial is k·dim longs per task ([[graft.functions
+    * .VecSumAggregator]] — group state is dimension-sized, not group-sized);
+    * then a ≤k-row collect refreshes the driver-held centroids. No lineage
+    * growth across rounds — each assignment derives from the base scan plus
+    * literals, never from the previous round's DataFrame (the iterative-
+    * lineage OOM class documented on connectedComponents can't arise).
+    * Seeds are the k lowest-id vectors behind a pushed filter (the
+    * [[ivfTopK]] pattern); ties in assignment break to the lowest cell.
+    * Empty cells keep their previous centroid.
+    *
+    * Returns one row per vector: (vec_id, cell, dist) under the FINAL
+    * centroids, `dist` the integer squared-L2 in quantized space.
+    */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+      quant: Double = 1e6): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      transform(toDouble(col("embedding")), x => floor(x * quant).cast("long")).as("qv"))
+
+    var cents: Array[Seq[Long]] = q.filter(col("vec_id") < k)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
+    require(cents.length == k, s"kmeansFit: need vec_ids 0..${k - 1} as seeds, got ${cents.length}")
+
+    def sqDist(v: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // (dist, cell) struct min = nearest centroid, ties to the LOWEST cell
+    def best(v: Column): Column = array_min(array(cents.indices.map(i =>
+      struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
+
+    for (_ <- 1 to iters) {
+      val sums = q.select(col("qv"), best(col("qv")).getField("c").as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.VecSumAggregator.sum(col("qv")).as("s"))
+        .collect() // ≤ k rows: (cell, count, dim-long sum)
+      val byCell = sums.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+      cents = cents.indices.map { i =>
+        byCell.get(i.toLong) match {
+          case Some((cnt, s)) => s.map(Math.floorDiv(_, cnt))
+          case None           => cents(i) // empty cell: keep prior centroid
+        }
+      }.toArray
+    }
+
+    q.select(col("vec_id"), best(col("qv")).as("b"))
+      .select(col("vec_id"), col("b.c").as("cell"), col("b.d").as("dist"))
+  }
+
   /** Semantic clustering: assign every vector to its nearest centroid by
     * cosine (ties → lowest centroid id). Centroids are the `nlist` lowest-id
     * corpus vectors — the same deterministic pick and bounded pushed-filter

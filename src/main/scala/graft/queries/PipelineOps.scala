@@ -528,6 +528,19 @@ object PipelineOps {
           Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
         .orderBy(col("col_name"))
     }),
+    "q114_kmeans" -> ((s, dir) => {
+      // Distributed Lloyd k-means (k=8, 2 update rounds) over integer-
+      // quantized embeddings — the IVF index-BUILD path q49b's fixed
+      // centroids punt on. Exact integer arithmetic end to end (quantize →
+      // squared-L2 assign → floor-div centroid update), so the whole
+      // iterative fit is restated verbatim in the DuckDB oracle as unrolled
+      // rounds. Per round: a literal-centroid map (no shuffle), ONE k-key
+      // shuffle whose VecSumAggregator partials are dim-sized, a ≤k-row
+      // collect. Assignments derive from the base scan each round — no
+      // growing lineage.
+      Similarity.kmeansFit(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -736,7 +749,48 @@ object PipelineOps {
       |  JOIN sizes sb ON sb.doc_id = d2)
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin
 
+  /** Unrolled-SQL restatement of [[graft.ext.Similarity.kmeansFit]]: `iters`
+    * rounds of (assign, floor-div centroid update) CTEs over c0 = the k
+    * lowest-id quantized vectors, then the final assignment. Every step is
+    * integer arithmetic, so the SQL is exact — `(s - ((s % cnt + cnt) %
+    * cnt)) / cnt` is floor division spelled portably (nonneg mod works under
+    * both truncating and flooring `%`). */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def assign(i: Int, cPrev: String): String =
+      s"""d$i AS (
+         |  SELECT q.vec_id, q.qv, c.cell,
+         |    CAST(list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+         |  FROM qe q CROSS JOIN $cPrev c),
+         |a$i AS (SELECT vec_id, qv, cell, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    def update(i: Int, cPrev: String): String =
+      s"""s$i AS (
+         |  SELECT cell, ii.i AS pos, sum(qv[ii.i]) AS s, count(*) AS cnt
+         |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) ii
+         |  GROUP BY cell, ii.i),
+         |n$i AS (SELECT cell,
+         |    list(CAST((s - ((s % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cv
+         |  FROM s$i GROUP BY cell),
+         |c$i AS (SELECT p.cell, COALESCE(n$i.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN n$i ON n$i.cell = p.cell)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i, s"c${i - 1}"))
+      .mkString(",\n")
+    val fin = iters + 1
+    s"""WITH qe AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qe WHERE vec_id < $k),
+       |$rounds,
+       |${assign(fin, s"c$iters")}
+       |SELECT vec_id, cell, dist FROM a$fin ORDER BY vec_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q114_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q40_dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_rows,

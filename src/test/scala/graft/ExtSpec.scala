@@ -609,6 +609,59 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == "")
   }
 
+  test("kmeansFit: Lloyd objective never increases, assignments are exact-integer") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    def objective(iters: Int): Long =
+      Similarity.kmeansFit(emb, k = 8, iters = iters)
+        .agg(sum(col("dist"))).head().getLong(0)
+    val o0 = objective(0)
+    val o1 = objective(1)
+    val o2 = objective(2)
+    // Lloyd monotonicity: each (assign, update) round can only lower the
+    // quantized squared-L2 objective (floor-div rounding moves each centroid
+    // component <1 quantum from the true mean — at 1e6 quanta that slack is
+    // orders below the distances between synthetic vectors)
+    assert(o1 <= o0, s"objective rose after round 1: $o0 -> $o1")
+    assert(o2 <= o1, s"objective rose after round 2: $o1 -> $o2")
+    // training moved something: iters=2 differs from the untrained seeds
+    assert(o2 < o0)
+  }
+
+  test("kmeansFit: partition-invariant, duplicate seeds exercise the empty-cell path") {
+    import spark.implicits._
+    // vec 0 and 1 are IDENTICAL seeds: every point ties between cells 0 and
+    // 1 and the lowest-cell tie-break sends all of them (both seed points
+    // included) to cell 0 — cell 1 empties immediately and must keep its
+    // prior centroid instead of dividing by zero
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed 0
+      (1L, Array(1.0f, 0.0f)),   // seed 1 — identical to seed 0
+      (2L, Array(-1.0f, 0.0f)),  // seed 2: the -x cluster
+      (3L, Array(0.9f, 0.1f)),   // +x member
+      (4L, Array(-0.9f, -0.1f))  // -x member
+    ).toDF("vec_id", "embedding")
+    // Under the SEED centroids the tie-break shows: every +x point lands in
+    // cell 0 (0 vs identical 1 → lowest), cell 1 gets nothing
+    val cells0 = Similarity.kmeansFit(emb, k = 3, iters = 0)
+      .orderBy("vec_id").select("cell").as[Long].collect().toSeq
+    assert(cells0 === Seq(0L, 0L, 2L, 0L, 2L))
+    // After an update round, cell 0's centroid moves to the 3-point mean but
+    // cell 1 (empty) KEEPS the seed centroid — which is exactly vec 0/1, so
+    // they return to it at distance 0. Cell 1 surviving at all is the
+    // empty-cell keep-prior path working; a divide-by-zero or dropped cell
+    // would lose it.
+    val fit = Similarity.kmeansFit(emb, k = 3, iters = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(fit.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(fit.map(_._2) === Seq(1L, 1L, 2L, 0L, 2L))
+    assert(fit(0)._3 === 0L) // vec0 sits ON the preserved seed centroid
+    // identical result under a different partitioning (integer arithmetic
+    // has no summation-order term)
+    val fitR = Similarity.kmeansFit(emb.repartition(7), k = 3, iters = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(fitR === fit)
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
