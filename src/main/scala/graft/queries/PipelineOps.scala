@@ -541,6 +541,40 @@ object PipelineOps {
       Similarity.kmeansFit(t(s, dir, "embeddings"), k = 8, iters = 2)
         .orderBy(col("vec_id"))
     }),
+    "q115_dpp_join" -> ((s, dir) => {
+      // Dynamic partition pruning under the driver's gate: lineitem is laid
+      // out hive-partitioned by ship month, and the month filter arrives
+      // only THROUGH A JOIN with a dim derived from orders (months whose
+      // quarter is Q1) — no static predicate on the partition column exists
+      // at plan time, so directory pruning must come from Spark's runtime
+      // DPP subquery on the dim's broadcast. At 100 TB this is the
+      // difference between scanning every date partition and scanning the
+      // joined ones; ScaleOpsSpec asserts the dynamicpruning filter and the
+      // partitions-read metric. Result must equal the plain semi-join over
+      // the unpartitioned original.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q115-dpp").toString
+      try {
+        val li = t(s, dir, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        graft.tables.Layout.writePartitioned(li, tmp, Seq("ship_month"))
+        val months = t(s, dir, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"),
+            quarter(col("o_orderdate")).as("qtr"))
+          .filter(col("qtr") === 1)
+          .select("ship_month").distinct()
+        val out = s.read.parquet(tmp).join(months, "ship_month")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_ok"))
+        materialize(s, out) // 1 row; lets the scratch dir drop immediately
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1436,6 +1470,14 @@ object PipelineOps {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 300 AND l_partkey BETWEEN 50 AND 250""".stripMargin,
+    "q115_dpp_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+        |  FROM orders WHERE quarter(o_orderdate) = 1)""".stripMargin,
     // bucketed-snapshot wiring is row-identical to q66's plain formulation
     "q82_incremental_dedup_bucketed" ->
       """WITH fp AS (

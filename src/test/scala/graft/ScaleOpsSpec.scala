@@ -308,6 +308,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sel.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("partitioned fact joined through a filtered dim: dynamic partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    try {
+      val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
+      val nLangs = new java.io.File(dir).listFiles
+        .count(_.getName.startsWith("lang="))
+      // dim attribute is a DATA-dependent rollup (doc count per lang), so no
+      // static predicate on the partition column exists at plan time — only
+      // the runtime DPP subquery can prune the fact's directories
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val max = counts.agg(org.apache.spark.sql.functions.max(col("n_docs")))
+        .head().getLong(0)
+      val dim = counts.filter(col("n_docs") >= max)
+      val expectedLangs = dim.select("lang").collect().map(_.getString(0)).toSet
+      assert(expectedLangs.size < nLangs, "threshold must prune some partition")
+
+      val joined = spark.read.parquet(dir).join(dim, "lang")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.map(_.getString(0)).toSet == expectedLangs)
+
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(finalPlan.toString.contains("dynamicpruning"),
+        "fact scan must carry a DPP filter:\n" + finalPlan)
+      // AQE materializes earlier stages as QueryStageExec leaves whose inner
+      // plan is not a TreeNode child — descend explicitly
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+        }.flatten
+      val factScan = scans(finalPlan).find(_.partitionFilters.nonEmpty)
+        .getOrElse(fail("no partitioned scan in plan:\n" + finalPlan))
+      // the partitions-read metric proves directories were SKIPPED at
+      // runtime, not just filtered as rows
+      assert(factScan.metrics("numPartitions").value == expectedLangs.size,
+        s"expected ${expectedLangs.size} of $nLangs partitions read, " +
+          s"got ${factScan.metrics("numPartitions").value}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("compact: many small files become few, data identical, idempotent sizing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
