@@ -51,6 +51,16 @@ object TextAnalysis {
       + lit(0.3) * least(stopwordRatio(text) * 3, lit(1.0))
       + lit(0.2) * least(meanTokenLen(text) / 8, lit(1.0)), 6)
 
+  /** Hashing-trick linear classifier margin over unigram + adjacent-bigram
+    * features ([[graft.functions.HashExpressions.LinearMargin]]): the
+    * fastText SERVING shape — no vocabulary join, constant memory in the
+    * corpus size, one codegen'd pass at scan speed. Weights come from a
+    * public integer formula (a stand-in for a trained array riding as a
+    * literal), so the margin — and the keep/drop decision `margin >= 0` —
+    * is exact cross-engine integer arithmetic with a full SQL oracle. */
+  def hashedLinearMargin(text: Column, buckets: Int = 1 << 18): Column =
+    graft.functions.HashExpressions.hashedMargin(text, buckets)
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),

@@ -278,6 +278,60 @@ object HashExpressions {
     override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(newChild)
   }
 
+  /** Hashing-trick linear text classifier margin (the fastText serving
+    * shape): unigram + adjacent-bigram features hash into `buckets` slots
+    * (no vocabulary table — constant memory at any corpus size, the scale
+    * property that makes feature hashing standard), each slot carries an
+    * integer weight from the public formula
+    * `w(k) = (k · 2654435761) mod 8191 − 4095`, and the margin is the sum.
+    * Token hash = the md5 60-bit fold ([[SimHash60Md5.tokenHash]]), so the
+    * whole score is exact cross-engine integer arithmetic — q116's DuckDB
+    * oracle restates it verbatim. In production the formula weights are
+    * replaced by a trained weight array riding along as a literal; the
+    * operator shape (one pass, no shuffle, scan-speed) is identical.
+    */
+  object LinearMargin {
+    private val WS = java.util.regex.Pattern.compile("\\s+")
+    private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    def weight(h: Long, buckets: Int): Long =
+      ((h % buckets) * 2654435761L) % 8191L - 4095L
+
+    def margin(s: UTF8String, buckets: Int): Long = {
+      val str = s.toString
+      var a = 0
+      var b = str.length
+      while (a < b && str.charAt(a) == ' ') a += 1
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      val toks = WS.split(str.substring(a, b), -1)
+      val md = mdLocal.get()
+      var m = 0L
+      var i = 0
+      while (i < toks.length) {
+        m += weight(SimHash60Md5.tokenHash(md, toks(i)), buckets)
+        if (i + 1 < toks.length)
+          m += weight(SimHash60Md5.tokenHash(md, toks(i) + " " + toks(i + 1)), buckets)
+        i += 1
+      }
+      m
+    }
+  }
+
+  case class LinearMarginExpr(child: Expression, buckets: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hashed_margin"
+    override protected def nullSafeEval(input: Any): Any =
+      LinearMargin.margin(input.asInstanceOf[UTF8String], buckets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions$$LinearMargin$$.MODULE$$.margin($c, $buckets)")
+    override protected def withNewChildInternal(newChild: Expression): LinearMarginExpr =
+      copy(child = newChild)
+  }
+
   /** One-pass k=32 MinHash over an array of shingles.
     *
     * Semantics match the higher-order-function spelling in [[graft.ext.Dedup]]
@@ -379,5 +433,7 @@ object HashExpressions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def simhash60md5(c: Column): Column = Bridge.column(SimHash60(Bridge.expression(c)))
   def minhash32(c: Column): Column = Bridge.column(MinHash32(Bridge.expression(c)))
+  def hashedMargin(c: Column, buckets: Int): Column =
+    Bridge.column(LinearMarginExpr(Bridge.expression(c), buckets))
   def toTypeName(c: Column): Column = Bridge.column(TypeName(Bridge.expression(c)))
 }

@@ -575,6 +575,18 @@ object PipelineOps {
         rm(new java.io.File(tmp))
       }
     }),
+    "q116_quality_classifier" -> ((s, dir) => {
+      // Hashing-trick linear classifier scoring — the fastText SERVING
+      // shape: unigram + adjacent-bigram features hash into 2^18 buckets
+      // (no vocabulary join, constant memory at any corpus size), integer
+      // formula weights, keep = margin >= 0. One codegen'd kernel pass at
+      // scan speed, no shuffle; the margin is exact cross-engine integer
+      // arithmetic so the per-doc scores carry a full DuckDB oracle.
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), TA.hashedLinearMargin(col("text")).as("margin"))
+        .withColumn("keep", (col("margin") >= 0).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1470,6 +1482,27 @@ object PipelineOps {
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 300 AND l_partkey BETWEEN 50 AND 250""".stripMargin,
+    // full restatement of the hashing-trick margin: md5 60-bit fold per
+    // feature (q102's token-hash idiom), bucket mod, formula weights
+    "q116_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |feats AS (
+        |  SELECT doc_id, list_concat(t,
+        |    list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS fs
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(fs, f ->
+        |      ((list_reduce(list_transform(string_split(md5(f), '')[1:15],
+        |          c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                    ELSE unicode(c) - 48 END AS BIGINT)),
+        |        (a, v) -> a * 16 + v) % 262144) * 2654435761) % 8191 - 4095))
+        |    AS BIGINT) AS margin
+        |  FROM feats)
+        |SELECT doc_id, margin, CAST(margin >= 0 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q115_dpp_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  sum(l_quantity) AS sum_qty,

@@ -294,6 +294,8 @@ object GraftSession {
       { case Seq(e, n) => graft.functions.TextExpressions.WordNgramHashes(e, lint(n)) })
     Bridge.registerFunction(spark, "dot_product",
       { case Seq(a, b) => graft.functions.DotProduct(a, b) })
+    Bridge.registerFunction(spark, "hashed_margin",
+      { case Seq(e, b) => HashExpressions.LinearMarginExpr(e, lint(b)) })
     def macroFn(name: String,
         f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
       Bridge.registerFunction(spark, name,

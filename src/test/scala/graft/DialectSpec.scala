@@ -239,7 +239,8 @@ class DialectSpec extends AnyFunSuite {
     // registry surfaces them in system.functions
     val fns = g.sql("SELECT name FROM system.functions").collect().map(_.getString(0)).toSet
     Seq("simhash60md5", "minhash32", "word_ngrams", "quality_score",
-      "cosine_sim", "content_fingerprint", "redact_pii").foreach(f => assert(fns.contains(f), f))
+      "cosine_sim", "content_fingerprint", "redact_pii",
+      "hashed_margin").foreach(f => assert(fns.contains(f), f))
   }
 
   test("LIMIT n BY ignores a subquery's ORDER BY / LIMIT (depth-aware)") {

@@ -609,6 +609,38 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == "")
   }
 
+  test("hashed linear margin: kernel equals independent JVM recompute; classifier splits") {
+    // independent plain-Scala spelling: md5 hex → 15-char fold → bucket mod
+    // → formula weight, over unigrams + adjacent bigrams
+    def jvmMargin(text: String, buckets: Int): Long = {
+      val sp = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = sp.split("\\s+", -1)
+      def h(f: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        hex.foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+      }
+      def w(f: String): Long = ((h(f) % buckets) * 2654435761L) % 8191L - 4095L
+      toks.map(w).sum +
+        toks.sliding(2).filter(_.length == 2).map(p => w(p(0) + " " + p(1))).sum
+    }
+    val rows = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("text"), TextAnalysis.hashedLinearMargin(col("text")).as("m"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === jvmMargin(r.getString(0), 1 << 18)))
+    // formula weights are ± symmetric, so real docs land on both sides of 0
+    val margins = rows.map(_.getLong(1))
+    assert(margins.exists(_ >= 0) && margins.exists(_ < 0),
+      s"expected a nontrivial keep/drop split: ${margins.take(10).toSeq}")
+    // edge: empty text is one empty unigram, no bigram — still defined
+    import spark.implicits._
+    val e = Seq("").toDF("text")
+      .select(TextAnalysis.hashedLinearMargin(col("text"))).head().getLong(0)
+    assert(e === jvmMargin("", 1 << 18))
+  }
+
   test("kmeansFit: Lloyd objective never increases, assignments are exact-integer") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     def objective(iters: Int): Long =
