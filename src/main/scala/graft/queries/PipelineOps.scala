@@ -587,6 +587,27 @@ object PipelineOps {
         .withColumn("keep", (col("margin") >= 0).cast("long"))
         .orderBy(col("doc_id"))
     }),
+    "q117_range_join" -> ((s, dir) => {
+      // Binned range join under the gate: 2-day activity windows (first
+      // event onward) for every 20th user, attributed against ALL events by
+      // time alone — no equi key, the join Spark would plan as a nested
+      // loop. The band trick turns it into a bin equi-join (one day per
+      // bin, ≤3 bins per window) with the exact half-open predicate
+      // re-checked; ScaleOpsSpec pins equality with the theta join and the
+      // nested-loop-free plan. Integer rollup per window.
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
+      val wins = ev.filter(col("user_id") % 20 === 0)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("ws"))
+        .select(col("user_id").as("w_user"), col("ws"),
+          (col("ws") + lit(2L * 86400L * 1000000L)).as("we"))
+      graft.ops.RangeJoin.binnedRangeJoin(points, "pt", wins, "ws", "we",
+          bin = 86400L * 1000000L)
+        .groupBy(col("w_user"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("checksum"))
+        .orderBy(col("w_user"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1503,6 +1524,16 @@ object PipelineOps {
         |  FROM feats)
         |SELECT doc_id, margin, CAST(margin >= 0 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q117_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id AS w_user,
+        |    epoch_us(min(ts)) AS ws,
+        |    epoch_us(min(ts)) + 2 * 86400 * CAST(1000000 AS BIGINT) AS we
+        |  FROM events WHERE user_id % 20 = 0 GROUP BY user_id)
+        |SELECT w_user, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(e.event_id) AS BIGINT) AS checksum
+        |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+        |GROUP BY w_user ORDER BY w_user""".stripMargin,
     "q115_dpp_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  sum(l_quantity) AS sum_qty,

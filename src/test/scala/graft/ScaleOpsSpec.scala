@@ -360,6 +360,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join equals the theta join, plans as an equi join") {
+    val ev = graft.tables.Tables.table(spark, TestSpark.sfDir, "events")
+    val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val wins = ev.filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("ws"))
+      .select(col("user_id").as("w_user"), col("ws"),
+        (col("ws") + lit(2L * 86400L * 1000000L)).as("we"))
+    val banded = graft.ops.RangeJoin.binnedRangeJoin(points, "pt", wins,
+      "ws", "we", bin = 86400L * 1000000L)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("event_id", "w_user").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(wins, col("pt") >= col("ws") && col("pt") < col("we"))
+    assert(pairs(banded) == pairs(naive) && pairs(banded).nonEmpty)
+    banded.collect()
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"),
+      "banded range join must not nested-loop:\n" + p)
+    assert(p.contains("__bin"), "join should key on the bin:\n" + p)
+    // an interval spanning k bins registers k times, no more (replication
+    // is bounded by ceil(span/bin), the property that holds at 100 TB)
+    val expanded = wins.withColumn("__bin", explode(sequence(
+      ((col("ws") - pmod(col("ws"), lit(86400000000L))) / 86400000000L).cast("long"),
+      ((col("we") - 1 - pmod(col("we") - 1, lit(86400000000L))) / 86400000000L).cast("long"))))
+    val repl = expanded.groupBy("w_user").count().agg(max("count")).head().getLong(0)
+    assert(repl <= 3, s"2-day window at 1-day bins must register <= 3 times, got $repl")
+  }
+
   test("compact: many small files become few, data identical, idempotent sizing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
