@@ -313,6 +313,7 @@ object GraftSession {
     macroFn("rolling_fingerprint", { case Seq(e) => TA.rollingFingerprint(e) })
     macroFn("redact_pii", { case Seq(e) => TA.redactPii(e) })
     graft.functions.UniqExactAggregator.register(spark)
+    graft.functions.VecSumAggregator.register(spark)
     spark.udf.register("sleep", (secs: Double) => {
       require(secs >= 0, "sleep: negative duration")
       Thread.sleep(math.min((secs * 1000).toLong, 30000L))

@@ -219,7 +219,8 @@ class DialectSpec extends AnyFunSuite {
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |       round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
         |       rolling_fingerprint('a b c') AS rfp,
-        |       redact_pii('mail bob@x.com or https://a.b/c id 12345678') AS red
+        |       redact_pii('mail bob@x.com or https://a.b/c id 12345678') AS red,
+        |       hashed_margin('a b c', 262144) AS hm
         |""".stripMargin).collect()(0)
     import org.apache.spark.sql.functions._
     val col0 = TestSpark.spark.sql("SELECT 'a b c' AS t, 'the cat and the dog is in the house' AS e")
@@ -236,6 +237,14 @@ class DialectSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 1.0)
     assert(r.getLong(6) === col0.getLong(2))
     assert(r.getString(7) === "mail <EMAIL> or <URL> id <NUM>")
+    assert(r.getLong(8) === TestSpark.spark.sql("SELECT 'a b c' AS t")
+      .select(graft.ext.TextAnalysis.hashedLinearMargin(col("t"))).head().getLong(0))
+    // the vector-sum UDAF (kmeans centroid update) is SQL-reachable too
+    val vs = g.sql(
+      """SELECT vec_sum(v) AS s FROM (
+        |  SELECT array(1L, 2L) AS v UNION ALL SELECT array(10L, 20L))
+        |""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(vs === Seq(11L, 22L))
     // registry surfaces them in system.functions
     val fns = g.sql("SELECT name FROM system.functions").collect().map(_.getString(0)).toSet
     Seq("simhash60md5", "minhash32", "word_ngrams", "quality_score",
