@@ -237,24 +237,32 @@ object Similarity {
     * Returns one row per vector: (vec_id, cell, dist) under the FINAL
     * centroids, `dist` the integer squared-L2 in quantized space.
     */
-  def kmeansFit(emb: DataFrame, k: Int, iters: Int,
-      quant: Double = 1e6): DataFrame = {
-    val q = emb.select(col("vec_id"),
+  /** Quantized-integer view of an embedding frame: (vec_id, qv). */
+  private def quantized(emb: DataFrame, quant: Double): DataFrame =
+    emb.select(col("vec_id"),
       transform(toDouble(col("embedding")), x => floor(x * quant).cast("long")).as("qv"))
 
+  /** Integer squared-L2 to a literal centroid. */
+  private def sqDist(v: Column, c: Seq[Long]): Column =
+    aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (dist, cell) struct min over centroid literals = nearest centroid,
+    * ties to the LOWEST cell. */
+  private def bestCell(v: Column, cents: Array[Seq[Long]]): Column =
+    array_min(array(cents.indices.map(i =>
+      struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
+
+  /** The Lloyd loop of [[kmeansFit]], returning the trained quantized
+    * centroids (driver-held, k·dim longs). */
+  def lloydCentroids(emb: DataFrame, k: Int, iters: Int,
+      quant: Double = 1e6): Array[Seq[Long]] = {
+    val q = quantized(emb, quant)
     var cents: Array[Seq[Long]] = q.filter(col("vec_id") < k)
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
     require(cents.length == k, s"kmeansFit: need vec_ids 0..${k - 1} as seeds, got ${cents.length}")
-
-    def sqDist(v: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    // (dist, cell) struct min = nearest centroid, ties to the LOWEST cell
-    def best(v: Column): Column = array_min(array(cents.indices.map(i =>
-      struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
-
     for (_ <- 1 to iters) {
-      val sums = q.select(col("qv"), best(col("qv")).getField("c").as("cell"))
+      val sums = q.select(col("qv"), bestCell(col("qv"), cents).getField("c").as("cell"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("cnt"),
           graft.functions.VecSumAggregator.sum(col("qv")).as("s"))
@@ -268,9 +276,56 @@ object Similarity {
         }
       }.toArray
     }
+    cents
+  }
 
-    q.select(col("vec_id"), best(col("qv")).as("b"))
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+      quant: Double = 1e6): DataFrame = {
+    val cents = lloydCentroids(emb, k, iters, quant)
+    quantized(emb, quant)
+      .select(col("vec_id"), bestCell(col("qv"), cents).as("b"))
       .select(col("vec_id"), col("b.c").as("cell"), col("b.d").as("dist"))
+  }
+
+  /** IVF ANN over TRAINED centroids: [[lloydCentroids]] builds the index
+    * cells (the composition [[ivfTopK]]'s fixed lowest-id centroids stand in
+    * for), then the same probe shape — corpus assigns to its nearest cell
+    * (pure map over centroid literals), each query probes its `nprobe`
+    * closest cells, exact cosine re-ranks inside the probed cells only.
+    * Cell choice runs in quantized integer L2 (ties → lowest cell), so cell
+    * contents, probe order, and therefore the emitted top-k are exact
+    * cross-engine — q118's DuckDB oracle restates training AND search
+    * verbatim. Trained cells are balanced where the data is (Lloyd moves
+    * centroids toward mass), which is what bounds per-cell candidate volume
+    * at 100 TB. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      quant: Double = 1e6): DataFrame = {
+    val cents = lloydCentroids(corpus, nlist, iters, quant)
+    // top-nprobe cells by (dist, cell): ascending sort of the scored struct
+    // array — integer order, deterministic everywhere
+    def probeCells(v: Column): Column =
+      transform(
+        slice(array_sort(array(cents.indices.map(i =>
+          struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*)), 1, nprobe),
+        e => e.getField("c"))
+    def qv(e: Column): Column =
+      transform(toDouble(e), x => floor(x * quant).cast("long"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"),
+      bestCell(qv(col("embedding")), cents).getField("c").as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"),
+      explode(probeCells(qv(col("embedding")))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Semantic clustering: assign every vector to its nearest centroid by

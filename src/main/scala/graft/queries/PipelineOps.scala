@@ -608,6 +608,17 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q118_ann_ivf_trained" -> ((s, dir) => {
+      // IVF ANN over TRAINED centroids: lloydCentroids (q114's exact-integer
+      // Lloyd rounds) builds the cells, then q49b's probe shape — corpus
+      // assigns by a pure map over centroid literals, queries probe their 4
+      // closest cells, exact cosine re-ranks probed cells only. Training
+      // AND search are restated verbatim in the DuckDB oracle.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 10), emb, k = 3,
+          nlist = 16, nprobe = 4, iters = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -822,16 +833,22 @@ object PipelineOps {
     * integer arithmetic, so the SQL is exact — `(s - ((s % cnt + cnt) %
     * cnt)) / cnt` is floor division spelled portably (nonneg mod works under
     * both truncating and flooring `%`). */
-  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
-    def assign(i: Int, cPrev: String): String =
-      s"""d$i AS (
-         |  SELECT q.vec_id, q.qv, c.cell,
-         |    CAST(list_sum(list_transform(generate_series(1, $dim),
-         |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
-         |  FROM qe q CROSS JOIN $cPrev c),
-         |a$i AS (SELECT vec_id, qv, cell, dist FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM d$i) WHERE rn = 1)""".stripMargin
+  private def kmeansAssign(i: Int, cPrev: String, dim: Int): String =
+    s"""d$i AS (
+       |  SELECT q.vec_id, q.qv, c.cell,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+       |  FROM qe q CROSS JOIN $cPrev c),
+       |a$i AS (SELECT vec_id, qv, cell, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d$i) WHERE rn = 1)""".stripMargin
+
+  /** The Lloyd-training CTE chain: qe (quantized vectors), c0 (seed
+    * centroids), then `iters` rounds of (assign, floor-div update) ending at
+    * centroid CTE `c{iters}`. `(s - ((s % cnt + cnt) % cnt)) / cnt` is floor
+    * division spelled portably (nonneg mod works under both truncating and
+    * flooring `%`). */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def update(i: Int, cPrev: String): String =
       s"""s$i AS (
          |  SELECT cell, ii.i AS pos, sum(qv[ii.i]) AS s, count(*) AS cnt
@@ -843,21 +860,60 @@ object PipelineOps {
          |c$i AS (SELECT p.cell, COALESCE(n$i.cv, p.cv) AS cv
          |  FROM $cPrev p LEFT JOIN n$i ON n$i.cell = p.cell)""".stripMargin
     val rounds = (1 to iters)
-      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i, s"c${i - 1}"))
+      .map(i => kmeansAssign(i, s"c${i - 1}", dim) + ",\n" + update(i, s"c${i - 1}"))
       .mkString(",\n")
-    val fin = iters + 1
-    s"""WITH qe AS (
+    s"""qe AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qe WHERE vec_id < $k),
-       |$rounds,
-       |${assign(fin, s"c$iters")}
+       |$rounds""".stripMargin
+  }
+
+  /** Unrolled-SQL restatement of [[graft.ext.Similarity.kmeansFit]]. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val fin = iters + 1
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |${kmeansAssign(fin, s"c$iters", dim)}
        |SELECT vec_id, cell, dist FROM a$fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** Unrolled-SQL restatement of [[graft.ext.Similarity.ivfTopKTrained]]:
+    * the Lloyd chain, corpus cell assignment under the trained centroids,
+    * query-side top-`nprobe` probe ranking over the same distance CTE, and
+    * q103's exact-cosine re-rank tail. */
+  private def ivfTrainedSql(nlist: Int, iters: Int, dim: Int,
+      nprobe: Int, k: Int, nq: Int): String = {
+    val fin = iters + 1
+    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+       |${kmeansAssign(fin, s"c$iters", dim)},
+       |cells AS (SELECT vec_id AS c_id, cell FROM a$fin),
+       |qp AS (SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d$fin WHERE vec_id < $nq) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT q_id, c_id FROM qp JOIN cells USING (cell)
+       |  WHERE c_id != q_id),
+       |s AS (
+       |  SELECT q_id, c_id, round(
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(c2e.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE))))), 5) AS sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+       |            JOIN embeddings c2e ON c2e.vec_id = cand.c_id),
+       |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+       |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   def oracle: Map[String, String] = Map(
     "q114_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
+    "q118_ann_ivf_trained" ->
+      ivfTrainedSql(nlist = 16, iters = 2, dim = 64, nprobe = 4, k = 3, nq = 10),
     "q40_dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_rows,

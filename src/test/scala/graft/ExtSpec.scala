@@ -107,6 +107,25 @@ class ExtSpec extends AnyFunSuite {
     assert(recall("q49b_ann_ivf") >= 0.5)
   }
 
+  test("trained IVF: full probe equals brute force; default probe clears a floor") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, k = 3))
+    // probing every cell visits the whole corpus → exactly the brute answer,
+    // independent of how good the trained centroids are
+    val full = pairs(Similarity.ivfTopKTrained(q, emb, k = 3, nlist = 8,
+      nprobe = 8, iters = 1))
+    assert(full === brute)
+    // the driver parameters: trained cells, partial probe
+    val got = pairs(Similarity.ivfTopKTrained(q, emb, k = 3, nlist = 16,
+      nprobe = 4, iters = 2))
+    val r = (got & brute).size.toDouble / brute.size
+    info(f"trained-IVF recall = $r%.3f")
+    assert(r >= 0.5)
+  }
+
   test("embedding near-dup LSH (q50 shape) vs exact twin: recall floor") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
