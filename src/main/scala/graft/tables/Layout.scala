@@ -27,13 +27,25 @@ object Layout {
     * Unlike footer-stats clustering (above), pruning here happens at FILE
     * LISTING time: a filter on the partition column never even enumerates
     * the other directories (`PartitionFilters` in the scan, asserted in
-    * ScaleOpsSpec). The in-partition `repartition(filesPerPartition)` bounds
-    * small-file count — a naive partitioned write of a wide shuffle emits
-    * one file per (task × partition value), the classic small-file storm. */
+    * ScaleOpsSpec).
+    *
+    * The pre-write shuffle hash-clusters rows by (partition value, salt)
+    * across the session's full shuffle parallelism: each partition VALUE
+    * lands in at most `filesPerPartition` tasks (the content-hash salt
+    * spreads large values), so every directory gets at most
+    * `filesPerPartition` files — the small-file-storm guard (a naive
+    * partitioned write of a wide shuffle emits one file per task × value) —
+    * while all tasks write IN PARALLEL. The tempting spelling
+    * `repartition(filesPerPartition, cols)` sets the TOTAL partition count
+    * to `filesPerPartition` and serializes the entire write through that
+    * many tasks — a single-task write at the default, the same scale-killer
+    * class as a global-window rank pass. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      filesPerPartition: Int = 1): Unit =
-    df.repartition(filesPerPartition, partitionCols.map(col): _*)
+      filesPerPartition: Int = 1): Unit = {
+    val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+    df.repartition((partitionCols.map(col) :+ salt): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 
   /** Small-file compaction: rewrite a parquet dataset into ~`targetBytes`
     * files (computed from the CURRENT on-disk size, so compaction is

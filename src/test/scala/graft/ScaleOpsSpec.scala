@@ -292,7 +292,13 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("partitioned layout: filter prunes at listing time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
-    graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
+    // AQE legally coalesces this tiny shuffle to one task (size-aware —
+    // at scale it right-sizes to ~64 MB partitions); disable coalescing so
+    // the parallel-write property is observable on test-sized data
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     val langs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
     assert(langs.count(_.startsWith("lang=")) >= 2, langs.mkString(","))
     val sel = spark.read.parquet(dir).filter(col("lang") === "en")
@@ -306,6 +312,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(scanned.contains(1), s"expected exactly the en partition, got $scanned")
     assert(sel.count() == docs.filter(col("lang") === "en").count())
+    // small-file guard: at the default each directory holds ONE file...
+    def filesIn(d: java.io.File) = d.listFiles.filter(_.getName.endsWith(".parquet"))
+    val dirs = new java.io.File(dir).listFiles.filter(_.getName.startsWith("lang="))
+    dirs.foreach(d => assert(filesIn(d).length == 1, d.toString))
+    // ...written by PARALLEL tasks, not one serialized writer: file names
+    // carry the writing task's partition id — with the value-hash shuffle
+    // the languages spread over distinct tasks (a total-count-1 repartition,
+    // the serialization bug, would stamp every file part-00000)
+    val taskIds = dirs.flatMap(filesIn).map(_.getName.split("-")(1)).toSet
+    assert(taskIds.size >= 2,
+      s"partitioned write ran on a single task: $taskIds")
+    // filesPerPartition > 1: the salt spreads one value over several tasks,
+    // still bounded per directory
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-part3").toString
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try graft.tables.Layout.writePartitioned(docs, dir3, Seq("lang"), filesPerPartition = 3)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    val dirs3 = new java.io.File(dir3).listFiles.filter(_.getName.startsWith("lang="))
+    dirs3.foreach(d => assert(filesIn(d).length <= 3, d.toString))
+    assert(dirs3.map(d => filesIn(d).length).max >= 2,
+      "salt should spread a populous value over >1 file")
   }
 
   test("partitioned fact joined through a filtered dim: dynamic partition pruning") {
