@@ -328,6 +328,39 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Contrastive triplet mining — the training-set assembly step of
+    * embedding/contrastive pretraining: for each anchor, the POSITIVE is its
+    * nearest neighbor and the HARD NEGATIVE is the most similar vector
+    * BELOW `negCeiling` (semi-hard mining: the negative that's close enough
+    * to matter but below the "actually a duplicate" band that would poison
+    * the label). Anchors broadcast and the corpus streams ONCE: both picks
+    * come out of a single aggregation over the scored pairs — `max` on a
+    * (sim, -id) struct is argmax with ties to the lowest id — so there is
+    * one shuffle, keyed by anchor. Anchors without a sub-ceiling match drop
+    * (inner semantics). This is the exact-baseline shape (q48); unbounded
+    * anchor sets swap the scored-pair source for the LSH/IVF candidate
+    * paths (q49/q118) unchanged downstream. */
+  def contrastiveTriplets(anchors: DataFrame, corpus: DataFrame,
+      negCeiling: Double): DataFrame = {
+    val q = anchors.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+      .select(col("q_id"), col("c_id"), col("sim"))
+    scored.groupBy(col("q_id"))
+      .agg(
+        max(struct(col("sim").as("s"), (-col("c_id")).as("nc"))).as("p"),
+        max(when(col("sim") < negCeiling,
+          struct(col("sim").as("s"), (-col("c_id")).as("nc")))).as("n"))
+      .filter(col("n").isNotNull)
+      .select(col("q_id"),
+        (-col("p.nc")).cast("long").as("pos_id"), col("p.s").as("pos_sim"),
+        (-col("n.nc")).cast("long").as("neg_id"), col("n.s").as("neg_sim"))
+  }
+
   /** Semantic clustering: assign every vector to its nearest centroid by
     * cosine (ties → lowest centroid id). Centroids are the `nlist` lowest-id
     * corpus vectors — the same deterministic pick and bounded pushed-filter

@@ -619,6 +619,17 @@ object PipelineOps {
           nlist = 16, nprobe = 4, iters = 2)
         .orderBy(col("q_id"), col("rnk"))
     }),
+    "q119_contrastive_triplets" -> ((s, dir) => {
+      // Contrastive-training triplet assembly: per anchor, positive =
+      // nearest neighbor, hard negative = most similar below 0.30 (semi-
+      // hard mining). Both picks come from ONE aggregation over the scored
+      // pairs (argmax as a struct max), one anchor-keyed shuffle; corpus
+      // streams once against broadcast anchors.
+      val emb = t(s, dir, "embeddings")
+      Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 20), emb,
+          negCeiling = 0.30)
+        .orderBy(col("q_id"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1590,6 +1601,26 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    // scored pairs once; argmax twice via (sim, -id)-ordered windows —
+    // the same tie rule as the struct max
+    "q119_contrastive_triplets" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+        |p AS (SELECT q_id, c_id AS pos_id, sim AS pos_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |    FROM s) WHERE rn = 1),
+        |n AS (SELECT q_id, c_id AS neg_id, sim AS neg_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |    FROM s WHERE sim < 0.30) WHERE rn = 1)
+        |SELECT q_id, pos_id, pos_sim, neg_id, neg_sim
+        |FROM p JOIN n USING (q_id) ORDER BY q_id""".stripMargin,
     "q115_dpp_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  sum(l_quantity) AS sum_qty,

@@ -107,6 +107,30 @@ class ExtSpec extends AnyFunSuite {
     assert(recall("q49b_ann_ivf") >= 0.5)
   }
 
+  test("contrastive triplets: positive is the brute-force NN, negative sub-ceiling") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 20)
+    val trip = Similarity.contrastiveTriplets(anchors, emb, negCeiling = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(trip.nonEmpty)
+    trip.foreach { case (q, pos, ps, neg, ns) =>
+      assert(ns < 0.30, s"negative above ceiling for $q: $ns")
+      assert(ps >= ns, s"positive below negative for $q")
+      assert(pos != q && neg != q)
+    }
+    // the positive IS the exact nearest neighbor
+    val nn = Similarity.bruteForceTopK(anchors, emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    trip.foreach { case (q, pos, _, _, _) => assert(nn(q) == pos, s"anchor $q") }
+    // a corpus where every pair clears the ceiling yields no triplet
+    import spark.implicits._
+    val tight = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)), (2L, Array(0.98f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.contrastiveTriplets(tight, tight, negCeiling = 0.30).count() == 0)
+  }
+
   test("trained IVF: full probe equals brute force; default probe clears a floor") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
