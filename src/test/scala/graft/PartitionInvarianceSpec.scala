@@ -37,7 +37,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q107_span_dedup", "q106_multimodal_video",
     // near-dup ingest vs bucketed band snapshot, global epoch shuffle
     // (range-sort order), star-contraction components (iterative fixpoint)
-    "q108_incremental_neardup", "q109_epoch_shuffle", "q111_cc_star_chains")
+    "q108_incremental_neardup", "q109_epoch_shuffle", "q111_cc_star_chains",
+    // round-4 continuation: iterative Lloyd fit (integer sums), join-driven
+    // partition pruning, binned range join, trained-IVF search, double-
+    // argmax triplet mining
+    "q114_kmeans", "q115_dpp_join", "q117_range_join",
+    "q118_ann_ivf_trained", "q119_contrastive_triplets")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
