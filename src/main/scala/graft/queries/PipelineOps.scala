@@ -630,6 +630,50 @@ object PipelineOps {
           negCeiling = 0.30)
         .orderBy(col("q_id"))
     }),
+    "q120_upsert" -> ((s, dir) => {
+      // MERGE-style corpus upsert under the gate: snapshot v1 = documents
+      // missing every 7th row; the update batch rewrites every 5th doc's
+      // text (deterministic 'u<doc_id>') and re-inserts the missing
+      // multiples of 5. Rollup over the MATERIALIZED v2 directory proves
+      // the merge really happened on disk; the oracle restates membership
+      // and update arithmetic directly.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q120-ups").toString + "/snap"
+      try {
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") % 7 =!= 0).write.parquet(tmp)
+        val updates = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(lit("u"), col("doc_id")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        graft.tables.Snapshots.upsertByKey(s, tmp, updates, "doc_id")
+        val out = s.read.parquet(tmp).agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("text") === concat(lit("u"), col("doc_id")), 1L)
+            .otherwise(0L)).as("n_updated"),
+          sum(col("n_chars")).as("sum_chars"))
+        materialize(s, out) // 1 row; lets the scratch dir drop immediately
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp).getParentFile)
+      }
+    }),
+    "q121_snapshot_diff" -> ((s, dir) => {
+      // Snapshot diff: v1 drops every 7th doc and mangles every 11th's
+      // text; v2 is the original corpus. One full-outer shuffle on the key,
+      // md5 fingerprints decide changed-vs-unchanged; per-status rollup is
+      // the "what moved since the last training run" report.
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(lit("m"), col("text")))
+            .otherwise(col("text")))
+      graft.tables.Snapshots.diffByFingerprint(v1, docs, "doc_id", md5(col("text")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
+        .orderBy(col("status"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1603,6 +1647,32 @@ object PipelineOps {
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
     // scored pairs once; argmax twice via (sim, -id)-ordered windows —
     // the same tie rule as the struct max
+    // v2 membership + update arithmetic restated directly
+    "q120_upsert" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, length('u' || CAST(doc_id AS VARCHAR)) AS n_chars, TRUE AS upd
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, FALSE
+        |  FROM documents WHERE doc_id % 7 != 0 AND doc_id % 5 != 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM v2""".stripMargin,
+    // diff semantics restated as the modular-arithmetic membership rules
+    // (CASE order mirrors the operator: a key absent from v1 is 'added'
+    // even if it also hits the mangle rule)
+    "q121_snapshot_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'added'
+        |         WHEN doc_id % 11 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q119_contrastive_triplets" ->
       """WITH s AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, round(

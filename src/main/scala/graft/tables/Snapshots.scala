@@ -1,0 +1,68 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for a mutable corpus directory: MERGE-style upsert
+  * and snapshot diff — the data-management half of an ingest pipeline (the
+  * reference stops at INSERT; a living corpus needs replace-by-key and
+  * "what changed since the last training run").
+  *
+  * Both operators are one shuffle keyed by the row key. At 100 TB the
+  * upsert's anti join co-locates against a bucketed snapshot exactly like
+  * incremental dedup (q82's wiring — pay the shuffle once at write); for a
+  * hive-partitioned corpus, rewrite only the partitions the update batch
+  * touches (dynamic partition overwrite) instead of the whole directory.
+  */
+object Snapshots {
+
+  /** Write `df` to `path` via tmp-then-swap, never leaving a partial
+    * dataset: the original moves aside first (same discipline as
+    * [[Layout.compact]]). */
+  private def replaceDir(df: DataFrame, path: String): Unit = {
+    val tmp = path.stripSuffix("/") + ".upsert-tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val bak = new java.io.File(path.stripSuffix("/") + ".upsert-bak")
+    if (bak.exists) rm(bak)
+    require(new java.io.File(path).renameTo(bak), s"upsert: could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+      bak.renameTo(new java.io.File(path))
+      throw new IllegalStateException(s"upsert: rename $tmp -> $path failed; original restored")
+    }
+    rm(bak)
+  }
+
+  /** MERGE-style upsert: rows of `updates` replace same-key rows of the
+    * snapshot at `path`; new keys insert. One anti-join shuffle on `key`;
+    * the update batch (the small side) broadcasts when it fits. */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+      key: String): Unit = {
+    val existing = spark.read.parquet(path)
+    require(existing.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
+    val survivors = existing.join(
+      broadcast(updates.select(col(key)).distinct()), Seq(key), "left_anti")
+    // replaceDir writes tmp first (the plan still reads `path` safely),
+    // then swaps — no materialization needed
+    replaceDir(updates.unionByName(survivors), path)
+  }
+
+  /** Snapshot diff by key + content fingerprint: one row per key present in
+    * either side, `status` ∈ added | removed | changed | unchanged. The
+    * "what moved since the last run" report that decides an incremental
+    * re-train; one full-outer shuffle on the key. */
+  def diffByFingerprint(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, fp: Column): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), fp.as("old_fp"))
+    val n = newSnap.select(col(key).as("k"), fp.as("new_fp"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(key),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

@@ -416,6 +416,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(repl <= 3, s"2-day window at 1-day bins must register <= 3 times, got $repl")
   }
 
+  test("snapshot upsert replaces by key, inserts new keys; diff sees removals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/snap"
+    try {
+      val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "t")
+      v1.write.parquet(dir)
+      val updates = Seq((2L, "TWO"), (9L, "nine")).toDF("k", "t")
+      graft.tables.Snapshots.upsertByKey(spark, dir, updates, "k")
+      val v2 = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+      assert(v2 === Map(1L -> "one", 2L -> "TWO", 3L -> "three", 9L -> "nine"))
+      // schema drift is a hard error, not silent column loss
+      val bad = Seq((5L, "x", 1L)).toDF("k", "t", "extra")
+      intercept[IllegalArgumentException] {
+        graft.tables.Snapshots.upsertByKey(spark, dir, bad, "k")
+      }
+      // diff covers all four statuses (q121's corpus derivation never
+      // removes a key, so 'removed' is pinned here)
+      val newSnap = Seq((1L, "one"), (2L, "changed"), (9L, "nine"), (7L, "seven"))
+        .toDF("k", "t")
+      val d = graft.tables.Snapshots
+        .diffByFingerprint(spark.read.parquet(dir), newSnap, "k", md5(col("t")))
+        .as[(Long, String)].collect().toMap
+      assert(d === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+        9L -> "unchanged", 7L -> "added"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("compact: many small files become few, data identical, idempotent sizing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
