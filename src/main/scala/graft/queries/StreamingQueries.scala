@@ -32,6 +32,34 @@ object StreamingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_stream_upsert" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming CDC apply: the event stream materializes into a "current
+      // state per user" parquet snapshot — each micro-batch reduces to its
+      // latest row per user (one hash agg) and version-aware-upserts into
+      // the snapshot, so a late batch with an older version can't clobber
+      // a newer row. The final snapshot is independent of micro-batch
+      // splits; the plain batch argmax is the oracle.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q122-cdc")
+      val tmp = tmpRoot.toString + "/snap"
+      try {
+        EventStreams.runUpsertSink(EventStreams.readEvents(s, dir), tmp,
+          "user_id", Seq("ts", "event_id"))
+        val out = s.read.parquet(tmp)
+          .select(col("user_id"), col("event_id").as("last_event"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy(col("user_id"))
+        // eager local copy so the scratch snapshot can drop before return
+        val rows = out.collect().toSeq
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q33_stream_tumbling" -> ((s, dir) => withStatePartitions(s, 4) {
       val agg = EventStreams.tumblingAgg(EventStreams.readEvents(s, dir), "1 hour")
       EventStreams.runAvailableNow(agg, "q33_sink", needFinalBatch = false)
@@ -151,6 +179,15 @@ object StreamingQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // the CDC snapshot is micro-batch-independent, so the batch argmax
+    // (latest by ts, then event_id) restates it directly
+    "q122_stream_upsert" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q33_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s

@@ -299,4 +299,45 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .start()
+
+  /** Streaming CDC apply: every micro-batch reduces to its latest row per
+    * `key` (one hash agg) and version-aware-upserts into the parquet
+    * snapshot at `path` ([[graft.tables.Snapshots.upsertLatestByKey]]) —
+    * the materialized "current state per key" view a feature store keeps.
+    * Because the merge keeps the max of `orderCols` across BOTH sides, the
+    * final snapshot is independent of how the source splits into
+    * micro-batches or which order they deliver — the property the q122
+    * oracle (a plain batch argmax) checks. foreachBatch is the supported
+    * arbitrary-sink surface; state lives in the snapshot itself, so there
+    * is no streaming state store to size. */
+  def runUpsertSink(stream: DataFrame, path: String, key: String,
+      orderCols: Seq[String]): Unit = {
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val cp = java.nio.file.Files.createTempDirectory(base, "graft-ck-upsert-")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val latest = graft.tables.Snapshots.latestPerKey(batch, key, orderCols)
+          if (!new java.io.File(path).exists)
+            latest.write.parquet(path)
+          else
+            graft.tables.Snapshots.upsertLatestByKey(
+              batch.sparkSession, path, latest, key, orderCols)
+        }
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(cp.toFile)
+    }
+  }
 }

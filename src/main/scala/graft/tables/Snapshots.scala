@@ -50,6 +50,31 @@ object Snapshots {
     replaceDir(updates.unionByName(survivors), path)
   }
 
+  /** One row per key: the MAX over `orderCols` (then the remaining payload
+    * as tie-break, so the pick is total even on duplicate versions) — a
+    * single hash aggregation, no window sort. `orderCols` should be a
+    * per-key total order (e.g. ts + a unique id) for CDC semantics. */
+  def latestPerKey(df: DataFrame, key: String, orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(_ == key).toSeq
+    val st = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
+    df.groupBy(col(key)).agg(max(st).as("__m"))
+      .select(col(key) +: payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Version-aware upsert (CDC apply): merge `updates` into the snapshot
+    * keeping, per key, the row that is LATEST by `orderCols` — regardless
+    * of which side it came from. This is what makes out-of-order delivery
+    * safe: a late-arriving batch with an older version cannot overwrite a
+    * newer snapshot row (plain [[upsertByKey]] would let it). One hash
+    * aggregation over existing ∪ updates, then the tmp-then-swap write. */
+  def upsertLatestByKey(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, orderCols: Seq[String]): Unit = {
+    val existing = spark.read.parquet(path)
+    require(existing.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
+    replaceDir(latestPerKey(existing.unionByName(updates), key, orderCols), path)
+  }
+
   /** Snapshot diff by key + content fingerprint: one row per key present in
     * either side, `status` ∈ added | removed | changed | unchanged. The
     * "what moved since the last run" report that decides an incremental

@@ -238,6 +238,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("CDC upsert sink: out-of-order micro-batches cannot clobber newer state") {
+    // Three source files delivered one per micro-batch, with the NEWEST
+    // version of user 1 arriving in the FIRST file and an older version
+    // last — plain last-batch-wins would end on the stale row; the
+    // version-aware merge must keep the (ts, event_id) max per user.
+    val src = java.nio.file.Files.createTempDirectory("graft-cdc-src").toString
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft-cdc-snap")
+    val snap = snapRoot.toString + "/snap"
+    try {
+      val batches = Seq(
+        Seq(ev(10, "2024-01-01 12:00:00", uid = 1, typ = "late", v = 9.0),
+          ev(1, "2024-01-01 09:00:00", uid = 2, typ = "a", v = 1.0)),
+        Seq(ev(5, "2024-01-01 10:00:00", uid = 1, typ = "mid", v = 5.0),
+          ev(2, "2024-01-01 09:30:00", uid = 2, typ = "b", v = 2.0)),
+        Seq(ev(3, "2024-01-01 08:00:00", uid = 1, typ = "old", v = 3.0),
+          ev(7, "2024-01-01 09:30:00", uid = 2, typ = "c", v = 7.0)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF().coalesce(1).write.parquet(s"$src/f$i.parquet")
+      }
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TestEv]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/f*.parquet")
+      EventStreams.runUpsertSink(stream, snap, "user_id", Seq("ts", "event_id"))
+      val got = spark.read.parquet(snap)
+        .select("user_id", "event_id", "event_type")
+        .as[(Long, Long, String)].collect().toSet
+      // user 1: ts-max is event 10 from the FIRST batch; user 2: ts tie at
+      // 09:30 breaks to the higher event_id (7)
+      assert(got === Set((1L, 10L, "late"), (2L, 7L, "c")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(src)); rm(snapRoot.toFile)
+    }
+  }
+
   test("file source end-to-end: streaming tumbling agg equals batch over sf0.001 events") {
     val stream = EventStreams.tumblingAgg(
       EventStreams.readEvents(spark, TestSpark.sfDir), "1 hour")
