@@ -39,6 +39,26 @@ object Curation {
     df.filter(sampleKey(id) < rate)
   }
 
+  /** Per-stratum percentile gate — "keep each language's top (1−p)
+    * quality quantile": compute the p-quantile of `score` per stratum, keep
+    * rows at or above their stratum's threshold. The threshold table is
+    * stratum-sized → broadcast back; the gate itself is a scan-speed
+    * filter, so the only data-sized work is ONE aggregation. Exact
+    * `percentile` buffers a group's values (the oracle-exact choice — its
+    * linear interpolation matches DuckDB `quantile_cont` bit-for-bit on
+    * round(6) scores, proven by q55); at 100 TB swap `approx_percentile`
+    * (t-digest, mergeable partials) into the same shape. Output = input
+    * columns + `q` (the rounded score). */
+  def percentileGate(df: DataFrame, stratum: Column, score: Column,
+      p: Double): DataFrame = {
+    val scored = df.withColumn("__s", stratum).withColumn("q", round(score, 6))
+    val thr = scored.groupBy(col("__s"))
+      .agg(round(expr(s"percentile(q, $p)"), 6).as("__thr"))
+    scored.join(broadcast(thr), "__s")
+      .filter(col("q") >= col("__thr"))
+      .drop("__s", "__thr")
+  }
+
   /** Document frequency per token: how many documents contain each distinct
     * whitespace token. One explode + one two-phase count — the vocabulary
     * table every downstream lexical statistic joins against. */

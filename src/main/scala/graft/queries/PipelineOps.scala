@@ -674,6 +674,19 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
         .orderBy(col("status"))
     }),
+    "q123_percentile_gate" -> ((s, dir) => {
+      // "Keep each language's top-20%-quality documents": exact per-stratum
+      // percentile threshold (stratum-sized → broadcast back), then a
+      // scan-speed gate — the curation cut-line applied, not just measured
+      // (q55). Per-lang rollup of what survived.
+      Curation.percentileGate(t(s, dir, "documents"), col("lang"),
+          TA.qualityScore(col("text")), p = 0.8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(min(col("q")), 6).as("min_q"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"))
+    }),
     "q93_source_cap" -> ((s, dir) => {
       // Domain balancing: at most 10 docs per source, longest-first (ties to
       // the lowest id) — integer priority keeps the window order cross-engine
@@ -1647,6 +1660,26 @@ object PipelineOps {
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
     // scored pairs once; argmax twice via (sim, -id)-ordered windows —
     // the same tie rule as the struct max
+    // the q41 quality formula per doc, quantile_cont (= Spark percentile)
+    // threshold per lang, gate re-applied in the join condition
+    "q123_percentile_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, round(
+         |    0.5 * round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6)
+         |    + 0.3 * least(round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 3, 1.0)
+         |    + 0.2 * least(round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) / 8, 1.0), 6) AS q
+         |  FROM documents),
+         |thr AS (SELECT lang, round(quantile_cont(q, 0.8), 6) AS t
+         |        FROM scored GROUP BY lang)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  round(min(s.q), 6) AS min_q,
+         |  CAST(sum(s.doc_id) AS BIGINT) AS checksum
+         |FROM scored s JOIN thr ON s.lang = thr.lang AND s.q >= thr.t
+         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
     // v2 membership + update arithmetic restated directly
     "q120_upsert" ->
       """WITH v2 AS (

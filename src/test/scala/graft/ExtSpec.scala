@@ -737,6 +737,27 @@ class ExtSpec extends AnyFunSuite {
     assert(fitR === fit)
   }
 
+  test("percentile gate keeps exactly the rows at/above each stratum's threshold") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val scored = docs.select(col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val thr = scored.groupBy("lang")
+      .agg(round(expr("percentile(q, 0.8)"), 6).as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kept = Curation.percentileGate(docs, col("lang"),
+      TextAnalysis.qualityScore(col("text")), p = 0.8)
+      .select("lang", "q").collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getDouble(1) >= thr(r.getString(0)),
+      s"${r.getString(0)}: ${r.getDouble(1)} below ${thr(r.getString(0))}"))
+    // completeness: exactly the rows the recomputed thresholds admit
+    val expected = scored.collect().count(r => r.getDouble(1) >= thr(r.getString(0)))
+    assert(kept.length == expected)
+    // and that is roughly the top fifth, not everything
+    val total = scored.count().toDouble
+    assert(kept.length / total <= 0.35 && kept.length / total >= 0.1)
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
