@@ -674,6 +674,21 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
         .orderBy(col("status"))
     }),
+    "q124_embedding_outliers" -> ((s, dir) => {
+      // Embedding outlier detection — the noise/corruption filter of an
+      // embedding pipeline: fit k-means (q114's exact-integer Lloyd), then
+      // flag vectors whose distance to their own centroid is in the cell's
+      // top 5% (q123's percentile gate on the integer dist). Per-cell
+      // rollup of the flagged set; training + gate restate verbatim in the
+      // oracle.
+      val fit = Similarity.kmeansFit(t(s, dir, "embeddings"), k = 8, iters = 2)
+      Curation.percentileGate(fit, col("cell"), col("dist"), p = 0.95)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_out"),
+          min(col("q")).as("min_dist"),
+          sum(col("vec_id")).as("checksum"))
+        .orderBy(col("cell"))
+    }),
     "q123_percentile_gate" -> ((s, dir) => {
       // "Keep each language's top-20%-quality documents": exact per-stratum
       // percentile threshold (stratum-sized → broadcast back), then a
@@ -982,6 +997,17 @@ object PipelineOps {
     "q114_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q118_ann_ivf_trained" ->
       ivfTrainedSql(nlist = 16, iters = 2, dim = 64, nprobe = 4, k = 3, nq = 10),
+    // the Lloyd chain + per-cell quantile_cont threshold + gate tail
+    "q124_embedding_outliers" ->
+      s"""WITH ${kmeansCtes(8, 2, 64)},
+         |${kmeansAssign(3, "c2", 64)},
+         |thr AS (SELECT cell, round(quantile_cont(dist, 0.95), 6) AS t
+         |        FROM a3 GROUP BY cell)
+         |SELECT s.cell, CAST(count(*) AS BIGINT) AS n_out,
+         |  CAST(min(s.dist) AS BIGINT) AS min_dist,
+         |  CAST(sum(s.vec_id) AS BIGINT) AS checksum
+         |FROM a3 s JOIN thr ON s.cell = thr.cell AND s.dist >= thr.t
+         |GROUP BY s.cell ORDER BY s.cell""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_rows,
