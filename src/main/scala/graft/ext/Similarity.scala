@@ -328,6 +328,77 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Persist an IVF index as TABLES — the build-once/search-many model
+    * (the ANN analogue of [[graft.tables.Bucketing]]'s pay-the-shuffle-at-
+    * write joins): trained centroids land in a tiny `centroids` parquet,
+    * and the cell-assigned corpus lands RANGE-CLUSTERED on the cell id
+    * (`Layout.writeRangeClustered`), so each cell occupies a contiguous
+    * file/row-group range and a search's `cell IN (probed)` predicate
+    * prunes at parquet-footer level. Training + assignment cost is paid
+    * once; searches never rescan or reshuffle the corpus. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      iters: Int = 2, files: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val cents = lloydCentroids(corpus, nlist, iters)
+    import scala.jdk.CollectionConverters._
+    val centRows: java.util.List[org.apache.spark.sql.Row] =
+      cents.zipWithIndex.map { case (cv, i) =>
+        org.apache.spark.sql.Row(i.toLong, cv)
+      }.toList.asJava
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    spark.createDataFrame(centRows, centSchema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    def qv(e: Column): Column =
+      transform(toDouble(e), x => floor(x * 1e6).cast("long"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      bestCell(qv(col("embedding")), cents).getField("c").as("cell"))
+    graft.tables.Layout.writeRangeClustered(assigned, s"$path/cells", files,
+      Seq(col("cell")))
+  }
+
+  /** Search a persisted IVF index: centroids load (≤nlist rows) to rank
+    * each query's `nprobe` cells; the cells table scans with a pushed
+    * `cell IN (...)` filter (bounded by nlist values — file/row-group
+    * pruning does the work on the clustered layout, ScaleOpsSpec pins the
+    * pushdown), then the usual bucket join + exact-cosine re-rank. Results
+    * are identical to [[ivfTopKTrained]] at the same parameters — q118's
+    * oracle applies verbatim (q125). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents: Array[Seq[Long]] = spark.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
+    def qv(e: Column): Column =
+      transform(toDouble(e), x => floor(x * 1e6).cast("long"))
+    def probeCells(v: Column): Column =
+      transform(
+        slice(array_sort(array(cents.indices.map(i =>
+          struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*)), 1, nprobe),
+        e => e.getField("c"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"),
+      explode(probeCells(qv(col("embedding")))).as("cell"))
+    // probed-cell union: bounded by nlist, becomes the pushed scan filter
+    val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val c = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_n"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Contrastive triplet mining — the training-set assembly step of
     * embedding/contrastive pretraining: for each anchor, the POSITIVE is its
     * nearest neighbor and the HARD NEGATIVE is the most similar vector

@@ -689,6 +689,29 @@ object PipelineOps {
           sum(col("vec_id")).as("checksum"))
         .orderBy(col("cell"))
     }),
+    "q125_ann_ivf_index" -> ((s, dir) => {
+      // Persisted-index ANN under the gate: the IVF index builds ONCE as
+      // tables (tiny centroids parquet + the corpus range-clustered on its
+      // cell id), then the search reads centroids, pushes `cell IN
+      // (probed)` into the clustered scan (footer-level pruning — no
+      // corpus rescan, no shuffle), and re-ranks. Same training and
+      // parameters as q118, so its oracle applies verbatim.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q125-ivf")
+      val tmp = tmpRoot.toString + "/index"
+      try {
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb, tmp, nlist = 16, iters = 2)
+        val out = Similarity.searchIvfIndex(s, tmp,
+          emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
+          .orderBy(col("q_id"), col("rnk"))
+        materialize(s, out) // bounded (nq*k rows); lets the scratch drop
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q123_percentile_gate" -> ((s, dir) => {
       // "Keep each language's top-20%-quality documents": exact per-stratum
       // percentile threshold (stratum-sized → broadcast back), then a
@@ -996,6 +1019,10 @@ object PipelineOps {
   def oracle: Map[String, String] = Map(
     "q114_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
     "q118_ann_ivf_trained" ->
+      ivfTrainedSql(nlist = 16, iters = 2, dim = 64, nprobe = 4, k = 3, nq = 10),
+    // identical computation to q118 — the index round-trip must not change
+    // a single row
+    "q125_ann_ivf_index" ->
       ivfTrainedSql(nlist = 16, iters = 2, dim = 64, nprobe = 4, k = 3, nq = 10),
     // the Lloyd chain + per-cell quantile_cont threshold + gate tail
     "q124_embedding_outliers" ->

@@ -416,6 +416,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(repl <= 3, s"2-day window at 1-day bins must register <= 3 times, got $repl")
   }
 
+  test("persisted IVF index: search pushes probed cells into the clustered scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+    val path = root.toString + "/index"
+    try {
+      val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+      graft.ext.Similarity.writeIvfIndex(emb, path, nlist = 8, iters = 1)
+      val q = emb.filter(col("vec_id") < 5)
+      val viaIndex = graft.ext.Similarity.searchIvfIndex(spark, path, q, k = 3, nprobe = 2)
+      val direct = graft.ext.Similarity.ivfTopKTrained(q, emb, k = 3,
+        nlist = 8, nprobe = 2, iters = 1)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rnk").collect().map(_.toString).toSeq
+      assert(rows(viaIndex) == rows(direct) && rows(viaIndex).nonEmpty,
+        "index round-trip must not change the search result")
+      // the cells scan carries the probed-cell IN filter — pushed to
+      // parquet, where the range-clustered layout prunes by footer stats
+      viaIndex.collect()
+      val p = viaIndex.queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator.find(l =>
+        l.contains("/cells") && l.contains("PushedFilters"))
+        .getOrElse(fail("no cells scan in plan:\n" + p))
+      assert(scanLine.contains("In(cell"),
+        "probed-cell filter must push into the scan:\n" + scanLine)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("snapshot upsert replaces by key, inserts new keys; diff sees removals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/snap"
