@@ -42,7 +42,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // partition pruning, binned range join, trained-IVF search, double-
     // argmax triplet mining
     "q114_kmeans", "q115_dpp_join", "q117_range_join",
-    "q118_ann_ivf_trained", "q119_contrastive_triplets")
+    "q118_ann_ivf_trained", "q119_contrastive_triplets",
+    // percentile cut-line application and the fit+gate composition
+    "q123_percentile_gate", "q124_embedding_outliers")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
