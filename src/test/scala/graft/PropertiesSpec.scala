@@ -202,4 +202,50 @@ class PropertiesSpec extends AnyFunSuite {
       assert(packs.head == 0L && packs == (packs.head to packs.last).toSeq)
     }
   }
+
+  test("vec_sum aggregator: merge is associative, commutative, empty-neutral") {
+    import graft.functions.VecSumAggregator
+    val vec = Gen.listOfN(4, Gen.choose(-1000000L, 1000000L)).map(_.toSeq)
+    val vecs = Gen.listOf(vec)
+    def fold(xs: List[Seq[Long]]): Seq[Long] =
+      VecSumAggregator.finish(
+        xs.foldLeft(VecSumAggregator.zero)(VecSumAggregator.reduce))
+    check(Prop.forAll(vecs, vecs) { (a, b) =>
+      // split-then-merge equals one-pass fold, in either merge order
+      val ab = fold(a ++ b)
+      val m1 = VecSumAggregator.finish(VecSumAggregator.merge(
+        fold(a).toArray, fold(b).toArray))
+      val m2 = VecSumAggregator.finish(VecSumAggregator.merge(
+        fold(b).toArray, fold(a).toArray))
+      ab == m1 && ab == m2
+    })
+    // dimension mismatch is a hard error, never silent truncation
+    intercept[IllegalArgumentException] {
+      VecSumAggregator.reduce(Array(1L, 2L), Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("range-join floor division matches Math.floorDiv on the full long domain") {
+    import org.apache.spark.sql.{functions => F}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    check(Prop.forAll(Gen.choose(-1000000000000L, 1000000000000L),
+        Gen.choose(1L, 1000000L)) { (v, d) =>
+      val got = Seq(v).toDF("v")
+        .select(((F.col("v") - F.pmod(F.col("v"), F.lit(d))) / F.lit(d)).cast("long"))
+        .head().getLong(0)
+      got == Math.floorDiv(v, d)
+    }, n = 50)
+  }
+
+  test("search_sorted equals the scala library binary search bucket rank") {
+    import graft.functions.SearchSorted
+    val boundsGen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(boundsGen, Gen.choose(-2e6, 2e6)) { (bounds, v) =>
+      val expr = SearchSorted(
+        org.apache.spark.sql.catalyst.expressions.Literal(v), bounds)
+      expr.eval(null).asInstanceOf[Long] == bounds.count(_ <= v).toLong
+    })
+  }
 }
