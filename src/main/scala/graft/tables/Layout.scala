@@ -55,6 +55,17 @@ object Layout {
     * scheduled compaction is the standing fix. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Unit = {
+    // Hive-partitioned layout: compact each partition DIRECTORY in place
+    // (recursing through nested partition levels). Compacting the root as
+    // one dataset would read with partition inference and rewrite flat —
+    // partition columns silently become data columns and every directory
+    // (with its listing-time pruning) disappears.
+    val partDirs = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      partDirs.foreach(d => compact(spark, d.toString, targetBytes))
+      return
+    }
     def du(f: java.io.File): Long =
       if (f.isFile) f.length
       else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)

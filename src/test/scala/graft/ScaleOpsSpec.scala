@@ -494,6 +494,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sameElements(expected))
   }
 
+  test("compact on a partitioned layout preserves directories and pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-compact").toString
+    try {
+      val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      // fragment: several files per partition directory
+      val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"), filesPerPartition = 6)
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      def dirs = new java.io.File(dir).listFiles.filter(_.getName.startsWith("lang="))
+      def files = dirs.flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+      val (dirsBefore, filesBefore) = (dirs.map(_.getName).toSet, files)
+      assert(filesBefore > dirsBefore.size, "fixture should be fragmented")
+      val expected = spark.read.parquet(dir).orderBy("doc_id").collect().map(_.toString)
+
+      graft.tables.Layout.compact(spark, dir, targetBytes = 256L << 20)
+
+      // directories survive (a flat rewrite would erase them), files shrink
+      assert(dirs.map(_.getName).toSet == dirsBefore)
+      assert(files == dirsBefore.size, s"expected one file per partition, got $files")
+      val after = spark.read.parquet(dir)
+      assert(after.orderBy("doc_id").collect().map(_.toString).sameElements(expected))
+      // listing-time pruning still works on the compacted layout
+      val sel = after.filter(col("lang") === "en")
+      sel.collect()
+      val scanned = sel.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.partitionCount
+      }
+      assert(scanned.contains(1))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("keyHistogram surfaces the hot key") {
     val left = (Seq.fill(100)(7L) ++ (1L to 6L)).toDF("k")
     val top = Skew.keyHistogram(left, col("k"), 1).collect()(0)
