@@ -712,6 +712,29 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q126_retention_delete" -> ((s, dir) => {
+      // Right-to-erasure / retention delete under the gate: a scratch
+      // snapshot drops every 9th document by predicate (tmp-then-swap
+      // rewrite), and the rollup runs over what's left ON DISK — the
+      // oracle restates the surviving membership. The partitioned
+      // O(1)-data path (drop whole directories) is pinned in ScaleOpsSpec.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q126-del")
+      val tmp = tmpRoot.toString + "/snap"
+      try {
+        t(s, dir, "documents").write.parquet(tmp)
+        graft.tables.Snapshots.deleteWhere(s, tmp, col("doc_id") % 9 === 0)
+        val out = s.read.parquet(tmp).agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        materialize(s, out) // 1 row; lets the scratch dir drop immediately
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q123_percentile_gate" -> ((s, dir) => {
       // "Keep each language's top-20%-quality documents": exact per-stratum
       // percentile threshold (stratum-sized → broadcast back), then a
@@ -1733,6 +1756,11 @@ object PipelineOps {
          |  CAST(sum(s.doc_id) AS BIGINT) AS checksum
          |FROM scored s JOIN thr ON s.lang = thr.lang AND s.q >= thr.t
          |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+    "q126_retention_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 9 != 0""".stripMargin,
     // v2 membership + update arithmetic restated directly
     "q120_upsert" ->
       """WITH v2 AS (

@@ -75,6 +75,29 @@ object Snapshots {
     replaceDir(latestPerKey(existing.unionByName(updates), key, orderCols), path)
   }
 
+  /** Retention / right-to-erasure delete: rewrite the snapshot WITHOUT the
+    * rows matching `predicate` (tmp-then-swap — a failed delete never
+    * leaves a partial dataset). This is the flat-layout path and touches
+    * all data once; for date/tenant-partitioned corpora prefer
+    * [[dropPartitions]], which deletes whole directories and touches no
+    * data at all. */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Unit =
+    replaceDir(spark.read.parquet(path).filter(!predicate), path)
+
+  /** O(1)-data deletion for hive-partitioned layouts: drop the directories
+    * of the named partition values outright. No rows are read or written —
+    * at 100 TB this is the only acceptable shape for retention windows
+    * ("drop months older than X") and per-tenant erasure. */
+  def dropPartitions(path: String, col: String, values: Seq[String]): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    values.foreach { v =>
+      val d = new java.io.File(path, s"$col=$v")
+      if (d.exists) rm(d)
+    }
+  }
+
   /** Snapshot diff by key + content fingerprint: one row per key present in
     * either side, `status` ∈ added | removed | changed | unchanged. The
     * "what moved since the last run" report that decides an incremental

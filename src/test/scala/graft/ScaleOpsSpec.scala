@@ -479,6 +479,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partition drop deletes a tenant's directory, touching no data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    try {
+      val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
+      val before = new java.io.File(dir).listFiles
+        .count(_.getName.startsWith("lang="))
+      graft.tables.Snapshots.dropPartitions(dir, "lang", Seq("en"))
+      val dirsAfter = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+      assert(!dirsAfter.contains("lang=en") && dirsAfter.size == before - 1)
+      assert(spark.read.parquet(dir).count() ==
+        docs.filter(col("lang") =!= "en").count())
+      // dropping a value that does not exist is a no-op, not an error
+      graft.tables.Snapshots.dropPartitions(dir, "lang", Seq("xx"))
+      assert(spark.read.parquet(dir).count() ==
+        docs.filter(col("lang") =!= "en").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("compact: many small files become few, data identical, idempotent sizing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
