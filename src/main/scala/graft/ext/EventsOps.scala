@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
+  /** Ordered funnel analysis: for each user, match `steps` as an ordered
+    * subsequence with EARLIEST-FIRST semantics — t0 = the user's first
+    * step-0 event, then t(i) = the first step-i event at or after t(i−1) —
+    * and count, per step, the users whose chain reaches it within
+    * `windowSeconds` of t0. Earliest-first is the standard deterministic
+    * funnel semantic (a later anchor could occasionally convert where the
+    * first does not; determinism and cross-engine restatability win here,
+    * and the oracle mirrors the same rule).
+    *
+    * Plan shape: one filtered scan per step (the `event_type = s` predicate
+    * pushes to parquet) with a user-keyed min-aggregation, chained by
+    * user-keyed joins — k steps = k tiny aggregations co-keyed on user_id,
+    * no window functions, no per-user event buffering. At 100 TB the step
+    * frames are small (one row per converting user) and AQE broadcasts the
+    * later, shrinking chain sides. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .withColumn("t_prev", col("t0"))
+    // frames(i) = one row per user whose chain reaches step i:
+    // (user_id, t0, t_prev = match time of step i)
+    val frames = steps.drop(1).scanLeft(first) { (acc, s) =>
+      events.filter(col("event_type") === s)
+        .join(acc.select(col("user_id"), col("t0"), col("t_prev")), "user_id")
+        .filter(col("ts") >= col("t_prev"))
+        .groupBy(col("user_id"), col("t0"))
+        .agg(min(col("ts")).as("t_prev"))
+    }
+    frames.zipWithIndex.map { case (f, i) =>
+      // integer micros, not double-cast timestamps: exact in both engines
+      f.filter(unix_micros(col("t_prev")) - unix_micros(col("t0"))
+          <= windowSeconds * 1000000L)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(steps(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Time-bucketed aggregation (tumbling window as a group key).
     *
     * Sums accumulate in DECIMAL, not double: decimal addition is exact and

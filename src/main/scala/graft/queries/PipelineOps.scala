@@ -712,6 +712,15 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q127_funnel" -> ((s, dir) => {
+      // Ordered funnel (view → click → purchase within 7 days),
+      // earliest-first matching: per step, users whose chain reaches it in
+      // the window. One pushed-filter scan + user-keyed min-agg per step,
+      // chained by user joins — no windows, no per-user buffering.
+      graft.ext.EventsOps.funnel(t(s, dir, "events"),
+          Seq("view", "click", "purchase"), windowSeconds = 7L * 86400L)
+        .orderBy(col("step"))
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1756,6 +1765,32 @@ object PipelineOps {
          |  CAST(sum(s.doc_id) AS BIGINT) AS checksum
          |FROM scored s JOIN thr ON s.lang = thr.lang AND s.q >= thr.t
          |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+    // earliest-first chain restated stepwise: t0 = first view, t1 = first
+    // click >= t0, t2 = first purchase >= t1; window on integer micros
+    "q127_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, s0.t0, min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s0.t0
+        |  GROUP BY e.user_id, s0.t0),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t0, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id, s1.t0)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+        |  WHERE epoch_us(t1) - epoch_us(t0) <= 604800000000
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+        |  WHERE epoch_us(t2) - epoch_us(t0) <= 604800000000
+        |) ORDER BY step""".stripMargin,
     "q126_retention_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,

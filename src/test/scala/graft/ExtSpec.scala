@@ -758,6 +758,30 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.length / total <= 0.35 && kept.length / total >= 0.1)
   }
 
+  test("funnel: earliest-first ordered matching, window cut, order violations drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: clean conversion
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: click BEFORE the first view, purchase before the (absent)
+      // matched click — reaches step 0 only
+      (2L, ts(5), "click"), (2L, ts(10), "view"), (2L, ts(8), "purchase"),
+      // user 3: no click at all
+      (3L, ts(10), "view"), (3L, ts(15), "purchase"),
+      // user 4: purchase outside the window
+      (4L, ts(0), "view"), (4L, ts(5), "click"), (4L, ts(5000), "purchase"),
+      // user 5: two views — the EARLIEST anchors the chain
+      (5L, ts(0), "view"), (5L, ts(100), "view"),
+      (5L, ts(50), "click"), (5L, ts(60), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ext.EventsOps.funnel(ev,
+        Seq("view", "click", "purchase"), windowSeconds = 1000L)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((0L, "view", 5L), (1L, "click", 3L), (2L, "purchase", 2L)))
+  }
+
   test("curation pipeline (q64) runs end-to-end and is deterministic") {
     val dir = TestSpark.sfDir
     val run1 = graft.queries.PipelineOps.queries("q64_curation_pipeline")(spark, dir)
