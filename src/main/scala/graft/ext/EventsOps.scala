@@ -56,6 +56,30 @@ object EventsOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Retention cohort analysis: users bucket into cohorts by the week of
+    * their FIRST event (absolute week index = floor(epoch_us / 1 week) —
+    * integer arithmetic, exact cross-engine), and each (cohort, offset)
+    * cell counts users active `offset` weeks after their cohort week. The
+    * companion report to [[funnel]] — "of the users who arrived in week W,
+    * how many came back in week W+k".
+    *
+    * Plan: one user-keyed min-aggregation (first event), one distinct over
+    * (user, week) — both two-phase with map-side combine — and a user
+    * join; output is cohorts × offsets, tiny at any corpus size. */
+  def retentionCohorts(events: DataFrame, maxOffset: Long): DataFrame = {
+    val W = 7L * 86400L * 1000000L
+    def week(ts: Column): Column =
+      ((unix_micros(ts) - pmod(unix_micros(ts), lit(W))) / lit(W)).cast("long")
+    val cohort = events.groupBy(col("user_id"))
+      .agg(min(week(col("ts"))).as("cohort_week"))
+    val active = events.select(col("user_id"), week(col("ts")).as("week")).distinct()
+    active.join(cohort, "user_id")
+      .withColumn("offset", col("week") - col("cohort_week"))
+      .filter(col("offset").between(0, maxOffset))
+      .groupBy(col("cohort_week"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Time-bucketed aggregation (tumbling window as a group key).
     *
     * Sums accumulate in DECIMAL, not double: decimal addition is exact and

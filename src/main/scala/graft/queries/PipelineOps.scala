@@ -721,6 +721,13 @@ object PipelineOps {
           Seq("view", "click", "purchase"), windowSeconds = 7L * 86400L)
         .orderBy(col("step"))
     }),
+    "q128_retention_cohorts" -> ((s, dir) => {
+      // Weekly retention cohorts: users bucket by first-event week
+      // (integer absolute week index), each cell counts users active k
+      // weeks later. Two two-phase aggregations + one user join.
+      graft.ext.EventsOps.retentionCohorts(t(s, dir, "events"), maxOffset = 4)
+        .orderBy(col("cohort_week"), col("offset"))
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1791,6 +1798,22 @@ object PipelineOps {
         |  SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
         |  WHERE epoch_us(t2) - epoch_us(t0) <= 604800000000
         |) ORDER BY step""".stripMargin,
+    // absolute integer week index both sides; distinct (user, week)
+    // activity joined to first-event cohorts
+    "q128_retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    CAST((epoch_us(ts) - ((epoch_us(ts) % 604800000000 + 604800000000)
+        |      % 604800000000)) / 604800000000 AS BIGINT) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM wk)
+        |SELECT cohort_week, week - cohort_week AS "offset",
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE week - cohort_week BETWEEN 0 AND 4
+        |GROUP BY cohort_week, week - cohort_week
+        |ORDER BY cohort_week, week - cohort_week""".stripMargin,
     "q126_retention_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
