@@ -80,6 +80,23 @@ object EventsOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event-transition matrix ("what do users do next"): per user, order
+    * events by (ts, event_id) — a total order, so the sequence is
+    * deterministic under any partitioning — pair each event with its
+    * successor via `lead`, and count (from, to) transitions. One user-keyed
+    * window sort (spillable) + one tiny hash agg; the matrix is
+    * |types|²-sized regardless of corpus size. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Time-bucketed aggregation (tumbling window as a group key).
     *
     * Sums accumulate in DECIMAL, not double: decimal addition is exact and

@@ -728,6 +728,13 @@ object PipelineOps {
       graft.ext.EventsOps.retentionCohorts(t(s, dir, "events"), maxOffset = 4)
         .orderBy(col("cohort_week"), col("offset"))
     }),
+    "q129_event_transitions" -> ((s, dir) => {
+      // Next-event transition matrix: per-user (ts, event_id)-ordered
+      // sequences paired with lead(), counted per (from, to). One window
+      // shuffle; |types|^2 output.
+      graft.ext.EventsOps.eventTransitions(t(s, dir, "events"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1814,6 +1821,14 @@ object PipelineOps {
         |WHERE week - cohort_week BETWEEN 0 AND 4
         |GROUP BY cohort_week, week - cohort_week
         |ORDER BY cohort_week, week - cohort_week""".stripMargin,
+    "q129_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q126_retention_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,

@@ -44,7 +44,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q114_kmeans", "q115_dpp_join", "q117_range_join",
     "q118_ann_ivf_trained", "q119_contrastive_triplets",
     // percentile cut-line application and the fit+gate composition
-    "q123_percentile_gate", "q124_embedding_outliers")
+    "q123_percentile_gate", "q124_embedding_outliers",
+    // event analytics: chained min-agg funnel, week cohorts, lead windows
+    "q127_funnel", "q128_retention_cohorts", "q129_event_transitions")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
