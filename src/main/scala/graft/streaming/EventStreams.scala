@@ -29,27 +29,34 @@ case class UserSession(user_id: Long, session_start: java.time.Instant,
   */
 object EventStreams {
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer (see
-    * graft.tables.Tables.table): read nanos as long, rebuild µs timestamps
-    * with integer division. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming scan of an sf directory's events table. `maxFilesPerTrigger`
     * bounds micro-batch size (at 100 TB the source must not swallow the whole
-    * backlog in one batch). */
+    * backlog in one batch).
+    *
+    * The file source needs an explicit schema, and `events.ts` has shipped
+    * both as TIMESTAMP(NANOS) (unreadable by the vectorized reader — read raw
+    * longs, rebuild µs) and as plain timestamp[us]. Probe the footer once via
+    * the batch reader (graft.tables.Tables.events handles both) and build the
+    * matching stream schema; either way the stream's `ts` is TimestampType. */
   def readEvents(spark: SparkSession, sfDir: String, maxFilesPerTrigger: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.tables.Tables
+      .eventsRaw(spark, s"$sfDir/events.parquet") // sets nanosAsLong if needed
+      .schema("ts").dataType
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // glob (not the bare file path): the file-source requires a directory
     // basePath, and a glob pins it to the parent dir whether `events.parquet`
     // is a single file (small sf dirs) or a directory of parts
-    spark.readStream.schema(rawSchema)
+    val s = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => s.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private val docSchema = StructType(Seq(

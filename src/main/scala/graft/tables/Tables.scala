@@ -18,19 +18,42 @@ object Tables {
 
   /** Read one star-schema table from an sf directory. Parquet scan: column
     * pruning + predicate pushdown happen in Catalyst; do not pre-cache (at
-    * 100 TB the scan must stream, not pin).
-    *
-    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * vectorized reader rejects; read it as raw nanos and rebuild the µs
-    * timestamp with integer division (a plain `/` would go through double
-    * and lose precision above 2^53 ns). */
+    * 100 TB the scan must stream, not pin). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
+    if (name == "events") events(spark, s"$sfDir/$name.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Read the events table, normalizing `ts` to TimestampType (µs, session
+    * TZ = UTC) whatever the generator wrote:
+    *   - TIMESTAMP(NANOS) footers: Spark's vectorized reader rejects nanos,
+    *     so read raw longs (`nanosAsLong`) and rebuild the µs timestamp with
+    *     integer division (a plain `/` would go through double and lose
+    *     precision above 2^53 ns);
+    *   - plain timestamp[us] footers (current generator): read natively;
+    *     NTZ → LTZ cast is value-identical under the UTC session TZ. */
+  def events(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = eventsRaw(spark, path)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
+  /** Batch-read events with `ts` in its on-disk type: raw nano longs for
+    * TIMESTAMP(NANOS) footers (flipping the sticky legacy conf on first
+    * contact), the native timestamp type otherwise. The streaming source
+    * probes this schema to build its own. */
+  private[graft] def eventsRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // nanos footer rejected at schema inference — flip the legacy long
+      // reader and retry (conf is sticky; later reads take the LongType arm)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+      spark.read.parquet(path)
+    }
 
   /** Register every star-schema table as a temp view so `spark.sql` queries
     * (EXISTS/scalar subqueries, CTEs) can reference them by name. */
