@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *   - embeddings get a per-replica deterministic sign-flip pattern (an
   *     orthogonal transform: within-replica cosines are bit-preserved,
   *     cross-replica similarities decohere), replica 0 is the original;
-  *   - nation/region (true dims) and events copy verbatim.
+  *   - events shift event/user ids per replica with timestamps verbatim:
+  *     the window set stays fixed while per-window density and streaming
+  *     state (sessions, dedup keys, join buffers) scale exactly N×;
+  *   - nation/region (true dims) copy verbatim.
   *
   * Usage: runMain graft.dev.ScaleGen [srcDir] [dstDir] [copies]
   */
@@ -46,9 +49,11 @@ object ScaleGen {
     val li = rd("lineitem"); val ords = rd("orders"); val cust = rd("customer")
     val part = rd("part"); val supp = rd("supplier")
     val docs = rd("documents"); val emb = rd("embeddings")
+    val ev = graft.tables.Tables.events(spark, s"$src/events.parquet")
     val oS = stride(li, "l_orderkey"); val cS = stride(cust, "c_custkey")
     val pS = stride(part, "p_partkey"); val sS = stride(supp, "s_suppkey")
     val dS = stride(docs, "doc_id"); val vS = stride(emb, "vec_id")
+    val eS = stride(ev, "event_id"); val uS = stride(ev, "user_id")
 
     def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
@@ -86,6 +91,13 @@ object ScaleGen {
               // 96%-coherent flip = near-negated twins; both inflate the
               // cross-replica pair count ~15×)
               when(pmod(xxhash64(dIdx, lit(i)), lit(2L)) === 0, -x).otherwise(x)))),
+      // events: disjoint event/user key spaces per replica, timestamps
+      // verbatim — the window set stays FIXED while per-window density and
+      // the open-state population (sessions, dedup keys, join buffers) scale
+      // exactly N×, which is the axis streaming state actually grows on
+      "events" -> replicate(ev)((d, i) => d
+        .withColumn("event_id", col("event_id") + i * eS)
+        .withColumn("user_id", col("user_id") + i * uS)),
       "nation" -> rd("nation"),
       "region" -> rd("region"))
 
@@ -94,13 +106,6 @@ object ScaleGen {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalegen] $name written")
     }
-    // events copies verbatim as bytes — its TIMESTAMP(NANOS) physical type
-    // round-trips only as a raw copy (the reader maps it to long)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$src/events.parquet"),
-      java.nio.file.Paths.get(s"$dst/events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println("[scalegen] events copied")
     spark.stop()
   }
 }
