@@ -735,6 +735,43 @@ object PipelineOps {
       graft.ext.EventsOps.eventTransitions(t(s, dir, "events"))
         .orderBy(col("from_type"), col("to_type"))
     }),
+    "q130_sketch_distinct" -> ((s, dir) => {
+      // Mergeable-sketch distinct count: HLL++ (approx_count_distinct,
+      // rsd 2%) beside the exact count, projected as the exact value plus an
+      // in-tolerance flag the oracle can restate. The sketch is the 100 TB
+      // path — fixed-size partials merge associatively across partitions and
+      // stages (plain two-phase hash agg; raw user ids never shuffle), where
+      // the exact count must expand-distinct. Tolerance 5% ≫ the 2% rsd, so
+      // the flag is deterministic-by-margin, not luck.
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_uniq"),
+          approx_count_distinct(col("user_id"), 0.02).as("hll"))
+        .select(col("event_type"), col("exact_uniq"),
+          (abs(col("hll") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.05).cast("int").as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
+    "q131_sketch_quantiles" -> ((s, dir) => {
+      // Mergeable quantile sketch (approx_percentile, accuracy 5000 → rank
+      // error ≤ 0.02%) beside the exact interpolated percentile (which
+      // matches DuckDB quantile_cont bit-for-bit — q55). Projects the exact
+      // values and sketch-in-tolerance flags. At 100 TB the sketch is the
+      // only option: bounded per-group state, associative merges; exact
+      // percentile buffers every value of a group.
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          expr("approx_percentile(l_extendedprice, 0.5, 5000)").as("s50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 5000)").as("s95"))
+        .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
+          (abs(col("s50") - col("p50")) <= col("p50") * 0.02)
+            .cast("int").as("tol50"),
+          (abs(col("s95") - col("p95")) <= col("p95") * 0.02)
+            .cast("int").as("tol95"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1829,6 +1866,19 @@ object PipelineOps {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // the oracle restates the exact side and pins the tolerance flags at 1 —
+    // a sketch outside tolerance hash-mismatches the flag column
+    "q130_sketch_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+        |  CAST(1 AS INT) AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q131_sketch_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  CAST(1 AS INT) AS tol50, CAST(1 AS INT) AS tol95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q126_retention_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
