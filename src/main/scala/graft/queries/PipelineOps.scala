@@ -772,6 +772,36 @@ object PipelineOps {
             .cast("int").as("tol95"))
         .orderBy(col("l_returnflag"))
     }),
+    "q132_sketch_union" -> ((s, dir) => {
+      // Persisted-sketch re-aggregation — the incremental-corpus pattern:
+      // one DataSketches HLL per day materialized to parquet (binary
+      // column), then the GLOBAL distinct answered by unioning the stored
+      // sketches WITHOUT rescanning raw events. At 100 TB this is the only
+      // affordable "distinct users ever" — each day's scan happens once, the
+      // union touches |days| kilobyte-sized sketches. Exact twin + tolerance
+      // flag pin the estimate (lgK=12 → rsd ≈ 1.6 %, margin 5 %).
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q132-hll")
+      try {
+        val ev = t(s, dir, "events")
+        ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .write.mode("overwrite").parquet(tmpRoot.toString + "/daily")
+        val unioned = s.read.parquet(tmpRoot.toString + "/daily")
+          .agg(count(lit(1)).as("n_days"),
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("exact_uniq"))
+        val out = unioned.crossJoin(exact) // both sides are 1 row
+          .select(col("n_days"), col("exact_uniq"),
+            (abs(col("est") - col("exact_uniq")) <=
+              col("exact_uniq") * 0.05).cast("int").as("within_tol"))
+        materialize(s, out) // 1 row; lets the scratch dir drop
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1873,6 +1903,11 @@ object PipelineOps {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
         |  CAST(1 AS INT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q132_sketch_union" ->
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+        |  CAST(1 AS INT) AS within_tol
+        |FROM events""".stripMargin,
     "q131_sketch_quantiles" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,

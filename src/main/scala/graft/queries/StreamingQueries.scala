@@ -130,6 +130,30 @@ object StreamingQueries {
           col("c_name"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
+    "q133_stream_sketch_distinct" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming distinct-users-per-hour via a DataSketches HLL aggregate:
+      // state per open window is ONE kilobyte-scale sketch instead of one
+      // state row per user — the only affordable streaming-distinct at
+      // 100 TB (exact dropDuplicates state grows with cardinality; sketch
+      // state is constant and merges associatively across micro-batches).
+      // The batch exact twin joins on the hour and pins the estimate with a
+      // tolerance flag (lgK=12 rsd ≈ 1.6 %, margin 5 %).
+      val agg = EventStreams.readEvents(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+        .select(col("w.start").as("h"), col("est"))
+      val streamed = EventStreams.runAvailableNow(agg, "q133_sink",
+        OutputMode.Complete, needFinalBatch = false)
+      val exact = Tables.table(s, dir, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("h"))
+        .agg(countDistinct(col("user_id")).as("exact_uniq"))
+      streamed.join(exact, Seq("h"))
+        .select(col("h"), col("exact_uniq"),
+          (abs(col("est") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.05).cast("int").as("within_tol"))
+        .orderBy(col("h"))
+    }),
     "q81_stream_sliding" -> ((s, dir) => withStatePartitions(s, 4) {
       // Sliding (overlapping) event-time windows: width 1 h, slide 30 min —
       // every event lands in exactly two buckets; AvailableNow == batch.
@@ -257,6 +281,12 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // exact side restated; the sketch is pinned by the tolerance flag
+    "q133_stream_sketch_distinct" ->
+      """SELECT date_trunc('hour', ts) AS h,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+        |  CAST(1 AS INT) AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Each event belongs to the two 1 h windows starting at its 30 min
     // bucket and 30 min earlier (width/slide = 2 buckets per event).
     "q81_stream_sliding" ->
