@@ -95,6 +95,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a -1.0 entry is a query that THREW — name it loudly on stderr (the
+    // stdout contract stays one JSON line); a silent -1 cost round 4 16
+    // unbenched queries before anyone noticed
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0): ${failed.mkString(", ")}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -802,6 +802,27 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q134_bpe_pairs" -> ((s, dir) => {
+      // BPE-tokenizer training inner loop as a distributed query: count
+      // adjacent character pairs across the corpus and keep those above a
+      // relative frequency floor (threshold, not top-k — tie-safe like q60).
+      // explode → two-phase count; the result is alphabet²-bounded, never
+      // corpus-sized. Real BPE training re-runs exactly this aggregation
+      // per merge step with the winning pair fused into the symbol stream —
+      // each iteration is one shuffle-once pass at 100 TB.
+      val pairs = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total)) // 1-row total
+        .filter(col("n") >= col("n_pairs") * 0.01)
+        .select(col("pair"), col("n"),
+          round(col("n").cast("double") / col("n_pairs"), 6).as("frac"))
+        .orderBy(col("n").desc, col("pair"))
+    }),
     "q126_retention_delete" -> ((s, dir) => {
       // Right-to-erasure / retention delete under the gate: a scratch
       // snapshot drops every 9th document by predicate (tmp-then-swap
@@ -1903,6 +1924,19 @@ object PipelineOps {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
         |  CAST(1 AS INT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q134_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM w, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT pair, n, round(CAST(n AS DOUBLE) / n_pairs, 6) AS frac
+        |FROM c, t WHERE n >= n_pairs * 0.01
+        |ORDER BY n DESC, pair""".stripMargin,
     "q132_sketch_union" ->
       """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
