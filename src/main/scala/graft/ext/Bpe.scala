@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the public construction
+  * every modern tokenizer trains with): learn merge rules by repeatedly
+  * counting adjacent symbol pairs across the corpus and fusing the most
+  * frequent one.
+  *
+  * Scale shape: training runs on the DISTINCT-WORD table (word, count) — the
+  * one corpus-sized shuffle happens once in [[wordCounts]]; every merge
+  * iteration is then a vocabulary-sized aggregation (explode adjacent pairs
+  * → two-phase weighted count → 1-row argmax to the driver). At 100 TB the
+  * vocabulary is millions of rows while the corpus is trillions of tokens,
+  * so iterating on the word table instead of raw text is the difference
+  * between an afternoon and impossible. Encoding then joins documents to the
+  * (broadcastable) encoded vocabulary — no per-document merge loop.
+  *
+  * Symbol strings are sentinel-framed so a merge is ONE literal
+  * `replace(...)` (codegen'd, left-to-right non-overlapping in every engine
+  * — which is exactly BPE's greedy leftmost application order):
+  * tokens are separated by a DOUBLE U+0001 sentinel and the string is
+  * framed by the same pair, e.g. word "abc" -> _ _ a _ _ b _ _ c _ _
+  * (each _ = U+0001). Merging (x, y) rewrites _ x _ _ y _ -> _ xy _ :
+  * each boundary contributes one sentinel to the match,
+  * so back-to-back occurrences (`[a,a,a,a]` → `[aa,aa]`) merge correctly,
+  * and word boundaries (four sentinels when doc-level strings concatenate)
+  * can never match. Pure string expressions end-to-end — the DuckDB oracle
+  * replays the identical chain, so merge tables are cross-engine exact. */
+object Bpe {
+
+  /** Token-boundary sentinel (tokens separated / framed by `Sep * 2`). */
+  val Sep = "\u0001"
+  private val SS = Sep + Sep
+
+  /** Word → framed symbol string of single characters. */
+  def symbolString(word: Column): Column =
+    concat(lit(SS), array_join(regexp_extract_all(word, lit("."), lit(0)), SS), lit(SS))
+
+  /** Current symbol tokens of a framed symbol string. */
+  def tokensOf(s: Column): Column =
+    filter(split(s, SS), t => t =!= "")
+
+  /** Symbol count of a framed symbol string. */
+  def tokenCountOf(s: Column): Column = size(tokensOf(s)).cast("long")
+
+  /** Apply one merge rule (x, y) → xy to a framed symbol string. */
+  def applyMerge(s: Column, x: String, y: String): Column =
+    replace(s, lit(Sep + x + SS + y + Sep), lit(Sep + x + y + Sep))
+
+  /** One learned merge rule: at `step`, fuse adjacent (x, y) seen with
+    * corpus-weighted frequency `cnt`. */
+  case class Merge(step: Long, x: String, y: String, cnt: Long)
+
+  /** The distinct-word training table: (w, n) with n = corpus occurrences.
+    * The single corpus-sized aggregation of the whole training process. */
+  def wordCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Adjacent-pair weighted counts over the current symbol strings. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("l", tokensOf(col("s")))
+      .filter(size(col("l")) >= 2) // sequence(1, 0) would step DOWNWARD
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(element_at(l, i) AS x, element_at(l, i + 1) AS y))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Learn `nMerges` merge rules. Each iteration runs one vocabulary-sized
+    * distributed aggregation and collects exactly ONE row (the argmax pair,
+    * tie-broken count-desc then lexicographic — deterministic under any
+    * partitioning). The word table is persisted once; iteration i replays
+    * i codegen'd replaces over the cached base, so lineage stays shallow. */
+  def trainMerges(words: DataFrame, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges must be in [1, 64]")
+    val base = words.select(col("n"), symbolString(col("w")).as("s")).persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var cur = base
+      for (step <- 1 to nMerges) {
+        val top = pairCounts(cur)
+          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+        if (top.nonEmpty) {
+          val r = top(0)
+          val m = Merge(step.toLong, r.getString(0), r.getString(1), r.getLong(2))
+          merges += m
+          cur = cur.withColumn("s", applyMerge(col("s"), m.x, m.y))
+        }
+      }
+      merges.toSeq
+    } finally {
+      base.unpersist(): Unit
+    }
+  }
+
+  /** Encoded vocabulary: each distinct word's symbol string after applying
+    * the merge rules in order, with its BPE token count. Vocabulary-sized —
+    * the lookup table document encoding joins against (broadcast when it
+    * fits). */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val encoded = merges.foldLeft(symbolString(col("w"))) {
+      case (s, m) => applyMerge(s, m.x, m.y)
+    }
+    words.select(col("w"), col("n"),
+      tokenCountOf(encoded).as("n_tok"),
+      array_join(tokensOf(encoded), " ").as("pieces"))
+  }
+}

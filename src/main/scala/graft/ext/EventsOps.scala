@@ -146,4 +146,37 @@ object EventsOps {
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).cast("long").as("n_sessions"),
         count(lit(1)).as("n_events"))
+
+  /** Time-grid forward fill (last observation carried forward): per user, an
+    * hourly grid spanning that user's activity, each cell holding the latest
+    * `value` at or before it — the gap-free feature series a trainer
+    * consumes. Hour index is integer `epoch_us div 3600000000` (portable
+    * floor-div, same convention as the week cohorts). Per (user, hour) the
+    * "latest" reading is the (ts, event_id)-max row — a total order, so the
+    * series is deterministic under any partitioning.
+    *
+    * Plan: one (user, hour)-keyed window picks latest readings, one tiny
+    * per-user min/max agg builds grid bounds, one user-keyed ordered window
+    * fills — all three shuffles share the user key, and grid size is
+    * users × span-hours, never event-count-sized. The first grid hour always
+    * holds that user's first reading (grid starts at min event hour), so
+    * every emitted cell is defined. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val latest = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("h"), col("value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
+      .select(col("user_id"),
+        explode(sequence(col("__h0"), col("__h1"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(latest, Seq("user_id", "h"), "left")
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h"), col("filled"))
+  }
 }

@@ -77,6 +77,37 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
+  /** Attach a REAL PNG payload: a deterministic synthetic image per row,
+    * sized `16 + id % 48` × `16 + id % 32` (3-band RGB), PNG-encoded with
+    * JDK ImageIO inside the same mapPartitions batch loop a real ingest
+    * uses. Paired with [[ImageIoCodec]] this closes the encode→bytes→decode
+    * loop through an actual codec, while the METADATA stays formula-derived
+    * — which is what lets a SQL oracle check the decoded values exactly
+    * (q145). Requires a `doc_id` long column. */
+  def withSyntheticPng(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = Encoders.row(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 16 + (id % 48L).toInt
+        val h = 16 + (id % 32L).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color((id % 256L).toInt, 64, 128))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Payload byte length — pure expression, pushes down. */
   def payloadBytes(payload: Column): Column = octet_length(payload).cast("long")
 

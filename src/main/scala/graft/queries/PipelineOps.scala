@@ -1027,6 +1027,182 @@ object PipelineOps {
           docs.filter(col("doc_id") < 5), col("text"), n = 5)
         .orderBy(col("doc_id"))
     }),
+    "q135_mg_heavy_hitters" -> ((s, dir) => {
+      // Two-pass exact heavy hitters via a Misra-Gries sketch: pass 1
+      // aggregates k=63-entry mergeable summaries (shuffle carries one
+      // summary per partition, NOT a vocabulary-sized count table — the
+      // q60 contrast); pass 2 exact-counts ONLY the candidate tokens. The
+      // sketch guarantees every token with frequency > n/(k+1) is a
+      // candidate, so the thresholded result is exactly the true
+      // phi=3%-heavy hitters under any partitioning — which is why the
+      // plain HAVING-count SQL is a full oracle.
+      val toks = t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val row = toks.agg(
+        graft.functions.MisraGries.candidates(63)(col("tok")).as("cand"),
+        count(lit(1)).as("n")).head() // 1 row, <= 63 strings — driver-bounded
+      val cand = row.getSeq[String](0)
+      val n = row.getLong(1)
+      toks.filter(col("tok").isin(cand: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        // integer form of cnt >= n * 0.03 — no float-boundary ambiguity
+        .filter(col("cnt") * 100 >= lit(n) * 3)
+        .select(col("tok"), col("cnt"),
+          round(col("cnt") / lit(n.toDouble), 6).as("frac"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+    "q136_bloom_join" -> ((s, dir) => {
+      // Bloom-pruned semi join: the high-value-orders filter folds into a
+      // 1M-bit bloom probed at lineitem SCAN speed, so non-matching fact
+      // rows never reach the join's exchange; the exact semi join removes
+      // false positives, making the result equal the plain semi join (the
+      // oracle). Spark's own BloomFilterAggregate/MightContain pair.
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      graft.ops.BloomPrune.bloomSemiJoin(
+          t(s, dir, "lineitem"), col("l_orderkey"),
+          hi, col("o_orderkey"),
+          expectedItems = 200000L, numBits = 1000000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(graft.functions.Stable.sumD(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q137_bottomk_sample" -> ((s, dir) => {
+      // Exact-k uniform corpus sample: bottom-200 by the Knuth
+      // multiplicative key (same modular arithmetic as q59's Bernoulli
+      // sampler, but with an EXACT output size — "give me exactly k docs").
+      // orderBy+limit plans through the bounded-heap TopK operator: each
+      // partition keeps 200 rows, no global sort, no RNG, reproducible
+      // across engines and cluster sizes.
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Curation.sampleKey(col("doc_id"), 999983).as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(200)
+    }),
+    "q138_bigram_lm" -> ((s, dir) => {
+      // Char-bigram LM fluency scoring (the CCNet/KenLM quality-filter
+      // pattern): train the charset^2-bounded model in one pass, broadcast
+      // it, score every doc map-side, keep the 20 least-fluent (the docs a
+      // perplexity gate would drop). Integer-scaled probabilities — exact
+      // cross-engine arithmetic (same trick as the TF-IDF integer idf).
+      val docs = t(s, dir, "documents")
+      val lm = graft.ext.NgramLm.probTable(docs, col("text"))
+      graft.ext.NgramLm.score(docs, col("doc_id"), col("text"), lm)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("m"), col("fluency"))
+        .orderBy(col("fluency"), col("doc_id"))
+        .limit(20)
+    }),
+    "q139_source_overlap" -> ((s, dir) => {
+      // Cross-source contamination matrix: distinct word-5-gram overlap
+      // between every source pair (the train/eval leakage audit across
+      // feeds). Grams aggregate to (source, gram) ONCE; the pair join runs
+      // on that vocabulary-sized table keyed by gram, and a gram's blowup
+      // is bounded by #sources^2, never corpus-sized. Jaccard from exact
+      // integer set sizes.
+      val g = t(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(
+          Dedup.wordNgrams(col("text"), 5))).as("ng"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val shared = g.as("a").join(g.as("b"),
+          col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("sz", "sz_a"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("sz", "sz_b"), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_shared")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    "q140_cluster_split" -> ((s, dir) => {
+      // Leakage-safe train/val/test split: near-dup CLUSTERS (q95's
+      // connected components over the n-gram-Jaccard pair graph) assign
+      // whole to a split by the Knuth key of their representative — no
+      // near-duplicate pair can straddle splits (the eval-contamination
+      // guarantee an id-hash split cannot give). Singleton docs are their
+      // own cluster. Buckets 0-7 train, 8 val, 9 test.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val assigned = docs.join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+        .withColumn("bucket", Curation.sampleKey(col("cluster"), 10))
+        .withColumn("split",
+          when(col("bucket") <= 7, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      assigned.groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("split"))
+    }),
+    "q141_gap_fill" -> ((s, dir) => {
+      // Time-grid forward fill (LOCF): per user, the latest reading per
+      // hour spreads across an hourly grid spanning that user's activity —
+      // the gap-free feature series a trainer consumes. Integer epoch-hour
+      // grid (portable floor-div); the fill is one per-user ordered window
+      // (last non-null), grid rows bounded by span-hours x users. Hours
+      // before a user's first reading stay null by construction of the
+      // grid start, so every emitted row is defined.
+      graft.ext.EventsOps.gapFillHourly(
+          t(s, dir, "events").filter(col("user_id") < 20))
+        .orderBy(col("user_id"), col("h"))
+    }),
+    "q142_bpe_train" -> ((s, dir) => {
+      // Distributed BPE training: 4 merge rounds, each ONE vocabulary-sized
+      // weighted pair count + a 1-row argmax collect; the corpus-sized
+      // shuffle happens once (distinct-word counts). The merge table is the
+      // result — the DuckDB oracle replays the identical sentinel-string
+      // replace chain, so every (step, pair, count) is cross-engine exact.
+      val wc = graft.ext.Bpe.wordCounts(t(s, dir, "documents"), col("text"))
+      val merges = graft.ext.Bpe.trainMerges(wc, nMerges = 4)
+      s.createDataFrame(merges)
+        .select(col("step"), col("x"), col("y"), col("cnt"))
+        .orderBy(col("step"))
+    }),
+    "q143_bpe_encode" -> ((s, dir) => {
+      // BPE encoding via the trained vocabulary: train 4 merges, encode the
+      // DISTINCT words (vocabulary-sized, broadcastable), then join docs to
+      // the encoded vocab — no per-document merge loop at any scale. Output:
+      // per-doc BPE token counts for the first 50 docs.
+      val docs = t(s, dir, "documents")
+      val wc = graft.ext.Bpe.wordCounts(docs, col("text"))
+      val merges = graft.ext.Bpe.trainMerges(wc, nMerges = 4)
+      val vocab = graft.ext.Bpe.encodeWords(wc, merges)
+      docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(vocab.select(col("w"), col("n_tok"))), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
+        .orderBy(col("doc_id"))
+    }),
+    "q145_multimodal_imageio" -> ((s, dir) => {
+      // Real-codec multimodal decode under the oracle gate: deterministic
+      // synthetic PNGs (formula-sized, ImageIO-ENCODED per row) round-trip
+      // through actual PNG bytes and [[Multimodal.ImageIoCodec]]'s decode —
+      // the full encode→bytes→decode loop with a real codec, batch-wise in
+      // mapPartitions. The oracle recomputes width/height from the sizing
+      // formula: the decode must reproduce them from the bytes alone.
+      val withPng = Multimodal.withSyntheticPng(
+        t(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id")))
+      Multimodal.decodeImages(withPng, codec = Multimodal.ImageIoCodec)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"),
+          Multimodal.payloadBytes(col("payload")).as("png_bytes"))
+        .filter(col("png_bytes") > 0) // real PNGs are never empty
+        .drop("png_bytes")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Keep-rates (permille) for the stratified-sampling queries — the
@@ -2123,5 +2299,172 @@ object PipelineOps {
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
         |FROM g JOIN bench USING (ng) WHERE g.doc_id >= 5
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q135_mg_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |tk2 AS (SELECT tok FROM tk WHERE tok <> ''),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk2),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk2 GROUP BY tok)
+        |SELECT tok, cnt, round(cnt / (SELECT n * 1.0 FROM t), 6) AS frac
+        |FROM c WHERE cnt * 100 >= (SELECT n FROM t) * 3
+        |ORDER BY cnt DESC, tok""".stripMargin,
+    "q136_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q137_bottomk_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ((doc_id % 1000003) * 2654435761) % 999983 AS skey
+        |FROM documents ORDER BY skey, doc_id LIMIT 200""".stripMargin,
+    "q138_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |bgr AS (
+        |  SELECT doc_id, unnest([substring(w, i, 2) for i in range(1, length(w))]) AS bg
+        |  FROM tk WHERE length(w) >= 2),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bi FROM bgr GROUP BY bg),
+        |px AS (SELECT substring(bg, 1, 1) AS x, CAST(sum(c_bi) AS BIGINT) AS c_x
+        |       FROM c GROUP BY 1),
+        |lm AS (SELECT bg, (1000000 * c_bi) // c_x AS p
+        |       FROM c JOIN px ON substring(c.bg, 1, 1) = px.x),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(p) AS BIGINT) AS tot
+        |       FROM bgr b JOIN lm USING (bg) GROUP BY b.doc_id)
+        |SELECT sc.doc_id, d.lang, sc.m, CAST(sc.tot // sc.m AS BIGINT) AS fluency
+        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |ORDER BY fluency, sc.doc_id LIMIT 20""".stripMargin,
+    "q139_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source, ng FROM (
+        |    SELECT source, unnest(list_distinct(
+        |      CASE WHEN len(tk) >= 5
+        |        THEN list_transform(generate_series(1, len(tk) - 4),
+        |               i -> array_to_string(tk[i:i+4], ' '))
+        |        ELSE [] END)) AS ng
+        |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents))),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q140_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN ((cluster % 1000003) * 2654435761) % 10 <= 7 THEN 'train'
+        |         WHEN ((cluster % 1000003) * 2654435761) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM assigned)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    "q141_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) // 3600000000 AS h
+        |  FROM events WHERE user_id < 20),
+        |latest AS (
+        |  SELECT user_id, h, value FROM (
+        |    SELECT user_id, h, value, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds)
+        |SELECT g.user_id, g.h, last_value(l.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN latest l ON l.user_id = g.user_id AND l.h = g.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+    "q142_bpe_train" ->
+      (s"WITH ${bpeCtes(4)},\n" +
+        (1 to 4).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, x, y, cnt FROM b${i - 1}")
+          .mkString("m AS (", " UNION ALL ", ")\n") +
+        "SELECT step, x, y, cnt FROM m ORDER BY step"),
+    "q143_bpe_encode" ->
+      (s"WITH ${bpeCtes(4)},\n" +
+        """vocab AS (
+          |  SELECT w, CAST(len(list_filter(string_split(s, chr(1)||chr(1)),
+          |    t -> t <> '')) AS BIGINT) AS n_tok FROM s4),
+          |dtk AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents WHERE doc_id < 50)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tok
+          |FROM dtk JOIN vocab USING (w) WHERE w <> ''
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q145_multimodal_imageio" ->
+      """SELECT doc_id,
+        |  16 + doc_id % 48 AS width,
+        |  16 + doc_id % 32 AS height,
+        |  3 AS channels,
+        |  'image/png' AS format
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
   )
+
+  /** Unrolled-SQL restatement of [[graft.ext.Bpe.trainMerges]]: `n` chained
+    * CTE rounds of (pair count → argmax → sentinel-string replace) over the
+    * distinct-word table, each bit-identical to the Spark iteration (same
+    * double-U+0001 framing, same left-to-right `replace`, same
+    * count-desc/lexicographic tie-break). `b{i}` holds round i+1's winning
+    * pair; `s{i}` the symbol strings entering round i+1. */
+  private def bpeCtes(n: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """s0 AS (SELECT w, n, chr(1)||chr(1) ||
+        |  array_to_string(regexp_extract_all(w, '.'), chr(1)||chr(1)) ||
+        |  chr(1)||chr(1) AS s FROM wc)""".stripMargin)
+    for (i <- 0 until n) {
+      parts += s"""l$i AS (SELECT n, list_filter(string_split(s$i.s, chr(1)||chr(1)),
+                  |  t -> t <> '') AS l FROM s$i)""".stripMargin
+      parts += s"i$i AS (SELECT n, l, unnest(range(1, len(l))) AS i FROM l$i)"
+      parts += s"""p$i AS (SELECT l[i] AS x, l[i+1] AS y, CAST(sum(n) AS BIGINT) AS cnt
+                  |  FROM i$i GROUP BY 1, 2)""".stripMargin
+      parts += s"b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1)"
+      parts += s"""s${i + 1} AS (SELECT w, n, replace(s,
+                  |  chr(1)||b.x||chr(1)||chr(1)||b.y||chr(1),
+                  |  chr(1)||b.x||b.y||chr(1)) AS s FROM s$i, b$i b)""".stripMargin
+    }
+    parts.mkString(",\n")
+  }
 }

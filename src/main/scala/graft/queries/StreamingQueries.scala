@@ -65,6 +65,22 @@ object StreamingQueries {
       EventStreams.runAvailableNow(agg, "q33_sink", needFinalBatch = false)
         .orderBy(col("h"), col("event_type"))
     }),
+    "q144_stream_trending" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming trending dashboard: per-hour counts accumulate
+      // INCREMENTALLY in watermarked streaming state (the expensive,
+      // corpus-sized half); the top-3 ranking runs over the materialized
+      // sink — ranking is not an incremental operator, and the sink is
+      // windows x types-sized, so the dashboard pays a tiny batch window.
+      // The batch restatement of both stages is the oracle.
+      val agg = EventStreams.tumblingAgg(EventStreams.readEvents(s, dir), "1 hour")
+      val counts = EventStreams.runAvailableNow(agg, "q144_sink", needFinalBatch = false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("h"), col("event_type"), col("n"), col("rnk"))
+        .orderBy(col("h"), col("rnk"))
+    }),
     "q34_stream_session_window" -> ((s, dir) => withStatePartitions(s, 4) {
       val sess = EventStreams.sessionWindowAgg(
         EventStreams.readEvents(s, dir).filter(col("user_id") < 100), gap = "30 minutes")
@@ -216,6 +232,16 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "q144_stream_trending" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY h, event_type),
+        |r AS (
+        |  SELECT h, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY h ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT h, event_type, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY h, rnk""".stripMargin,
     // Session bounds per Spark session_window semantics: a new session starts
     // when the gap to the previous event is >= 30 min (end bound exclusive);
     // session_end = last event + gap.

@@ -46,7 +46,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // percentile cut-line application and the fit+gate composition
     "q123_percentile_gate", "q124_embedding_outliers",
     // event analytics: chained min-agg funnel, week cohorts, lead windows
-    "q127_funnel", "q128_retention_cohorts", "q129_event_transitions")
+    "q127_funnel", "q128_retention_cohorts", "q129_event_transitions",
+    // round 5: MG-sketch heavy hitters (order-dependent candidate set,
+    // order-independent final answer), bloom-pruned join, BPE merge
+    // training (argmax per round), LOCF grid fill, cluster-keyed split
+    "q135_mg_heavy_hitters", "q136_bloom_join", "q140_cluster_split",
+    "q141_gap_fill", "q142_bpe_train")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)

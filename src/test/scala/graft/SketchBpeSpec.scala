@@ -1,0 +1,175 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Bpe, EventsOps, NgramLm}
+import graft.functions.{MisraGries, MisraGriesAggregator}
+import graft.ops.BloomPrune
+
+/** Round-5 operators: Misra-Gries sketch guarantees, bloom-pruned joins,
+  * distributed BPE training/encoding, bigram-LM scoring, LOCF gap fill. */
+class SketchBpeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Misra-Gries ----
+
+  test("MG summary contains every item above n/(k+1) under any partitioning") {
+    // skewed synthetic stream: item "h0".."h3" heavy, long tail of singles
+    val heavy = (0 until 4).flatMap(i => Seq.fill(400 - 50 * i)(s"h$i"))
+    val tail = (0 until 2000).map(i => s"t${i % 700}")
+    val stream = heavy ++ tail
+    val n = stream.size
+    val k = 15
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val must = exact.filter(_._2 > n.toDouble / (k + 1)).keySet
+    assert(must.nonEmpty) // the guarantee must actually bite
+    for (parts <- Seq(1, 3, 8)) {
+      val cand = stream.toDF("w").repartition(parts)
+        .agg(MisraGries.candidates(k)(col("w")).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(cand.size <= k)
+      assert(must.subsetOf(cand),
+        s"parts=$parts missing ${must -- cand}")
+    }
+  }
+
+  test("MG reduce/merge laws on a hand stream with forced decrements") {
+    val agg = new MisraGriesAggregator(2)
+    // stream a a b c: with k=2, c's arrival decrements {a:2, b:1} -> {a:1}
+    val buf = Seq("a", "a", "b", "c").foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toMap === Map("a" -> 1L))
+    // merge two summaries past k: cut = 3rd largest count, survivors shifted
+    val m = agg.merge(mutable.HashMap("a" -> 5L, "b" -> 2L),
+      mutable.HashMap("b" -> 1L, "c" -> 1L))
+    assert(m.toMap === Map("a" -> 4L, "b" -> 2L)) // cut=1 (c), a:5-1, b:3-1
+  }
+
+  test("q135 equals the exact heavy hitters (sketch adds no rows, loses none)") {
+    val got = SparkEntry.queries("q135_mg_heavy_hitters")(spark, TestSpark.sfDir)
+      .select("tok", "cnt").as[(String, Long)].collect().toSet
+    val toks = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 >= n * 3)
+      .as[(String, Long)].collect().toSet
+    assert(got === exact)
+  }
+
+  // ---- Bloom-pruned join ----
+
+  test("bloom semi join equals the plain semi join; probe filter is in the plan") {
+    val fact = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+    val dim = graft.tables.Tables.table(spark, TestSpark.sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+    val pruned = BloomPrune.bloomSemiJoin(fact, col("l_orderkey"),
+      dim, col("o_orderkey"), expectedItems = 10000L, numBits = 100000L)
+    val plain = fact.join(dim.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(pruned.count() === plain.count())
+    assert(pruned.agg(sum("l_orderkey")).head().getLong(0) ===
+      plain.agg(sum("l_orderkey")).head().getLong(0))
+    // the membership probe must sit in the plan as a filter (scan-side
+    // prune BEFORE the join's exchange)
+    val txt = pruned.queryExecution.executedPlan.toString
+    assert(txt.contains("might_contain"), s"no bloom probe in plan:\n$txt")
+  }
+
+  test("bloom probe has no false negatives on adversarial keys") {
+    val dim = (0L until 5000L).map(i => i * 7919L).toDF("k")
+    val bytes = BloomPrune.bloomBytes(dim, col("k"), 5000L, 50000L)
+    val misses = dim.filter(!BloomPrune.mightContain(bytes, col("k"))).count()
+    assert(misses === 0L)
+  }
+
+  // ---- BPE ----
+
+  test("BPE merges match the hand-computed sequence (weighted words)") {
+    // corpus: "aaab" x3, "ab" x2
+    //   round 1: (a,a)=6 > (a,b)=5           -> merge (a,a)
+    //   round 2: [aa,a,b]x3,[a,b]x2: (a,b)=5 > (aa,a)=3 -> merge (a,b)
+    //   round 3: [aa,ab]x3,[ab]x2: (aa,ab)=3 -> merge (aa,ab)
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("w", "n")
+    val merges = Bpe.trainMerges(words, nMerges = 3)
+    assert(merges.map(m => (m.x, m.y, m.cnt)) ===
+      Seq(("a", "a", 6L), ("a", "b", 5L), ("aa", "ab", 3L)))
+  }
+
+  test("BPE back-to-back merge is greedy left-to-right: aaaa -> [aa, aa]") {
+    val words = Seq(("aaaa", 1L)).toDF("w", "n")
+    val merges = Seq(Bpe.Merge(1L, "a", "a", 3L))
+    val enc = Bpe.encodeWords(words, merges)
+      .select("n_tok", "pieces").as[(Long, String)].head()
+    assert(enc === ((2L, "aa aa")))
+  }
+
+  test("BPE argmax tie-break is lexicographic (count desc, then x, y)") {
+    // "ab" x2 and "cd" x2: (a,b) and (c,d) tie at 2 -> (a,b) wins
+    val words = Seq(("ab", 2L), ("cd", 2L)).toDF("w", "n")
+    val merges = Bpe.trainMerges(words, nMerges = 1)
+    assert(merges.head.x === "a" && merges.head.y === "b")
+  }
+
+  test("BPE merges never cross word boundaries in doc-level encoding") {
+    // after merging (b,a), "ab ba" must encode as [a,b][ba], not fuse the
+    // inner "b a" across the word gap
+    val words = Seq(("ab", 1L), ("ba", 1L)).toDF("w", "n")
+    val enc = Bpe.encodeWords(words, Seq(Bpe.Merge(1L, "b", "a", 9L)))
+      .orderBy("w").select("w", "pieces").as[(String, String)].collect().toSeq
+    assert(enc === Seq(("ab", "a b"), ("ba", "ba")))
+  }
+
+  // ---- bigram LM ----
+
+  test("bigram LM probabilities and doc scores match hand arithmetic") {
+    // corpus: "ab ab ac" -> bigrams ab, ab, ac; c(a.)=3
+    //   p(ab) = 1e6*2 div 3 = 666666 ; p(ac) = 1e6*1 div 3 = 333333
+    val docs = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    val lm = NgramLm.probTable(docs, col("text"))
+    val probs = lm.select("bg", "p_int").as[(String, Long)].collect().toMap
+    assert(probs === Map("ab" -> 666666L, "ac" -> 333333L))
+    val sc = NgramLm.score(docs, col("doc_id"), col("text"), lm)
+      .select("m", "fluency").as[(Long, Long)].head()
+    // tot = 666666*2 + 333333 = 1666665 ; fluency = 1666665 div 3 = 555555
+    assert(sc === ((3L, 555555L)))
+  }
+
+  test("bigram extraction stays within words") {
+    val bgs = Seq(Tuple1("ab cd")).toDF("text")
+      .select(explode(NgramLm.charBigrams(col("text"))).as("bg"))
+      .as[String].collect().toSeq
+    assert(bgs === Seq("ab", "cd")) // no "b c" across the space
+  }
+
+  // ---- LOCF gap fill ----
+
+  test("gap fill carries last value forward and starts at first reading") {
+    val base = 1704067200000000L // 2024-01-01T00:00Z in micros
+    def ts(h: Long, m: Long) = new java.sql.Timestamp((base + h * 3600000000L + m * 60000000L) / 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0, 5), 1.0), // hour 0: two readings, latest (by ts) wins
+      (2L, 10L, ts(0, 30), 2.0),
+      (3L, 10L, ts(3, 0), 9.0) // hours 1-2 are gaps -> carry 2.0
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.gapFillHourly(ev)
+      .orderBy("h").select("h", "filled").as[(Long, Double)].collect().toSeq
+    val h0 = base / 3600000000L
+    assert(out === Seq((h0, 2.0), (h0 + 1, 2.0), (h0 + 2, 2.0), (h0 + 3, 9.0)))
+  }
+
+  test("gap fill tie on equal ts resolves by highest event_id") {
+    val base = 1704067200000000L
+    val t0 = new java.sql.Timestamp(base / 1000L)
+    val ev = Seq(
+      (7L, 1L, t0, 5.0),
+      (9L, 1L, t0, 6.0) // same ts, higher id -> wins
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.gapFillHourly(ev).select("filled").as[Double].head()
+    assert(out === 6.0)
+  }
+}
