@@ -279,6 +279,67 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity self-join — the non-probabilistic
+    * alternative to MinHash/SimHash blocking (SSJoin, Chaudhuri et al. 2006;
+    * All-Pairs, Bayardo et al. 2007; the MapReduce formulation is Vernica
+    * et al. 2010 — public constructions). Order every document's n-gram set
+    * by GLOBAL rarity (document frequency asc, gram asc); for Jaccard
+    * threshold `t` any pair with J ≥ t must share a gram inside each side's
+    * first `|x| − ⌈t·|x|⌉ + 1` grams, so ONLY the prefix grams enter the
+    * inverted-index join. Rare grams lead the order, so prefix postings
+    * lists are short where the full index is long — the candidate space
+    * shrinks toward the true-pair set as t grows, with a hard completeness
+    * guarantee (unlike LSH's probabilistic recall).
+    *
+    * Verification is candidate-bounded: each surviving (d1, d2) joins the
+    * two sorted gram SETS and intersects them per pair (`array_intersect`,
+    * codegen'd) — corpus-sized work never touches the pair space. Output
+    * (d1, d2, jaccard) equals [[ngramJaccardPairs]] row-for-row; the same
+    * plain-SQL theta join is the oracle for both.
+    *
+    * 100 TB: two vocabulary-keyed aggregations (df, prefix ranks), an
+    * inverted-index join over ~(1−t)·index postings, and a pair-keyed
+    * verify join. The df table is the only extra state vs LSH, and it is
+    * the vocabulary table every lexical op here already builds. */
+  def prefixJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, minJaccard: Double): DataFrame = {
+    // The per-doc gram sets feed FIVE consumers (df count, prefix ranks,
+    // both verify sides, sizes); left lazy, Spark would re-tokenize the
+    // corpus for each. Materialize once (localCheckpoint = eager, lineage
+    // truncated) — the local stand-in for the tokenized-relation
+    // materialization the MapReduce formulation writes between stages
+    // (Vernica et al. §4); at cluster scale make it a parquet scratch
+    // table and this is exactly that plan.
+    val sets = docs.select(id.as("doc_id"),
+        array_sort(array_distinct(wordNgramHashes(text, n))).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .localCheckpoint()
+    val g = sets.select(col("doc_id"), explode(col("gs")).as("ng"))
+    val dfreq = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val prefix = g.join(dfreq, "ng")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("ng"))))
+      .join(sets.select(col("doc_id"), size(col("gs")).as("sz")), "doc_id")
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("doc_id"), col("ng"))
+      // both sides of the candidate self-join read this table — without the
+      // checkpoint each side replays the df join + rank window
+      .localCheckpoint()
+    val cand = prefix.select(col("doc_id").as("d1"), col("ng"))
+      .join(prefix.select(col("doc_id").as("d2"), col("ng").as("ng2")),
+        col("ng") === col("ng2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("gs").as("g1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
+      .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("jaccard", round(col("i").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   // ---------- span-level (cross-document substring) dedup -----------------
 
   /** Fixed-width token spans of a text column: non-overlapping windows of

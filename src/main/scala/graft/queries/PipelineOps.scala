@@ -1186,6 +1186,17 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q146_prefix_jaccard" -> ((s, dir) => {
+      // Prefix-filtered exact similarity join (All-Pairs/PPJoin family):
+      // only each doc's rarest-first prefix grams enter the inverted-index
+      // join, with a HARD completeness guarantee (any pair at J >= 0.2
+      // shares a prefix gram) — the deterministic alternative to q46's
+      // MinHash blocking. Must equal q45's plain all-pairs join
+      // row-for-row, so they share the oracle SQL.
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
     "q145_multimodal_imageio" -> ((s, dir) => {
       // Real-codec multimodal decode under the oracle gate: deterministic
       // synthetic PNGs (formula-sized, ImageIO-ENCODED per row) round-trip
@@ -1406,6 +1417,9 @@ object PipelineOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q45_ngram_jaccard" -> NgramJaccardOracle,
+    // prefix filtering is transparent: q146 must reproduce the plain
+    // all-pairs answer exactly, so it shares q45's oracle
+    "q146_prefix_jaccard" -> NgramJaccardOracle,
     "q107_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -124,6 +124,31 @@ class SketchBpeSpec extends AnyFunSuite {
     assert(enc === Seq(("ab", "a b"), ("ba", "ba")))
   }
 
+  // ---- prefix-filtered similarity join ----
+
+  test("prefix-filtered Jaccard join equals the plain all-pairs join") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val plain = graft.ext.Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val filtered = graft.ext.Dedup.prefixJaccardPairs(docs,
+        col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty) // the corpus plants near-dups; the test must bite
+    assert(filtered === plain)
+  }
+
+  test("prefix filter is complete at a higher threshold too (t=0.5)") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val plain = graft.ext.Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val filtered = graft.ext.Dedup.prefixJaccardPairs(docs,
+        col("doc_id"), col("text"), n = 3, minJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(filtered === plain)
+  }
+
   // ---- bigram LM ----
 
   test("bigram LM probabilities and doc scores match hand arithmetic") {
