@@ -319,6 +319,45 @@ object Curation {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Collocation mining: adjacent word pairs ranked by integer-scaled lift
+    * (PMI without the log — `lift = P(xy) / (P(x)·P(y))`, same ranking
+    * monotonicity; Manning & Schütze ch. 5 is the public construction).
+    * `lift_int = ((c_xy·N) div c_x)·1e6 div c_y` keeps the whole statistic
+    * in exact integer arithmetic (the TF-IDF/bigram-LM trick), so scores
+    * and top-k sets are bit-identical across engines. The fixed-phrase
+    * detector of a lexical pipeline — multiword expressions, boilerplate
+    * templates, tokenizer merge candidates beyond raw frequency (q134/q142
+    * rank pairs by COUNT; lift surfaces rare-but-bound pairs instead).
+    *
+    * Shape: one corpus-sized pair count and one unigram count (both
+    * two-phase, map-side combined); the scoring joins touch only the
+    * aggregated tables, and the `minCount` support floor bounds the pair
+    * table the way every heavy-hitter op here bounds its output. */
+  def collocations(docs: DataFrame, text: Column, minCount: Long,
+      topK: Int): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(text).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS x, element_at(tk, i + 1) AS y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bi
+      .join(uni.withColumnRenamed("w", "x").withColumnRenamed("c", "cx"), "x")
+      .join(uni.withColumnRenamed("w", "y").withColumnRenamed("c", "cy"), "y")
+      .crossJoin(broadcast(total)) // 1-row total
+      .withColumn("lift", expr("((cxy * n) div cx) * 1000000 div cy"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(topK)
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"), col("lift"))
+  }
+
   /** Intra-document repetition signals (quality-filter features): total
     * token count, distinct-token ratio, and top-token dominance (count of
     * the most frequent token over all tokens — boilerplate and degenerate

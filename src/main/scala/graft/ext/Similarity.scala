@@ -328,6 +328,75 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search" — the public construction behind FAISS-style
+    * indexes; [[ivfTopKTrained]] is the coarse-cell half, this is the
+    * code-compression half). The embedding splits into `m` subspaces; each
+    * subspace trains its own `ksub`-centroid integer Lloyd codebook
+    * ([[lloydCentroids]] over the slice), and every corpus vector compresses
+    * to m small codes. A query scores the WHOLE corpus from a per-query
+    * lookup table (asymmetric distance, ADC): its distance to each
+    * (subspace, centroid) pair — m·ksub integers — is computed once, and a
+    * vector's approximate distance is the sum of m table lookups, never a
+    * dim-length dot product. Exact cosine re-ranks only the top `kCand`
+    * ADC candidates.
+    *
+    * Scale shape: training collects ≤ksub rows per round per subspace; the
+    * codes table is m small ints per vector (the 100 TB memory story: 64-dim
+    * floats → 4 bytes of codes); the LUT is nq·m·ksub rows and BROADCASTS;
+    * the ADC scan is a map-side join + one (q, vec) aggregation; the exact
+    * re-rank touches kCand rows per query. All distances are quantized
+    * integers with (dist, id) tie-breaks, so codes, ADC order, and the
+    * emitted top-k are exact cross-engine — the DuckDB oracle replays
+    * training, encoding, ADC, and re-rank verbatim. */
+  def pqTopK(emb: DataFrame, k: Int, m: Int = 4, subDim: Int = 16,
+      ksub: Int = 8, iters: Int = 2, nq: Int = 10, kCand: Int = 20,
+      quant: Double = 1e6): DataFrame = {
+    def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+    def qvOf(e: Column): Column =
+      transform(toDouble(e), x => floor(x * quant).cast("long"))
+    // per-subspace codebooks (driver-held: m × ksub × subDim longs)
+    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
+      lloydCentroids(
+        emb.select(col("vec_id"), sub(j).as("embedding")), ksub, iters, quant)
+    }
+    // corpus codes: per subspace, nearest codebook entry (ties → lowest)
+    val codes = emb.select(col("vec_id").as("c_id") +: (0 until m).map(j =>
+      bestCell(qvOf(sub(j)), books(j)).getField("c").as(s"code$j")): _*)
+    val codesLong = codes.select(col("c_id"), explode(array((0 until m).map(j =>
+      struct(lit(j.toLong).as("j"), col(s"code$j").as("code"))): _*)).as("e"))
+      .select(col("c_id"), col("e.j"), col("e.code"))
+    // per-query ADC lookup table: nq × m × ksub integer distances
+    val lut = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), explode(array((for {
+        j <- 0 until m; c <- 0 until ksub
+      } yield struct(lit(j.toLong).as("j"), lit(c.toLong).as("code"),
+        sqDist(qvOf(sub(j)), books(j)(c)).as("d"))): _*)).as("e"))
+      .select(col("q_id"), col("e.j"), col("e.code"), col("e.d"))
+    val adc = codesLong.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("c_id"))
+    val cand = adc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= kCand).select(col("q_id"), col("c_id"))
+    // exact cosine re-rank of the ADC survivors only
+    val sides = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nn"))
+    val scored = cand
+      .join(sides.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nn").as("q_n")), "q_id")
+      .join(sides.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nn").as("c_n")), "c_id")
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Persist an IVF index as TABLES — the build-once/search-many model
     * (the ANN analogue of [[graft.tables.Bucketing]]'s pay-the-shuffle-at-
     * write joins): trained centroids land in a tiny `centroids` parquet,

@@ -1186,6 +1186,25 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q148_ann_pq" -> ((s, dir) => {
+      // Product-quantization ANN: per-subspace integer Lloyd codebooks,
+      // corpus compressed to m=4 codes, queries score the corpus via a
+      // broadcast ADC lookup table (sum of m table lookups, never a full
+      // dot product), exact cosine re-ranks the top-20 ADC candidates.
+      // Training, codes, ADC order, and re-rank are integer/tie-broken —
+      // the oracle replays all four stages.
+      Similarity.pqTopK(t(s, dir, "embeddings"), k = 3, m = 4, subDim = 16,
+          ksub = 8, iters = 2, nq = 10, kCand = 20)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "q147_collocations" -> ((s, dir) => {
+      // Collocation mining: adjacent word pairs ranked by integer-scaled
+      // lift (PMI sans log) over a min-support floor — fixed phrases and
+      // boilerplate templates surface above raw frequency. Two corpus
+      // aggregations; scoring joins touch aggregated tables only.
+      Curation.collocations(t(s, dir, "documents"), col("text"),
+        minCount = 10L, topK = 30)
+    }),
     "q146_prefix_jaccard" -> ((s, dir) => {
       // Prefix-filtered exact similarity join (All-Pairs/PPJoin family):
       // only each doc's rarest-first prefix grams enter the inverted-index
@@ -2445,6 +2464,24 @@ object PipelineOps {
           |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tok
           |FROM dtk JOIN vocab USING (w) WHERE w <> ''
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q148_ann_pq" ->
+      pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
+    "q147_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(l) AS w FROM tk) WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM tk WHERE len(l) >= 2),
+        |bi AS (SELECT l[i] AS x, l[i+1] AS y, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM idx WHERE l[i] <> '' AND l[i+1] <> ''
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |sc AS (
+        |  SELECT x, y, cxy, ux.c AS cx, uy.c AS cy,
+        |    ((cxy * n) // ux.c) * 1000000 // uy.c AS lift
+        |  FROM bi JOIN uni ux ON ux.w = x JOIN uni uy ON uy.w = y, tot)
+        |SELECT x, y, cxy, cx, cy, CAST(lift AS BIGINT) AS lift FROM sc
+        |ORDER BY lift DESC, x, y LIMIT 30""".stripMargin,
     "q145_multimodal_imageio" ->
       """SELECT doc_id,
         |  16 + doc_id % 48 AS width,
@@ -2453,6 +2490,86 @@ object PipelineOps {
         |  'image/png' AS format
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
   )
+
+  /** One subspace's PQ codebook chain (prefix `p{j}`): the [[kmeansCtes]]
+    * structure over the `[off+1, off+subDim]` slice of the embedding, ending
+    * with a FINAL full-corpus assignment at round `iters+1` whose `d`-CTE
+    * doubles as the query ADC lookup table (distance of every vector's
+    * subvector to every codebook entry). */
+  private def pqSubCtes(j: Int, ksub: Int, iters: Int, subDim: Int): String = {
+    val pfx = s"p$j"
+    val off = j * subDim
+    def assign(i: Int, cPrev: String): String =
+      s"""${pfx}d$i AS (
+         |  SELECT q.vec_id, q.qv, c.cell,
+         |    CAST(list_sum(list_transform(generate_series(1, $subDim),
+         |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+         |  FROM ${pfx}qe q CROSS JOIN $cPrev c),
+         |${pfx}a$i AS (SELECT vec_id, qv, cell, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM ${pfx}d$i) WHERE rn = 1)""".stripMargin
+    def update(i: Int, cPrev: String): String =
+      s"""${pfx}s$i AS (
+         |  SELECT cell, ii.i AS pos, sum(qv[ii.i]) AS s, count(*) AS cnt
+         |  FROM ${pfx}a$i CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) ii
+         |  GROUP BY cell, ii.i),
+         |${pfx}n$i AS (SELECT cell,
+         |    list(CAST((s - ((s % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cv
+         |  FROM ${pfx}s$i GROUP BY cell),
+         |${pfx}c$i AS (SELECT p.cell, COALESCE(${pfx}n$i.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN ${pfx}n$i ON ${pfx}n$i.cell = p.cell)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => assign(i, s"${pfx}c${i - 1}") + ",\n" + update(i, s"${pfx}c${i - 1}"))
+      .mkString(",\n")
+    s"""${pfx}qe AS (
+       |  SELECT vec_id, list_transform(embedding[${off + 1}:${off + subDim}],
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${pfx}c0 AS (SELECT vec_id AS cell, qv AS cv FROM ${pfx}qe WHERE vec_id < $ksub),
+       |$rounds,
+       |${assign(iters + 1, s"${pfx}c$iters")}""".stripMargin
+  }
+
+  /** Unrolled-SQL restatement of [[graft.ext.Similarity.pqTopK]]: m
+    * codebook chains, code/LUT unions, the ADC aggregation, and q118's
+    * exact-cosine re-rank tail over the ADC survivors. */
+  private def pqSql(m: Int, ksub: Int, iters: Int, subDim: Int,
+      nq: Int, kCand: Int, k: Int): String = {
+    val fin = iters + 1
+    val dim = m * subDim
+    val chains = (0 until m).map(j => pqSubCtes(j, ksub, iters, subDim))
+      .mkString(",\n")
+    val codesAll = (0 until m)
+      .map(j => s"SELECT vec_id AS c_id, cell AS code, CAST($j AS BIGINT) AS j FROM p${j}a$fin")
+      .mkString(" UNION ALL ")
+    val lutAll = (0 until m)
+      .map(j => s"SELECT vec_id AS q_id, cell AS code, CAST($j AS BIGINT) AS j, dist FROM p${j}d$fin WHERE vec_id < $nq")
+      .mkString(" UNION ALL ")
+    s"""WITH $chains,
+       |codes AS ($codesAll),
+       |lut AS ($lutAll),
+       |adc AS (
+       |  SELECT q_id, c_id, CAST(sum(dist) AS BIGINT) AS adc
+       |  FROM codes JOIN lut USING (j, code) WHERE q_id != c_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, c_id) AS crn FROM adc)
+       |  WHERE crn <= $kCand),
+       |sc AS (
+       |  SELECT q_id, c_id, round(
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(c2e.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE))))), 5) AS sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+       |            JOIN embeddings c2e ON c2e.vec_id = cand.c_id),
+       |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** Unrolled-SQL restatement of [[graft.ext.Bpe.trainMerges]]: `n` chained
     * CTE rounds of (pair count → argmax → sentinel-string replace) over the

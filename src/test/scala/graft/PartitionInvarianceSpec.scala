@@ -51,7 +51,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // order-independent final answer), bloom-pruned join, BPE merge
     // training (argmax per round), LOCF grid fill, cluster-keyed split
     "q135_mg_heavy_hitters", "q136_bloom_join", "q140_cluster_split",
-    "q141_gap_fill", "q142_bpe_train")
+    "q141_gap_fill", "q142_bpe_train",
+    // prefix-filtered similarity join, lift-ranked collocations, PQ ANN
+    "q146_prefix_jaccard", "q147_collocations", "q148_ann_pq")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)

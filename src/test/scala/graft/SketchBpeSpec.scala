@@ -149,6 +149,36 @@ class SketchBpeSpec extends AnyFunSuite {
     assert(filtered === plain)
   }
 
+  // ---- product-quantization ANN ----
+
+  test("PQ ANN top-1 recall vs brute force clears the floor; sims are exact cosine") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val pq = graft.ext.Similarity.pqTopK(emb, k = 3, m = 4, subDim = 16,
+      ksub = 8, iters = 2, nq = 10, kCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(pq.length === 30) // 10 queries x top-3
+    // exact top-1 per query by brute force
+    val ids = emb.select("vec_id").as[Long].collect()
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = (0L until 10L).count { q =>
+      val truth = ids.filter(_ != q)
+        .maxBy(c => (cos(vecs(q), vecs(c)), -c))
+      pq.filter(_._1 == q).map(_._2).contains(truth)
+    }
+    assert(hits >= 6, s"top-1-in-top-3 recall $hits/10 below floor")
+    // every reported sim must be the exact cosine, not the ADC approximation
+    pq.foreach { case (q, c, sim, _) =>
+      assert(math.abs(sim - math.rint(cos(vecs(q), vecs(c)) * 1e5) / 1e5) < 1e-9)
+    }
+  }
+
   // ---- bigram LM ----
 
   test("bigram LM probabilities and doc scores match hand arithmetic") {
