@@ -92,8 +92,11 @@ object Bench {
     val microResults = micro.map { case (name, body) => name -> time(body()) }
 
     val results = entryResults ++ microResults
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal seconds: ms resolution is all the comparison uses, and the
+    // driver's log-capture window is finite — shorter line, more of it lands
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a -1.0 entry is a query that THREW — name it loudly on stderr (the
     // stdout contract stays one JSON line); a silent -1 cost round 4 16
@@ -101,7 +104,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0): ${failed.mkString(", ")}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // field order matters: the driver keeps only the TAIL of stdout, so the
+    // headline total/value must sit at the END of the line (rounds 3-4 lost
+    // it — the line's head fell outside the capture window and parsing
+    // failed; the tail now always carries micro-suite + sf + total)
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -1208,12 +1208,13 @@ object PipelineOps {
     "q146_prefix_jaccard" -> ((s, dir) => {
       // Prefix-filtered exact similarity join (All-Pairs/PPJoin family):
       // only each doc's rarest-first prefix grams enter the inverted-index
-      // join, with a HARD completeness guarantee (any pair at J >= 0.2
+      // join, with a HARD completeness guarantee (any pair at J >= t
       // shares a prefix gram) — the deterministic alternative to q46's
-      // MinHash blocking. Must equal q45's plain all-pairs join
-      // row-for-row, so they share the oracle SQL.
+      // MinHash blocking. t=0.6 is the regime the algorithm is FOR (prefix
+      // = 40% of the index; at t=0.2 it would be 80% and the plain join
+      // wins). The oracle is the plain all-pairs theta join at the same t.
       Dedup.prefixJaccardPairs(t(s, dir, "documents"),
-          col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
+          col("doc_id"), col("text"), n = 3, minJaccard = 0.6)
         .orderBy(col("d1"), col("d2"))
     }),
     "q145_multimodal_imageio" -> ((s, dir) => {
@@ -1251,8 +1252,8 @@ object PipelineOps {
   /** Exact word-3-gram Jaccard pairs (J ≥ 0.2) — the oracle for q45 (exact
     * inverted-index) and q46 (MinHash+LSH, whose verified candidates equal
     * the exact answer on the planted-dup corpus). */
-  private val NgramJaccardOracle =
-    """WITH toks AS (
+  private def ngramJaccardOracle(minJ: Double): String =
+    raw"""WITH toks AS (
       |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
       |g AS (
       |  SELECT DISTINCT doc_id, source, unnest(
@@ -1271,7 +1272,7 @@ object PipelineOps {
       |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = d1
       |  JOIN sizes sb ON sb.doc_id = d2)
-      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= $minJ ORDER BY d1, d2""".stripMargin
 
   /** Unrolled-SQL restatement of [[graft.ext.Similarity.kmeansFit]]: `iters`
     * rounds of (assign, floor-div centroid update) CTEs over c0 = the k
@@ -1435,10 +1436,10 @@ object PipelineOps {
         |      t -> (CAST(ascii(t) AS BIGINT) * 31 + length(t)) % 1000003),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
-    "q45_ngram_jaccard" -> NgramJaccardOracle,
+    "q45_ngram_jaccard" -> ngramJaccardOracle(0.2),
     // prefix filtering is transparent: q146 must reproduce the plain
     // all-pairs answer exactly, so it shares q45's oracle
-    "q146_prefix_jaccard" -> NgramJaccardOracle,
+    "q146_prefix_jaccard" -> ngramJaccardOracle(0.6),
     "q107_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -1463,7 +1464,7 @@ object PipelineOps {
     // MinHash+LSH's verified candidate set equals the exact inverted-index
     // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
     // odds ~2e-4 with 8 bands) — the exact-pairs oracle applies verbatim.
-    "q46_minhash_lsh" -> NgramJaccardOracle,
+    "q46_minhash_lsh" -> ngramJaccardOracle(0.2),
     "q48_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
