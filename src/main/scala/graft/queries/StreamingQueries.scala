@@ -199,6 +199,25 @@ object StreamingQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q149_stream_join_outer" -> ((s, dir) => withStatePartitions(s, 4) {
+      // LEFT OUTER stream-stream interval join: clicks keep a row even when
+      // no purchase follows within the hour — the null emits only after the
+      // watermark passes the click's match interval, so clicks whose
+      // interval end lies within the 30-min watermark delay of the final
+      // event stay OPEN (not emitted unmatched) when the finite run ends.
+      // The oracle restates that frontier exactly: batch left join +
+      // "unmatched rows only below the final watermark".
+      val ev = EventStreams.readEvents(s, dir)
+      val joined = EventStreams.intervalJoinLeftOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        key = "user_id", window = "1 hour")
+      EventStreams.runAvailableNow(joined, "q149_sink", OutputMode.Append)
+        .select(col("l_key").as("user_id"), col("l_id").as("click_id"),
+          col("r_id").as("purchase_id"),
+          col("r_id").isNotNull.cast("int").as("matched"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     "q65_stream_stream_join" -> ((s, dir) => withStatePartitions(s, 4) {
       // Stream–stream interval join: purchases within 1 h after a click by
       // the same user. Inner join + two-sided time bound → buffered state
@@ -341,6 +360,28 @@ object StreamingQueries {
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
     // µs resolution matches the Spark reader (`ts div 1000` on nanos).
+    "q149_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT (max(epoch_ns(ts)) // 1000000) * 1000 FROM events WHERE event_type = 'click'),
+        |    (SELECT (max(epoch_ns(ts)) // 1000000) * 1000 FROM events WHERE event_type = 'purchase')
+        |  ) - 1800000000 AS us),
+        |m AS (SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |    CAST(1 AS INTEGER) AS matched
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.us > c.us AND p.us <= c.us + 3600000000),
+        |um AS (SELECT c.user_id, c.event_id AS click_id,
+        |    CAST(NULL AS BIGINT) AS purchase_id, CAST(0 AS INTEGER) AS matched
+        |  FROM c, wm WHERE c.us + 3600000000 < wm.us
+        |    AND NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = c.user_id
+        |        AND p.us > c.us AND p.us <= c.us + 3600000000))
+        |SELECT user_id, click_id, purchase_id, matched
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "q65_stream_stream_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
         |  FROM events WHERE event_type = 'click'),

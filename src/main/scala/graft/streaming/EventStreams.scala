@@ -232,6 +232,30 @@ object EventStreams {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
   }
 
+  /** LEFT OUTER stream–stream interval join: like [[intervalJoin]], plus
+    * left rows with NO match in `(l_ts, l_ts + window]` emit with null
+    * right columns — but only once the watermark passes the end of their
+    * match interval (before that, a match could still arrive; this delayed
+    * null-emission is the defining semantics of streaming outer joins).
+    * Consequence for a finite run: left rows whose interval end lies within
+    * `watermarkDelay` of the stream's final event time are still open when
+    * the run ends and are NOT emitted as unmatched — the oracle restates
+    * exactly that frontier (final watermark = max event time −
+    * watermarkDelay, ms resolution). Matched rows are unaffected and equal
+    * the inner join's output. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      window: String = "1 hour", watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col("ts").as("l_ts"),
+      col("event_id").as("l_id")).withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+      col("event_id").as("r_id")).withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * data (Trigger.AvailableNow) into an in-memory table; returns the result
     * as a batch DataFrame. This is how streaming queries enter the driver's

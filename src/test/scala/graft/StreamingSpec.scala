@@ -218,6 +218,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should produce at least one join pair")
   }
 
+  test("left-outer interval join: matched = inner join; nulls stop at the watermark frontier") {
+    val ev = EventStreams.readEvents(spark, TestSpark.sfDir)
+    val stream = EventStreams.intervalJoinLeftOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      key = "user_id", window = "1 hour")
+    val rows = EventStreams.runAvailableNow(stream, "ssjoin_outer_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("l_id"), col("r_id")).collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unmatched = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    val batch = graft.tables.Tables.table(spark, TestSpark.sfDir, "events")
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val cond = col("cu") === col("pu") &&
+      col("pts") > col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 hour")
+    val expectedMatched = c.join(p, cond)
+      .select("cid", "pid").as[(Long, Long)].collect().toSet
+    assert(matched === expectedMatched)
+    // frontier: unmatched rows emit iff the final GLOBAL watermark strictly
+    // passed cts + 1 h. The global watermark is the MIN over both branches'
+    // watermarks (each = that branch's max event time floored to ms, minus
+    // the 30-min delay) — the lagging side holds every join open.
+    def branchMaxMs(tpe: String): Long =
+      batch.filter(col("event_type") === tpe)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
+    val wmUs = math.min(branchMaxMs("click"), branchMaxMs("purchase")) -
+      1800L * 1000000L
+    val expectedUnmatched = c.join(p, cond, "left_anti")
+      .filter(unix_micros(col("cts")) + 3600L * 1000000L < wmUs)
+      .select("cid").as[Long].collect().toSet
+    assert(unmatched === expectedUnmatched)
+    assert(matched.nonEmpty && unmatched.nonEmpty)
+  }
+
   test("streaming novel ingest equals the batch incremental dedup (min-id kept)") {
     val fp = graft.ext.TextAnalysis.contentFingerprint(col("text"))
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
