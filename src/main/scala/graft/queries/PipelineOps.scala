@@ -1186,6 +1186,79 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q150_jsonl_roundtrip" -> ((s, dir) => {
+      // JSON-lines I/O round trip — the interchange format half the
+      // training-data world ships in: documents export to JSONL shards,
+      // re-mount under an EXPLICIT schema (schema inference over JSONL is
+      // a full extra pass at 100 TB — never pay it twice), and the rollup
+      // over the mounted copy must equal the parquet original (the oracle).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q150").toString
+      try {
+        t(s, dir, "documents").write.mode("overwrite").json(tmp)
+        val back = s.read.schema(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(tmp)
+        materialize(s, back.groupBy(col("lang")).agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("checksum"),
+            sum(length(col("text"))).as("sum_len"))
+          .orderBy(col("lang")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
+    "q151_orc_roundtrip" -> ((s, dir) => {
+      // ORC I/O round trip — the other columnar container Spark ships
+      // natively; same contract as q150: mounted copy ≡ parquet original.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q151").toString
+      try {
+        t(s, dir, "documents").write.mode("overwrite").orc(tmp)
+        materialize(s, s.read.orc(tmp).groupBy(col("lang")).agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("checksum"))
+          .orderBy(col("lang")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
+    "q152_text_gz" -> ((s, dir) => {
+      // Gzipped line-text ingestion — the WET/CommonCrawl shape: documents
+      // serialize to one delimited line each in .gz shards (gzip splits at
+      // FILE granularity, so shard count = read parallelism — the reason
+      // crawl dumps ship as many small .gz files), then parse back at scan
+      // speed and roll up; must equal the parquet original.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q152").toString
+      try {
+        val sep = "\u0007"
+        t(s, dir, "documents")
+          .select(concat_ws(sep, col("doc_id"), col("lang"), col("text")).as("value"))
+          .repartition(8) // shard count = future read parallelism
+          .write.mode("overwrite").option("compression", "gzip").text(tmp)
+        val back = s.read.text(tmp)
+          .select(split(col("value"), sep, 3).as("p"))
+          .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+            element_at(col("p"), 2).as("lang"),
+            element_at(col("p"), 3).as("text"))
+        materialize(s, back.groupBy(col("lang")).agg(
+            count(lit(1)).as("n"),
+            sum(length(col("text"))).as("sum_len"),
+            sum(col("doc_id")).as("checksum"))
+          .orderBy(col("lang")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
     "q148_ann_pq" -> ((s, dir) => {
       // Product-quantization ANN: per-subspace integer Lloyd codebooks,
       // corpus compressed to m=4 codes, queries score the corpus via a
@@ -2467,6 +2540,24 @@ object PipelineOps {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q148_ann_pq" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
+    // I/O round trips: the mounted copy must reproduce the parquet
+    // original, so each oracle is the plain rollup over documents
+    "q150_jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q151_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q152_text_gz" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q147_collocations" ->
       """WITH tk AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
