@@ -319,6 +319,34 @@ object Curation {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Engine-portable per-row hash: polynomial fold (base 31, mod 1e9+7) of
+    * the md5 hex characters of the U+0001-joined column values. md5 is the
+    * cross-engine byte-exact primitive already proven by the content
+    * fingerprints; the fold maps it into integer space so it can SUM. */
+  def portableRowHash(cols: Seq[Column]): Column = {
+    val m = md5(concat_ws("\u0001", cols: _*))
+    aggregate(
+      transform(sequence(lit(1), lit(32)), i => ascii(m.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+  }
+
+  /** Dataset manifest fingerprint — the reproducibility primitive of a
+    * training-data pipeline: an ORDER-INVARIANT multiset hash per stratum
+    * (`sum(h)` and `sum(h² mod p)` over [[portableRowHash]]), so two
+    * materializations of a corpus compare equal iff they hold the same
+    * rows, regardless of partitioning, file order, or engine. Pure
+    * two-phase aggregation (commutative sums combine map-side); emitting
+    * both moments makes content swaps that preserve one sum visible in the
+    * other. The manifest line a run records next to its data version. */
+  def manifest(df: DataFrame, stratum: Column, hashCols: Seq[Column]): DataFrame = {
+    val h = portableRowHash(hashCols)
+    df.select(stratum.as("stratum"), h.as("__h"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__h")).as("fp_sum"),
+        sum(col("__h") * col("__h") % 1000000007L).as("fp_sq"))
+  }
+
   /** Collocation mining: adjacent word pairs ranked by integer-scaled lift
     * (PMI without the log — `lift = P(xy) / (P(x)·P(y))`, same ranking
     * monotonicity; Manning & Schütze ch. 5 is the public construction).

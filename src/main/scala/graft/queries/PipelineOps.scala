@@ -1186,6 +1186,16 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q153_dataset_manifest" -> ((s, dir) => {
+      // Order-invariant dataset fingerprint per source — the manifest a
+      // reproducible training run records: same rows (any order, any
+      // partitioning, any engine) => same (n, fp_sum, fp_sq). The oracle
+      // recomputes the identical md5-fold multiset hash in DuckDB.
+      Curation.manifest(t(s, dir, "documents"), col("source"),
+          Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+        .withColumnRenamed("stratum", "source")
+        .orderBy(col("source"))
+    }),
     "q150_jsonl_roundtrip" -> ((s, dir) => {
       // JSON-lines I/O round trip — the interchange format half the
       // training-data world ships in: documents export to JSONL shards,
@@ -2540,6 +2550,19 @@ object PipelineOps {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q148_ann_pq" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
+    "q153_dataset_manifest" ->
+      """WITH h AS (
+        |  SELECT source, list_reduce(
+        |    list_transform(generate_series(1, 32),
+        |      i -> CAST(ascii(substring(m, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT source, md5(doc_id || chr(1) || text || chr(1) || lang ||
+        |          chr(1) || source || chr(1) || n_chars) AS m
+        |        FROM documents))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(h) AS BIGINT) AS fp_sum,
+        |  CAST(sum(h * h % 1000000007) AS BIGINT) AS fp_sq
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     // I/O round trips: the mounted copy must reproduce the parquet
     // original, so each oracle is the plain rollup over documents
     "q150_jsonl_roundtrip" ->

@@ -53,7 +53,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q135_mg_heavy_hitters", "q136_bloom_join", "q140_cluster_split",
     "q141_gap_fill", "q142_bpe_train",
     // prefix-filtered similarity join, lift-ranked collocations, PQ ANN
-    "q146_prefix_jaccard", "q147_collocations", "q148_ann_pq")
+    "q146_prefix_jaccard", "q147_collocations", "q148_ann_pq",
+    // order-invariant multiset manifest (its defining property)
+    "q153_dataset_manifest")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
