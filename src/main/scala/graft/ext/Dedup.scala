@@ -315,7 +315,13 @@ object Dedup {
       .filter(size(col("gs")) > 0)
       .localCheckpoint()
     val g = sets.select(col("doc_id"), explode(col("gs")).as("ng"))
-    val dfreq = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    // Vernica et al. ship the token ordering to every node via the
+    // distributed cache — the broadcast hint is that decision made
+    // explicit (the df table is vocabulary-sized; AQE's estimate of a
+    // fresh aggregate is unknown, so left alone it shuffle-joins). At a
+    // vocabulary too big to broadcast, drop the hint — same plan, one
+    // more exchange.
+    val dfreq = broadcast(g.groupBy(col("ng")).agg(count(lit(1)).as("df")))
     val prefix = g.join(dfreq, "ng")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
