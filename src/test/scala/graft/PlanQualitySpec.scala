@@ -203,4 +203,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q138 bigram LM: the model joins broadcast, scoring never shuffles the corpus side twice") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val lm = graft.ext.NgramLm.probTable(docs, col("text"))
+    val p = graft.ext.NgramLm.score(docs, col("doc_id"), col("text"), lm)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q146 prefix join: token-order table broadcasts; verification joins are equi, no nested loop") {
+    val p = plan("q146_prefix_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q148 PQ ANN: the ADC lookup table joins broadcast against corpus codes") {
+    val p = plan("q148_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q137 bottom-k sample plans through a bounded top-k, not a global sort") {
+    val p = plan("q137_bottomk_sample")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("TopK"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
 }
