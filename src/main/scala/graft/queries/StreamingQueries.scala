@@ -178,6 +178,26 @@ object StreamingQueries {
       EventStreams.runAvailableNow(agg, "q81_sink", needFinalBatch = false)
         .orderBy(col("ws"), col("event_type"))
     }),
+    "q154_stream_manifest" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Incrementally-maintained dataset manifest: the order-invariant
+      // multiset hash (q153) as a STREAMING aggregation — commutative sums
+      // are exactly the aggregates a stream can maintain per micro-batch
+      // with per-stratum state, so the manifest is always current as docs
+      // ingest, and the final value equals the batch manifest regardless of
+      // micro-batch splits or arrival order. Complete mode re-emits the
+      // running manifest each batch (the "current manifest" table a
+      // registry would read).
+      val h = graft.ext.Curation.portableRowHash(Seq(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+      val agg = EventStreams.readDocuments(s, dir)
+        .select(col("source"), h.as("__h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("__h")).as("fp_sum"),
+          sum(col("__h") * col("__h") % 1000000007L).as("fp_sq"))
+      EventStreams.runAvailableNow(agg, "q154_sink", OutputMode.Complete,
+          needFinalBatch = false)
+        .orderBy(col("source"))
+    }),
     "q113_stream_novel_ingest" -> ((s, dir) => withStatePartitions(s, 4) {
       // q82's incremental ingest dedup as a STREAM: odd-id documents arrive
       // as a file stream, anti-join the static even-id corpus fingerprint
@@ -360,6 +380,19 @@ object StreamingQueries {
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
     // µs resolution matches the Spark reader (`ts div 1000` on nanos).
+    "q154_stream_manifest" ->
+      """WITH h AS (
+        |  SELECT source, list_reduce(
+        |    list_transform(generate_series(1, 32),
+        |      i -> CAST(ascii(substring(m, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT source, md5(doc_id || chr(1) || text || chr(1) || lang ||
+        |          chr(1) || source || chr(1) || n_chars) AS m
+        |        FROM documents))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(h) AS BIGINT) AS fp_sum,
+        |  CAST(sum(h * h % 1000000007) AS BIGINT) AS fp_sq
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q149_stream_join_outer" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
         |  FROM events WHERE event_type = 'click'),

@@ -164,6 +164,31 @@ class GraftSession(val spark: SparkSession) {
     * a TODO); here the nodes and dataflow edges are real. */
   private val ExplainGraphRe = """(?is)^EXPLAIN\s+GRAPH\s+(.+)$""".r
 
+  /** Restricted MERGE surface over parquet snapshot directories (the
+    * reference has no MERGE; this is the SQL spelling of
+    * [[graft.tables.Snapshots.upsertByKey]] — full-row semantics only, the
+    * form a corpus-maintenance pipeline actually issues):
+    * {{{
+    * MERGE INTO LOCATION '<dir>' USING (<select>) ON <key>
+    *   WHEN MATCHED THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *
+    * }}}
+    * `USING <table>` (unparenthesized) is accepted as shorthand for
+    * `USING (SELECT * FROM <table>)`. Returns one row
+    * (n_updates, snapshot_rows) so scripts can assert effect. */
+  private val MergeRe =
+    ("""(?is)^MERGE\s+INTO\s+LOCATION\s+'([^']+)'\s+USING\s+(?:\((.+)\)|([\w.]+))\s+""" +
+      """ON\s+(\w+)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+
+  private def runMerge(path: String, sourceSql: String, key: String): DataFrame = {
+    val updates = sql(sourceSql)
+    graft.tables.Snapshots.upsertByKey(spark, path, updates, key)
+    val n = updates.count()
+    val total = spark.read.parquet(path).count()
+    spark.createDataFrame(Seq((n, total))).toDF("n_updates", "snapshot_rows")
+  }
+
   private def explainGraph(inner: String): DataFrame = {
     import spark.implicits._
     val plan = spark.sql(Dialect.rewrite(inner)).queryExecution.optimizedPlan
@@ -195,6 +220,9 @@ class GraftSession(val spark: SparkSession) {
       spark.emptyDataFrame
     case DescRe(table) => describe(table)
     case ExplainGraphRe(inner) => explainGraph(inner)
+    case MergeRe(path, subquery, table, key) =>
+      runMerge(path,
+        Option(subquery).getOrElse(s"SELECT * FROM $table"), key)
     case t =>
       val rewritten = rewriteCreate(t).getOrElse(Dialect.rewrite(t))
       // system views are catalog snapshots — refresh when queried so DDL

@@ -264,4 +264,41 @@ class DialectSpec extends AnyFunSuite {
     val rows = TestSpark.spark.sql(rewritten).collect()
     assert(rows.length === 2, rows.mkString(","))
   }
+
+  test("MERGE INTO LOCATION upserts a parquet snapshot (full-row semantics)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/snap"
+    try {
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "tag", "v").write.parquet(tmp)
+      g.sql("DROP TABLE IF EXISTS merge_updates")
+      Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "tag", "v")
+        .createOrReplaceTempView("merge_updates")
+      val r = g.sql(
+        s"""MERGE INTO LOCATION '$tmp' USING merge_updates ON id
+           |  WHEN MATCHED THEN UPDATE SET *
+           |  WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+      val back = spark.read.parquet(tmp).orderBy("id")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(back === Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+      // subquery form: replace row 1 via an inline SELECT
+      val r2 = g.sql(
+        s"""MERGE INTO LOCATION '$tmp'
+           |  USING (SELECT CAST(1 AS BIGINT) AS id, 'A' AS tag, CAST(100 AS BIGINT) AS v)
+           |  ON id
+           |  WHEN MATCHED THEN UPDATE SET *
+           |  WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      assert(r2.getLong(1) === 4L)
+      assert(spark.read.parquet(tmp).filter($"id" === 1L)
+        .as[(Long, String, Long)].head() === ((1L, "A", 100L)))
+    } finally {
+      spark.catalog.dropTempView("merge_updates"): Unit
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp).getParentFile)
+    }
+  }
 }
