@@ -397,6 +397,86 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Persist a PQ index as TABLES — [[writeIvfIndex]]'s build-once/
+    * search-many model for the code-compression half: the m codebooks land
+    * in a tiny `books` parquet (m·ksub rows) and the corpus lands as its
+    * CODES — (vec_id, j, code) longs, the m-bytes-per-vector table that IS
+    * the PQ memory story. A search reads codebooks (bounded collect),
+    * builds its ADC lookup table, and scans codes — the original
+    * embeddings are touched only to re-rank the top candidates. */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 4,
+      subDim: Int = 16, ksub: Int = 8, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+    def qvOf(e: Column): Column =
+      transform(toDouble(e), x => floor(x * 1e6).cast("long"))
+    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
+      lloydCentroids(
+        corpus.select(col("vec_id"), sub(j).as("embedding")), ksub, iters)
+    }
+    import scala.jdk.CollectionConverters._
+    val bookRows: java.util.List[org.apache.spark.sql.Row] = (for {
+      j <- 0 until m; c <- 0 until ksub
+    } yield org.apache.spark.sql.Row(j.toLong, c.toLong, books(j)(c))).toList.asJava
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    spark.createDataFrame(bookRows, bookSchema)
+      .write.mode("overwrite").parquet(s"$path/books")
+    corpus.select(col("vec_id").as("c_id"), explode(array((0 until m).map(j =>
+        struct(lit(j.toLong).as("j"),
+          bestCell(qvOf(sub(j)), books(j)).getField("c").as("code"))): _*)).as("e"))
+      .select(col("c_id"), col("e.j"), col("e.code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a [[writePqIndex]] index: identical computation to [[pqTopK]],
+    * but codebooks and corpus codes come from the persisted tables — the
+    * index round-trip must not change a single row, so q148's oracle
+    * applies verbatim (the q125 contract for the PQ half). `emb` supplies
+    * query vectors and the exact re-rank's candidate vectors. */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: DataFrame, k: Int, m: Int = 4, subDim: Int = 16, ksub: Int = 8,
+      nq: Int = 10, kCand: Int = 20): DataFrame = {
+    val bookRows = spark.read.parquet(s"$path/books")
+      .collect() // m·ksub rows — bounded by construction
+    val books: Map[(Long, Long), Seq[Long]] =
+      bookRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+    def qvOf(e: Column): Column =
+      transform(toDouble(e), x => floor(x * 1e6).cast("long"))
+    val lut = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), explode(array((for {
+        j <- 0 until m; c <- 0 until ksub
+      } yield struct(lit(j.toLong).as("j"), lit(c.toLong).as("code"),
+        sqDist(qvOf(sub(j)), books((j.toLong, c.toLong))).as("d"))): _*)).as("e"))
+      .select(col("q_id"), col("e.j"), col("e.code"), col("e.d"))
+    val adc = spark.read.parquet(s"$path/codes")
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("c_id"))
+    val cand = adc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= kCand).select(col("q_id"), col("c_id"))
+    val sides = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nn"))
+    val scored = cand
+      .join(sides.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nn").as("q_n")), "q_id")
+      .join(sides.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nn").as("c_n")), "c_id")
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Persist an IVF index as TABLES — the build-once/search-many model
     * (the ANN analogue of [[graft.tables.Bucketing]]'s pay-the-shuffle-at-
     * write joins): trained centroids land in a tiny `centroids` parquet,

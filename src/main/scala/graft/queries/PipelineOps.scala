@@ -1186,6 +1186,25 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q155_ann_pq_index" -> ((s, dir) => {
+      // PQ index persisted as tables (books + corpus codes), then searched
+      // — the build-once/search-many contract: the round-trip must not
+      // change a single row vs q148's in-memory computation, so q148's
+      // oracle applies verbatim (the q125 pattern for the PQ half).
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q155-pq")
+      try {
+        val emb = t(s, dir, "embeddings")
+        Similarity.writePqIndex(emb, tmpRoot.toString)
+        materialize(s,
+          Similarity.searchPqIndex(s, tmpRoot.toString, emb, k = 3)
+            .orderBy(col("q_id"), col("rnk")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q153_dataset_manifest" -> ((s, dir) => {
       // Order-invariant dataset fingerprint per source — the manifest a
       // reproducible training run records: same rows (any order, any
@@ -2549,6 +2568,10 @@ object PipelineOps {
           |FROM dtk JOIN vocab USING (w) WHERE w <> ''
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q148_ann_pq" ->
+      pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
+    // identical computation to q148 — the persisted-index round-trip must
+    // not change a single row (the q125 contract)
+    "q155_ann_pq_index" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
     "q153_dataset_manifest" ->
       """WITH h AS (
