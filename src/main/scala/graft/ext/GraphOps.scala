@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation. The motivating use is domain
+  * authority (Page et al. 1999 — the public construction): crawl-curation
+  * pipelines rank domains by link/overlap structure and weight or gate the
+  * mixture by that rank (the CommonCrawl domain-ranking pattern).
+  *
+  * PageRank here is INTEGER-SCALED (rank mass in units of 1e-12, damping
+  * 85/100 as exact integer division): every iteration is integer
+  * arithmetic with floor division, so ranks — and the orderings they
+  * induce — are bit-identical across engines and partitionings, and the
+  * DuckDB oracle replays the iteration chain verbatim. Floor division
+  * leaks a few units of mass per node per round; for ranking (the use
+  * case) that bias is identical on both engines and irrelevant.
+  *
+  * Scale shape, per iteration: one join of the rank table onto the edge
+  * list keyed by source node, one sum keyed by target — both two-phase
+  * with map-side combine; the rank table is node-sized (broadcast when
+  * domains fit, shuffle-join otherwise). The driver holds nothing —
+  * iterations chain DataFrames (bounded depth). */
+object GraphOps {
+
+  val Scale = 1000000000000L // 1e12: integer rank mass
+
+  /** Weighted symmetric edge list from pairwise overlap counts
+    * (e.g. [[Dedup]] gram overlap): (src, dst, w) with both directions. */
+  def symmetricEdges(pairs: DataFrame, a: Column, b: Column, w: Column): DataFrame =
+    pairs.select(a.as("src"), b.as("dst"), w.as("w"))
+      .unionByName(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+
+  /** Integer-scaled weighted PageRank. `edges` = (src, dst, w) directed
+    * (use [[symmetricEdges]] for undirected graphs). The node set is the
+    * edge endpoints — an isolated node has no edge row and drops out;
+    * union zero-weight self-loops in if it must appear. Returns
+    * (node, rank) with Σrank ≈ [[Scale]]. */
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1, 20]")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val n = nodes.count() // node count: one bounded scalar, needed in literals
+    var rank = nodes.withColumn("rank", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outW, "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"(rank * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(Scale * (100 - dampingPct) / 100 / n) +
+            expr(s"($dampingPct * coalesce(contrib, 0L)) div 100")).as("rank"))
+    }
+    rank
+  }
+}

@@ -1186,6 +1186,26 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q156_domain_pagerank" -> ((s, dir) => {
+      // Domain authority for crawl curation: integer-scaled weighted
+      // PageRank over the cross-source gram-overlap graph (q139's matrix
+      // read as edges) — the CommonCrawl domain-ranking pattern that feeds
+      // mixture weights. 3 iterations, each one rank-to-edge join + one
+      // target-keyed sum; floor-division arithmetic keeps every rank
+      // bit-identical across engines, and the oracle replays the chain.
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("source"),
+          explode(array_distinct(Dedup.wordNgrams(col("text"), 5))).as("ng"))
+        .distinct()
+      val shared = g.as("a").join(g.as("b"),
+          col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("w"))
+      val edges = graft.ext.GraphOps.symmetricEdges(
+        shared, col("sa"), col("sb"), col("w"))
+      graft.ext.GraphOps.pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+    }),
     "q155_ann_pq_index" -> ((s, dir) => {
       // PQ index persisted as tables (books + corpus codes), then searched
       // — the build-once/search-many contract: the round-trip must not
@@ -2573,6 +2593,7 @@ object PipelineOps {
     // not change a single row (the q125 contract)
     "q155_ann_pq_index" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
+    "q156_domain_pagerank" -> pageRankSql(3),
     "q153_dataset_manifest" ->
       """WITH h AS (
         |  SELECT source, list_reduce(
@@ -2628,6 +2649,46 @@ object PipelineOps {
         |  'image/png' AS format
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
   )
+
+  /** Unrolled-SQL restatement of [[graft.ext.GraphOps.pageRank]] over the
+    * source gram-overlap graph: q139's edge derivation, then `iters` rounds
+    * of (contrib join-sum, damped floor-division update). */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS contrib
+         |  FROM e JOIN ow o ON o.src = e.src JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n2.node,
+         |    (1000000000000 * 15) // 100 // (SELECT n FROM nn)
+         |      + (85 * coalesce(c.contrib, 0)) // 100 AS rank
+         |  FROM nodes n2 LEFT JOIN c$i c ON c.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH g AS (
+         |  SELECT DISTINCT source, ng FROM (
+         |    SELECT source, unnest(list_distinct(
+         |      CASE WHEN len(tk) >= 5
+         |        THEN list_transform(generate_series(1, len(tk) - 4),
+         |               i -> array_to_string(tk[i:i+4], ' '))
+         |        ELSE [] END)) AS ng
+         |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+         |          FROM documents))),
+         |shared AS (
+         |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS w
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |e AS (SELECT sa AS src, sb AS dst, w FROM shared
+         |      UNION ALL SELECT sb, sa, w FROM shared),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes),
+         |$rounds
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters
+         |ORDER BY rank DESC, node""".stripMargin
+  }
 
   /** One subspace's PQ codebook chain (prefix `p{j}`): the [[kmeansCtes]]
     * structure over the `[off+1, off+subDim]` slice of the embedding, ending

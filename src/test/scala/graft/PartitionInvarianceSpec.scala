@@ -55,7 +55,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // prefix-filtered similarity join, lift-ranked collocations, PQ ANN
     "q146_prefix_jaccard", "q147_collocations", "q148_ann_pq",
     // order-invariant multiset manifest (its defining property)
-    "q153_dataset_manifest")
+    "q153_dataset_manifest",
+    // iterative integer PageRank (join-sum fixpoint rounds)
+    "q156_domain_pagerank")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
