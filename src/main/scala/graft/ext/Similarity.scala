@@ -256,8 +256,13 @@ object Similarity {
   /** The Lloyd loop of [[kmeansFit]], returning the trained quantized
     * centroids (driver-held, k·dim longs). */
   def lloydCentroids(emb: DataFrame, k: Int, iters: Int,
-      quant: Double = 1e6): Array[Seq[Long]] = {
-    val q = quantized(emb, quant)
+      quant: Double = 1e6): Array[Seq[Long]] =
+    lloydCentroidsQ(quantized(emb, quant), k, iters)
+
+  /** [[lloydCentroids]] over ALREADY-QUANTIZED long vectors `(vec_id, qv)`
+    * — the entry point residual quantization needs (residuals are long
+    * differences, not floats). */
+  def lloydCentroidsQ(q: DataFrame, k: Int, iters: Int): Array[Seq[Long]] = {
     var cents: Array[Seq[Long]] = q.filter(col("vec_id") < k)
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
     require(cents.length == k, s"kmeansFit: need vec_ids 0..${k - 1} as seeds, got ${cents.length}")
@@ -381,6 +386,86 @@ object Similarity {
     val cand = adc.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= kCand).select(col("q_id"), col("c_id"))
     // exact cosine re-rank of the ADC survivors only
+    val sides = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nn"))
+    val scored = cand
+      .join(sides.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nn").as("q_n")), "q_id")
+      .join(sides.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nn").as("c_n")), "c_id")
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF+PQ — the full FAISS-style composed index (Jégou et al. §IV:
+    * coarse cells + RESIDUAL product quantization): corpus vectors assign
+    * to a coarse Lloyd cell, the per-subspace codebooks train on the
+    * residuals (vector − its cell centroid, where PQ codes are far more
+    * accurate than on raw vectors because residual magnitudes are small),
+    * and a query probes its `nprobe` nearest cells, building one ADC
+    * lookup table PER PROBED CELL from its own residual against that cell.
+    * Candidates meet on (cell, subspace, code) equality — the IVF cell
+    * restriction and the PQ table lookup in one equi-join — then exact
+    * cosine re-ranks the top `kCand`.
+    *
+    * All arithmetic is quantized-integer with (dist, id) tie-breaks:
+    * coarse cells, residuals (long differences), codebooks, codes, probe
+    * order, ADC sums, and the final top-k are exact cross-engine — the
+    * DuckDB oracle replays coarse training, residual computation, m
+    * residual codebook chains, encoding, probing, per-cell LUTs, ADC, and
+    * re-rank verbatim. Scale: the LUT is nq·nprobe·m·ksub rows and
+    * broadcasts; codes are m ints/vector; the ADC join only pairs a vector
+    * with queries that probed its cell. */
+  def ivfPqTopK(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 4,
+      m: Int = 4, subDim: Int = 16, ksub: Int = 8, iters: Int = 2,
+      nq: Int = 10, kCand: Int = 20, quant: Double = 1e6): DataFrame = {
+    def qvOf(e: Column): Column =
+      transform(toDouble(e), x => floor(x * quant).cast("long"))
+    val cents = lloydCentroids(emb, nlist, iters, quant)
+    val centLit = typedlit(cents.map(_.toSeq).toSeq) // array<array<long>>
+    val q0 = emb.select(col("vec_id"), qvOf(col("embedding")).as("qv"))
+    val assigned = q0
+      .withColumn("cell", bestCell(col("qv"), cents).getField("c"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centLit, (col("cell") + 1).cast("int")), (a, b) => a - b))
+    def rSlice(j: Int): Column = slice(col("rv"), j * subDim + 1, subDim)
+    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
+      lloydCentroidsQ(assigned.select(col("vec_id"), rSlice(j).as("qv")),
+        ksub, iters)
+    }
+    val codes = assigned.select(col("vec_id").as("c_id"), col("cell"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j.toLong).as("j"),
+            bestCell(rSlice(j), books(j)).getField("c").as("code"))): _*)).as("e"))
+      .select(col("c_id"), col("cell"), col("e.j"), col("e.code"))
+    // query probes + per-probed-cell residuals
+    def probeCells(v: Column): Column =
+      transform(
+        slice(array_sort(array(cents.indices.map(i =>
+          struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*)), 1, nprobe),
+        e => e.getField("c"))
+    val qprobe = q0.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("qv"),
+        explode(probeCells(col("qv"))).as("cell"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centLit, (col("cell") + 1).cast("int")), (a, b) => a - b))
+    val lut = qprobe.select(col("q_id"), col("cell"), explode(array((for {
+        j <- 0 until m; c <- 0 until ksub
+      } yield struct(lit(j.toLong).as("j"), lit(c.toLong).as("code"),
+        sqDist(rSlice(j), books(j)(c)).as("d"))): _*)).as("e"))
+      .select(col("q_id"), col("cell"), col("e.j"), col("e.code"), col("e.d"))
+    val adc = codes.join(broadcast(lut), Seq("cell", "j", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("c_id"))
+    val cand = adc.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= kCand).select(col("q_id"), col("c_id"))
     val sides = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nn"))
     val scored = cand

@@ -1186,6 +1186,18 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q157_ann_ivfpq" -> ((s, dir) => {
+      // IVF+PQ composed index (coarse cells + residual product codes): a
+      // query probes nprobe cells, builds one ADC lookup table per probed
+      // cell from its own residual, and candidates meet on (cell, j, code)
+      // equality — the IVF restriction and PQ lookup in one equi-join;
+      // exact cosine re-ranks the survivors. The oracle replays every
+      // stage in integer arithmetic.
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), k = 3, nlist = 8,
+          nprobe = 4, m = 4, subDim = 16, ksub = 8, iters = 2,
+          nq = 10, kCand = 20)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "q156_domain_pagerank" -> ((s, dir) => {
       // Domain authority for crawl curation: integer-scaled weighted
       // PageRank over the cross-source gram-overlap graph (q139's matrix
@@ -2594,6 +2606,8 @@ object PipelineOps {
     "q155_ann_pq_index" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
     "q156_domain_pagerank" -> pageRankSql(3),
+    "q157_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 4, m = 4, subDim = 16,
+      ksub = 8, iters = 2, nq = 10, kCand = 20, k = 3),
     "q153_dataset_manifest" ->
       """WITH h AS (
         |  SELECT source, list_reduce(
@@ -2690,14 +2704,13 @@ object PipelineOps {
          |ORDER BY rank DESC, node""".stripMargin
   }
 
-  /** One subspace's PQ codebook chain (prefix `p{j}`): the [[kmeansCtes]]
-    * structure over the `[off+1, off+subDim]` slice of the embedding, ending
-    * with a FINAL full-corpus assignment at round `iters+1` whose `d`-CTE
-    * doubles as the query ADC lookup table (distance of every vector's
-    * subvector to every codebook entry). */
-  private def pqSubCtes(j: Int, ksub: Int, iters: Int, subDim: Int): String = {
-    val pfx = s"p$j"
-    val off = j * subDim
+  /** Generic Lloyd-chain CTE builder under a name prefix: `{pfx}qe` (the
+    * provided source of (vec_id, qv)), seeds `{pfx}c0`, `iters` rounds of
+    * (assign, floor-div update), and a FINAL full-population assignment at
+    * round `iters+1` whose d-CTE doubles as a distance table. Shared by the
+    * PQ chains (embedding slices) and the IVFPQ chains (residual slices). */
+  private def lloydChainSql(pfx: String, ksub: Int, iters: Int, subDim: Int,
+      qeSql: String): String = {
     def assign(i: Int, cPrev: String): String =
       s"""${pfx}d$i AS (
          |  SELECT q.vec_id, q.qv, c.cell,
@@ -2720,13 +2733,87 @@ object PipelineOps {
     val rounds = (1 to iters)
       .map(i => assign(i, s"${pfx}c${i - 1}") + ",\n" + update(i, s"${pfx}c${i - 1}"))
       .mkString(",\n")
-    s"""${pfx}qe AS (
-       |  SELECT vec_id, list_transform(embedding[${off + 1}:${off + subDim}],
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-       |  FROM embeddings),
+    s"""${pfx}qe AS ($qeSql),
        |${pfx}c0 AS (SELECT vec_id AS cell, qv AS cv FROM ${pfx}qe WHERE vec_id < $ksub),
        |$rounds,
        |${assign(iters + 1, s"${pfx}c$iters")}""".stripMargin
+  }
+
+  /** One subspace's PQ codebook chain (prefix `p{j}`) over the raw
+    * embedding slice `[off+1, off+subDim]`. */
+  private def pqSubCtes(j: Int, ksub: Int, iters: Int, subDim: Int): String = {
+    val off = j * subDim
+    lloydChainSql(s"p$j", ksub, iters, subDim,
+      s"""SELECT vec_id, list_transform(embedding[${off + 1}:${off + subDim}],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings""".stripMargin)
+  }
+
+  /** Unrolled-SQL restatement of [[graft.ext.Similarity.ivfPqTopK]]: the
+    * coarse Lloyd chain ([[kmeansCtes]] + final assignment), residual
+    * vectors, m residual-codebook chains ([[lloydChainSql]] prefix
+    * `rq{j}`), encoding, probe ranking, per-probed-cell ADC lookup tables,
+    * the (cell, j, code) equi-join ADC sum, and the exact-cosine re-rank. */
+  private def ivfpqSql(nlist: Int, nprobe: Int, m: Int, subDim: Int,
+      ksub: Int, iters: Int, nq: Int, kCand: Int, k: Int): String = {
+    val dim = m * subDim
+    val fin = iters + 1
+    val chains = (0 until m).map { j =>
+      val off = j * subDim
+      lloydChainSql(s"rq$j", ksub, iters, subDim,
+        s"SELECT vec_id, rv[${off + 1}:${off + subDim}] AS qv FROM res")
+    }.mkString(",\n")
+    val codesAll = (0 until m).map(j =>
+      s"""SELECT a.vec_id AS c_id, r.cell, CAST($j AS BIGINT) AS j, a.cell AS code
+         |  FROM rq${j}a$fin a JOIN res r ON r.vec_id = a.vec_id""".stripMargin)
+      .mkString(" UNION ALL ")
+    val lutAll = (0 until m).map { j =>
+      val off = j * subDim
+      s"""SELECT r.q_id, r.cell, CAST($j AS BIGINT) AS j, b.cell AS code,
+         |  CAST(list_sum(list_transform(generate_series(1, $subDim),
+         |    i -> (r.rv[$off + i] - b.cv[i]) * (r.rv[$off + i] - b.cv[i]))) AS BIGINT) AS d
+         |  FROM qres r CROSS JOIN rq${j}c$iters b""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+       |${kmeansAssign(fin, s"c$iters", dim)},
+       |res AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(generate_series(1, $dim), i -> a.qv[i] - c.cv[i]) AS rv
+       |  FROM a$fin a JOIN c$iters c ON c.cell = a.cell),
+       |$chains,
+       |codes AS ($codesAll),
+       |qp AS (SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d$fin WHERE vec_id < $nq) WHERE rn <= $nprobe),
+       |qres AS (
+       |  SELECT qp.q_id, qp.cell,
+       |    list_transform(generate_series(1, $dim), i -> q.qv[i] - c.cv[i]) AS rv
+       |  FROM qp JOIN qe q ON q.vec_id = qp.q_id JOIN c$iters c ON c.cell = qp.cell),
+       |lut AS ($lutAll),
+       |adc AS (
+       |  SELECT l.q_id, cd.c_id, CAST(sum(l.d) AS BIGINT) AS adc
+       |  FROM codes cd JOIN lut l
+       |    ON l.cell = cd.cell AND l.j = cd.j AND l.code = cd.code
+       |  WHERE l.q_id != cd.c_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, c_id) AS crn FROM adc)
+       |  WHERE crn <= $kCand),
+       |sc AS (
+       |  SELECT q_id, c_id, round(
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> CAST(c2e.embedding[i] AS DOUBLE) * CAST(c2e.embedding[i] AS DOUBLE))))), 5) AS sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+       |            JOIN embeddings c2e ON c2e.vec_id = cand.c_id),
+       |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Unrolled-SQL restatement of [[graft.ext.Similarity.pqTopK]]: m

@@ -179,6 +179,28 @@ class SketchBpeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ ANN: sims are exact cosine; candidates come only from probed cells") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val out = graft.ext.Similarity.ivfPqTopK(emb, k = 3, nlist = 8, nprobe = 4,
+      m = 4, subDim = 16, ksub = 8, iters = 2, nq = 10, kCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 30)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (q, c, sim) =>
+      assert(math.abs(sim - math.rint(cos(vecs(q), vecs(c)) * 1e5) / 1e5) < 1e-9)
+    }
+    // residual codes must beat chance: at least half the queries' top-1
+    // matches the full-probe IVF answer among probed cells is implied by
+    // exact re-rank; here we pin a non-degenerate similarity floor instead
+    assert(out.count(_._3 > 0.0) > 15, "suspicious: most top-3 sims non-positive")
+  }
+
   // ---- bigram LM ----
 
   test("bigram LM probabilities and doc scores match hand arithmetic") {
