@@ -402,6 +402,36 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — the public construction):
+    * cluster the embedding space with k-means, then deduplicate ONLY
+    * within clusters — the learned-cell analogue of LSH blocking, with the
+    * pair space bounded by cluster sizes instead of bucket occupancy. The
+    * keep rule here is the deterministic one-pass variant: a vector drops
+    * iff some LOWER-id vector in its cluster is `minCos`-similar (the
+    * "keep the earliest of each near-duplicate set" rule; the
+    * connected-component variant is [[graft.ext.Dedup.connectedComponents]]
+    * over the same pairs). Cell assignment and pair sims are
+    * integer/rounded arithmetic — fully oracle-restatable. Returns the
+    * KEPT vectors as (vec_id, cell). */
+  def semDedup(emb: DataFrame, nClusters: Int, iters: Int,
+      minCos: Double, quant: Double = 1e6): DataFrame = {
+    val assigned = kmeansFit(emb, nClusters, iters, quant)
+      .select(col("vec_id"), col("cell"))
+    val sides = emb.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        norm(col("embedding")).as("nn"))
+    val a = sides.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nn").as("n1"))
+    val b = sides.select(col("cell").as("cell2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nn").as("n2"))
+    val drops = a.join(b, col("cell") === col("cell2") && col("v1") < col("v2"))
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+      .filter(col("sim") >= minCos)
+      .select(col("v2").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** IVF+PQ — the full FAISS-style composed index (Jégou et al. §IV:
     * coarse cells + RESIDUAL product quantization): corpus vectors assign
     * to a coarse Lloyd cell, the per-subspace codebooks train on the

@@ -1186,6 +1186,18 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q158_semdedup" -> ((s, dir) => {
+      // SemDedup: k-means clusters bound the dedup pair space (the
+      // learned-cell analogue of q50's LSH blocking), then the
+      // keep-the-earliest rule prunes minCos-similar vectors within each
+      // cluster. Per-cell rollup of survivors; the oracle replays the
+      // Lloyd chain, the in-cell pair cosines, and the keep rule.
+      Similarity.semDedup(t(s, dir, "embeddings"), nClusters = 8,
+          iters = 2, minCos = 0.45)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("checksum"))
+        .orderBy(col("cell"))
+    }),
     "q157_ann_ivfpq" -> ((s, dir) => {
       // IVF+PQ composed index (coarse cells + residual product codes): a
       // query probes nprobe cells, builds one ADC lookup table per probed
@@ -2608,6 +2620,28 @@ object PipelineOps {
     "q156_domain_pagerank" -> pageRankSql(3),
     "q157_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 4, m = 4, subDim = 16,
       ksub = 8, iters = 2, nq = 10, kCand = 20, k = 3),
+    "q158_semdedup" -> {
+      val fin = 3 // iters=2 → final assignment round
+      s"""WITH ${kmeansCtes(8, 2, 64)},
+         |${kmeansAssign(fin, "c2", 64)},
+         |sides AS (
+         |  SELECT a.vec_id, a.cell, e.embedding,
+         |    sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nn
+         |  FROM a$fin a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sides a JOIN sides b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (a.nn * b.nn), 5) >= 0.45)
+         |SELECT s.cell, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(s.vec_id) AS BIGINT) AS checksum
+         |FROM sides s WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)
+         |GROUP BY s.cell ORDER BY s.cell""".stripMargin
+    },
     "q153_dataset_manifest" ->
       """WITH h AS (
         |  SELECT source, list_reduce(

@@ -146,6 +146,26 @@ object StreamingQueries {
           col("c_name"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
+    "q159_stream_quantile_sketch" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming per-hour value quantiles, sketch beside exact (the q131
+      // pattern as a STREAM): approx_percentile state is a bounded sketch
+      // per open window — the affordable streaming quantile where exact
+      // percentile state buffers every value (carried here as the
+      // interpolated exact twin). Below its accuracy the sketch holds
+      // every value and returns the EXACT discrete order statistic
+      // (deterministic — restated as quantile_disc in the oracle); past
+      // that regime swap the restatement for q131's tolerance flag.
+      val agg = EventStreams.readEvents(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("approx_percentile(value, 0.5, 5000)"), 6).as("s50"))
+        .select(col("w.start").as("h"), col("n"), col("p50"), col("s50"))
+      EventStreams.runAvailableNow(agg, "q159_sink",
+          OutputMode.Complete, needFinalBatch = false)
+        .orderBy(col("h"))
+    }),
     "q133_stream_sketch_distinct" -> ((s, dir) => withStatePartitions(s, 4) {
       // Streaming distinct-users-per-hour via a DataSketches HLL aggregate:
       // state per open window is ONE kilobyte-scale sketch instead of one
@@ -351,6 +371,11 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS h,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
         |  CAST(1 AS INT) AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q159_stream_quantile_sketch" ->
+      """SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_disc(value, 0.5), 6) AS s50
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Each event belongs to the two 1 h windows starting at its 30 min
     // bucket and 30 min earlier (width/slide = 2 buckets per event).
