@@ -53,8 +53,11 @@ object BloomPrune {
   def bloomSemiJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, expectedItems: Long, numBits: Long): DataFrame = {
     val bytes = bloomBytes(dim, dimKey, expectedItems, numBits)
-    fact.filter(mightContain(bytes, factKey))
-      .join(dim.select(dimKey.as("__bloom_k")).distinct(),
-        factKey === col("__bloom_k"), "left_semi")
+    // an empty dim aggregates to a NULL sketch — the semi join is empty by
+    // definition, so prune everything rather than probe a null filter
+    val pruned =
+      if (bytes == null) fact.filter(lit(false)) else fact.filter(mightContain(bytes, factKey))
+    pruned.join(dim.select(dimKey.as("__bloom_k")).distinct(),
+      factKey === col("__bloom_k"), "left_semi")
   }
 }

@@ -80,6 +80,13 @@ class SketchBpeSpec extends AnyFunSuite {
     assert(txt.contains("might_contain"), s"no bloom probe in plan:\n$txt")
   }
 
+  test("bloom semi join against an EMPTY dim returns empty, not a null-probe error") {
+    val fact = Seq(1L, 2L, 3L).toDF("k")
+    val dim = Seq.empty[Long].toDF("k").filter(col("k") > 0)
+    val out = BloomPrune.bloomSemiJoin(fact, col("k"), dim, col("k"), 10L, 1000L)
+    assert(out.count() === 0L)
+  }
+
   test("bloom probe has no false negatives on adversarial keys") {
     val dim = (0L until 5000L).map(i => i * 7919L).toDF("k")
     val bytes = BloomPrune.bloomBytes(dim, col("k"), 5000L, 50000L)
