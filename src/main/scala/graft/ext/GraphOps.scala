@@ -39,13 +39,17 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // the edge list feeds out-weights AND every iteration's join — left
+    // lazy, an expensive edge derivation (e.g. the gram-overlap self-join)
+    // replays once per round; materialize it once (lineage truncated)
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val n = nodes.count() // node count: one bounded scalar, needed in literals
     var rank = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(outW, "src")
+      val contrib = e.join(outW, "src")
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"(rank * w) div ow").as("c"))

@@ -413,7 +413,12 @@ object Similarity {
     * connected-component variant is [[graft.ext.Dedup.connectedComponents]]
     * over the same pairs). Cell assignment and pair sims are
     * integer/rounded arithmetic — fully oracle-restatable. Returns the
-    * KEPT vectors as (vec_id, cell). */
+    * KEPT vectors as (vec_id, cell).
+    *
+    * Scale knob: at FIXED nClusters the in-cell pair space grows
+    * quadratically with the corpus (measured 4.2× wall at 10× data) —
+    * scale nClusters with corpus size (the [[neardupPlanesFor]] lesson)
+    * to keep cluster populations, and the pair space, bounded. */
   def semDedup(emb: DataFrame, nClusters: Int, iters: Int,
       minCos: Double, quant: Double = 1e6): DataFrame = {
     val assigned = kmeansFit(emb, nClusters, iters, quant)
