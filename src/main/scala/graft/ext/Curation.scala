@@ -319,6 +319,36 @@ object Curation {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Distribution-drift report between two corpus snapshots — the
+    * monitoring op that catches an upstream feed change before it trains:
+    * bin a signal (quality score, length, ...) per stratum in BOTH
+    * snapshots and compare the bin distributions by total variation
+    * distance. Kept in EXACT integer arithmetic: per stratum,
+    * `drift_int = Σ_bins |nA·NB − nB·NA|` and `tvd = drift_int/(2·NA·NB)`
+    * — no floating histogram normalization, so drift values (and any
+    * alert threshold on them) are bit-identical across engines.
+    *
+    * Shape: two binned two-phase counts, a full-outer join on
+    * (stratum, bin) — bins×strata-sized — and a stratum rollup; corpus
+    * touched once per side. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      stratum: Column, bin: Column): DataFrame = {
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.select(stratum.as("stratum"), bin.as("bin"))
+        .groupBy(col("stratum"), col("bin")).agg(count(lit(1)).as(cnt))
+    def totals(df: DataFrame, tot: String): DataFrame =
+      df.select(stratum.as("stratum")).groupBy(col("stratum"))
+        .agg(count(lit(1)).as(tot))
+    binned(a, "na").join(binned(b, "nb"), Seq("stratum", "bin"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+      .join(totals(a, "tot_a"), "stratum").join(totals(b, "tot_b"), "stratum")
+      .groupBy(col("stratum"))
+      .agg(max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
+        sum(abs(col("na") * col("tot_b") - col("nb") * col("tot_a"))).as("drift_int"))
+      .withColumn("tvd", round(col("drift_int").cast("double") /
+        (lit(2.0) * col("n_a") * col("n_b")), 6))
+  }
+
   /** Engine-portable per-row hash: polynomial fold (base 31, mod 1e9+7) of
     * the md5 hex characters of the U+0001-joined column values. md5 is the
     * cross-engine byte-exact primitive already proven by the content

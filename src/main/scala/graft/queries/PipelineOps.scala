@@ -1186,6 +1186,20 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q160_distribution_drift" -> ((s, dir) => {
+      // Snapshot drift monitoring: quality-score bin distributions of two
+      // corpus versions (even/odd doc halves as stand-ins) compared per
+      // language by exact-integer total variation distance — the
+      // feed-change alarm of an ingest pipeline. Bin = floor(10·quality).
+      val docs = t(s, dir, "documents")
+      val bin = floor(TA.qualityScore(col("text")) * 10).cast("long")
+      Curation.distributionDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("lang"), bin)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"))
+    }),
     "q158_semdedup" -> ((s, dir) => {
       // SemDedup: k-means clusters bound the dedup pair space (the
       // learned-cell analogue of q50's LSH blocking), then the
@@ -2620,6 +2634,39 @@ object PipelineOps {
     "q156_domain_pagerank" -> pageRankSql(3),
     "q157_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 4, m = 4, subDim = 16,
       ksub = 8, iters = 2, nq = 10, kCand = 20, k = 3),
+    "q160_distribution_drift" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS alpha,
+         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+         |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mtl
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |    CAST(floor(round(0.5 * alpha + 0.3 * least(stop_ratio * 3, 1.0)
+         |      + 0.2 * least(mtl / 8, 1.0), 6) * 10) AS BIGINT) AS bin
+         |  FROM comp),
+         |ba AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS na
+         |  FROM q WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |bb AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS nb
+         |  FROM q WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |ta AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot_a
+         |  FROM q WHERE doc_id % 2 = 0 GROUP BY 1),
+         |tb AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot_b
+         |  FROM q WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT coalesce(ba.lang, bb.lang) AS lang,
+         |    coalesce(ba.bin, bb.bin) AS bin,
+         |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+         |  FROM ba FULL OUTER JOIN bb ON ba.lang = bb.lang AND ba.bin = bb.bin)
+         |SELECT j.lang, max(tot_a) AS n_a, max(tot_b) AS n_b,
+         |  CAST(sum(abs(na * tot_b - nb * tot_a)) AS BIGINT) AS drift_int,
+         |  round(CAST(sum(abs(na * tot_b - nb * tot_a)) AS DOUBLE)
+         |    / (2.0 * max(tot_a) * max(tot_b)), 6) AS tvd
+         |FROM j JOIN ta ON ta.lang = j.lang JOIN tb ON tb.lang = j.lang
+         |GROUP BY j.lang ORDER BY j.lang""".stripMargin,
     "q158_semdedup" -> {
       val fin = 3 // iters=2 → final assignment round
       s"""WITH ${kmeansCtes(8, 2, 64)},
