@@ -43,12 +43,13 @@ class MisraGriesAggregator(k: Int)
       case Some(c) => b(a) = c + 1L
       case None if b.size < k => b(a) = 1L
       case None =>
-        // classic decrement-all step: k counters drop by one, zeros evict
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.foreach { case (key, c) =>
-          if (c <= 1L) dead += key else b(key) = c - 1L
+        // classic decrement-all step: k counters drop by one, zeros evict.
+        // Iterate a SNAPSHOT — mutating a mutable.HashMap while traversing
+        // it is undefined and silently skips entries (caught by the
+        // PropertiesSpec size-bound law).
+        b.toArray.foreach { case (key, c) =>
+          if (c <= 1L) b.remove(key) else b(key) = c - 1L
         }
-        dead.foreach(b.remove)
     }
     b
   }
@@ -61,11 +62,10 @@ class MisraGriesAggregator(k: Int)
       // drop non-positives — error bounds add, so the merged summary keeps
       // the n/(k+1) undercount guarantee over the COMBINED stream.
       val cut = b1.values.toArray.sortBy(-_).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.foreach { case (key, c) =>
-        if (c - cut <= 0L) dead += key else b1(key) = c - cut
+      // snapshot before mutating — see the reduce-side comment
+      b1.toArray.foreach { case (key, c) =>
+        if (c - cut <= 0L) b1.remove(key) else b1(key) = c - cut
       }
-      dead.foreach(b1.remove)
     }
     b1
   }

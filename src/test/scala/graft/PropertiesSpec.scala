@@ -248,4 +248,47 @@ class PropertiesSpec extends AnyFunSuite {
       expr.eval(null).asInstanceOf[Long] == bounds.count(_ <= v).toLong
     })
   }
+
+  test("Misra-Gries: merged summary keeps the n/(k+1) heavy-hitter guarantee") {
+    import graft.functions.MisraGriesAggregator
+    val items = Gen.listOf(Gen.chooseNum(0, 30).map(i => s"w$i"))
+    check(Prop.forAll(items, Gen.chooseNum(2, 12)) { (xs, k) =>
+      val agg = new MisraGriesAggregator(k)
+      // arbitrary 3-way split, reduce each, merge in a fixed order
+      val parts = xs.grouped(math.max(1, xs.size / 3 + 1)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val n = xs.size
+      val exact = xs.groupBy(identity).view.mapValues(_.size).toMap
+      exact.forall { case (w, c) =>
+        c.toDouble <= n.toDouble / (k + 1) || merged.contains(w)
+      }
+    })
+  }
+
+  test("Misra-Gries: summary never exceeds k entries") {
+    import graft.functions.MisraGriesAggregator
+    val items = Gen.listOf(Gen.chooseNum(0, 50).map(i => s"w$i"))
+    check(Prop.forAll(items, items, Gen.chooseNum(1, 8)) { (xs, ys, k) =>
+      val agg = new MisraGriesAggregator(k)
+      val m = agg.merge(xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      m.size <= k
+    })
+  }
+
+  test("portable row hash: multiset manifest is order- and split-invariant") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 999L), Gen.alphaNumStr))
+    check(Prop.forAll(rowsGen, Gen.chooseNum(1, 7)) { (rows, parts) =>
+      val h = graft.ext.Curation.portableRowHash(Seq(col("id"), col("s")))
+      def fp(data: Seq[(Long, String)], np: Int): (Long, Long) = {
+        val r = data.toDF("id", "s").repartition(np)
+          .agg(sum(h).as("a"), sum(h * h % 1000000007L).as("b")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      rows.isEmpty || fp(rows, 1) == fp(scala.util.Random.shuffle(rows), parts)
+    }, n = 20) // each trial runs 2 Spark jobs — keep the count sane
+  }
 }
