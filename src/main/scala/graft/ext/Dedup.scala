@@ -346,6 +346,31 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Containment pairs — the ASYMMETRIC near-dup relation Jaccard misses:
+    * `C(A→B) = |A∩B| / |A|` is high when A's grams are mostly inside B
+    * (quotations, excerpts, doc-contains-doc), even when the size gap
+    * makes J small. Same inverted-index shape as [[ngramJaccardPairs]];
+    * emits both directions' containments and keeps pairs where either
+    * clears `minContainment`. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, minContainment: Double): DataFrame = {
+    val g = docs
+      .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("ng"))
+      .distinct()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = g.select(col("doc_id").as("d1"), col("ng"))
+      .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")),
+        col("ng") === col("ng2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sa"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sb"), "d2")
+      .withColumn("c_fwd", round(col("i").cast("double") / col("sa"), 6))
+      .withColumn("c_bwd", round(col("i").cast("double") / col("sb"), 6))
+      .filter(greatest(col("c_fwd"), col("c_bwd")) >= minContainment)
+      .select(col("d1"), col("d2"), col("c_fwd"), col("c_bwd"))
+  }
+
   // ---------- span-level (cross-document substring) dedup -----------------
 
   /** Fixed-width token spans of a text column: non-overlapping windows of

@@ -1186,6 +1186,30 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
     }),
+    "q161_stratum_topk_sample" -> ((s, dir) => {
+      // Exactly-k-per-stratum sampling ("25 docs per language, no more, no
+      // fewer"): rank by the Knuth key within each stratum, keep rn <= k —
+      // q137's exact-size guarantee made per-group; one stratum-keyed
+      // window, partitions bounded by stratum populations.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("skey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Curation.sampleKey(col("doc_id"), 999983).as("skey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 25)
+        .orderBy(col("lang"), col("rn"))
+    }),
+    "q162_containment" -> ((s, dir) => {
+      // Asymmetric containment near-dups: pairs where one doc's gram set
+      // is mostly inside the other's (quotes/excerpts/doc-contains-doc) —
+      // the relation Jaccard misses when sizes differ. Inverted-index
+      // join, both directions emitted.
+      Dedup.containmentPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, minContainment = 0.8)
+        .orderBy(col("d1"), col("d2"))
+    }),
     "q160_distribution_drift" -> ((s, dir) => {
       // Snapshot drift monitoring: quality-score bin distributions of two
       // corpus versions (even/odd doc halves as stand-ins) compared per
@@ -2634,6 +2658,40 @@ object PipelineOps {
     "q156_domain_pagerank" -> pageRankSql(3),
     "q157_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 4, m = 4, subDim = 16,
       ksub = 8, iters = 2, nq = 10, kCand = 20, k = 3),
+    "q161_stratum_topk_sample" ->
+      """SELECT doc_id, lang, n_chars, skey, rn FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ((doc_id % 1000003) * 2654435761) % 999983 AS skey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 999983, doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+    "q162_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT d1, d2,
+        |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS c_fwd,
+        |    round(CAST(i AS DOUBLE) / sb.sz, 6) AS c_bwd
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2)
+        |SELECT d1, d2, c_fwd, c_bwd FROM c
+        |WHERE greatest(c_fwd, c_bwd) >= 0.8 ORDER BY d1, d2""".stripMargin,
     "q160_distribution_drift" ->
       s"""WITH comp AS (
          |  SELECT doc_id, lang,
