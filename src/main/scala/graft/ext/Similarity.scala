@@ -402,6 +402,28 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** PQ-encode a (possibly STREAMING) frame of embeddings against
+    * codebooks trained on `trainCorpus`: the books ride as literals (the
+    * local spelling of a broadcast), so encoding is a pure stateless
+    * map — the continuous-ingestion half of a PQ index (q155 writes the
+    * batch index; this keeps its codes table current as vectors arrive).
+    * Returns (c_id, j, code) long form. */
+  def pqCodeColumns(vectors: DataFrame, trainCorpus: DataFrame,
+      m: Int, subDim: Int, ksub: Int, iters: Int,
+      quant: Double = 1e6): DataFrame = {
+    def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+    def qvOf(e: Column): Column =
+      transform(toDouble(e), x => floor(x * quant).cast("long"))
+    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
+      lloydCentroids(
+        trainCorpus.select(col("vec_id"), sub(j).as("embedding")), ksub, iters, quant)
+    }
+    vectors.select(col("vec_id").as("c_id"), explode(array((0 until m).map(j =>
+        struct(lit(j.toLong).as("j"),
+          bestCell(qvOf(sub(j)), books(j)).getField("c").as("code"))): _*)).as("e"))
+      .select(col("c_id"), col("e.j"), col("e.code"))
+  }
+
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — the public construction):
     * cluster the embedding space with k-means, then deduplicate ONLY

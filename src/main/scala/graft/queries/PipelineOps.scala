@@ -2955,6 +2955,22 @@ object PipelineOps {
        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Restatement of the PQ ENCODING stage alone — q163's oracle (the
+    * streaming encode must equal the batch codes): the m codebook chains,
+    * final assignments unioned to (c_id, j, code) long form. */
+  private[queries] def pqCodesSql(m: Int, ksub: Int, iters: Int,
+      subDim: Int): String = {
+    val fin = iters + 1
+    val chains = (0 until m).map(j => pqSubCtes(j, ksub, iters, subDim))
+      .mkString(",\n")
+    val codesAll = (0 until m)
+      .map(j => s"SELECT vec_id AS c_id, CAST($j AS BIGINT) AS j, cell AS code FROM p${j}a$fin")
+      .mkString(" UNION ALL ")
+    s"""WITH $chains,
+       |codes AS ($codesAll)
+       |SELECT c_id, j, code FROM codes ORDER BY c_id, j""".stripMargin
+  }
+
   /** Unrolled-SQL restatement of [[graft.ext.Similarity.pqTopK]]: m
     * codebook chains, code/LUT unions, the ADC aggregation, and q118's
     * exact-cosine re-rank tail over the ADC survivors. */

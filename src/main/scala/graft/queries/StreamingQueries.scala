@@ -146,6 +146,21 @@ object StreamingQueries {
           col("c_name"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
+    "q163_stream_pq_encode" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Continuous embedding ingestion against a TRAINED PQ index: the
+      // codebooks ride as literals (what a broadcast ships at scale) and
+      // each arriving vector encodes to its m codes map-side — a pure
+      // stateless stream transform, no state store, no shuffle. The final
+      // code table must equal the batch encoding of the same corpus
+      // (q148's code stage), which is the oracle.
+      val emb = Tables.table(s, dir, "embeddings")
+      val codes = graft.ext.Similarity.pqCodeColumns(
+        EventStreams.readEmbeddings(s, dir), emb, m = 4, subDim = 16,
+        ksub = 8, iters = 2)
+      EventStreams.runAvailableNow(codes, "q163_sink", OutputMode.Append,
+          needFinalBatch = false)
+        .orderBy(col("c_id"), col("j"))
+    }),
     "q159_stream_quantile_sketch" -> ((s, dir) => withStatePartitions(s, 4) {
       // Streaming per-hour value quantiles, sketch beside exact (the q131
       // pattern as a STREAM): approx_percentile state is a bounded sketch
@@ -372,6 +387,8 @@ object StreamingQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
         |  CAST(1 AS INT) AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q163_stream_pq_encode" -> PipelineOps.pqCodesSql(m = 4, ksub = 8,
+      iters = 2, subDim = 16),
     "q159_stream_quantile_sketch" ->
       """SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

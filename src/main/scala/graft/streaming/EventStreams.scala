@@ -64,6 +64,20 @@ object EventStreams {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming scan of an sf directory's embeddings table — continuous
+    * vector ingestion (new embeddings arrive as files land). */
+  def readEmbeddings(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/embeddings.parquet*")
+
   /** Streaming scan of an sf directory's documents table — the ingest-stream
     * model of a training-data pipeline (documents arrive as files land;
     * `maxFilesPerTrigger` bounds each micro-batch). */
