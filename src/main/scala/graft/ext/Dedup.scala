@@ -322,15 +322,20 @@ object Dedup {
     // vocabulary too big to broadcast, drop the hint — same plan, one
     // more exchange.
     val dfreq = broadcast(g.groupBy(col("ng")).agg(count(lit(1)).as("df")))
+    // Per-doc prefix via one hash aggregation (collect → per-row sort →
+    // slice) instead of a partition-sorted window: the rank only matters
+    // WITHIN a doc, so sorting doc-local arrays beats sorting whole
+    // shuffle partitions. Struct sort is (df, ng)-lexicographic — the same
+    // rarity-first order. Array size per doc = that doc's gram count.
     val prefix = g.join(dfreq, "ng")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("ng"))))
-      .join(sets.select(col("doc_id"), size(col("gs")).as("sz")), "doc_id")
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
-      .select(col("doc_id"), col("ng"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("ng")))).as("__arr"))
+      .select(col("doc_id"), explode(expr(
+        "slice(__arr, 1, cast(size(__arr) - ceil(size(__arr) * " +
+          s"$minJaccard) + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("p.ng").as("ng"))
       // both sides of the candidate self-join read this table — without the
-      // checkpoint each side replays the df join + rank window
+      // checkpoint each side replays the df join + prefix aggregation
       .localCheckpoint()
     val cand = prefix.select(col("doc_id").as("d1"), col("ng"))
       .join(prefix.select(col("doc_id").as("d2"), col("ng").as("ng2")),
