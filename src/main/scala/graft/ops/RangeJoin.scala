@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * `WHERE pt >= start AND pt < end`. Output = point columns ++ interval
   * columns, inner-join semantics (a point in k overlapping intervals yields
   * k rows).
+  *
+  * Scale knob: at a FIXED bin width, densifying both sides grows per-bin
+  * candidate pairs super-linearly (measured 40× wall at 100× data) — bin
+  * width should scale ∝ 1/density, the same granularity-follows-data rule
+  * as LSH planes and SemDedup cluster counts.
   */
 object RangeJoin {
 
