@@ -115,6 +115,20 @@ object WindowsSetsDates {
       EventsOps.timeBucket(t(s, dir, "events"), "hour")
         .orderBy(col("h"), col("event_type"))
     }),
+    "q164_pivot" -> ((s, dir) => {
+      // PIVOT: per-day event counts spread into one column per event type
+      // (explicit value list — an inferred list would scan once extra AND
+      // make the schema data-dependent). One two-phase aggregation; the
+      // oracle restates it as conditional counts.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.table(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
+    }),
     "q30_events_json" -> ((s, dir) => {
       // Semi-structured props column: JSON path extraction + typed agg.
       t(s, dir, "events")
@@ -214,6 +228,14 @@ object WindowsSetsDates {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS a
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "q164_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_events_json" ->
       """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
         |  min(k) AS min_k, max(k) AS max_k
