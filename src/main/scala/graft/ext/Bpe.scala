@@ -35,9 +35,12 @@ object Bpe {
   val Sep = "\u0001"
   private val SS = Sep + Sep
 
-  /** Word → framed symbol string of single characters. */
+  /** Word → framed symbol string of single characters. `(?s).` so the odd
+    * non-`\s` line separators (U+2028/U+2029/U+0085) that survive the
+    * whitespace tokenizer still count as symbols instead of silently
+    * vanishing (RE2 and Java agree on the flag). */
   def symbolString(word: Column): Column =
-    concat(lit(SS), array_join(regexp_extract_all(word, lit("."), lit(0)), SS), lit(SS))
+    concat(lit(SS), array_join(regexp_extract_all(word, lit("(?s)."), lit(0)), SS), lit(SS))
 
   /** Current symbol tokens of a framed symbol string. */
   def tokensOf(s: Column): Column =
@@ -83,15 +86,19 @@ object Bpe {
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var cur = base
-      for (step <- 1 to nMerges) {
+      var step = 1
+      var exhausted = false
+      while (step <= nMerges && !exhausted) {
         val top = pairCounts(cur)
           .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
-        if (top.nonEmpty) {
+        if (top.isEmpty) exhausted = true // no pairs left — later rounds stay empty
+        else {
           val r = top(0)
           val m = Merge(step.toLong, r.getString(0), r.getString(1), r.getLong(2))
           merges += m
           cur = cur.withColumn("s", applyMerge(col("s"), m.x, m.y))
         }
+        step += 1
       }
       merges.toSeq
     } finally {

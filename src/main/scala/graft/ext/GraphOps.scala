@@ -34,8 +34,12 @@ object GraphOps {
   /** Integer-scaled weighted PageRank. `edges` = (src, dst, w) directed
     * (use [[symmetricEdges]] for undirected graphs). The node set is the
     * edge endpoints — an isolated node has no edge row and drops out;
-    * union zero-weight self-loops in if it must appear. Returns
-    * (node, rank) with Σrank ≈ [[Scale]]. */
+    * union zero-weight self-loops in if it must appear. On a DIRECTED
+    * graph, mass flowing into nodes without out-edges is NOT
+    * redistributed (the simplified formulation — add dangling-mass
+    * redistribution for directed webs); on symmetric edge lists every
+    * node has out-edges and Σrank ≈ [[Scale]] up to the floor-division
+    * residue. Returns (node, rank). */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
@@ -52,7 +56,11 @@ object GraphOps {
       val contrib = e.join(outW, "src")
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          expr(s"(rank * w) div ow").as("c"))
+          // exact identity for nonnegative integers that avoids the raw
+          // rank·w product (rank ≤ 1e12 — a large edge weight would wrap
+          // Long silently in non-ANSI mode):
+          // (rank·w) div ow = (rank div ow)·w + ((rank mod ow)·w) div ow
+          expr("(rank div ow) * w + ((rank % ow) * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
       rank = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),

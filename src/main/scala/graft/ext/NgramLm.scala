@@ -39,7 +39,11 @@ object NgramLm {
       .agg(sum(col("c_bi")).as("c_x"))
     counts.withColumn("px", substring(col("bg"), 1, 1))
       .join(prefix, "px")
-      .withColumn("p_int", expr("(1000000 * c_bi) div c_x"))
+      // the multiply runs in DECIMAL so a web-scale c_bi (> ~9.2e12)
+      // cannot wrap Long; the cast back truncates the exact quotient —
+      // identical to integer div for these nonnegative values
+      .withColumn("p_int",
+        expr("CAST(CAST(c_bi AS DECIMAL(38,0)) * 1000000 / c_x AS BIGINT)"))
       .select(col("bg"), col("c_bi"), col("c_x"), col("p_int"))
   }
 

@@ -39,6 +39,7 @@ class MisraGriesAggregator(k: Int)
   override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
   override def reduce(b: mutable.HashMap[String, Long], a: String): mutable.HashMap[String, Long] = {
+    if (a == null) return b // null carries no frequency; a null key would NPE finish's sort
     b.get(a) match {
       case Some(c) => b(a) = c + 1L
       case None if b.size < k => b(a) = 1L

@@ -3024,7 +3024,7 @@ object PipelineOps {
         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
         |  WHERE w <> '' GROUP BY w)""".stripMargin,
       """s0 AS (SELECT w, n, chr(1)||chr(1) ||
-        |  array_to_string(regexp_extract_all(w, '.'), chr(1)||chr(1)) ||
+        |  array_to_string(regexp_extract_all(w, '(?s).'), chr(1)||chr(1)) ||
         |  chr(1)||chr(1) AS s FROM wc)""".stripMargin)
     for (i <- 0 until n) {
       parts += s"""l$i AS (SELECT n, list_filter(string_split(s$i.s, chr(1)||chr(1)),

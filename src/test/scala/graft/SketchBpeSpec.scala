@@ -37,6 +37,14 @@ class SketchBpeSpec extends AnyFunSuite {
     }
   }
 
+  test("MG aggregator ignores null inputs instead of NPEing finish's sort") {
+    val cand = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("w")
+      .agg(MisraGries.candidates(4)(col("w")).as("c"))
+      .head().getSeq[String](0)
+    assert(cand.toSet === Set("a", "b"))
+  }
+
   test("MG reduce/merge laws on a hand stream with forced decrements") {
     val agg = new MisraGriesAggregator(2)
     // stream a a b c: with k=2, c's arrival decrements {a:2, b:1} -> {a:1}
