@@ -100,7 +100,9 @@ object Curation {
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "tok")
       .crossJoin(broadcast(total))
-      .withColumn("score", col("tf") * ((col("n_docs") * lit(1000000L)) / col("df")).cast("long"))
+      // integer div, not double-divide-then-truncate: above 2^53 docs the
+      // double path rounds and can flip a rank vs the integer oracle
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -339,14 +341,21 @@ object Curation {
     def totals(df: DataFrame, tot: String): DataFrame =
       df.select(stratum.as("stratum")).groupBy(col("stratum"))
         .agg(count(lit(1)).as(tot))
+    // totals join FULL OUTER with zero-fill: a stratum entirely absent from
+    // one snapshot is the STRONGEST drift signal — an inner join here would
+    // silently drop it from the report (and its tvd is 1 by definition)
     binned(a, "na").join(binned(b, "nb"), Seq("stratum", "bin"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
-      .join(totals(a, "tot_a"), "stratum").join(totals(b, "tot_b"), "stratum")
+      .join(totals(a, "tot_a"), Seq("stratum"), "full_outer")
+      .join(totals(b, "tot_b"), Seq("stratum"), "full_outer")
+      .na.fill(0L, Seq("tot_a", "tot_b"))
       .groupBy(col("stratum"))
       .agg(max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
         sum(abs(col("na") * col("tot_b") - col("nb") * col("tot_a"))).as("drift_int"))
-      .withColumn("tvd", round(col("drift_int").cast("double") /
-        (lit(2.0) * col("n_a") * col("n_b")), 6))
+      .withColumn("tvd",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(round(col("drift_int").cast("double") /
+            (lit(2.0) * col("n_a") * col("n_b")), 6)))
   }
 
   /** Engine-portable per-row hash: polynomial fold (base 31, mod 1e9+7) of

@@ -186,12 +186,17 @@ object Similarity {
       (array_position(ds, array_max(ds)) - 1).cast("int")
     }
 
-    // top-nprobe cells: sort (score, idx) structs ascending, take the tail
+    // top-nprobe cells: sort (score, NEGATED idx) ascending then reverse —
+    // descending score with ties to the LOWEST cell, matching nearestCell's
+    // first-occurrence argmax and the file-wide tie convention (a plain
+    // (s, i) sort would probe the HIGHEST tied cell and miss vectors
+    // assigned to the lowest)
     def probeCells(vec: Column): Column = {
       val scored = zip_with(cellScores(vec),
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i")))
-      transform(slice(reverse(array_sort(scored)), 1, nprobe), e => e("i").cast("int"))
+        (s, i) => struct(s.as("s"), (-i).as("ni")))
+      transform(slice(reverse(array_sort(scored)), 1, nprobe),
+        e => (-e("ni")).cast("int"))
     }
 
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),

@@ -34,7 +34,7 @@ object BloomPrune {
   def bloomBytes(dim: DataFrame, key: Column, expectedItems: Long,
       numBits: Long): Array[Byte] = {
     val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(key.cast("long")))),
+      new XxHash64(Seq(Bridge.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     dim.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
   }
@@ -44,7 +44,7 @@ object BloomPrune {
   def mightContain(bloom: Array[Byte], key: Column): Column =
     Bridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
-      new XxHash64(Seq(Bridge.expression(key.cast("long"))))))
+      new XxHash64(Seq(Bridge.expression(key)))))
 
   /** Bloom-pruned semi join: `fact` rows whose `factKey` joins `dim.dimKey`.
     * The bloom probe prunes fact BEFORE the exchange; the exact semi join

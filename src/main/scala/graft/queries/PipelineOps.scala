@@ -2719,11 +2719,13 @@ object PipelineOps {
          |    coalesce(ba.bin, bb.bin) AS bin,
          |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
          |  FROM ba FULL OUTER JOIN bb ON ba.lang = bb.lang AND ba.bin = bb.bin)
-         |SELECT j.lang, max(tot_a) AS n_a, max(tot_b) AS n_b,
-         |  CAST(sum(abs(na * tot_b - nb * tot_a)) AS BIGINT) AS drift_int,
-         |  round(CAST(sum(abs(na * tot_b - nb * tot_a)) AS DOUBLE)
-         |    / (2.0 * max(tot_a) * max(tot_b)), 6) AS tvd
-         |FROM j JOIN ta ON ta.lang = j.lang JOIN tb ON tb.lang = j.lang
+         |SELECT j.lang, max(coalesce(tot_a, 0)) AS n_a, max(coalesce(tot_b, 0)) AS n_b,
+         |  CAST(sum(abs(na * coalesce(tot_b, 0) - nb * coalesce(tot_a, 0))) AS BIGINT) AS drift_int,
+         |  CASE WHEN max(coalesce(tot_a, 0)) = 0 OR max(coalesce(tot_b, 0)) = 0 THEN 1.0
+         |    ELSE round(CAST(sum(abs(na * coalesce(tot_b, 0) - nb * coalesce(tot_a, 0))) AS DOUBLE)
+         |      / (2.0 * max(tot_a) * max(tot_b)), 6) END AS tvd
+         |FROM j FULL OUTER JOIN ta ON ta.lang = j.lang
+         |       FULL OUTER JOIN tb ON tb.lang = j.lang
          |GROUP BY j.lang ORDER BY j.lang""".stripMargin,
     "q158_semdedup" -> {
       val fin = 3 // iters=2 → final assignment round

@@ -222,13 +222,10 @@ object StreamingQueries {
       // micro-batch splits or arrival order. Complete mode re-emits the
       // running manifest each batch (the "current manifest" table a
       // registry would read).
-      val h = graft.ext.Curation.portableRowHash(Seq(
-        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
-      val agg = EventStreams.readDocuments(s, dir)
-        .select(col("source"), h.as("__h"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("__h")).as("fp_sum"),
-          sum(col("__h") * col("__h") % 1000000007L).as("fp_sq"))
+      val agg = graft.ext.Curation.manifest(
+          EventStreams.readDocuments(s, dir), col("source"),
+          Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+        .withColumnRenamed("stratum", "source")
       EventStreams.runAvailableNow(agg, "q154_sink", OutputMode.Complete,
           needFinalBatch = false)
         .orderBy(col("source"))

@@ -95,6 +95,30 @@ class SketchBpeSpec extends AnyFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("bloom semi join prunes on STRING keys (no silent cast-to-null no-op)") {
+    val fact = Seq("a", "b", "c", "zz").toDF("k")
+    val dim = Seq("a", "c").toDF("k")
+    val out = BloomPrune.bloomSemiJoin(fact, col("k"), dim, col("k"), 10L, 10000L)
+      .as[String].collect().toSet
+    assert(out === Set("a", "c"))
+    // the probe itself must reject most non-members (not pass everything)
+    val bytes = BloomPrune.bloomBytes(dim, col("k"), 10L, 10000L)
+    val passed = fact.filter(BloomPrune.mightContain(bytes, col("k"))).count()
+    assert(passed < 4L, "bloom passed every string row — probe degraded to a no-op")
+  }
+
+  test("distribution drift surfaces a stratum entirely missing from one snapshot") {
+    val a = Seq(("en", 1L), ("en", 2L), ("fr", 1L)).toDF("lang", "v")
+    val b = Seq(("en", 1L), ("en", 2L)).toDF("lang", "v") // fr vanished
+    val out = graft.ext.Curation.distributionDrift(a, b, col("lang"), col("v"))
+      .orderBy("stratum")
+      .select("stratum", "n_a", "n_b", "tvd")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq("en", "fr"))
+    assert(out(0)._4 === 0.0) // en identical
+    assert(out(1) === (("fr", 1L, 0L, 1.0))) // vanished stratum = total drift
+  }
+
   test("bloom probe has no false negatives on adversarial keys") {
     val dim = (0L until 5000L).map(i => i * 7919L).toDF("k")
     val bytes = BloomPrune.bloomBytes(dim, col("k"), 5000L, 50000L)
