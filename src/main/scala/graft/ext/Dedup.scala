@@ -261,9 +261,12 @@ object Dedup {
     * n-gram inside a block. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       block: Column, n: Int, minJaccard: Double): DataFrame = {
+    // three consumers (sizes + both join sides) — materialize the gram
+    // frame once instead of re-tokenizing/hashing per consumer (the
+    // prefixJaccardPairs pattern)
     val g = docs
       .select(id.as("doc_id"), block.as("blk"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct()
+      .distinct().localCheckpoint()
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = g.select(col("doc_id").as("d1"), col("blk"), col("ng"))
     val b = g.select(col("doc_id").as("d2"), col("blk").as("blk2"), col("ng").as("ng2"))
@@ -359,9 +362,10 @@ object Dedup {
     * clears `minContainment`. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minContainment: Double): DataFrame = {
+    // same multi-consumer materialization as ngramJaccardPairs
     val g = docs
       .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct()
+      .distinct().localCheckpoint()
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = g.select(col("doc_id").as("d1"), col("ng"))
       .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")),
@@ -455,7 +459,10 @@ object Dedup {
     * `minJaccard`. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minJaccard: Double): DataFrame = {
+    // the signature (the most expensive kernel here) feeds the bucket
+    // explode AND both verify-side rejoins — materialize it once
     val withSig = docs.select(id.as("doc_id"), minhashSignature(text, n).as("sig"))
+      .localCheckpoint()
     val buckets = withSig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("bucket"))
     // distinct over bare (d1, d2) id pairs — signatures rejoin afterwards so

@@ -117,7 +117,6 @@ object Multimodal {
     * channels/format` columns. */
   def decodeImages(docs: DataFrame, batchSize: Int = 64,
       codec: PayloadCodec = FakeCodec): DataFrame = {
-    val spark = docs.sparkSession
     val outSchema = StructType(docs.schema.fields ++ imageMetaSchema.fields)
     val enc = Encoders.row(outSchema)
     val payloadIdx = docs.schema.fieldIndex("payload")

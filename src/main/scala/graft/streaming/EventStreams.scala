@@ -172,7 +172,12 @@ object EventStreams {
           val us = toUs(e.ts)
           cur match {
             case Some(s) if us - s.lastUs < gapUs =>
-              cur = Some(SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
+              // min() the start too: a LATER batch can deliver an event that
+              // is above the watermark yet earlier than the open session's
+              // first event — merging it must extend the span backwards,
+              // not silently fold it under the old start
+              cur = Some(SessionState(math.min(s.startUs, us),
+                math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
             case Some(s) =>
               out += close(uid, s)
               cur = Some(SessionState(us, us, 1, e.value))
