@@ -94,8 +94,11 @@ object Bench {
     val results = entryResults ++ microResults
     // 3-decimal seconds: ms resolution is all the comparison uses, and the
     // driver's log-capture window is finite — shorter line, more of it lands
+    // Locale.ROOT: f"" delegates to String.format with the default locale, and a
+    // comma-decimal locale would emit unparseable JSON (e.g. "0,607")
+    def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else sec3(v))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a -1.0 entry is a query that THREW — name it loudly on stderr (the
@@ -108,7 +111,7 @@ object Bench {
     // headline total/value must sit at the END of the line (rounds 3-4 lost
     // it — the line's head fell outside the capture window and parsing
     // failed; the tail now always carries micro-suite + sf + total)
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${f"$total%.3f"}}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${sec3(total)}}""")
     spark.stop()
   }
 }

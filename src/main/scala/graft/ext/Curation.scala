@@ -363,7 +363,13 @@ object Curation {
     * cross-engine byte-exact primitive already proven by the content
     * fingerprints; the fold maps it into integer space so it can SUM. */
   def portableRowHash(cols: Seq[Column]): Column = {
-    val m = md5(concat_ws("\u0001", cols: _*))
+    // coalesce each column to a U+0002 sentinel BEFORE joining: concat_ws
+    // silently SKIPS null arguments, so without it (a, NULL, b) and (a, b)
+    // would hash equal -- and a DuckDB oracle written with `||` would instead
+    // propagate NULL, diverging engines on any nullable hash column. U+0002
+    // is distinct from the separator, so NULL never collides with "" either.
+    val safe = cols.map(c => coalesce(c.cast("string"), lit("\u0002")))
+    val m = md5(concat_ws("\u0001", safe: _*))
     aggregate(
       transform(sequence(lit(1), lit(32)), i => ascii(m.substr(i, lit(1))).cast("long")),
       lit(0L), (a, c) => (a * 31 + c) % 1000000007L)

@@ -444,11 +444,29 @@ object Similarity {
     *
     * Scale knob: at FIXED nClusters the in-cell pair space grows
     * quadratically with the corpus (measured 4.2× wall at 10× data) —
-    * scale nClusters with corpus size (the [[neardupPlanesFor]] lesson)
-    * to keep cluster populations, and the pair space, bounded. */
+    * `nClusters <= 0` lets [[semDedupClustersFor]] scale it with the
+    * corpus (the [[neardupPlanesFor]] lesson), keeping cluster
+    * populations, and the pair space, bounded. */
+  /** The scale rule for [[semDedup]]'s cluster count — granularity follows
+    * the data, exactly as [[neardupPlanesFor]] does for LSH buckets:
+    * k = corpus / targetClusterSize, so expected cluster populations (and
+    * with them the in-cell pair space, Σ|c|² ≈ n·target) stay CONSTANT per
+    * row as the corpus grows, making the dedup linear where a fixed k is
+    * quadratic (measured 4.2× wall at 10× data at fixed k=8). Floored at 8
+    * (the verified-recall default — at the ≤512-row oracle scales the rule
+    * returns exactly the floor, so gate behavior is unchanged) and capped
+    * at 65536: past that the centroid table itself stops being a sane
+    * driver collect/broadcast, and the right construction is hierarchical
+    * (coarse cells → per-cell k-means), noted here so the cap doesn't
+    * silently fossilize. */
+  def semDedupClustersFor(corpusRows: Long, targetClusterSize: Long = 64): Int =
+    math.min(65536L, math.max(8L,
+      (corpusRows + targetClusterSize - 1) / targetClusterSize)).toInt
+
   def semDedup(emb: DataFrame, nClusters: Int, iters: Int,
       minCos: Double, quant: Double = 1e6): DataFrame = {
-    val assigned = kmeansFit(emb, nClusters, iters, quant)
+    val k = if (nClusters > 0) nClusters else semDedupClustersFor(emb.count())
+    val assigned = kmeansFit(emb, k, iters, quant)
       .select(col("vec_id"), col("cell"))
     val sides = emb.join(assigned, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"),

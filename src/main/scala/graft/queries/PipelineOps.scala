@@ -588,13 +588,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
     "q117_range_join" -> ((s, dir) => {
-      // Binned range join under the gate: 2-day activity windows (first
-      // event onward) for every 20th user, attributed against ALL events by
-      // time alone — no equi key, the join Spark would plan as a nested
-      // loop. The band trick turns it into a bin equi-join (one day per
-      // bin, ≤3 bins per window) with the exact half-open predicate
-      // re-checked; ScaleOpsSpec pins equality with the theta join and the
-      // nested-loop-free plan. Integer rollup per window.
+      // Range-join ROLLUP with aggregate pushdown: 2-day activity windows
+      // (first event onward) for every 20th user, attributed against ALL
+      // events by time alone — no equi key, the join Spark would plan as a
+      // nested loop. The pair-materializing band form (q165) is bound by
+      // the true pair output, which grows quadratically when density
+      // scales (ScaleGen replicates events into a fixed time span) — so
+      // here the rollup pushes THROUGH the join: windows decompose into
+      // day/hour/minute aligned bins meeting pre-aggregated per-bin
+      // partials, and only sub-minute edge slivers touch raw points. Same
+      // answer as the theta join (the oracle), never the pairs.
       val ev = t(s, dir, "events")
       val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
       val wins = ev.filter(col("user_id") % 20 === 0)
@@ -602,8 +605,30 @@ object PipelineOps {
         .agg(min(unix_micros(col("ts"))).as("ws"))
         .select(col("user_id").as("w_user"), col("ws"),
           (col("ws") + lit(2L * 86400L * 1000000L)).as("we"))
-      graft.ops.RangeJoin.binnedRangeJoin(points, "pt", wins, "ws", "we",
-          bin = 86400L * 1000000L)
+      graft.ops.RangeJoin.multiLevelRangeAgg(points, "pt", Seq("event_id"),
+          wins, Seq("w_user"), "ws", "we",
+          widths = Seq(86400L * 1000000L, 3600L * 1000000L, 60L * 1000000L))
+        .select(col("w_user"), col("n_points").as("n_events"),
+          col("sum_event_id").as("checksum"))
+        .orderBy(col("w_user"))
+    }),
+    "q165_range_join_pairs" -> ((s, dir) => {
+      // The pair-materializing binned range join (when the caller needs
+      // the pairs themselves, not a rollup): bin width auto-scales with
+      // point density (binWidthFor — granularity follows the data, the LSH
+      // planes rule), so per-bin candidate enumeration stays bounded as
+      // the corpus densifies. Windows for every 40th user to keep this
+      // distinct from q117's set; rolled up only to keep the oracle
+      // compact — the operator under test emits pairs.
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
+      val wins = ev.filter(col("user_id") % 40 === 0)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("ws"))
+        .select(col("user_id").as("w_user"), col("ws"),
+          (col("ws") + lit(2L * 86400L * 1000000L)).as("we"))
+      val bin = graft.ops.RangeJoin.binWidthFor(points, "pt")
+      graft.ops.RangeJoin.binnedRangeJoin(points, "pt", wins, "ws", "we", bin)
         .groupBy(col("w_user"))
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("checksum"))
         .orderBy(col("w_user"))
@@ -1230,7 +1255,11 @@ object PipelineOps {
       // keep-the-earliest rule prunes minCos-similar vectors within each
       // cluster. Per-cell rollup of survivors; the oracle replays the
       // Lloyd chain, the in-cell pair cosines, and the keep rule.
-      Similarity.semDedup(t(s, dir, "embeddings"), nClusters = 8,
+      // nClusters = 0 → semDedupClustersFor scales k with the corpus
+      // (k = ceil(n/64) floored at 8); at the sf0.01 gate (500 vectors)
+      // the rule returns exactly 8, which is what the oracle's kmeansCtes
+      // replay bakes — the formula and the oracle agree for any n ≤ 512.
+      Similarity.semDedup(t(s, dir, "embeddings"), nClusters = 0,
           iters = 2, minCos = 0.45)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("checksum"))
@@ -2239,6 +2268,16 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    "q165_range_join_pairs" ->
+      """WITH w AS (
+        |  SELECT user_id AS w_user,
+        |    epoch_us(min(ts)) AS ws,
+        |    epoch_us(min(ts)) + 2 * 86400 * CAST(1000000 AS BIGINT) AS we
+        |  FROM events WHERE user_id % 40 = 0 GROUP BY user_id)
+        |SELECT w_user, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(e.event_id) AS BIGINT) AS checksum
+        |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+        |GROUP BY w_user ORDER BY w_user""".stripMargin,
     // scored pairs once; argmax twice via (sim, -id)-ordered windows —
     // the same tie rule as the struct max
     // the q41 quality formula per doc, quantile_cont (= Spark percentile)
@@ -2755,8 +2794,10 @@ object PipelineOps {
         |    list_transform(generate_series(1, 32),
         |      i -> CAST(ascii(substring(m, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM (SELECT source, md5(doc_id || chr(1) || text || chr(1) || lang ||
-        |          chr(1) || source || chr(1) || n_chars) AS m
+        |  FROM (SELECT source, md5(coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+        |          coalesce(text, chr(2)) || chr(1) || coalesce(lang, chr(2)) ||
+        |          chr(1) || coalesce(source, chr(2)) || chr(1) ||
+        |          coalesce(CAST(n_chars AS VARCHAR), chr(2))) AS m
         |        FROM documents))
         |SELECT source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(h) AS BIGINT) AS fp_sum,
@@ -3035,9 +3076,12 @@ object PipelineOps {
       parts += s"""p$i AS (SELECT l[i] AS x, l[i+1] AS y, CAST(sum(n) AS BIGINT) AS cnt
                   |  FROM i$i GROUP BY 1, 2)""".stripMargin
       parts += s"b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1)"
-      parts += s"""s${i + 1} AS (SELECT w, n, replace(s,
+      // LEFT JOIN ON TRUE: when a round finds no pairs b$i is empty; the bare
+      // cross join would empty s${i+1} and every later round, diverging from
+      // trainMerges' early-stop. The CASE falls back to the unmodified string.
+      parts += s"""s${i + 1} AS (SELECT w, n, CASE WHEN b.x IS NULL THEN s ELSE replace(s,
                   |  chr(1)||b.x||chr(1)||chr(1)||b.y||chr(1),
-                  |  chr(1)||b.x||b.y||chr(1)) AS s FROM s$i, b$i b)""".stripMargin
+                  |  chr(1)||b.x||b.y||chr(1)) END AS s FROM s$i LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     parts.mkString(",\n")
   }

@@ -425,8 +425,10 @@ object StreamingQueries {
         |    list_transform(generate_series(1, 32),
         |      i -> CAST(ascii(substring(m, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM (SELECT source, md5(doc_id || chr(1) || text || chr(1) || lang ||
-        |          chr(1) || source || chr(1) || n_chars) AS m
+        |  FROM (SELECT source, md5(coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+        |          coalesce(text, chr(2)) || chr(1) || coalesce(lang, chr(2)) ||
+        |          chr(1) || coalesce(source, chr(2)) || chr(1) ||
+        |          coalesce(CAST(n_chars AS VARCHAR), chr(2))) AS m
         |        FROM documents))
         |SELECT source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(h) AS BIGINT) AS fp_sum,

@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.HashExpressions
@@ -175,18 +176,29 @@ class GraftSession(val spark: SparkSession) {
     * }}}
     * `USING <table>` (unparenthesized) is accepted as shorthand for
     * `USING (SELECT * FROM <table>)`. Returns one row
-    * (n_updates, snapshot_rows) so scripts can assert effect. */
+    * (n_source_rows, n_matched, snapshot_rows) so scripts can assert
+    * effect — n_matched is the count of source keys that hit an existing
+    * snapshot row (an UPDATE), computed against the pre-merge snapshot. */
   private val MergeRe =
     ("""(?is)^MERGE\s+INTO\s+LOCATION\s+'([^']+)'\s+USING\s+(?:\((.+)\)|([\w.]+))\s+""" +
       """ON\s+(\w+)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
 
   private def runMerge(path: String, sourceSql: String, key: String): DataFrame = {
-    val updates = sql(sourceSql)
+    // localCheckpoint (eager): the source SELECT executes exactly ONCE — a
+    // non-deterministic source must merge and report the SAME row set, and
+    // the matched-count probe below must see the rows that were written
+    val updates = sql(sourceSql).localCheckpoint()
+    // matched = source keys present in the PRE-merge snapshot (true UPDATE
+    // count); computed before upsert rewrites the directory
+    val nMatched = updates.select(col(key)).distinct()
+      .join(spark.read.parquet(path).select(col(key)).distinct(), Seq(key), "left_semi")
+      .count()
+    val nSource = updates.count()
     graft.tables.Snapshots.upsertByKey(spark, path, updates, key)
-    val n = updates.count()
     val total = spark.read.parquet(path).count()
-    spark.createDataFrame(Seq((n, total))).toDF("n_updates", "snapshot_rows")
+    spark.createDataFrame(Seq((nSource, nMatched, total)))
+      .toDF("n_source_rows", "n_matched", "snapshot_rows")
   }
 
   private def explainGraph(inner: String): DataFrame = {

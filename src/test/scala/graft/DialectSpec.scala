@@ -279,7 +279,9 @@ class DialectSpec extends AnyFunSuite {
         s"""MERGE INTO LOCATION '$tmp' USING merge_updates ON id
            |  WHEN MATCHED THEN UPDATE SET *
            |  WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
-      assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+      // (n_source_rows, n_matched, snapshot_rows): id=2 matched an existing
+      // row (UPDATE), id=4 did not (INSERT) => 2 source rows, 1 matched
+      assert(r.getLong(0) === 2L && r.getLong(1) === 1L && r.getLong(2) === 4L)
       val back = spark.read.parquet(tmp).orderBy("id")
         .as[(Long, String, Long)].collect().toSeq
       assert(back === Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
@@ -290,7 +292,7 @@ class DialectSpec extends AnyFunSuite {
            |  ON id
            |  WHEN MATCHED THEN UPDATE SET *
            |  WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
-      assert(r2.getLong(1) === 4L)
+      assert(r2.getLong(1) === 1L && r2.getLong(2) === 4L)
       assert(spark.read.parquet(tmp).filter($"id" === 1L)
         .as[(Long, String, Long)].head() === ((1L, "A", 100L)))
     } finally {

@@ -416,6 +416,69 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(repl <= 3, s"2-day window at 1-day bins must register <= 3 times, got $repl")
   }
 
+  test("multiLevelRangeAgg equals the theta-join rollup on real events") {
+    val ev = graft.tables.Tables.table(spark, TestSpark.sfDir, "events")
+    val points = ev.select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val wins = ev.filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("ws"))
+      .select(col("user_id").as("w_user"), col("ws"),
+        (col("ws") + lit(2L * 86400L * 1000000L)).as("we"))
+    val pushed = graft.ops.RangeJoin.multiLevelRangeAgg(points, "pt",
+        Seq("event_id"), wins, Seq("w_user"), "ws", "we",
+        widths = Seq(86400L * 1000000L, 3600L * 1000000L, 60L * 1000000L))
+      .select(col("w_user"), col("n_points"), col("sum_event_id"))
+    val naive = points.join(wins,
+        col("pt") >= col("ws") && col("pt") < col("we"))
+      .groupBy(col("w_user"))
+      .agg(count(lit(1)).as("n_points"), sum(col("event_id")).as("sum_event_id"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (got, want) = (m(pushed), m(naive))
+    assert(got === want && got.nonEmpty)
+    // the pushdown must not materialize pairs: no per-pair row count in any
+    // exchanged stage — assert no NestedLoop as a floor
+    assert(!pushed.queryExecution.executedPlan.toString.contains("NestedLoop"))
+  }
+
+  test("multiLevelRangeAgg exact on adversarial intervals (tiny, unaligned, empty)") {
+    import spark.implicits._
+    // points at every integer 0..9999; intervals deliberately nasty: empty,
+    // sub-finest-bin, bin-straddling, exactly-aligned, whole-domain
+    val pts = spark.range(0, 10000)
+      .select(col("id").as("pid"), col("id").as("p"))
+    val ivs = Seq(
+      (1L, 5L, 5L),       // empty (end <= start) — must vanish
+      (2L, 7L, 9L),       // sub-finest sliver
+      (3L, 95L, 105L),    // straddles a 10-bin boundary, sub-100
+      (4L, 100L, 200L),   // exactly one 100-aligned block
+      (5L, 0L, 10000L),   // whole domain
+      (6L, 123L, 4567L),  // generic unaligned
+      (7L, 9998L, 20000L) // runs past the data
+    ).toDF("k", "s", "e")
+    val pushed = graft.ops.RangeJoin.multiLevelRangeAgg(pts, "p", Seq("pid"),
+        ivs, Seq("k"), "s", "e", widths = Seq(1000L, 100L, 10L))
+    val naive = pts.join(ivs, col("p") >= col("s") && col("p") < col("e"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pid"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = m(pushed.select(col("k"), col("n_points"), col("sum_pid")))
+    val want = m(naive)
+    assert(got === want, s"pushdown diverged: got $got want $want")
+    assert(!got.contains(1L), "empty interval must not appear")
+  }
+
+  test("binWidthFor scales inversely with point density") {
+    val sparse = spark.range(0, 1000).select((col("id") * 1000L).as("p"))
+    val dense = spark.range(0, 100000).select((col("id") * 10L).as("p"))
+    val bSparse = graft.ops.RangeJoin.binWidthFor(sparse, "p", targetPerBin = 100)
+    val bDense = graft.ops.RangeJoin.binWidthFor(dense, "p", targetPerBin = 100)
+    // same ~1e6 span, 100× the points → ~100× finer bins
+    assert(bSparse > 50L * bDense && bDense >= 1L,
+      s"expected ~100x ratio, got sparse=$bSparse dense=$bDense")
+  }
+
   test("persisted IVF index: search pushes probed cells into the clustered scan") {
     val root = java.nio.file.Files.createTempDirectory("graft-ivfidx")
     val path = root.toString + "/index"

@@ -50,6 +50,18 @@ class TestdataSchemaSpec extends AnyFunSuite {
   private def matches(got: String, want: String): Boolean =
     if (want.endsWith("*")) got.startsWith(want.dropRight(1)) else got == want
 
+  test("sf0.01 embeddings stay in q158's baked-oracle cluster band") {
+    // q158 runs SemDedup with auto nClusters = max(8, ceil(n/64)); its
+    // DuckDB oracle bakes the k=8 Lloyd replay. The formula returns 8 for
+    // any n <= 512, so the gate (Verify at sf0.01, historically 500
+    // vectors) agrees — but a generator that grows sf0.01 embeddings past
+    // 512 would silently diverge the two. Fail loudly here instead.
+    val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    assert(n > 0 && n <= 512,
+      s"sf0.01 embeddings = $n: q158's oracle bakes k=8 (valid for n <= 512); " +
+        "re-derive the oracle's kmeansCtes k from semDedupClustersFor(n)")
+  }
+
   for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
     test(s"$table schema matches the pinned contract") {
       val schema = Tables.table(spark, TestSpark.sfDir, table).schema
