@@ -252,11 +252,19 @@ object Similarity {
     aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** (dist, cell) struct min over centroid literals = nearest centroid,
-    * ties to the LOWEST cell. */
+  /** (dist, cell) struct min = nearest centroid, ties to the LOWEST cell.
+    * Two spellings of the same arithmetic: centroid LITERALS unrolled into
+    * the expression tree while k is small (the plans the small-k oracles
+    * pinned), and past k=16 the codegen'd [[graft.functions.NearestCell]]
+    * loop over a referenced flat array — the literal tree grows k·dim
+    * constants and turned a k=313 Lloyd round into a 41 s
+    * analysis/codegen pathology, while k MUST grow with the corpus for
+    * SemDedup blocking ([[semDedupClustersFor]]). */
   private def bestCell(v: Column, cents: Array[Seq[Long]]): Column =
-    array_min(array(cents.indices.map(i =>
-      struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
+    if (cents.length <= 16)
+      array_min(array(cents.indices.map(i =>
+        struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
+    else graft.functions.VectorExpressions.nearestCell(v, cents)
 
   /** The Lloyd loop of [[kmeansFit]], returning the trained quantized
     * centroids (driver-held, k·dim longs). */
@@ -288,6 +296,60 @@ object Similarity {
     }
     cents
   }
+
+  /** All `m` per-subspace codebooks in ONE aggregation per Lloyd round,
+    * grouped by (subspace, cell) — the m books are independent, so
+    * advancing them in lockstep is bit-identical to training them
+    * sequentially ([[lloydCentroidsQ]] per slice), but costs `iters`
+    * driver round trips instead of `m·iters` and scans the corpus once
+    * per round instead of m times. Input is the exploded long form
+    * `(vec_id, j, qv)` (one row per vector per subspace); the per-round
+    * collect carries ≤ m·ksub (count, dim-sum) rows. Seeds are vec_ids
+    * 0..ksub-1 of each subspace, exactly as the sequential form. */
+  def lloydBooksQ(sv: DataFrame, m: Int, ksub: Int,
+      iters: Int): Array[Array[Seq[Long]]] = {
+    val seedRows = sv.filter(col("vec_id") < ksub).collect()
+    var books: Array[Array[Seq[Long]]] = Array.tabulate(m) { j =>
+      val rows = seedRows.filter(_.getLong(1) == j).sortBy(_.getLong(0))
+      require(rows.length == ksub,
+        s"lloydBooksQ: need vec_ids 0..${ksub - 1} as seeds in subspace $j, " +
+          s"got ${rows.length}")
+      rows.map(_.getSeq[Long](2))
+    }
+    for (_ <- 1 to iters) {
+      // one CASE chain picks subspace j's current books for each row —
+      // the same bestCell arithmetic as the per-book loop, one job total
+      val cellExpr = (1 until m).foldLeft(
+        when(col("j") === 0, bestCell(col("qv"), books(0)).getField("c"))) {
+        (acc, j) => acc.when(col("j") === j,
+          bestCell(col("qv"), books(j)).getField("c"))
+      }
+      val sums = sv.select(col("j"), col("qv"), cellExpr.as("cell"))
+        .groupBy(col("j"), col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.VecSumAggregator.sum(col("qv")).as("s"))
+        .collect() // ≤ m·ksub rows: (j, cell, count, subDim-long sum)
+      val byKey = sums.map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getSeq[Long](3))).toMap
+      books = Array.tabulate(m) { j =>
+        books(j).indices.map { c =>
+          byKey.get((j.toLong, c.toLong)) match {
+            case Some((cnt, s)) => s.map(Math.floorDiv(_, cnt))
+            case None           => books(j)(c) // empty cell: keep prior
+          }
+        }.toArray
+      }
+    }
+    books
+  }
+
+  /** Exploded long form `(vec_id, j, qv)` for [[lloydBooksQ]]: one row per
+    * vector per subspace, built in a single pass. */
+  private def subspaceLongForm(df: DataFrame, m: Int,
+      qvOf: Int => Column): DataFrame =
+    df.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j.toLong).as("j"), qvOf(j).as("qv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.qv").as("qv"))
 
   def kmeansFit(emb: DataFrame, k: Int, iters: Int,
       quant: Double = 1e6): DataFrame = {
@@ -365,11 +427,11 @@ object Similarity {
     def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
     def qvOf(e: Column): Column =
       transform(toDouble(e), x => floor(x * quant).cast("long"))
-    // per-subspace codebooks (driver-held: m × ksub × subDim longs)
-    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
-      lloydCentroids(
-        emb.select(col("vec_id"), sub(j).as("embedding")), ksub, iters, quant)
-    }
+    // per-subspace codebooks (driver-held: m × ksub × subDim longs),
+    // all m trained in lockstep: iters driver round trips, not m·iters
+    val books: Seq[Array[Seq[Long]]] =
+      lloydBooksQ(subspaceLongForm(emb, m, j => qvOf(sub(j))),
+        m, ksub, iters).toSeq
     // corpus codes: per subspace, nearest codebook entry (ties → lowest)
     val codes = emb.select(col("vec_id").as("c_id") +: (0 until m).map(j =>
       bestCell(qvOf(sub(j)), books(j)).getField("c").as(s"code$j")): _*)
@@ -419,10 +481,9 @@ object Similarity {
     def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
     def qvOf(e: Column): Column =
       transform(toDouble(e), x => floor(x * quant).cast("long"))
-    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
-      lloydCentroids(
-        trainCorpus.select(col("vec_id"), sub(j).as("embedding")), ksub, iters, quant)
-    }
+    val books: Seq[Array[Seq[Long]]] =
+      lloydBooksQ(subspaceLongForm(trainCorpus, m, j => qvOf(sub(j))),
+        m, ksub, iters).toSeq
     vectors.select(col("vec_id").as("c_id"), explode(array((0 until m).map(j =>
         struct(lit(j.toLong).as("j"),
           bestCell(qvOf(sub(j)), books(j)).getField("c").as("code"))): _*)).as("e"))
@@ -514,10 +575,12 @@ object Similarity {
       .withColumn("rv", zip_with(col("qv"),
         element_at(centLit, (col("cell") + 1).cast("int")), (a, b) => a - b))
     def rSlice(j: Int): Column = slice(col("rv"), j * subDim + 1, subDim)
-    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
-      lloydCentroidsQ(assigned.select(col("vec_id"), rSlice(j).as("qv")),
-        ksub, iters)
-    }
+    // m residual codebooks are independent: ONE (j, cell) aggregation per
+    // Lloyd round trains them all (was m sequential loops = the measured
+    // ~6 s driver-round-trip floor on q157)
+    val books: Seq[Array[Seq[Long]]] =
+      lloydBooksQ(subspaceLongForm(assigned, m, rSlice),
+        m, ksub, iters).toSeq
     val codes = assigned.select(col("vec_id").as("c_id"), col("cell"),
         explode(array((0 until m).map(j =>
           struct(lit(j.toLong).as("j"),
@@ -575,10 +638,9 @@ object Similarity {
     def sub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
     def qvOf(e: Column): Column =
       transform(toDouble(e), x => floor(x * 1e6).cast("long"))
-    val books: Seq[Array[Seq[Long]]] = (0 until m).map { j =>
-      lloydCentroids(
-        corpus.select(col("vec_id"), sub(j).as("embedding")), ksub, iters)
-    }
+    val books: Seq[Array[Seq[Long]]] =
+      lloydBooksQ(subspaceLongForm(corpus, m, j => qvOf(sub(j))),
+        m, ksub, iters).toSeq
     import scala.jdk.CollectionConverters._
     val bookRows: java.util.List[org.apache.spark.sql.Row] = (for {
       j <- 0 until m; c <- 0 until ksub

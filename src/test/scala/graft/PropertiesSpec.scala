@@ -93,6 +93,39 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter(col("expr") =!= col("hof")).count() == 0)
   }
 
+  test("nearest-cell kernel equals the literal struct-min spelling, ties to lowest cell") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    val dim = 8
+    val k = 64 // past the literal-path threshold
+    val cents: Array[Seq[Long]] =
+      Array.fill(k)(Seq.fill(dim)(r.nextLong() % 1000000L))
+    // plant exact-tie rows: vectors equal to a centroid that appears twice
+    val dup = cents(17)
+    val centsWithDup = cents.updated(40, dup)
+    val vecs = Seq.fill(300)(Array.fill(dim)(r.nextLong() % 1000000L)) ++
+      Seq(dup.toArray, centsWithDup(40).toArray)
+    val df = vecs.toDF("qv")
+    val literal = array_min(array(centsWithDup.indices.map(i =>
+      struct(aggregate(zip_with(col("qv"), typedlit(centsWithDup(i)),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+        lit(i.toLong).as("c"))): _*))
+    val both = df.select(
+      graft.functions.VectorExpressions.nearestCell(col("qv"), centsWithDup).as("kern"),
+      literal.as("lit"))
+    assert(both.filter(col("kern.d") =!= col("lit.d") ||
+      col("kern.c") =!= col("lit.c")).count() == 0)
+    // the planted duplicate-centroid vector must take the LOWER cell id
+    val tie = df.select(graft.functions.VectorExpressions
+        .nearestCell(typedlit(dup), centsWithDup).getField("c")).head().getLong(0)
+    assert(tie == 17L, s"tie must go to the lowest cell, got $tie")
+    // wrong-length vector -> NULL, not a plausible cell
+    val bad = Seq(Array(1L, 2L)).toDF("qv")
+      .select(graft.functions.VectorExpressions.nearestCell(col("qv"), centsWithDup))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("dot-product yields NULL on mismatched vector lengths, not a truncated value") {
     val spark = TestSpark.spark
     import spark.implicits._
