@@ -633,6 +633,44 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q166_versioned_upsert" -> ((s, dir) => {
+      // The object-store-safe commit protocol under the gate: a versioned
+      // table (pointer-swap commits — data dir + atomic marker PUT, zero
+      // renames) runs the maintenance quartet init → upsert → retention
+      // delete → compact, then vacuums to the current version. The rollup
+      // reads ONLY the committed pointer; the oracle restates the
+      // membership arithmetic of the surviving version. file:// scheme
+      // pins the Hadoop FileSystem path — the same code hdfs:/s3a: take.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q166")
+      val root = "file://" + tmpRoot.toString + "/table"
+      try {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        graft.tables.VersionedTable.init(s, root,
+          docs.filter(col("doc_id") % 6 =!= 0))
+        val updates = docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("text", concat(lit("v"), col("doc_id")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        graft.tables.Snapshots.upsertByKey(s, root, updates, "doc_id")
+        graft.tables.Snapshots.deleteWhere(s, root, col("doc_id") % 11 === 0)
+        graft.tables.Layout.compact(s, root, targetBytes = 128L << 20)
+        graft.tables.VersionedTable.vacuum(s, root, keep = 1)
+        val out = graft.tables.Snapshots.readSnapshot(s, root).agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("text") === concat(lit("v"), col("doc_id")), 1L)
+            .otherwise(0L)).as("n_updated"),
+          sum(col("n_chars")).as("sum_chars"))
+          .withColumn("final_version",
+            lit(graft.tables.VersionedTable.currentVersion(s, root).get))
+        materialize(s, out)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q118_ann_ivf_trained" -> ((s, dir) => {
       // IVF ANN over TRAINED centroids: lloydCentroids (q114's exact-integer
       // Lloyd rounds) builds the cells, then q49b's probe shape — corpus
@@ -2268,6 +2306,20 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    "q166_versioned_upsert" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, length('v' || CAST(doc_id AS VARCHAR)) AS n_chars, TRUE AS upd
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, FALSE
+        |  FROM documents WHERE doc_id % 6 != 0 AND doc_id % 4 != 0),
+        |v3 AS (SELECT * FROM v2 WHERE doc_id % 11 != 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(4 AS BIGINT) AS final_version
+        |FROM v3""".stripMargin,
     "q165_range_join_pairs" ->
       """WITH w AS (
         |  SELECT user_id AS w_user,

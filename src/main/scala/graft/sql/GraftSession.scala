@@ -191,12 +191,15 @@ class GraftSession(val spark: SparkSession) {
     val updates = sql(sourceSql).localCheckpoint()
     // matched = source keys present in the PRE-merge snapshot (true UPDATE
     // count); computed before upsert rewrites the directory
+    // readSnapshot resolves either commit protocol: a flat parquet dir or a
+    // VersionedTable root (pointer-swap commits) both accept MERGE INTO
     val nMatched = updates.select(col(key)).distinct()
-      .join(spark.read.parquet(path).select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(graft.tables.Snapshots.readSnapshot(spark, path).select(col(key)).distinct(),
+        Seq(key), "left_semi")
       .count()
     val nSource = updates.count()
     graft.tables.Snapshots.upsertByKey(spark, path, updates, key)
-    val total = spark.read.parquet(path).count()
+    val total = graft.tables.Snapshots.readSnapshot(spark, path).count()
     spark.createDataFrame(Seq((nSource, nMatched, total)))
       .toDF("n_source_rows", "n_matched", "snapshot_rows")
   }

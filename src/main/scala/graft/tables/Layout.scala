@@ -55,40 +55,50 @@ object Layout {
     * scheduled compaction is the standing fix. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Unit = {
+    // all metadata through the Hadoop FileSystem resolved from the path URI
+    // (file:/hdfs:/s3a: — same code), never java.io.File, which sees
+    // nothing on a cluster filesystem
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // A versioned root commits compaction as a new pointer-swapped version:
+    // full rewrite, one atomic marker PUT, no renames — the object-store
+    // path (see VersionedTable; directory rename on S3 is copy+delete).
+    if (VersionedTable.isVersioned(spark, path)) {
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(root,
+        s"v${VersionedTable.currentVersion(spark, path).get}")).getLength
+      val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      VersionedTable.commit(spark, path)(_.repartition(files))
+      return
+    }
     // Hive-partitioned layout: compact each partition DIRECTORY in place
     // (recursing through nested partition levels). Compacting the root as
     // one dataset would read with partition inference and rewrite flat —
     // partition columns silently become data columns and every directory
     // (with its listing-time pruning) disappears.
-    val partDirs = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+    val partDirs = fs.listStatus(root)
+      .filter(f => f.isDirectory && f.getPath.getName.contains("="))
     if (partDirs.nonEmpty) {
-      partDirs.foreach(d => compact(spark, d.toString, targetBytes))
+      partDirs.foreach(d => compact(spark, d.getPath.toString, targetBytes))
       return
     }
-    def du(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
-    val bytes = du(new java.io.File(path))
+    val bytes = fs.getContentSummary(root).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
-    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val base = path.stripSuffix("/")
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compact-tmp")
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
     // non-destructive swap: the original moves aside FIRST, so every failure
     // point leaves a complete copy on disk (the write above, the rename in,
-    // or the final cleanup — never a window with only a partial dataset)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    val bak = new java.io.File(path.stripSuffix("/") + ".compact-bak")
-    if (bak.exists) rm(bak)
-    require(new java.io.File(path).renameTo(bak),
-      s"compact: could not move $path aside")
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-      bak.renameTo(new java.io.File(path)) // roll back
+    // or the final cleanup — never a window with only a partial dataset).
+    // Atomic on HDFS/local; object stores should use a versioned root.
+    val bak = new org.apache.hadoop.fs.Path(base + ".compact-bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(root, bak), s"compact: could not move $path aside")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(bak, root) // roll back
       throw new IllegalStateException(s"compact: rename $tmp -> $path failed; original restored")
     }
-    rm(bak)
+    fs.delete(bak, true): Unit
   }
 
   /** Morton (Z-order) interleave of two `bits`-bit nonneg ints: bit i of `a`

@@ -1,5 +1,6 @@
 package graft.tables
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,42 +14,70 @@ import org.apache.spark.sql.functions._
   * incremental dedup (q82's wiring — pay the shuffle once at write); for a
   * hive-partitioned corpus, rewrite only the partitions the update batch
   * touches (dynamic partition overwrite) instead of the whole directory.
+  *
+  * Commit protocol — two modes, one API:
+  *   - A [[VersionedTable]] root (has `_commits/`) commits via the
+  *     pointer-swap log: write the full new version, then one atomic
+  *     marker PUT. No renames — safe on object stores, where a 100 TB
+  *     corpus actually lives.
+  *   - A plain flat directory keeps the tmp-then-swap protocol, now
+  *     through the Hadoop [[org.apache.hadoop.fs.FileSystem]] API (so
+  *     `hdfs:` paths work and `file:` tests exercise the same code), with
+  *     the same failure-point guarantee: every failure leaves a complete
+  *     copy on disk. Directory rename is atomic on HDFS and local
+  *     filesystems but copy+delete on S3 — use a versioned root there.
   */
 object Snapshots {
 
-  /** Write `df` to `path` via tmp-then-swap, never leaving a partial
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Flat-directory replace via tmp-then-swap, never leaving a partial
     * dataset: the original moves aside first (same discipline as
-    * [[Layout.compact]]). */
-  private def replaceDir(df: DataFrame, path: String): Unit = {
-    val tmp = path.stripSuffix("/") + ".upsert-tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    val bak = new java.io.File(path.stripSuffix("/") + ".upsert-bak")
-    if (bak.exists) rm(bak)
-    require(new java.io.File(path).renameTo(bak), s"upsert: could not move $path aside")
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-      bak.renameTo(new java.io.File(path))
+    * [[Layout.compact]]); Hadoop FS renames, not `java.io.File`. */
+  private def replaceDir(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val (fs, dst) = fsFor(spark, path)
+    val base = path.stripSuffix("/")
+    val tmp = new Path(base + ".upsert-tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(base + ".upsert-bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(dst, bak), s"upsert: could not move $path aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst)
       throw new IllegalStateException(s"upsert: rename $tmp -> $path failed; original restored")
     }
-    rm(bak)
+    fs.delete(bak, true): Unit
   }
+
+  /** Current snapshot contents, whichever commit protocol the root uses. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    if (VersionedTable.isVersioned(spark, path)) VersionedTable.read(spark, path)
+    else spark.read.parquet(path)
+
+  private def rewrite(spark: SparkSession, path: String)
+      (transform: DataFrame => DataFrame): Unit =
+    if (VersionedTable.isVersioned(spark, path)) {
+      VersionedTable.commit(spark, path)(transform): Unit
+    } else {
+      // the tmp write executes the plan while `path` is still intact
+      replaceDir(spark, transform(spark.read.parquet(path)), path)
+    }
 
   /** MERGE-style upsert: rows of `updates` replace same-key rows of the
     * snapshot at `path`; new keys insert. One anti-join shuffle on `key`;
     * the update batch (the small side) broadcasts when it fits. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
-      key: String): Unit = {
-    val existing = spark.read.parquet(path)
-    require(existing.columns.sorted.sameElements(updates.columns.sorted),
-      s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
-    val survivors = existing.join(
-      broadcast(updates.select(col(key)).distinct()), Seq(key), "left_anti")
-    // replaceDir writes tmp first (the plan still reads `path` safely),
-    // then swaps — no materialization needed
-    replaceDir(updates.unionByName(survivors), path)
-  }
+      key: String): Unit =
+    rewrite(spark, path) { existing =>
+      require(existing.columns.sorted.sameElements(updates.columns.sorted),
+        s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
+      val survivors = existing.join(
+        broadcast(updates.select(col(key)).distinct()), Seq(key), "left_anti")
+      updates.unionByName(survivors)
+    }
 
   /** One row per key: the MAX over `orderCols` (then the remaining payload
     * as tie-break, so the pick is total even on duplicate versions) — a
@@ -66,35 +95,36 @@ object Snapshots {
     * of which side it came from. This is what makes out-of-order delivery
     * safe: a late-arriving batch with an older version cannot overwrite a
     * newer snapshot row (plain [[upsertByKey]] would let it). One hash
-    * aggregation over existing ∪ updates, then the tmp-then-swap write. */
+    * aggregation over existing ∪ updates. */
   def upsertLatestByKey(spark: SparkSession, path: String, updates: DataFrame,
-      key: String, orderCols: Seq[String]): Unit = {
-    val existing = spark.read.parquet(path)
-    require(existing.columns.sorted.sameElements(updates.columns.sorted),
-      s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
-    replaceDir(latestPerKey(existing.unionByName(updates), key, orderCols), path)
-  }
+      key: String, orderCols: Seq[String]): Unit =
+    rewrite(spark, path) { existing =>
+      require(existing.columns.sorted.sameElements(updates.columns.sorted),
+        s"upsert: schema mismatch ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
+      latestPerKey(existing.unionByName(updates), key, orderCols)
+    }
 
   /** Retention / right-to-erasure delete: rewrite the snapshot WITHOUT the
-    * rows matching `predicate` (tmp-then-swap — a failed delete never
-    * leaves a partial dataset). This is the flat-layout path and touches
-    * all data once; for date/tenant-partitioned corpora prefer
-    * [[dropPartitions]], which deletes whole directories and touches no
-    * data at all. */
+    * rows matching `predicate` (a failed delete never leaves a partial
+    * dataset — pointer-swap or tmp-then-swap per the root's protocol).
+    * This is the flat-layout path and touches all data once; for
+    * date/tenant-partitioned corpora prefer [[dropPartitions]], which
+    * deletes whole directories and touches no data at all. */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Unit =
-    replaceDir(spark.read.parquet(path).filter(!predicate), path)
+    rewrite(spark, path)(_.filter(!predicate))
 
   /** O(1)-data deletion for hive-partitioned layouts: drop the directories
     * of the named partition values outright. No rows are read or written —
     * at 100 TB this is the only acceptable shape for retention windows
-    * ("drop months older than X") and per-tenant erasure. */
-  def dropPartitions(path: String, col: String, values: Seq[String]): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
+    * ("drop months older than X") and per-tenant erasure. A recursive
+    * `FileSystem.delete` per directory: no renames, object-store-safe
+    * as-is. */
+  def dropPartitions(spark: SparkSession, path: String, col: String,
+      values: Seq[String]): Unit = {
+    val (fs, _) = fsFor(spark, path)
     values.foreach { v =>
-      val d = new java.io.File(path, s"$col=$v")
-      if (d.exists) rm(d)
+      val d = new Path(path, s"$col=$v")
+      if (fs.exists(d)) fs.delete(d, true)
     }
   }
 

@@ -1,0 +1,131 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pointer-swap table commits for mutable corpus directories — the
+  * object-store-safe protocol the rename-based flat-directory path
+  * ([[Snapshots]]/[[Layout]] legacy mode) cannot provide. On HDFS a
+  * directory rename is atomic; on S3-style object stores rename is
+  * copy+delete and there are no directories at all, so tmp-then-swap has a
+  * corruption window exactly where a 100 TB corpus actually lives. This
+  * protocol never renames anything:
+  *
+  * {{{
+  * <table>/
+  *   _commits/v3.ok     # empty marker files; current = max committed N
+  *   v1/  ... parquet   # immutable data versions
+  *   v3/  ... parquet
+  * }}}
+  *
+  *   - A commit writes the FULL new version directory `v{N}` first (Spark's
+  *     committer drops `_SUCCESS` when the job completes), then creates the
+  *     empty marker `_commits/v{N}.ok` — a single-object PUT, atomic on
+  *     every store.
+  *   - A reader lists `_commits/`, takes the highest N whose data carries
+  *     `_SUCCESS`, and reads `v{N}` only. A crash between data write and
+  *     marker leaves a garbage directory that no reader ever sees; a crash
+  *     after the marker leaves a fully-committed version. There is no
+  *     intermediate state — the failure-point semantics the tmp-then-swap
+  *     protocol bought with renames, without the renames.
+  *   - Old versions stay readable (time travel / in-flight readers) until
+  *     [[vacuum]] retires them.
+  *
+  * Single-writer discipline is assumed (the marker create uses
+  * `overwrite = false`, so two racing writers of the SAME version cannot
+  * both succeed; coordinating multiple writers needs a catalog/lock
+  * service, out of scope here and documented). All paths go through the
+  * Hadoop [[FileSystem]] resolved from the table URI — `file:` for tests,
+  * `hdfs:`/`s3a:` in production, same code.
+  */
+object VersionedTable {
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def commitsDir(root: Path) = new Path(root, "_commits")
+  private def dataDir(root: Path, v: Long) = new Path(root, s"v$v")
+  private val MarkerRe = """v(\d+)\.ok""".r
+
+  /** True iff `root` is (already) a versioned table. */
+  def isVersioned(spark: SparkSession, root: String): Boolean = {
+    val (fs, p) = fsFor(spark, root)
+    fs.exists(commitsDir(p))
+  }
+
+  /** Committed versions, ascending — markers whose data directory carries a
+    * complete write (`_SUCCESS`). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = fsFor(spark, root)
+    val cd = commitsDir(p)
+    if (!fs.exists(cd)) Seq.empty
+    else fs.listStatus(cd).toSeq
+      .map(_.getPath.getName)
+      .collect { case MarkerRe(n) => n.toLong }
+      .filter(v => fs.exists(new Path(dataDir(p, v), "_SUCCESS")))
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** Read the current committed version (the only directory a reader ever
+    * touches). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"versioned table $root has no committed version"))
+    spark.read.parquet(dataDir(new Path(root), v).toString)
+  }
+
+  /** First commit: `df` becomes v1. */
+  def init(spark: SparkSession, root: String, df: DataFrame): Long =
+    writeAndMark(spark, root, df, expectedNext = 1L)
+
+  /** Commit a new version derived from the current one: `transform` runs
+    * against the CURRENT version's DataFrame; its result lands as v{N+1}.
+    * The data write completes before the marker PUT, so readers switch
+    * atomically from v{N} to v{N+1} and a failure anywhere leaves v{N}
+    * live. Returns the committed version. */
+  def commit(spark: SparkSession, root: String)
+      (transform: DataFrame => DataFrame): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"versioned table $root has no committed version"))
+    writeAndMark(spark, root, transform(read(spark, root)), expectedNext = cur + 1)
+  }
+
+  private def writeAndMark(spark: SparkSession, root: String, df: DataFrame,
+      expectedNext: Long): Long = {
+    val (fs, p) = fsFor(spark, root)
+    val data = dataDir(p, expectedNext)
+    // a dangling (unmarked) directory from a crashed writer is invisible to
+    // readers and safe to clear before reuse
+    if (fs.exists(data)) fs.delete(data, true)
+    df.write.mode("errorifexists").parquet(data.toString)
+    require(fs.exists(new Path(data, "_SUCCESS")),
+      s"versioned commit: $data write left no _SUCCESS marker")
+    val cd = commitsDir(p)
+    if (!fs.exists(cd)) fs.mkdirs(cd)
+    // overwrite = false: the atomic claim — a concurrent writer of the same
+    // version fails here, AFTER its data write, never corrupting the log
+    val marker = new Path(cd, s"v$expectedNext.ok")
+    val out = fs.create(marker, false)
+    out.close()
+    expectedNext
+  }
+
+  /** Retire all but the newest `keep` committed versions (and any dangling
+    * uncommitted directories older than the current version). Data-version
+    * deletes happen strictly oldest-first AFTER the marker delete, so a
+    * crash mid-vacuum never removes a version readers could still pick. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val (fs, p) = fsFor(spark, root)
+    val vs = versions(spark, root)
+    vs.dropRight(keep).foreach { v =>
+      fs.delete(new Path(commitsDir(p), s"v$v.ok"), false)
+      fs.delete(dataDir(p, v), true)
+    }
+  }
+}

@@ -510,6 +510,63 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned table: pointer-swap commits run the maintenance quartet through a file: FileSystem") {
+    import spark.implicits._
+    import graft.tables.{Snapshots, VersionedTable}
+    // explicit file: scheme — the whole protocol goes through the Hadoop
+    // FileSystem resolved from the URI, the same code path as hdfs:/s3a:
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-vt").toString + "/table"
+    try {
+      val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "t")
+      assert(VersionedTable.init(spark, root, v1) == 1L)
+      assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toMap
+        === Map(1L -> "one", 2L -> "two", 3L -> "three"))
+
+      // upsert commits v2 — same API as the flat-directory mode
+      Snapshots.upsertByKey(spark, root,
+        Seq((2L, "TWO"), (9L, "nine")).toDF("k", "t"), "k")
+      assert(VersionedTable.currentVersion(spark, root).contains(2L))
+      assert(Snapshots.readSnapshot(spark, root).as[(Long, String)].collect().toMap
+        === Map(1L -> "one", 2L -> "TWO", 3L -> "three", 9L -> "nine"))
+      // v1 still readable until vacuum (time travel / in-flight readers)
+      assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+
+      // delete commits v3
+      Snapshots.deleteWhere(spark, root, col("k") === 3L)
+      assert(Snapshots.readSnapshot(spark, root).count() == 3)
+
+      // compact commits v4, content identical
+      graft.tables.Layout.compact(spark, root, targetBytes = 128L << 20)
+      assert(VersionedTable.currentVersion(spark, root).contains(4L))
+      assert(Snapshots.readSnapshot(spark, root).as[(Long, String)].collect().toMap
+        === Map(1L -> "one", 2L -> "TWO", 9L -> "nine"))
+
+      // crash-window semantics: a data directory WITHOUT a marker (writer
+      // died before the PUT) is invisible to readers
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq((99L, "garbage")).toDF("k", "t").write
+        .parquet(root + "/v9") // fully written, never marked
+      assert(VersionedTable.currentVersion(spark, root).contains(4L))
+      assert(Snapshots.readSnapshot(spark, root).count() == 3)
+      // ...and a marker whose data lacks _SUCCESS (writer died mid-write)
+      // is skipped too
+      fs.create(new org.apache.hadoop.fs.Path(root, "_commits/v8.ok"), false).close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v8"))
+      assert(VersionedTable.currentVersion(spark, root).contains(4L))
+
+      // vacuum retires everything but the current version
+      VersionedTable.vacuum(spark, root, keep = 1)
+      assert(VersionedTable.versions(spark, root) == Seq(4L))
+      assert(Snapshots.readSnapshot(spark, root).count() == 3)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true): Unit
+    }
+  }
+
   test("snapshot upsert replaces by key, inserts new keys; diff sees removals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/snap"
@@ -549,14 +606,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       graft.tables.Layout.writePartitioned(docs, dir, Seq("lang"))
       val before = new java.io.File(dir).listFiles
         .count(_.getName.startsWith("lang="))
-      graft.tables.Snapshots.dropPartitions(dir, "lang", Seq("en"))
+      graft.tables.Snapshots.dropPartitions(spark, dir, "lang", Seq("en"))
       val dirsAfter = new java.io.File(dir).listFiles
         .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
       assert(!dirsAfter.contains("lang=en") && dirsAfter.size == before - 1)
       assert(spark.read.parquet(dir).count() ==
         docs.filter(col("lang") =!= "en").count())
       // dropping a value that does not exist is a no-op, not an error
-      graft.tables.Snapshots.dropPartitions(dir, "lang", Seq("xx"))
+      graft.tables.Snapshots.dropPartitions(spark, dir, "lang", Seq("xx"))
       assert(spark.read.parquet(dir).count() ==
         docs.filter(col("lang") =!= "en").count())
     } finally {
