@@ -106,6 +106,66 @@ object Bpe {
     }
   }
 
+  /** Batched training — the path to real vocabulary sizes. [[trainMerges]]
+    * pays one driver round trip PER merge; a 30k-merge tokenizer cannot.
+    * Each count pass here accepts up to `batchR` pairs from the ranked
+    * list, greedily skipping any pair that SHARES A SYMBOL with an earlier
+    * accepted pair, applies them all (in rank order), re-counts, repeats —
+    * `nMerges / batchR` passes instead of `nMerges`.
+    *
+    * Why shared-symbol is the right conflict rule: merging (x, y) only
+    * changes the counts of pairs with x or y on a side (the neighbors of
+    * fused occurrences) and creates pairs involving the new symbol xy —
+    * a pair disjoint from every accepted pair's symbols keeps its exact
+    * count, so applying it in the same pass is arithmetic-identical to
+    * re-counting first. When the top of the ranking is pairwise disjoint
+    * (the common case for natural text at realistic batch sizes), a batch
+    * replays sequential training exactly — the SketchBpeSpec law; when it
+    * is not, the skipped conflicting pairs are re-ranked next pass against
+    * fresh counts, so batching trades at most merge ORDER in interference
+    * neighborhoods, never correctness of the count arithmetic.
+    *
+    * Lineage: each pass localCheckpoints the rewritten vocabulary —
+    * thousands of chained replaces would otherwise stack into one
+    * expression tree (the q95 connected-components lesson). */
+  def trainMergesBatched(words: DataFrame, nMerges: Int,
+      batchR: Int = 32): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 100000,
+      "trainMergesBatched: nMerges must be in [1, 100000]")
+    require(batchR >= 1, "trainMergesBatched: batchR must be positive")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var cur = words.select(col("n"), symbolString(col("w")).as("s")).localCheckpoint()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batchR, nMerges - merges.size)
+      // 4× headroom: conflicts evict ranked pairs; if the window still
+      // cannot fill the batch, the next pass re-ranks what remains
+      val top = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(4 * want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        val it = top.iterator
+        while (it.hasNext && batch.size < want) {
+          val r = it.next()
+          val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(x) && !used(y)) {
+            batch += Merge(merges.size + batch.size + 1L, x, y, c)
+            used += x
+            used += y
+          }
+        }
+        merges ++= batch // first ranked pair always accepts: progress is guaranteed
+        cur = batch.foldLeft(cur) { (d, m) =>
+          d.withColumn("s", applyMerge(col("s"), m.x, m.y))
+        }.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
   /** Encoded vocabulary: each distinct word's symbol string after applying
     * the merge rules in order, with its BPE token count. Vocabulary-sized —
     * the lookup table document encoding joins against (broadcast when it

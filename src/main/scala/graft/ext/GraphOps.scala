@@ -34,12 +34,22 @@ object GraphOps {
   /** Integer-scaled weighted PageRank. `edges` = (src, dst, w) directed
     * (use [[symmetricEdges]] for undirected graphs). The node set is the
     * edge endpoints — an isolated node has no edge row and drops out;
-    * union zero-weight self-loops in if it must appear. On a DIRECTED
-    * graph, mass flowing into nodes without out-edges is NOT
-    * redistributed (the simplified formulation — add dangling-mass
-    * redistribution for directed webs); on symmetric edge lists every
-    * node has out-edges and Σrank ≈ [[Scale]] up to the floor-division
-    * residue. Returns (node, rank). */
+    * union zero-weight self-loops in if it must appear.
+    *
+    * DANGLING nodes (no out-edges — sinks of a directed web) do not leak
+    * their mass: each round sums the rank held by sinks (a one-row
+    * broadcast aggregate) and redistributes `dangling div n` to every
+    * node inside the damping term — the standard full formulation, still
+    * exact integer arithmetic. On symmetric edge lists every node has
+    * out-edges, the dangling sum is ZERO, and the iteration is
+    * bit-identical to the simplified form (q156's oracle replays it
+    * unchanged). Σrank stays within the floor-division residue of
+    * [[Scale]] — property-pinned in ExtSpec on a sink-heavy digraph.
+    *
+    * Each round's rank table localCheckpoints: 20 chained
+    * join+aggregate+crossjoin rounds otherwise stack into one plan whose
+    * analysis cost grows quadratically (the q95 connected-components
+    * lesson applied at the iteration cap). Returns (node, rank). */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
@@ -50,6 +60,7 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
     val n = nodes.count() // node count: one bounded scalar, needed in literals
     var rank = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
@@ -62,10 +73,18 @@ object GraphOps {
           // (rank·w) div ow = (rank div ow)·w + ((rank mod ow)·w) div ow
           expr("(rank div ow) * w + ((rank % ow) * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      // mass held by sinks this round: one row, broadcast back under the
+      // cross join (a 1-row BroadcastNestedLoopJoin, not a data shuffle)
+      val dangling = rank
+        .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
       rank = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(Scale * (100 - dampingPct) / 100 / n) +
-            expr(s"($dampingPct * coalesce(contrib, 0L)) div 100")).as("rank"))
+            expr(s"($dampingPct * (coalesce(contrib, 0L) + (__dang div $n))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
     }
     rank
   }

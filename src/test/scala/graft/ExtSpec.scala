@@ -793,4 +793,49 @@ class ExtSpec extends AnyFunSuite {
     val langs = run1.map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "fr", "de", "es", "zh", "und")))
   }
+
+  test("pageRank conserves rank mass on a directed graph with sinks (dangling redistribution)") {
+    import graft.ext.GraphOps
+    // sink-heavy digraph: 3 and 5 have no out-edges; without dangling-mass
+    // redistribution ~their whole share drains out of the system each round
+    val edges = Seq(
+      (1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (4L, 5L, 1L), (4L, 1L, 3L)
+    ).toDF("src", "dst", "w")
+    val iters = 10
+    val ranks = GraphOps.pageRank(edges, iters = iters)
+    val n = 5L
+    val e = 5L
+    val total = ranks.agg(sum(col("rank"))).head().getLong(0)
+    // floor-division residue per round: < 1 unit per edge (the split
+    // product identity), < 1 per node in the damping div and in the base
+    // term, < n total in the dangling div -- generously bounded here
+    val bound = iters * (e + 3 * n + 200)
+    assert(total <= GraphOps.Scale, s"mass must never exceed Scale, got $total")
+    assert(GraphOps.Scale - total <= bound,
+      s"rank mass drained: total=$total, lost=${GraphOps.Scale - total}, bound=$bound")
+    // the sink keeps receiving and re-injecting mass: every node positive
+    assert(ranks.filter(col("rank") <= 0).count() == 0)
+  }
+
+  test("pageRank on symmetric edges is unchanged by the dangling term (it is zero)") {
+    import graft.ext.GraphOps
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L)).toDF("a", "b", "w")
+    val edges = GraphOps.symmetricEdges(pairs, col("a"), col("b"), col("w"))
+    // hand-replay of ONE simplified round (no dangling term) must equal the
+    // operator's first iteration exactly on a symmetric graph
+    val got = GraphOps.pageRank(edges, iters = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scale = GraphOps.Scale
+    val init = scale / 4
+    // out-weights: 1->3, 2->4(3+1), 3->3(1+2), 4->2
+    def c(rank: Long, w: Long, ow: Long) = (rank / ow) * w + ((rank % ow) * w) / ow
+    val contrib = Map(
+      1L -> (c(init, 3, 4) /*2->1*/),
+      2L -> (c(init, 3, 3) /*1->2*/ + c(init, 1, 3) /*3->2*/),
+      3L -> (c(init, 1, 4) /*2->3*/ + c(init, 2, 2) /*4->3*/),
+      4L -> (c(init, 2, 3) /*3->4*/))
+    val want = (1L to 4L).map(node =>
+      (node, scale * 15 / 100 / 4 + (85 * contrib(node)) / 100))
+    assert(got == want)
+  }
 }

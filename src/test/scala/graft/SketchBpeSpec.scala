@@ -154,6 +154,54 @@ class SketchBpeSpec extends AnyFunSuite {
     assert(merges.head.x === "a" && merges.head.y === "b")
   }
 
+  test("BPE batched law: R-batched equals sequential when the top-R prefix is conflict-free") {
+    // disjoint top pairs with strictly separated counts: (a,b)=9 > (c,d)=7
+    // > (e,f)=5 share no symbol — one batched pass of 3 must replay the
+    // 3 sequential rounds exactly (counts of disjoint pairs are unchanged
+    // by each other's merges)
+    val words = Seq(("ab", 9L), ("cd", 7L), ("ef", 5L), ("ax", 2L)).toDF("w", "n")
+    val seqM = Bpe.trainMerges(words, nMerges = 3)
+    val batM = Bpe.trainMergesBatched(words, nMerges = 3, batchR = 3)
+    assert(batM === seqM)
+  }
+
+  test("BPE batched with batchR=1 equals sequential on an interfering corpus") {
+    // "aaab"x3 + "ab"x2: rounds interfere (merging (a,a) changes (a,b)'s
+    // ranking context) — at R=1 the batched loop must degenerate to the
+    // sequential algorithm bit-for-bit, including counts and steps
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("w", "n")
+    assert(Bpe.trainMergesBatched(words, nMerges = 3, batchR = 1) ===
+      Bpe.trainMerges(words, nMerges = 3))
+  }
+
+  test("BPE batched skips conflicting pairs within a pass and re-ranks them next pass") {
+    // counts: (a,b)=9, (b,c)=8 (conflicts: shares b), (d,e)=7 (disjoint).
+    // Pass 1 at R=2 must accept (a,b) then SKIP (b,c) and accept (d,e);
+    // (b,c)'s survivors re-rank next pass against fresh counts.
+    val words = Seq(("abc", 8L), ("ab", 1L), ("de", 7L)).toDF("w", "n")
+    val m = Bpe.trainMergesBatched(words, nMerges = 3, batchR = 2)
+    assert(m.map(x => (x.x, x.y)).take(2) === Seq(("a", "b"), ("d", "e")))
+    // after merging (a,b): "abc"x8 -> [ab,c] so (ab,c)=8 leads pass 2
+    assert(m(2).x === "ab" && m(2).y === "c" && m(2).cnt === 8L)
+  }
+
+  test("BPE batched trains past the sequential 64-merge cap") {
+    // 80 distinct disjoint two-symbol words with strictly decreasing
+    // counts -> 80 well-defined merges; the batched trainer must learn all
+    // of them (the sequential API is capped at 64 by design) in few passes
+    val syms = (0 until 160).map(i => (0x4E00 + i).toChar) // distinct CJK chars
+    val words = (0 until 80).map { i =>
+      (s"${syms(2 * i)}${syms(2 * i + 1)}", (1000 - i).toLong)
+    }.toDF("w", "n")
+    val m = Bpe.trainMergesBatched(words, nMerges = 80, batchR = 32)
+    assert(m.size === 80)
+    assert(m.map(_.cnt) === (0 until 80).map(i => (1000 - i).toLong))
+    // steps are sequential and the learned vocabulary encodes to 1 token
+    assert(m.map(_.step) === (1L to 80L))
+    val enc = Bpe.encodeWords(words, m)
+    assert(enc.agg(max(col("n_tok"))).head().getLong(0) === 1L)
+  }
+
   test("BPE merges never cross word boundaries in doc-level encoding") {
     // after merging (b,a), "ab ba" must encode as [a,b][ba], not fuse the
     // inner "b a" across the word gap
