@@ -228,15 +228,25 @@ object Dialect {
     }
   }
 
-  private def rewriteAll(s0: String, name: String)(f: Seq[String] => String): String = {
+  /** Rewrite every `name(...)` call whose argument shape `f` accepts; a
+    * call with an arity/shape `f` does not define is NOT this dialect's
+    * construct — it stays verbatim for Spark's parser/analyzer to judge
+    * (a raw MatchError here was the fuzz suite's first catch: `sumIf(x)`
+    * must fail as an unresolved function, not corrupt the rewriter). */
+  private def rewriteAll(s0: String, name: String)
+      (f: PartialFunction[Seq[String], String]): String = {
     var s = s0
     var pos = 0
     var c = findCall(s, name, pos)
     while (c.isDefined) {
       val Call(st, en, args) = c.get
-      val repl = f(args)
-      s = s.substring(0, st) + repl + s.substring(en)
-      pos = st + repl.length
+      f.lift(args) match {
+        case Some(repl) =>
+          s = s.substring(0, st) + repl + s.substring(en)
+          pos = st + repl.length
+        case None =>
+          pos = en // leave the call untouched, scan past it
+      }
       c = findCall(s, name, pos)
     }
     s
@@ -259,20 +269,23 @@ object Dialect {
     }
     // distinct combinator (aggregate_combinator_distinct.rs): xDistinct(args)
     for (agg <- Seq("sum", "count", "avg", "min", "max"))
-      s = rewriteAll(s, s"${agg}Distinct") { args =>
+      s = rewriteAll(s, s"${agg}Distinct") { case args =>
         s"$agg(DISTINCT ${args.mkString(", ")})"
       }
     // uniq over a tuple = exact multi-column distinct count
-    s = rewriteAll(s, "uniq") { args => s"count(DISTINCT ${args.mkString(", ")})" }
+    s = rewriteAll(s, "uniq") { case args => s"count(DISTINCT ${args.mkString(", ")})" }
     s = rewriteAll(s, "argMin") { case Seq(x, ord) => s"min_by($x, $ord)" }
     s = rewriteAll(s, "argMax") { case Seq(x, ord) => s"max_by($x, $ord)" }
     // `substring(x FOR n)` (no FROM) — reference desugars to from=1
-    // (plan_parser.rs:919-940); Spark's parser needs the FROM
+    // (plan_parser.rs:919-940); Spark's parser needs the FROM. FOR/FROM
+    // detection is string-mask-aware: a literal argument containing the
+    // word "for" must not become the split point (the fuzz suite's catch —
+    // substring('a FOR b' FOR 4) split inside the literal before this)
     s = rewriteAll(s, "substring") {
-      case Seq(arg) if """(?i)\bfor\b""".r.findFirstIn(arg).isDefined &&
-          """(?i)\bfrom\b""".r.findFirstIn(arg).isEmpty =>
-        val Array(x, len) = arg.split("""(?i)\bfor\b""", 2)
-        s"substring(${x.trim}, 1, ${len.trim})"
+      case Seq(arg) if scopedMatches(arg, """(?i)\bfor\b""".r, topLevel = false).nonEmpty &&
+          scopedMatches(arg, """(?i)\bfrom\b""".r, topLevel = false).isEmpty =>
+        val m = scopedMatches(arg, """(?i)\bfor\b""".r, topLevel = false).head
+        s"substring(${arg.substring(0, m.start).trim}, 1, ${arg.substring(m.end).trim})"
       case args => s"substring(${args.mkString(", ")})"
     }
     // toTypeName stays a function name — registered as a Catalyst expression
