@@ -612,6 +612,36 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q167_version_diff" -> ((s, dir) => {
+      // Time travel + version diff over the commit log: v1 = the corpus,
+      // v2 = every 3rd doc's text rewritten (upsert), v3 = every 13th doc
+      // dropped (retention). diffByFingerprint(v1, v3) — both read by
+      // VERSION, not by pointer — classifies every key; the per-status
+      // rollup is the "what moved since the training run" report. The
+      // oracle restates the membership/modification arithmetic directly.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q167")
+      val root = "file://" + tmpRoot.toString + "/table"
+      try {
+        val VT = graft.tables.VersionedTable
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        VT.init(s, root, docs)
+        graft.tables.Snapshots.upsertByKey(s, root,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("text", concat(lit("w"), col("doc_id"))), "doc_id")
+        graft.tables.Snapshots.deleteWhere(s, root, col("doc_id") % 13 === 0)
+        val d = graft.tables.Snapshots.diffByFingerprint(
+          VT.readVersion(s, root, 1L), VT.readVersion(s, root, 3L),
+          "doc_id", md5(col("text")))
+        materialize(s, d.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
+          .orderBy(col("status")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q165_range_join_pairs" -> ((s, dir) => {
       // The pair-materializing binned range join (when the caller needs
       // the pairs themselves, not a rollup): bin width auto-scales with
@@ -2306,6 +2336,21 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    "q167_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v3 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN 'w' || CAST(doc_id AS VARCHAR)
+        |        ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 != 0),
+        |d AS (SELECT coalesce(v1.doc_id, v3.doc_id) AS doc_id,
+        |    CASE WHEN v1.fp IS NULL THEN 'added'
+        |         WHEN v3.fp IS NULL THEN 'removed'
+        |         WHEN v1.fp != v3.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v3 ON v1.doc_id = v3.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q166_versioned_upsert" ->
       """WITH v2 AS (
         |  SELECT doc_id, length('v' || CAST(doc_id AS VARCHAR)) AS n_chars, TRUE AS upd

@@ -371,12 +371,21 @@ object EventStreams {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = batch.sparkSession
           val latest = graft.tables.Snapshots.latestPerKey(batch, key, orderCols)
-          if (!new java.io.File(path).exists)
-            latest.write.parquet(path)
-          else
-            graft.tables.Snapshots.upsertLatestByKey(
-              batch.sparkSession, path, latest, key, orderCols)
+          // existence/bootstrap through the Hadoop FileSystem of the path
+          // URI (java.io.File sees nothing on hdfs:/file:-scheme roots);
+          // a VersionedTable root commits each batch as a pointer-swapped
+          // version — the streaming CDC view gains atomic object-store
+          // commits and time travel for free
+          if (graft.tables.VersionedTable.isVersioned(s, path))
+            graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
+          else {
+            val root = new org.apache.hadoop.fs.Path(path)
+            val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+            if (!fs.exists(root)) latest.write.parquet(path)
+            else graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
+          }
         }
         .option("checkpointLocation", cp.toString)
         .trigger(Trigger.AvailableNow())

@@ -115,6 +115,15 @@ object VersionedTable {
     expectedNext
   }
 
+  /** Time travel: read a specific committed (and not-yet-vacuumed)
+    * version — the reproducibility primitive ("train against the exact
+    * corpus of run N") and the input to version diffs. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    require(versions(spark, root).contains(v),
+      s"versioned table $root has no committed version v$v")
+    spark.read.parquet(dataDir(new Path(root), v).toString)
+  }
+
   /** Retire all but the newest `keep` committed versions (and any dangling
     * uncommitted directories older than the current version). Data-version
     * deletes happen strictly oldest-first AFTER the marker delete, so a

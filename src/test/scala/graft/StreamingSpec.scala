@@ -276,6 +276,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("CDC upsert sink commits pointer-swapped versions on a VersionedTable root") {
+    // Same out-of-order delivery as the flat-dir test below, but the sink
+    // target is a versioned root: every micro-batch must land as a new
+    // committed version (atomic marker PUT, no renames), the CURRENT
+    // pointer must answer the same version-aware merge, and the
+    // pre-stream version must stay time-travel-readable.
+    val src = java.nio.file.Files.createTempDirectory("graft-cdcv-src").toString
+    val rootDir = java.nio.file.Files.createTempDirectory("graft-cdcv-snap")
+    val root = "file://" + rootDir.toString + "/snap"
+    try {
+      val VT = graft.tables.VersionedTable
+      VT.init(spark, root, Seq(
+        ev(1, "2024-01-01 07:00:00", uid = 1, typ = "seed", v = 0.0)).toDF())
+      val batches = Seq(
+        Seq(ev(10, "2024-01-01 12:00:00", uid = 1, typ = "late", v = 9.0),
+          ev(1, "2024-01-01 09:00:00", uid = 2, typ = "a", v = 1.0)),
+        Seq(ev(3, "2024-01-01 08:00:00", uid = 1, typ = "old", v = 3.0),
+          ev(7, "2024-01-01 09:30:00", uid = 2, typ = "c", v = 7.0)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF().coalesce(1).write.parquet(s"$src/f$i.parquet")
+      }
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TestEv]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/f*.parquet")
+      EventStreams.runUpsertSink(stream, root, "user_id", Seq("ts", "event_id"))
+      // one committed version per micro-batch on top of the init
+      assert(VT.versions(spark, root) == Seq(1L, 2L, 3L))
+      val got = VT.read(spark, root)
+        .select("user_id", "event_id", "event_type")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got === Set((1L, 10L, "late"), (2L, 7L, "c")))
+      // time travel: the seed version is still exactly readable
+      assert(VT.readVersion(spark, root, 1L).select("event_type")
+        .as[String].collect().toSeq == Seq("seed"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(src)); rm(rootDir.toFile)
+    }
+  }
+
   test("CDC upsert sink: out-of-order micro-batches cannot clobber newer state") {
     // Three source files delivered one per micro-batch, with the NEWEST
     // version of user 1 arriving in the FIRST file and an older version
