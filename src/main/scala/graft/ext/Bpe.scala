@@ -151,10 +151,15 @@ object Bpe {
         while (it.hasNext && batch.size < want) {
           val r = it.next()
           val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
-          if (!used(x) && !used(y)) {
+          if (!used(x) && !used(y) && !used(x + y)) {
             batch += Merge(merges.size + batch.size + 1L, x, y, c)
             used += x
             used += y
+            // the CREATED symbol is claimed too: a later ranked pair whose
+            // side equals x+y would otherwise apply against counts this
+            // merge just mutated (new xy adjacencies), voiding the
+            // "identical to re-counting" guarantee
+            used += (x + y)
           }
         }
         merges ++= batch // first ranked pair always accepts: progress is guaranteed

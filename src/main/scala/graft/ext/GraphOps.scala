@@ -59,7 +59,13 @@ object GraphOps {
     val e = edges.localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // ow > 0: a node whose out-edges all weigh zero (e.g. the documented
+    // zero-weight self-loop that pins an isolated node into the node set)
+    // has nothing to distribute — it must count as DANGLING, not divide by
+    // zero in the contrib term (ANSI mode throws) while being excluded
+    // from the dangling sum (mass would silently drain)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .filter(col("ow") > 0)
       .localCheckpoint()
     val n = nodes.count() // node count: one bounded scalar, needed in literals
     var rank = nodes.withColumn("rank", lit(Scale / n))

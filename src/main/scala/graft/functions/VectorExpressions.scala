@@ -103,8 +103,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * this kernel brings the same round to scan speed) — and k MUST grow
   * with the corpus for SemDedup-style blocking (semDedupClustersFor).
   *
-  * NULL semantics: NULL vector → NULL; length ≠ dim → NULL (a corrupt
-  * embedding must not land in a plausible cell). Distances accumulate in
+  * NULL semantics: NULL vector → NULL; length ≠ dim → NULL; a NULL
+  * ELEMENT → NULL (a corrupt embedding must not land in a plausible
+  * cell — and the literal struct-min spelling propagates element nulls
+  * to a null distance, so yielding NULL here keeps the k-threshold
+  * dispatch a pure performance switch). Distances accumulate in
   * raw long arithmetic — bounded by quant² · dim, overflow-free for the
   * quant=1e6, dim ≤ 4096 envelope (4·10¹²·dim < 2⁶³). */
 case class NearestCell(child: Expression, cents: Array[Long], dim: Int)
@@ -131,6 +134,11 @@ case class NearestCell(child: Expression, cents: Array[Long], dim: Int)
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
+    var j0 = 0
+    while (j0 < dim) {
+      if (v.isNullAt(j0)) return null
+      j0 += 1
+    }
     var bestD = Long.MaxValue
     var bestC = -1L
     var i = 0
@@ -159,10 +167,18 @@ case class NearestCell(child: Expression, cents: Array[Long], dim: Int)
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       val off = ctx.freshName("off")
+      val nj = ctx.freshName("nj")
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  boolean ${nj}hasNull = false;
+         |  for (int $nj = 0; $nj < $dim; $nj++) {
+         |    if ($v.isNullAt($nj)) { ${nj}hasNull = true; break; }
+         |  }
+         |  if (${nj}hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
          |  long $bestD = Long.MAX_VALUE;
          |  long $bestC = -1L;
          |  for (int $i = 0; $i < $k; $i++) {
@@ -176,6 +192,7 @@ case class NearestCell(child: Expression, cents: Array[Long], dim: Int)
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{java.lang.Long.valueOf($bestD), java.lang.Long.valueOf($bestC)});
+         |  }
          |}
        """.stripMargin
     })

@@ -381,8 +381,7 @@ object EventStreams {
           if (graft.tables.VersionedTable.isVersioned(s, path))
             graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
           else {
-            val root = new org.apache.hadoop.fs.Path(path)
-            val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+            val (fs, root) = graft.tables.Hfs.fsFor(s, path)
             if (!fs.exists(root)) latest.write.parquet(path)
             else graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
           }

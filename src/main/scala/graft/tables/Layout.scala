@@ -58,8 +58,7 @@ object Layout {
     // all metadata through the Hadoop FileSystem resolved from the path URI
     // (file:/hdfs:/s3a: — same code), never java.io.File, which sees
     // nothing on a cluster filesystem
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, root) = Hfs.fsFor(spark, path)
     // A versioned root commits compaction as a new pointer-swapped version:
     // full rewrite, one atomic marker PUT, no renames — the object-store
     // path (see VersionedTable; directory rename on S3 is copy+delete).

@@ -29,10 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  private def fsFor(spark: SparkSession, path: String) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  private def fsFor(spark: SparkSession, path: String) = Hfs.fsFor(spark, path)
 
   /** Flat-directory replace via tmp-then-swap, never leaving a partial
     * dataset: the original moves aside first (same discipline as

@@ -40,10 +40,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
-    val p = new Path(root)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) =
+    Hfs.fsFor(spark, root)
 
   private def commitsDir(root: Path) = new Path(root, "_commits")
   private def dataDir(root: Path, v: Long) = new Path(root, s"v$v")
@@ -90,9 +88,12 @@ object VersionedTable {
     * live. Returns the committed version. */
   def commit(spark: SparkSession, root: String)
       (transform: DataFrame => DataFrame): Long = {
+    // resolve the version ONCE: versions() costs a listing + one exists
+    // per marker, which is metadata round trips on an object store
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"versioned table $root has no committed version"))
-    writeAndMark(spark, root, transform(read(spark, root)), expectedNext = cur + 1)
+    val curDf = spark.read.parquet(dataDir(new Path(root), cur).toString)
+    writeAndMark(spark, root, transform(curDf), expectedNext = cur + 1)
   }
 
   private def writeAndMark(spark: SparkSession, root: String, df: DataFrame,
@@ -135,6 +136,20 @@ object VersionedTable {
     vs.dropRight(keep).foreach { v =>
       fs.delete(new Path(commitsDir(p), s"v$v.ok"), false)
       fs.delete(dataDir(p, v), true)
+    }
+    // sweep DANGLING data directories (a writer that died before its
+    // marker PUT, or a marker whose data never completed) strictly BELOW
+    // the current version — never at/above it, where a live writer may be
+    // mid-commit. Readers can't see them; this is the storage-leak GC.
+    vs.lastOption.foreach { cur =>
+      val DataRe = """v(\d+)""".r
+      val kept = vs.takeRight(keep).toSet
+      fs.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+        case DataRe(n) if n.toLong < cur && !kept(n.toLong) =>
+          fs.delete(dataDir(p, n.toLong), true)
+          fs.delete(new Path(commitsDir(p), s"v$n.ok"), false): Unit
+        case _ =>
+      }
     }
   }
 }

@@ -817,6 +817,24 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks.filter(col("rank") <= 0).count() == 0)
   }
 
+  test("pageRank: a zero-weight self-loop node counts as dangling, never divides by zero") {
+    import graft.ext.GraphOps
+    // node 3 is pinned into the node set by the scaladoc's own
+    // zero-weight-self-loop pattern: it has an outW row summing to 0 — it
+    // must be treated as DANGLING (mass re-injected), not divide by zero
+    // in the contrib term (ANSI throws) or silently drain
+    val edges = Seq(
+      (1L, 2L, 2L), (2L, 1L, 1L), (3L, 3L, 0L), (1L, 3L, 1L)
+    ).toDF("src", "dst", "w")
+    val iters = 8
+    val ranks = GraphOps.pageRank(edges, iters = iters)
+    val total = ranks.agg(sum(col("rank"))).head().getLong(0)
+    val bound = iters * (4 + 3 * 3 + 200)
+    assert(total <= GraphOps.Scale && GraphOps.Scale - total <= bound,
+      s"total=$total lost=${GraphOps.Scale - total} bound=$bound")
+    assert(ranks.filter(col("rank") <= 0).count() == 0)
+  }
+
   test("pageRank on symmetric edges is unchanged by the dangling term (it is zero)") {
     import graft.ext.GraphOps
     val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L)).toDF("a", "b", "w")

@@ -124,6 +124,13 @@ class PropertiesSpec extends AnyFunSuite {
     val bad = Seq(Array(1L, 2L)).toDF("qv")
       .select(graft.functions.VectorExpressions.nearestCell(col("qv"), centsWithDup))
     assert(bad.head().isNullAt(0))
+    // NULL ELEMENT -> NULL too: the literal spelling propagates element
+    // nulls to a null distance, so the kernel must as well — the k
+    // threshold stays a pure performance switch, never a semantics switch
+    val withNullElem = spark.sql(
+      "SELECT array(1L, 2L, NULL, 4L, 5L, 6L, 7L, 8L) AS qv")
+      .select(graft.functions.VectorExpressions.nearestCell(col("qv"), centsWithDup))
+    assert(withNullElem.head().isNullAt(0))
   }
 
   test("dot-product yields NULL on mismatched vector lengths, not a truncated value") {

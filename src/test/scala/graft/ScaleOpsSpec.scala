@@ -560,6 +560,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       VersionedTable.vacuum(spark, root, keep = 1)
       assert(VersionedTable.versions(spark, root) == Seq(4L))
       assert(Snapshots.readSnapshot(spark, root).count() == 3)
+      // dangling-sweep GC: a crashed writer's unmarked data dir BELOW the
+      // current version is storage leak, not state — vacuum removes it
+      // (dirs at/above current are left alone: a live writer may own them)
+      Seq((98L, "stale")).toDF("k", "t").write.parquet(root + "/v3")
+      VersionedTable.vacuum(spark, root, keep = 1)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v3")),
+        "dangling v3 below current must be swept")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v9")),
+        "unmarked dir above current must survive (possible live writer)")
+      assert(VersionedTable.versions(spark, root) == Seq(4L))
     } finally {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
