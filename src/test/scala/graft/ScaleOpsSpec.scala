@@ -469,6 +469,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!got.contains(1L), "empty interval must not appear")
   }
 
+  test("multiLevelRangeAgg equals the theta join on randomized interval soups") {
+    import spark.implicits._
+    // seeded random geometry: interval endpoints land on and around every
+    // alignment boundary class the decomposition distinguishes
+    val r = new scala.util.Random(301)
+    val pts = spark.range(0, 5000)
+      .select(col("id").as("pid"), (col("id") * 3 % 4999).as("p"))
+    for (round <- 0 until 4) {
+      val ivs = Seq.tabulate(40) { i =>
+        val s = r.nextInt(5200).toLong - 100 // may start before the data
+        val len = r.nextInt(4) match {
+          case 0 => r.nextInt(9).toLong          // sub-finest
+          case 1 => r.nextInt(120).toLong        // around one mid bin
+          case 2 => r.nextInt(1500).toLong       // multi-level
+          case _ => r.nextInt(6000).toLong       // may span everything
+        }
+        (i.toLong + round * 1000, s, s + len)
+      }.toDF("k", "s", "e")
+      val pushed = graft.ops.RangeJoin.multiLevelRangeAgg(pts, "p", Seq("pid"),
+          ivs, Seq("k"), "s", "e", widths = Seq(1000L, 100L, 10L))
+        .select(col("k"), col("n_points"), col("sum_pid"))
+      val naive = pts.join(ivs, col("p") >= col("s") && col("p") < col("e"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pid"))
+      def m(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+        df.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      val (got, want) = (m(pushed), m(naive))
+      assert(got === want, s"round $round: pushdown diverged")
+    }
+  }
+
   test("binWidthFor scales inversely with point density") {
     val sparse = spark.range(0, 1000).select((col("id") * 1000L).as("p"))
     val dense = spark.range(0, 100000).select((col("id") * 10L).as("p"))
