@@ -264,7 +264,13 @@ object Similarity {
     if (cents.length <= 16)
       array_min(array(cents.indices.map(i =>
         struct(sqDist(v, cents(i)).as("d"), lit(i.toLong).as("c"))): _*))
-    else graft.functions.VectorExpressions.nearestCell(v, cents)
+    else if (cents.length <= 256)
+      graft.functions.VectorExpressions.nearestCell(v, cents)
+    else
+      // large-k regime (semDedupClustersFor grows k ∝ corpus): exact
+      // triangle-inequality pruning over √k coarse groups — ~√k·dim work
+      // per row instead of k·dim, bit-identical result (property-pinned)
+      graft.functions.VectorExpressions.nearestCellPruned(v, cents)
 
   /** The Lloyd loop of [[kmeansFit]], returning the trained quantized
     * centroids (driver-held, k·dim longs). */

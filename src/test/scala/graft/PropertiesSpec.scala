@@ -133,6 +133,42 @@ class PropertiesSpec extends AnyFunSuite {
     assert(withNullElem.head().isNullAt(0))
   }
 
+  test("pruned nearest-cell equals the flat kernel at large k (random, ties, clustered)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(57)
+    val dim = 16
+    val k = 700 // past the pruned-path threshold (256)
+    // clustered centroid geometry (what Lloyd produces): centers + jitter,
+    // plus exact duplicates to force cross-GROUP ties at the same distance
+    val centers = Array.fill(20)(Array.fill(dim)(r.nextLong() % 500000L))
+    val cents: Array[Seq[Long]] = Array.tabulate(k) { i =>
+      val base = centers(i % 20)
+      base.map(x => x + r.nextLong() % 2000L).toSeq
+    }
+    val withDup = cents.updated(650, cents(37)) // duplicate far apart in index
+    val vecs = Seq.fill(400)(Array.fill(dim)(r.nextLong() % 500000L)) ++
+      Seq(withDup(37).toArray, withDup(650).toArray) ++ // exact tie probes
+      centers.map(_.clone).toSeq                        // on-center probes
+    val df = vecs.toDF("qv")
+    val both = df.select(
+      graft.functions.VectorExpressions.nearestCell(col("qv"), withDup).as("flat"),
+      graft.functions.VectorExpressions.nearestCellPruned(col("qv"), withDup).as("pruned"))
+    val diff = both.filter(col("flat.d") =!= col("pruned.d") ||
+      col("flat.c") =!= col("pruned.c"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+    // the duplicate-centroid probe must resolve to the LOWER index (37)
+    val tie = df.limit(0).sparkSession.range(1).select(
+      graft.functions.VectorExpressions
+        .nearestCellPruned(typedlit(withDup(37)), withDup).getField("c"))
+      .head().getLong(0)
+    assert(tie == 37L, s"cross-group tie must take the lowest cell, got $tie")
+    // NULL semantics parity
+    val bad = Seq(Array(1L, 2L)).toDF("qv").select(
+      graft.functions.VectorExpressions.nearestCellPruned(col("qv"), withDup))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("dot-product yields NULL on mismatched vector lengths, not a truncated value") {
     val spark = TestSpark.spark
     import spark.implicits._
