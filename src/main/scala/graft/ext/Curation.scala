@@ -241,6 +241,42 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Temperature-weighted mixture sampling — the Gopher/LLaMA-style
+    * mixture knob: sample so source PROPORTIONS follow n^α (α = 1/2 here)
+    * instead of raw counts n, boosting small sources and damping dominant
+    * ones. Expected kept rows from stratum i ≈ target · w_i / Σw with
+    * w_i = ⌊√n_i⌋.
+    *
+    * Everything is engine-exact: weights are `floor(sqrt(n))` (IEEE sqrt
+    * is correctly rounded, so Spark and DuckDB agree bit-for-bit on the
+    * same integer input), thresholds are pure integer floor division
+    * `(target · w_i · 10⁶) div (Σw · n_i)`, and the per-row draw is the
+    * deterministic [[sampleKey]] hash over 10⁶ buckets — no RNG, no
+    * float accumulation order, reproducible across engines, runs, and
+    * partitionings.
+    *
+    * Shape: one stratum-sized count aggregation, a 1-row total, the
+    * threshold table broadcast back — the corpus itself sees one
+    * scan-speed filter, exactly like [[stratifiedSample]]. Overflow
+    * envelope: target · w · 10⁶ must fit a long — holds for target ≤ 10⁹
+    * at w ≤ 3·10⁶ (n ≤ ~10¹³ rows per stratum), asserted. */
+  def temperatureMixture(df: DataFrame, id: Column, stratum: Column,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0 && targetRows <= 1000000000L,
+      "temperatureMixture: targetRows in [1, 1e9] (integer-overflow envelope)")
+    val counts = df.groupBy(stratum.as("__st"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__sw"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col("__st"),
+        expr(s"($targetRows * __w * 1000000) div (__sw * __n)").as("__t"))
+    df.withColumn("__st", stratum)
+      .join(broadcast(thr), "__st")
+      .filter(sampleKey(id, 1000000) < col("__t"))
+      .drop("__st", "__t")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark set, with the count of distinct shared grams.
     * The benchmark side is tiny by nature (eval sets) — its distinct n-gram

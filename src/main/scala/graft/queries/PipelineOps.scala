@@ -612,6 +612,20 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q168_temperature_mixture" -> ((s, dir) => {
+      // Temperature mixture (proportions ∝ √n — the Gopher/LLaMA mixture
+      // knob): small sources boost, dominant sources damp. All-integer
+      // thresholds over floor(sqrt(count)) weights and the deterministic
+      // sample-key hash — the oracle replays the identical arithmetic, so
+      // the kept SET (not just counts) is cross-engine exact.
+      Curation.temperatureMixture(t(s, dir, "documents"),
+          col("doc_id"), col("source"), targetRows = 600L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("checksum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
     "q167_version_diff" -> ((s, dir) => {
       // Time travel + version diff over the commit log: v1 = the corpus,
       // v2 = every 3rd doc's text rewritten (upsert), v3 = every 13th doc
@@ -2336,6 +2350,20 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    "q168_temperature_mixture" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |thr AS (SELECT source, n, w,
+        |    (600 * w * 1000000) // ((SELECT CAST(sum(w) AS BIGINT) FROM w) * n) AS t
+        |  FROM w)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS checksum,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < thr.t
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q167_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |v3 AS (SELECT doc_id,

@@ -817,6 +817,33 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks.filter(col("rank") <= 0).count() == 0)
   }
 
+  test("temperature mixture: kept set equals the hand-computed integer arithmetic; sqrt damps dominance") {
+    // skewed corpus: "big" dwarfs "small" 50:1 — under raw-proportion
+    // sampling small keeps ~2% of the budget; under sqrt-temperature it
+    // must keep ~12% (w = floor(sqrt(n)): 70 vs 9, 9/79)
+    val rows = (0L until 5000L).map(i => (i, "big")) ++
+      (5000L until 5100L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    val target = 500L
+    val got = graft.ext.Curation.temperatureMixture(df, col("id"), col("src"), target)
+      .select("id").as[Long].collect().toSet
+    // brute-force replay of the exact integer arithmetic
+    val n = Map("big" -> 5000L, "small" -> 100L)
+    val w = n.view.mapValues(v => math.floor(math.sqrt(v.toDouble)).toLong).toMap
+    val sw = w.values.sum
+    val thr = n.map { case (s, cnt) => s -> (target * w(s) * 1000000L) / (sw * cnt) }
+    val want = rows.filter { case (id, s) =>
+      ((id % 1000003L) * 2654435761L) % 1000000L < thr(s)
+    }.map(_._1).toSet
+    assert(got === want && got.nonEmpty)
+    // dominance damped: small's kept share is ~w-proportional, far above
+    // its raw-count share
+    val keptSmall = got.count(_ >= 5000L).toDouble
+    val keptBig = got.count(_ < 5000L).toDouble
+    assert(keptSmall / (keptSmall + keptBig) > 0.06,
+      s"sqrt temperature must boost the small source: $keptSmall vs $keptBig")
+  }
+
   test("pageRank: a zero-weight self-loop node counts as dangling, never divides by zero") {
     import graft.ext.GraphOps
     // node 3 is pinned into the node set by the scaladoc's own
