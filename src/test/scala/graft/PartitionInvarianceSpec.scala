@@ -58,9 +58,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q153_dataset_manifest",
     // iterative integer PageRank (join-sum fixpoint rounds)
     "q156_domain_pagerank",
-    // round 6: auto-width pair-form range join, pointer-swap version diff
-    // (q117, now the pushdown form, is already listed above)
-    "q165_range_join_pairs", "q167_version_diff")
+    // round 6: auto-width pair-form range join, pointer-swap version diff,
+    // temperature mixture (q117, now the pushdown form, is listed above)
+    "q165_range_join_pairs", "q167_version_diff", "q168_temperature_mixture")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
