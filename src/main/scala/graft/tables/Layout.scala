@@ -47,6 +47,19 @@ object Layout {
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** [[compact]] preserving a clustered layout: plain compaction
+    * `repartition(files)` hash-scatters rows, so a range-clustered
+    * table's disjoint per-file key ranges — and every footer-stats prune
+    * a reader relied on — silently dissolve on the first maintenance
+    * pass. This variant re-clusters while it compacts
+    * (`repartitionByRange` + in-file sort on `clusterKeys`), so the
+    * layout contract survives maintenance. Same commit protocols as
+    * [[compact]] (versioned root → pointer-swap; flat dir → Hadoop-FS
+    * tmp-then-swap). */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+      clusterKeys: Seq[Column], targetBytes: Long = 128L << 20): Unit =
+    compactImpl(spark, path, targetBytes, Some(clusterKeys))
+
   /** Small-file compaction: rewrite a parquet dataset into ~`targetBytes`
     * files (computed from the CURRENT on-disk size, so compaction is
     * idempotent). The read side of a 100 TB pipeline degrades linearly with
@@ -54,7 +67,11 @@ object Layout {
     * — and streaming/incremental sinks produce exactly this fragmentation;
     * scheduled compaction is the standing fix. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+    compactImpl(spark, path, targetBytes, None)
+
+  private def compactImpl(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, clusterKeys: Option[Seq[Column]]): Unit = {
     // all metadata through the Hadoop FileSystem resolved from the path URI
     // (file:/hdfs:/s3a: — same code), never java.io.File, which sees
     // nothing on a cluster filesystem
@@ -62,11 +79,16 @@ object Layout {
     // A versioned root commits compaction as a new pointer-swapped version:
     // full rewrite, one atomic marker PUT, no renames — the object-store
     // path (see VersionedTable; directory rename on S3 is copy+delete).
+    def shaped(df: DataFrame, files: Int): DataFrame = clusterKeys match {
+      case Some(keys) => df.repartitionByRange(files, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      case None => df.repartition(files)
+    }
     if (VersionedTable.isVersioned(spark, path)) {
       val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(root,
         s"v${VersionedTable.currentVersion(spark, path).get}")).getLength
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      VersionedTable.commit(spark, path)(_.repartition(files))
+      VersionedTable.commit(spark, path)(shaped(_, files))
       return
     }
     // Hive-partitioned layout: compact each partition DIRECTORY in place
@@ -77,7 +99,8 @@ object Layout {
     val partDirs = fs.listStatus(root)
       .filter(f => f.isDirectory && f.getPath.getName.contains("="))
     if (partDirs.nonEmpty) {
-      partDirs.foreach(d => compact(spark, d.getPath.toString, targetBytes))
+      partDirs.foreach(d =>
+        compactImpl(spark, d.getPath.toString, targetBytes, clusterKeys))
       return
     }
     val bytes = fs.getContentSummary(root).getLength
@@ -85,7 +108,7 @@ object Layout {
     val df = spark.read.parquet(path)
     val base = path.stripSuffix("/")
     val tmp = new org.apache.hadoop.fs.Path(base + ".compact-tmp")
-    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    shaped(df, files).write.mode("overwrite").parquet(tmp.toString)
     // non-destructive swap: the original moves aside FIRST, so every failure
     // point leaves a complete copy on disk (the write above, the rename in,
     // or the final cleanup — never a window with only a partial dataset).

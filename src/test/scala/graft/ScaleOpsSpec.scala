@@ -680,6 +680,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sameElements(expected))
   }
 
+  test("compactClustered restores disjoint footer key ranges that plain compact dissolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccl").toString
+    try {
+      val li = graft.tables.Tables.table(spark, TestSpark.sfDir, "lineitem")
+      graft.tables.Layout.writeRangeClustered(li, dir, 4, Seq(col("l_orderkey")))
+      // fragment it the way a streaming/upsert sink would (hash-scattered)
+      spark.read.parquet(dir).repartition(24).write
+        .mode("overwrite").parquet(dir + "2")
+      val conf = spark.sessionState.newHadoopConf()
+      def ranges(d: String): Seq[(Long, Long)] = new java.io.File(d).listFiles
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val stats = r.getFooter.getBlocks.asScala.map(
+              _.getColumns.asScala.find(_.getPath.toDotString == "l_orderkey").get.getStatistics)
+            (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+              stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+          } finally r.close()
+        }.sortBy(_._1)
+      def disjoint(rs: Seq[(Long, Long)]): Boolean =
+        rs.size < 2 || rs.sliding(2).forall { case Seq((_, m1), (m2, _)) => m1 <= m2 }
+      // the fragmented copy has overlapping per-file ranges (that's the rot)
+      assert(!disjoint(ranges(dir + "2")), "fixture should be hash-scattered")
+      val expected = spark.read.parquet(dir + "2").orderBy("l_orderkey", "l_partkey",
+        "l_suppkey", "l_linenumber", "l_quantity").collect().map(_.toString)
+      graft.tables.Layout.compactClustered(spark, dir + "2",
+        Seq(col("l_orderkey")), targetBytes = 64L << 10)
+      val after = ranges(dir + "2")
+      assert(after.size >= 2 && disjoint(after),
+        s"clustered compaction must restore disjoint ranges: $after")
+      val back = spark.read.parquet(dir + "2").orderBy("l_orderkey", "l_partkey",
+        "l_suppkey", "l_linenumber", "l_quantity").collect().map(_.toString)
+      assert(back.sameElements(expected))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(dir + "2"))
+    }
+  }
+
   test("compact on a partitioned layout preserves directories and pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-compact").toString
     try {
