@@ -82,6 +82,26 @@ object Dedup {
     batch.join(seen, Seq("fp"), "left_anti").drop("fp")
   }
 
+  /** Quality-aware representative per duplicate cluster — the keep rule a
+    * curation pipeline actually wants: within each near-dup component keep
+    * the BEST document (max `score`, ties to the lowest id), not the
+    * arbitrary lowest-id one. `comp` is a [[connectedComponents]] /
+    * [[connectedComponentsStar]] output (node, comp); the argmax is one
+    * struct-max aggregation (no window sort), and the component table is
+    * pair-bounded, so joining it back to the corpus broadcasts. Exact
+    * integer scores (n_chars, an integer quality margin, a token count)
+    * keep the pick — and the oracle — deterministic cross-engine. */
+  def clusterRepresentatives(comp: DataFrame, docs: DataFrame,
+      id: Column, score: Column): DataFrame =
+    docs.select(id.as("node"), score.as("__s"))
+      .join(comp, "node")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("node")).as("checksum"),
+        max(struct(col("__s").as("s"), (-col("node")).as("negid"))).as("__m"))
+      .select(col("comp"), (-col("__m").getField("negid")).as("rep_doc"),
+        col("n_docs"), col("checksum"))
+
   /** Connected components of a near-dup pair graph — the step that turns
     * pairwise matches (from [[ngramJaccardPairs]], [[minhashLshPairs]],
     * [[simhashPairs]], or [[Similarity.embeddingNearDupPairs]]) into dedup

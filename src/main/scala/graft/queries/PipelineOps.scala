@@ -612,6 +612,20 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q169_cluster_representatives" -> ((s, dir) => {
+      // The keep rule ON TOP of duplicate clusters: within each q95
+      // component keep the BEST document (max n_chars, ties to the lowest
+      // id) — a curation pipeline keeps the most complete duplicate, not
+      // the arbitrary lowest-id one. One struct-max aggregation over the
+      // pair-bounded component table; the oracle replays the CC closure
+      // and the exact (n_chars, lowest-id) argmax.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+      Dedup.clusterRepresentatives(Dedup.connectedComponents(pairs),
+          docs, col("doc_id"), col("n_chars"))
+        .orderBy(col("comp"))
+    }),
     "q168_temperature_mixture" -> ((s, dir) => {
       // Temperature mixture (proportions ∝ √n — the Gopher/LLaMA mixture
       // knob): small sources boost, dominant sources damp. All-integer
@@ -2350,6 +2364,42 @@ object PipelineOps {
         |  CAST(sum(e.event_id) AS BIGINT) AS checksum
         |FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
         |GROUP BY w_user ORDER BY w_user""".stripMargin,
+    "q169_cluster_representatives" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |cq AS (SELECT c.comp, c.node, d.n_chars
+        |       FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |m AS (SELECT comp, max(n_chars) AS mx FROM cq GROUP BY comp)
+        |SELECT CAST(cq.comp AS BIGINT) AS comp,
+        |  CAST(min(cq.node) FILTER (WHERE cq.n_chars = m.mx) AS BIGINT) AS rep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cq.node) AS BIGINT) AS checksum
+        |FROM cq JOIN m ON m.comp = cq.comp
+        |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
     "q168_temperature_mixture" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),

@@ -817,6 +817,22 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks.filter(col("rank") <= 0).count() == 0)
   }
 
+  test("cluster representatives: best score wins, score ties go to the lowest id, singletons excluded") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "comp")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // comp 1: 2 and 3 tie at 9 -> rep 2
+      (10L, 4L), (11L, 3L),           // comp 10: rep 10
+      (99L, 100L)                     // not in any cluster: no row
+    ).toDF("doc_id", "score")
+    val got = graft.ext.Dedup.clusterRepresentatives(comp, docs,
+        col("doc_id"), col("score"))
+      .orderBy("comp")
+      .select("comp", "rep_doc", "n_docs", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L, 6L), (10L, 10L, 2L, 21L)))
+  }
+
   test("temperature mixture: kept set equals the hand-computed integer arithmetic; sqrt damps dominance") {
     // skewed corpus: "big" dwarfs "small" 50:1 — under raw-proportion
     // sampling small keeps ~2% of the budget; under sqrt-temperature it
