@@ -257,24 +257,31 @@ object Curation {
     *
     * Shape: one stratum-sized count aggregation, a 1-row total, the
     * threshold table broadcast back — the corpus itself sees one
-    * scan-speed filter, exactly like [[stratifiedSample]]. Overflow
-    * envelope: target · w · 10⁶ must fit a long — holds for target ≤ 10⁹
-    * at w ≤ 3·10⁶ (n ≤ ~10¹³ rows per stratum), asserted. */
+    * scan-speed filter, exactly like [[stratifiedSample]]. The threshold
+    * arithmetic runs in DECIMAL(38,0) (long arithmetic wraps at realistic
+    * magnitudes: target 10⁹ × w 3·10⁶ × 10⁶ = 3·10²¹ ≫ 2⁶³; the decimal
+    * form is exact to 10³⁸ — target·w·10⁶ ≤ ~10²⁸ even at 10¹³-row
+    * strata) with `div` integral division, so the values are identical to
+    * the overflow-free integer formula on any engine. A NULL stratum is a
+    * stratum like any other: the threshold join is NULL-SAFE, so its rows
+    * sample at their own √n rate instead of silently vanishing while
+    * still deflating Σw. */
   def temperatureMixture(df: DataFrame, id: Column, stratum: Column,
       targetRows: Long): DataFrame = {
     require(targetRows > 0 && targetRows <= 1000000000L,
-      "temperatureMixture: targetRows in [1, 1e9] (integer-overflow envelope)")
+      "temperatureMixture: targetRows in [1, 1e9]")
     val counts = df.groupBy(stratum.as("__st"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
     val tot = counts.agg(sum(col("__w")).as("__sw"))
     val thr = counts.crossJoin(broadcast(tot))
-      .select(col("__st"),
-        expr(s"($targetRows * __w * 1000000) div (__sw * __n)").as("__t"))
+      .select(col("__st").as("__stT"),
+        expr(s"CAST((CAST($targetRows AS DECIMAL(38,0)) * __w * 1000000) div " +
+          "(CAST(__sw AS DECIMAL(38,0)) * __n) AS BIGINT)").as("__t"))
     df.withColumn("__st", stratum)
-      .join(broadcast(thr), "__st")
+      .join(broadcast(thr), col("__st") <=> col("__stT"))
       .filter(sampleKey(id, 1000000) < col("__t"))
-      .drop("__st", "__t")
+      .drop("__st", "__stT", "__t")
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word

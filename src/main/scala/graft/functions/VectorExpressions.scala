@@ -401,7 +401,9 @@ object NearestCellPruned {
       d
     }
     var coarse: Array[Array[Long]] =
-      Array.tabulate(g)(i => cents(math.min(k - 1, i * k / g)).toArray)
+      // i.toLong: i * k reaches k^1.5 with g = sqrt(k) — Int wraps past
+      // k ~ 1.7M, which is exactly the large-k regime this class serves
+      Array.tabulate(g)(i => cents(math.min(k - 1, (i.toLong * k / g).toInt)).toArray)
     var groupOf = new Array[Int](k)
     var round = 0
     while (round < 4) { // few Lloyd rounds over k points: cheap, driver-side

@@ -860,6 +860,25 @@ class ExtSpec extends AnyFunSuite {
       s"sqrt temperature must boost the small source: $keptSmall vs $keptBig")
   }
 
+  test("temperature mixture: a NULL stratum samples at its own rate, never silently vanishes") {
+    // NULL-source docs are a stratum like any other: they must keep rows
+    // at their sqrt(n) share (the threshold join is null-safe) instead of
+    // dropping out while still deflating every other stratum's rate
+    val rows: Seq[(Long, Option[String])] =
+      (0L until 400L).map(i => (i, Some("a"))) ++
+        (400L until 800L).map(i => (i, Option.empty[String]))
+    val df = rows.toDF("id", "src")
+    val target = 200L
+    val got = graft.ext.Curation.temperatureMixture(df, col("id"), col("src"), target)
+      .select("id").as[Long].collect().toSet
+    // identical strata (n=400 each) -> identical thresholds; replay exactly
+    val thr = (target * 20L * 1000000L) / (40L * 400L) // w=20, sw=40
+    val want = rows.map(_._1).filter(id =>
+      ((id % 1000003L) * 2654435761L) % 1000000L < thr).toSet
+    assert(got === want)
+    assert(got.exists(_ >= 400L), "NULL-stratum rows must be sampled, not dropped")
+  }
+
   test("pageRank: a zero-weight self-loop node counts as dangling, never divides by zero") {
     import graft.ext.GraphOps
     // node 3 is pinned into the node set by the scaladoc's own
