@@ -116,6 +116,97 @@ object TextAnalysis {
         emailRe, "<EMAIL>"),
       longNumRe, "<NUM>")
 
+  // ---------- repetition signals (Gopher/MassiveText rules) ---------------
+
+  /** Word n-grams rendered back to strings ("w1 w2 … wn"), one per start
+    * position, in document order. Guarded for short docs: `sequence(1, 0)`
+    * counts DOWN (the [[graft.ext.Dedup.tokenSpans]] pitfall), so fewer than
+    * `n` tokens yields an EMPTY array explicitly. */
+  private[graft] def wordNgramStrings(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Multiplicity of the most frequent element of a string-array column
+    * (the modal count): sort once, fold a (prev, run, best) state through
+    * the runs. 0 for an empty array. The initial `run = 0` makes the prev
+    * sentinel harmless — the first element always restarts the run at 1,
+    * even when it equals the sentinel. */
+  private[graft] def modalCount(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** The distinct values that occur AT LEAST TWICE in a string-array column:
+    * same sorted fold, appending a value exactly when its run hits 2. */
+  private[graft] def repeatedValues(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        array().cast("array<string>").as("reps")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run === 2, array_append(acc.getField("reps"), x))
+            .otherwise(acc.getField("reps")).as("reps"))
+      },
+      acc => acc.getField("reps"))
+  }
+
+  /** Count of occurrences of the single most frequent token — the numerator
+    * of Gopher's "fraction of tokens in the most common word" rule. */
+  def topTokenCount(text: Column): Column = modalCount(tokens(text))
+
+  /** Count of occurrences of the most frequent adjacent token BIGRAM
+    * (Gopher's top-2-gram fraction numerator). */
+  def topBigramCount(text: Column): Column =
+    modalCount(wordNgramStrings(tokens(text), 2))
+
+  /** Distinct-token count (type count; with [[tokenCount]] gives the
+    * type/token ratio — low ratio = templated/repetitive text). */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Number of token POSITIONS covered by some trigram that occurs at least
+    * twice in the document — the "fraction of characters in duplicated
+    * n-grams" rule at token granularity. Exact: repeated trigram values are
+    * folded out of one sorted pass, each occurrence stamps its three
+    * positions, and the distinct union is counted. Pure per-row HOFs — the
+    * whole signal set runs at scan speed with zero shuffle. */
+  def repeatedTrigramCover(text: Column): Column = {
+    val toks = tokens(text)
+    val reps = repeatedValues(wordNgramStrings(toks, 3))
+    val hitStarts = when(size(toks) >= 3,
+      filter(sequence(lit(1), size(toks) - 2),
+        i => array_contains(reps, concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<int>"))
+    size(array_distinct(flatten(
+      transform(hitStarts, i => array(i, i + 1, i + 2))))).cast("long")
+  }
+
+  /** The Gopher-style repetition gate, all-integer so the keep/drop decision
+    * is cross-engine exact: ≥10 tokens, the top word ≤ 20% of tokens, the
+    * top bigram ≤ 10%, and repeated-trigram cover ≤ 25%. Thresholds are the
+    * published MassiveText shape (Rae et al. 2021, table A1) adapted to
+    * token granularity. */
+  def repetitionKeep(text: Column): Column = {
+    val n = tokenCount(text)
+    (n >= 10) &&
+      (topTokenCount(text) * 5 <= n) &&
+      (topBigramCount(text) * 10 <= n) &&
+      (repeatedTrigramCover(text) * 4 <= n)
+  }
+
   /** Rolling polynomial fingerprint over tokens (mod 1e9+7, ascii+length
     * token features) — an order-SENSITIVE sketch, cross-engine mirrorable
     * (DuckDB `list_reduce` seeds with the first element, so we fold from the

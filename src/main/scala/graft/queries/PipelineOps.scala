@@ -612,6 +612,25 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q170_repetition_signals" -> ((s, dir) => {
+      // Gopher/MassiveText repetition rules (Rae et al. 2021): top-word
+      // fraction, top-bigram fraction, type/token ratio, repeated-trigram
+      // positional cover, and the composite all-integer keep gate. Pure
+      // per-row sorted-fold HOF expressions — zero shuffle, scan speed at
+      // any corpus size (q63 computes the unigram subset by exploded
+      // aggregation: two shuffles; this is the scan-speed superset). The
+      // oracle recomputes every count by exploding to (doc, pos, token)
+      // rows, so the signals are cross-engine exact.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+      d.select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tok"),
+          TA.distinctTokenCount(col("text")).as("n_distinct"),
+          TA.topTokenCount(col("text")).as("top1_cnt"),
+          TA.topBigramCount(col("text")).as("top2_cnt"),
+          TA.repeatedTrigramCover(col("text")).as("rep3_cover"),
+          TA.repetitionKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "q169_cluster_representatives" -> ((s, dir) => {
       // The keep rule ON TOP of duplicate clusters: within each q95
       // component keep the BEST document (max n_chars, ties to the lowest
@@ -2400,6 +2419,49 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q170_repetition_signals" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         |  FROM documents WHERE doc_id < 150),
+         |u AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+         |  FROM toks),
+         |g AS (
+         |  SELECT doc_id, pos, t[pos] AS tok,
+         |    CASE WHEN pos + 1 <= len(t) THEN t[pos] || ' ' || t[pos+1] END AS big,
+         |    CASE WHEN pos + 2 <= len(t)
+         |      THEN t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] END AS tri
+         |  FROM u),
+         |base AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+         |  FROM g GROUP BY doc_id),
+         |t1 AS (
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top1_cnt FROM (
+         |    SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id, tok) q
+         |  GROUP BY doc_id),
+         |t2 AS (
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt FROM (
+         |    SELECT doc_id, count(*) AS c FROM g WHERE big IS NOT NULL
+         |    GROUP BY doc_id, big) q
+         |  GROUP BY doc_id),
+         |rep AS (
+         |  SELECT doc_id, tri FROM g WHERE tri IS NOT NULL
+         |  GROUP BY doc_id, tri HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT k.doc_id, CAST(count(DISTINCT k.pos + d.d) AS BIGINT) AS rep3_cover
+         |  FROM g k JOIN rep r ON k.doc_id = r.doc_id AND k.tri = r.tri
+         |  CROSS JOIN (SELECT unnest([0,1,2]) AS d) d
+         |  GROUP BY k.doc_id)
+         |SELECT b.doc_id, b.n_tok, b.n_distinct, t1.top1_cnt,
+         |  CAST(coalesce(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+         |  CAST(coalesce(cov.rep3_cover, 0) AS BIGINT) AS rep3_cover,
+         |  (b.n_tok >= 10 AND t1.top1_cnt * 5 <= b.n_tok
+         |    AND coalesce(t2.top2_cnt, 0) * 10 <= b.n_tok
+         |    AND coalesce(cov.rep3_cover, 0) * 4 <= b.n_tok) AS keep
+         |FROM base b JOIN t1 USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q168_temperature_mixture" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),

@@ -632,6 +632,36 @@ class ExtSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("repetition signals: hand-computed counts on crafted docs") {
+    val docs = Seq(
+      (1L, "a a a b"),            // top1=3; bigrams [a a, a a, a b] top2=2; no repeated trigram
+      (2L, "x y z x y z w"),      // trigram "x y z" at pos 1 and 4 → cover {1..6} = 6
+      (3L, "one two"),            // no trigrams, single bigram
+      (4L, "solo")                // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.distinctTokenCount(col("text")).as("d"),
+        TextAnalysis.topTokenCount(col("text")).as("t1"),
+        TextAnalysis.topBigramCount(col("text")).as("t2"),
+        TextAnalysis.repeatedTrigramCover(col("text")).as("r3"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 4L, 2L, 3L, 2L, 0L)))
+    assert(out(1) === ((2L, 7L, 4L, 2L, 2L, 6L)))
+    assert(out(2) === ((3L, 2L, 2L, 1L, 1L, 0L)))
+    assert(out(3) === ((4L, 1L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("repetition keep gate: fluent doc passes, hammered doc fails") {
+    val fluent = ("w" +: (1 to 19).map(i => s"tok$i")).mkString(" ") // 20 distinct tokens
+    val hammer = Seq.fill(20)("spam").mkString(" ")                  // one token 20×
+    val out = Seq((1L, fluent), (2L, hammer)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionKeep(col("text")).as("k"))
+      .orderBy("doc_id").as[(Long, Boolean)].collect()
+    assert(out(0) === ((1L, true)))
+    assert(out(1) === ((2L, false)))
+  }
+
   test("redactPii: urls, emails, digit runs collapse to typed placeholders") {
     val rows = Seq(
       // url swallows its query string (digits + @-form inside must not
