@@ -302,6 +302,40 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Cross-GROUP shingle-overlap matrix: exact Jaccard between the distinct
+    * word-n-gram sets of every pair of groups (sources, crawls, snapshots) —
+    * the corpus-level contamination/redundancy report that decides which
+    * sources to down-weight before any per-document dedup runs.
+    *
+    * Output: (s1, s2, n_common, n1, n2, jaccard_ppm) for s1 < s2, with
+    * jaccard_ppm = ⌊10⁶·|A∩B| / |A∪B|⌋ (integer-exact cross-engine).
+    * Pairs with an EMPTY intersection do not appear (absent row = zero
+    * overlap — the report stays output-bounded by actual redundancy).
+    *
+    * 100 TB shape: one distinct over (group, gram-hash) — grams ride as
+    * XXH64 longs ([[wordNgramHashes]]; only COUNTS surface, which equal the
+    * string-set counts absent ~k²/2⁶⁵ collisions) — then a self-join keyed
+    * by the hash whose output is bounded by |groups|², never by corpus
+    * size. Group cardinality is assumed small (sources/crawls); for
+    * thousands of groups, band the gram space first. */
+  def groupShingleOverlap(docs: DataFrame, group: Column, text: Column,
+      n: Int): DataFrame = {
+    val sh = docs
+      .select(group.as("src"), explode(wordNgramHashes(text, n)).as("h"))
+      .distinct().localCheckpoint() // three consumers: totals + both join sides
+    val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    sh.select(col("src").as("s1"), col("h"))
+      .join(sh.select(col("src").as("s2"), col("h").as("h2")),
+        col("h") === col("h2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_common"))
+      .join(totals.select(col("src").as("s1"), col("n").as("n1")), "s1")
+      .join(totals.select(col("src").as("s2"), col("n").as("n2")), "s2")
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * n_common) div (n1 + n2 - n_common)"))
+      .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+        col("jaccard_ppm"))
+  }
+
   /** Prefix-filtered exact set-similarity self-join — the non-probabilistic
     * alternative to MinHash/SimHash blocking (SSJoin, Chaudhuri et al. 2006;
     * All-Pairs, Bayardo et al. 2007; the MapReduce formulation is Vernica

@@ -118,15 +118,11 @@ object TextAnalysis {
 
   // ---------- repetition signals (Gopher/MassiveText rules) ---------------
 
-  /** Word n-grams rendered back to strings ("w1 w2 … wn"), one per start
-    * position, in document order. Guarded for short docs: `sequence(1, 0)`
-    * counts DOWN (the [[graft.ext.Dedup.tokenSpans]] pitfall), so fewer than
-    * `n` tokens yields an EMPTY array explicitly. */
-  private[graft] def wordNgramStrings(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word n-grams as strings, in document order — the one-pass codegen'd
+    * kernel shared with the dedup family ([[graft.functions.TextExpressions
+    * .NgramKernel]]); empty array when fewer than n tokens. */
+  private def wordNgramStrings(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordNgrams(text, n)
 
   /** Multiplicity of the most frequent element of a string-array column
     * (the modal count): sort once, fold a (prev, run, best) state through
@@ -170,7 +166,7 @@ object TextAnalysis {
   /** Count of occurrences of the most frequent adjacent token BIGRAM
     * (Gopher's top-2-gram fraction numerator). */
   def topBigramCount(text: Column): Column =
-    modalCount(wordNgramStrings(tokens(text), 2))
+    modalCount(wordNgramStrings(text, 2))
 
   /** Distinct-token count (type count; with [[tokenCount]] gives the
     * type/token ratio — low ratio = templated/repetitive text). */
@@ -184,11 +180,11 @@ object TextAnalysis {
     * positions, and the distinct union is counted. Pure per-row HOFs — the
     * whole signal set runs at scan speed with zero shuffle. */
   def repeatedTrigramCover(text: Column): Column = {
-    val toks = tokens(text)
-    val reps = repeatedValues(wordNgramStrings(toks, 3))
-    val hitStarts = when(size(toks) >= 3,
-      filter(sequence(lit(1), size(toks) - 2),
-        i => array_contains(reps, concat_ws(" ", slice(toks, i, lit(3))))))
+    val tris = wordNgramStrings(text, 3)
+    val reps = repeatedValues(tris)
+    val hitStarts = when(size(tris) > 0,
+      filter(sequence(lit(1), size(tris)),
+        i => array_contains(reps, get(tris, i - 1))))
       .otherwise(array().cast("array<int>"))
     size(array_distinct(flatten(
       transform(hitStarts, i => array(i, i + 1, i + 2))))).cast("long")

@@ -612,6 +612,17 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q171_source_overlap" -> ((s, dir) => {
+      // Corpus-level contamination matrix: exact trigram-shingle Jaccard
+      // between every source PAIR — which crawls/feeds duplicate each
+      // other, before any per-document dedup. One (source, gram) distinct
+      // + a hash-keyed self-join; output bounded by sources², never corpus
+      // size. Grams ride as XXH64 longs (only counts surface — q45's
+      // collision argument); the oracle recounts the string sets.
+      Dedup.groupShingleOverlap(t(s, dir, "documents"),
+          col("source"), col("text"), n = 3)
+        .orderBy(col("s1"), col("s2"))
+    }),
     "q170_repetition_signals" -> ((s, dir) => {
       // Gopher/MassiveText repetition rules (Rae et al. 2021): top-word
       // fraction, top-bigram fraction, type/token ratio, repeated-trigram
@@ -2419,6 +2430,24 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q171_source_overlap" ->
+      raw"""WITH sh AS (
+         |  SELECT DISTINCT src, g FROM (
+         |    SELECT source AS src, unnest(list_transform(
+         |      generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+         |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t
+         |          FROM documents) q
+         |    WHERE len(t) >= 3) q2),
+         |tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY src),
+         |com AS (
+         |  SELECT a.src AS s1, b.src AS s2, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+         |  GROUP BY a.src, b.src)
+         |SELECT s1, s2, n_common, t1.n AS n1, t2.n AS n2,
+         |  (1000000 * n_common) // (t1.n + t2.n - n_common) AS jaccard_ppm
+         |FROM com JOIN tot t1 ON t1.src = com.s1 JOIN tot t2 ON t2.src = com.s2
+         |ORDER BY s1, s2""".stripMargin,
     "q170_repetition_signals" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

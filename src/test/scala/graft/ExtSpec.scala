@@ -652,6 +652,18 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("group shingle overlap: exact pairwise Jaccard, disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "a b c d"),   // trigrams {a b c, b c d}
+      ("B", "a b c x"),   // trigrams {a b c, b c x} → ∩A = 1, ∪ = 3
+      ("C", "p q r s")    // disjoint from both → no rows with C
+    ).toDF("source", "text")
+    val out = Dedup.groupShingleOverlap(docs, col("source"), col("text"), n = 3)
+      .select("s1", "s2", "n_common", "n1", "n2", "jaccard_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", "B", 1L, 2L, 2L, 333333L)))
+  }
+
   test("repetition keep gate: fluent doc passes, hammered doc fails") {
     val fluent = ("w" +: (1 to 19).map(i => s"tok$i")).mkString(" ") // 20 distinct tokens
     val hammer = Seq.fill(20)("spam").mkString(" ")                  // one token 20×
