@@ -33,6 +33,12 @@ object TextAnalysis {
       .cast("double") / greatest(size(toks), lit(1)), 6)
   }
 
+  /** Raw stopword-token COUNT (the integer numerator of [[stopwordRatio]]) —
+    * the form model-fitting features need (exact cross-engine integers). */
+  def stopTokenCount(text: Column): Column =
+    size(filter(tokens(text), t => array_contains(typedlit(stopwords), t)))
+      .cast("long")
+
   /** Ratio of alphabetic characters to all characters. */
   def alphaRatio(text: Column): Column =
     round(length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /

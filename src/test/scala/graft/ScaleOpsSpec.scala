@@ -608,6 +608,71 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned table: contended commits serialize through claims and rebase") {
+    import spark.implicits._
+    import graft.tables.VersionedTable
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-occ").toString + "/table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val claim2 = new org.apache.hadoop.fs.Path(root, "_commits/v2.claim")
+    try {
+      VersionedTable.init(spark, root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+
+      // writer B claims v2 first (simulated contender)
+      fs.mkdirs(claim2.getParent)
+      fs.create(claim2, false).close()
+
+      // writer A keeps losing the claim while B holds it...
+      @volatile var aResult: Long = -1L
+      val a = new Thread(() => {
+        aResult = VersionedTable.commitContended(spark, root,
+          maxAttempts = 60, waitMs = 100) { cur =>
+          cur.withColumn("v", col("v") + 1) // increment — order-sensitive vs append
+        }
+      })
+      a.start()
+      Thread.sleep(400) // let A lose a few attempts against B's live claim
+      assert(aResult == -1L, "A must not commit while B holds the v2 claim")
+
+      // ...B completes: data v2 (append a row) + marker, then drops its claim
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+        .write.parquet(root + "/v2")
+      fs.create(new org.apache.hadoop.fs.Path(root, "_commits/v2.ok"), false).close()
+      fs.delete(claim2, false)
+
+      a.join(30000)
+      assert(!a.isAlive, "A must finish once B's marker lands")
+      // A REBASED: its increment ran against B's v2 (3 rows), landing as v3 —
+      // the serial order B then A
+      assert(aResult == 3L)
+      assert(VersionedTable.read(spark, root).as[(Long, Long)].collect().toMap
+        === Map(1L -> 11L, 2L -> 21L, 3L -> 31L))
+
+      // crashed-writer semantics: a stale claim with no progress blocks
+      // contenders (bounded attempts, then a descriptive throw)...
+      val claim4 = new org.apache.hadoop.fs.Path(root, "_commits/v4.claim")
+      fs.create(claim4, false).close()
+      val e = intercept[IllegalStateException] {
+        VersionedTable.commitContended(spark, root, maxAttempts = 3, waitMs = 10) {
+          cur => cur
+        }
+      }
+      assert(e.getMessage.contains("releaseClaim"))
+      // ...until the operator fences the dead writer and releases the claim
+      VersionedTable.releaseClaim(spark, root, 4L)
+      val v4 = VersionedTable.commitContended(spark, root) { cur =>
+        cur.filter(col("k") =!= 3L)
+      }
+      assert(v4 == 4L)
+      assert(VersionedTable.read(spark, root).count() == 2)
+      // happy-path claims never linger
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_commits/v4.claim")))
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true): Unit
+    }
+  }
+
   test("snapshot upsert replaces by key, inserts new keys; diff sees removals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/snap"
