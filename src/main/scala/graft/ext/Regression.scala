@@ -1,9 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Closed-form least-squares fitting of a small linear model over
+/** Closed-form least-squares fitting of small linear models over
   * corpus-scale integer features — the "train a quality/length probe on the
   * whole corpus" operator, done the way a 100 TB corpus allows: ONE
   * aggregation pass builds the d×d Gram matrix and the d-vector X·y (d²+d+1
@@ -12,11 +13,14 @@ import org.apache.spark.sql.functions._
   * rate, no convergence loop, no RNG, and bit-identical answers on any
   * cluster layout. The same construction under iterative training lives in
   * [[Similarity.lloydCentroidsQ]] (k-means) — this is its supervised,
-  * non-iterative sibling.
+  * non-iterative sibling. [[fitLinearPpmByGroup]] trains one model PER
+  * GROUP (per language / domain / source) in the same single pass — the
+  * driver solves |groups|·O(d³), bounded by group cardinality, never by
+  * corpus size.
   *
   * Weights surface as ppm integers ⌊10⁶·det(Aⱼ)/det(A)⌋ with
   * truncation-toward-zero division, which DuckDB's HUGEINT `//` mirrors
-  * exactly — the full fit sits under the SQL oracle gate (q172).
+  * exactly — the full fit sits under the SQL oracle gate (q172, q174).
   *
   * Scale notes: feature/label values must keep per-row products inside
   * Long (|x·y| < 2⁶³ — ANSI mode throws on violation rather than wrapping);
@@ -34,6 +38,40 @@ object Regression {
       sign * m(0)(j) * det(minor)
     }.sum
 
+  /** The Gram/moment aggregates for `features` against `label`: upper
+    * triangle of X'X, the X'y vector, and the row count — d²+d+1 columns. */
+  private def gramAggs(features: Seq[(String, Column)], label: Column): Seq[Column] = {
+    val d = features.size
+    val xs = features.map(_._2.cast("long"))
+    val y = label.cast("long")
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    (for (i <- 0 until d; j <- i until d)
+      yield dec(xs(i) * xs(j)).as(s"g_${i}_$j")) ++
+      (0 until d).map(i => dec(xs(i) * y).as(s"b_$i")) :+
+      count(lit(1)).as("n")
+  }
+
+  /** Cramer solve from one collected aggregate row: (n, Some(ppm weights)),
+    * or (n, None) when the Gram matrix is singular. */
+  private def solvePpm(row: Row, d: Int): (Long, Option[Seq[Long]]) = {
+    def big(name: String): BigInt =
+      BigInt(row.getAs[java.math.BigDecimal](name).toBigIntegerExact)
+    val gram = Vector.tabulate(d, d) { (i, j) =>
+      big(s"g_${math.min(i, j)}_${math.max(i, j)}")
+    }
+    val b = Vector.tabulate(d)(i => big(s"b_$i"))
+    val detA = det(gram)
+    val n = row.getAs[Long]("n")
+    if (detA == 0) (n, None)
+    else (n, Some((0 until d).map { j =>
+      // Cramer: column j of the Gram matrix replaced by the X·y vector
+      val replaced = Vector.tabulate(d, d)((r, c) => if (c == j) b(r) else gram(r)(c))
+      val w = (BigInt(1000000) * det(replaced)) / detA // trunc-toward-zero — DuckDB `//`
+      require(w.isValidLong, s"fitLinearPpm: weight $j overflows Long ppm")
+      w.toLong
+    }))
+  }
+
   /** Fit y ≈ Σⱼ wⱼ·xⱼ by exact integer normal equations.
     *
     * `features` are (name, integer column) pairs — include `lit(1L)` for an
@@ -45,36 +83,56 @@ object Regression {
       features: Seq[(String, Column)], label: Column): DataFrame = {
     val d = features.size
     require(d >= 1 && d <= 4, s"fitLinearPpm supports 1-4 features, got $d")
-    val xs = features.map(_._2.cast("long"))
-    val y = label.cast("long")
-    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
-    val aggs =
-      (for (i <- 0 until d; j <- i until d)
-        yield dec(xs(i) * xs(j)).as(s"g_${i}_$j")) ++
-        (0 until d).map(i => dec(xs(i) * y).as(s"b_$i")) :+
-        count(lit(1)).as("n")
+    val aggs = gramAggs(features, label)
     // d²+d+1 numbers — a bounded, corpus-size-independent collect
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def big(name: String): BigInt =
-      BigInt(row.getAs[java.math.BigDecimal](name).toBigIntegerExact)
-    val gram = Vector.tabulate(d, d) { (i, j) =>
-      big(s"g_${math.min(i, j)}_${math.max(i, j)}")
-    }
-    val b = Vector.tabulate(d)(i => big(s"b_$i"))
-    val detA = det(gram)
-    require(detA != 0, "fitLinearPpm: singular Gram matrix (collinear features)")
-    val wPpm = (0 until d).map { j =>
-      // Cramer: column j of the Gram matrix replaced by the X·y vector
-      val replaced = Vector.tabulate(d, d)((r, c) => if (c == j) b(r) else gram(r)(c))
-      val w = (BigInt(1000000) * det(replaced)) / detA // trunc-toward-zero — DuckDB `//`
-      require(w.isValidLong, s"fitLinearPpm: weight $j overflows Long ppm")
-      w.toLong
-    }
-    val names = "n" +: features.map { case (nm, _) => s"w_${nm}_ppm" }
+    val (n, ws) = solvePpm(row, d)
+    val wPpm = ws.getOrElse(throw new IllegalArgumentException(
+      "fitLinearPpm: singular Gram matrix (collinear features)"))
     spark.createDataFrame(Seq(Tuple1(0)))
       .select(
-        (lit(row.getAs[Long]("n")).as("n") +:
+        (lit(n).as("n") +:
           wPpm.zip(features).map { case (w, (nm, _)) => lit(w).as(s"w_${nm}_ppm") }): _*)
-      .select(names.map(col): _*)
+  }
+
+  /** Driver-side convenience: the fitted ppm weights as (name → ppm). */
+  def fitWeights(spark: SparkSession, df: DataFrame,
+      features: Seq[(String, Column)], label: Column): Seq[(String, Long)] = {
+    val one = fitLinearPpm(spark, df, features, label).collect()(0)
+    features.map { case (nm, _) => nm -> one.getAs[Long](s"w_${nm}_ppm") }
+  }
+
+  /** One model PER GROUP in a single pass: the Gram aggregation runs
+    * `groupBy(group)` (one shuffle keyed by group — the same cost as any
+    * per-group rollup), the driver solves |groups| tiny systems. Groups
+    * whose Gram matrix is singular (constant features, < d distinct
+    * points) get NULL weights rather than failing the fleet — a per-domain
+    * training run must survive degenerate domains. Output: (grp, n,
+    * w_<name>_ppm …), one row per group. */
+  def fitLinearPpmByGroup(spark: SparkSession, df: DataFrame, group: Column,
+      features: Seq[(String, Column)], label: Column): DataFrame = {
+    val d = features.size
+    require(d >= 1 && d <= 4, s"fitLinearPpmByGroup supports 1-4 features, got $d")
+    val aggs = gramAggs(features, label)
+    // bounded by GROUP cardinality (languages/sources/domains), not corpus
+    val rows = df.groupBy(group.cast("string").as("grp"))
+      .agg(aggs.head, aggs.tail: _*).collect().toSeq
+    val out = rows.map { row =>
+      val (n, ws) = solvePpm(row, d)
+      Row.fromSeq(row.getAs[String]("grp") +: n +:
+        (ws match {
+          case Some(w) => w
+          case None => Seq.fill[Any](d)(null)
+        }))
+    }
+    val schema = StructType(
+      StructField("grp", StringType, nullable = false) +:
+        StructField("n", LongType, nullable = false) +:
+        features.map { case (nm, _) =>
+          StructField(s"w_${nm}_ppm", LongType, nullable = true)
+        })
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 }

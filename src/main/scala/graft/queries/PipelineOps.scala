@@ -612,6 +612,42 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q174_per_group_probe" -> ((s, dir) => {
+      // One trained model PER LANGUAGE in a single pass: the Gram
+      // aggregation shuffles once keyed by lang; the driver solves
+      // |langs| tiny systems (bounded by group cardinality, never corpus
+      // size). Degenerate groups yield NULL weights instead of failing
+      // the fleet. Same exact-integer arithmetic as q172, replayed
+      // group-wise by the oracle.
+      graft.ext.Regression.fitLinearPpmByGroup(s, t(s, dir, "documents"),
+          col("lang"),
+          Seq("bias" -> lit(1L),
+            "ntok" -> TA.tokenCount(col("text")),
+            "stop" -> TA.stopTokenCount(col("text"))),
+          col("n_chars"))
+        .orderBy(col("grp"))
+    }),
+    "q173_probe_residual_gate" -> ((s, dir) => {
+      // Train → score → gate, fully under the oracle: fit the q172 probe,
+      // then flag documents whose n_chars deviates from what their token
+      // stats predict (truncated/garbage docs read as large residuals).
+      // The weights ride back as literals — scoring is a pure codegen'd
+      // projection at scan speed, the fastText serving shape with a
+      // corpus-trained model.
+      val docs = t(s, dir, "documents")
+      val feats = Seq("bias" -> lit(1L),
+        "ntok" -> TA.tokenCount(col("text")),
+        "stop" -> TA.stopTokenCount(col("text")))
+      val w = graft.ext.Regression.fitWeights(s, docs, feats, col("n_chars")).toMap
+      val pred = lit(w("bias")) +
+        lit(w("ntok")) * TA.tokenCount(col("text")) +
+        lit(w("stop")) * TA.stopTokenCount(col("text"))
+      docs.select(col("doc_id"),
+          (lit(1000000L) * col("n_chars") - pred).as("resid_ppm"))
+        .withColumn("keep", abs(col("resid_ppm")) <= lit(20000000L))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    }),
     "q172_linear_probe" -> ((s, dir) => {
       // Supervised probe TRAINING, closed-form: fit n_chars ≈ w₀ + w₁·n_tok
       // + w₂·n_stop over the whole corpus by exact integer normal
@@ -2455,6 +2491,71 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q174_per_group_probe" -> {
+      val A = Array(
+        Array("hn", "s1", "s2"),
+        Array("s1", "s11", "s12"),
+        Array("s2", "s12", "s22"))
+      def repl(j: Int): Array[Array[String]] =
+        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
+      raw"""WITH f AS (
+         |  SELECT lang AS grp,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         |      t -> list_contains($stopList, t))) AS HUGEINT) AS x2,
+         |    CAST(n_chars AS HUGEINT) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS HUGEINT) AS hn, CAST(count(*) AS BIGINT) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2,
+         |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |    sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2
+         |  FROM f GROUP BY grp),
+         |d AS (
+         |  SELECT grp, n, ${det3Sql(A)} AS dt,
+         |    ${det3Sql(repl(0))} AS d0, ${det3Sql(repl(1))} AS d1,
+         |    ${det3Sql(repl(2))} AS d2
+         |  FROM g)
+         |SELECT grp, n,
+         |  CASE WHEN dt = 0 THEN NULL
+         |    ELSE CAST((CAST(1000000 AS HUGEINT) * d0) // dt AS BIGINT) END AS w_bias_ppm,
+         |  CASE WHEN dt = 0 THEN NULL
+         |    ELSE CAST((CAST(1000000 AS HUGEINT) * d1) // dt AS BIGINT) END AS w_ntok_ppm,
+         |  CASE WHEN dt = 0 THEN NULL
+         |    ELSE CAST((CAST(1000000 AS HUGEINT) * d2) // dt AS BIGINT) END AS w_stop_ppm
+         |FROM d ORDER BY grp""".stripMargin
+    },
+    "q173_probe_residual_gate" -> {
+      val A = Array(
+        Array("hn", "s1", "s2"),
+        Array("s1", "s11", "s12"),
+        Array("s2", "s12", "s22"))
+      def repl(j: Int): Array[Array[String]] =
+        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
+      raw"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         |      t -> list_contains($stopList, t))) AS HUGEINT) AS x2,
+         |    CAST(n_chars AS HUGEINT) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS hn,
+         |    sum(x1) AS s1, sum(x2) AS s2,
+         |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |    sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2
+         |  FROM f),
+         |w AS (
+         |  SELECT
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(0))}) // ${det3Sql(A)} AS BIGINT) AS w0,
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(1))}) // ${det3Sql(A)} AS BIGINT) AS w1,
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(2))}) // ${det3Sql(A)} AS BIGINT) AS w2
+         |  FROM g)
+         |SELECT doc_id,
+         |  CAST(1000000 * y - (w0 + w1 * x1 + w2 * x2) AS BIGINT) AS resid_ppm,
+         |  abs(1000000 * y - (w0 + w1 * x1 + w2 * x2)) <= 20000000 AS keep
+         |FROM f, w WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    },
     "q172_linear_probe" -> {
       val A = Array(
         Array("hn", "s1", "s2"),

@@ -663,6 +663,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out === ((5L, 3000000L, 2000000L, 5000000L)))
   }
 
+  test("per-group probe fit: distinct exact models per group, NULL on degenerate") {
+    // group A: y = 1 + 2x; group B: y = 10 - 3x; group C: constant x → singular
+    val rows =
+      Seq(0L, 1L, 2L, 5L).map(x => ("A", x, 1L + 2 * x)) ++
+        Seq(0L, 1L, 3L, 4L).map(x => ("B", x, 10L - 3 * x)) ++
+        Seq(7L, 7L, 7L).map(x => ("C", x, x))
+    val df = rows.toDF("g", "x", "y")
+    val out = graft.ext.Regression.fitLinearPpmByGroup(spark, df, col("g"),
+        Seq("bias" -> lit(1L), "x" -> col("x")), col("y"))
+      .orderBy("grp")
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out === Seq(
+      ("A", 4L, Some(1000000L), Some(2000000L)),
+      ("B", 4L, Some(10000000L), Some(-3000000L)),
+      ("C", 3L, None, None)))
+  }
+
   test("linear probe fit: collinear features throw, never pseudo-solve") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 7L), (3L, 6L, 9L)).toDF("x1", "x2", "y")
     val e = intercept[IllegalArgumentException] {
