@@ -523,12 +523,88 @@ object Similarity {
     * (the verified-recall default — at the ≤512-row oracle scales the rule
     * returns exactly the floor, so gate behavior is unchanged) and capped
     * at 65536: past that the centroid table itself stops being a sane
-    * driver collect/broadcast, and the right construction is hierarchical
-    * (coarse cells → per-cell k-means), noted here so the cap doesn't
-    * silently fossilize. */
+    * driver collect/broadcast, and the right construction is
+    * [[hierarchicalAssignQ]] — fine centroids as a TABLE behind a
+    * group-keyed join, k unbounded (q175 pins it under the gate). */
   def semDedupClustersFor(corpusRows: Long, targetClusterSize: Long = 64): Int =
     math.min(65536L, math.max(8L,
       (corpusRows + targetClusterSize - 1) / targetClusterSize)).toInt
+
+  /** Two-level cell assignment where the FINE centroid set is a TABLE, not
+    * a kernel literal — the construction the [[semDedupClustersFor]] cap
+    * points at, usable whenever k outgrows what every executor can hold as
+    * a broadcast array (the literal kernels [[graft.functions.NearestCell]]
+    * /[[graft.functions.NearestCellPruned]] stay the fast path below it).
+    *
+    *   - `cents` is `(cell, cv)` with cells DENSE 0..k−1 (the Lloyd seed
+    *     convention); groups are STRUCTURAL: grp = cell div cellsPerGroup —
+    *     a blocking choice the oracle can restate verbatim (geometric
+    *     coherence of the ranges is the trainer's job: Lloyd output and
+    *     sharded training both emit locality-ordered ids).
+    *   - coarse = per-group elementwise floor-div means (one ≤g-row
+    *     aggregate via [[graft.functions.VecSumAggregator]]); each point
+    *     picks its nearest coarse mean through the tiered literal kernels
+    *     (g ≤ 65536 by construction).
+    *   - fine: points join their group's PACKED centroid row — flat k/g·dim
+    *     longs plus the parallel cell-id array — and
+    *     [[graft.functions.NearestInFlat]] argmins inside it. The join is
+    *     group-keyed: Spark broadcasts it while small and SHUFFLES it when
+    *     huge, so no single JVM ever materializes all k centroids — the
+    *     property that unbounds k.
+    *
+    * Deterministic always (ties to the lowest grp, then lowest cell);
+    * IVF-style two-level semantics: the answer is the best cell within the
+    * nearest coarse group, which equals the global argmin when
+    * cellsPerGroup ≥ k (one group — spec-pinned law) and approximates it
+    * otherwise, exactly like IVF nprobe=1 probing ([[ivfTopK]]).
+    *
+    * Returns (vec_id, cell, dist) — [[kmeansFit]]'s assignment contract. */
+  def hierarchicalAssignQ(q: DataFrame, cents: DataFrame,
+      cellsPerGroup: Int): DataFrame = {
+    require(cellsPerGroup >= 1, "hierarchicalAssignQ: cellsPerGroup >= 1")
+    val grouped = cents.select(col("cell"), col("cv"),
+      expr(s"cell div ${cellsPerGroup}L").as("grp"))
+    // coarse means: ≤g rows to the driver (g bounded by the kernel cap)
+    val coarseRows = grouped.groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.VecSumAggregator.sum(col("cv")).as("s"))
+      .collect().sortBy(_.getLong(0))
+    require(coarseRows.nonEmpty, "hierarchicalAssignQ: empty centroid table")
+    require(coarseRows.head.getLong(0) == 0L &&
+      coarseRows.last.getLong(0) == coarseRows.length - 1L,
+      "hierarchicalAssignQ: cells must be dense 0..k-1")
+    val coarse: Array[Seq[Long]] = coarseRows.map { r =>
+      val cnt = r.getLong(1)
+      r.getSeq[Long](2).map(Math.floorDiv(_, cnt))
+    }
+    val packed = grouped
+      .groupBy(col("grp")).agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("cell"), col("cv")))),
+          x => x.getField("cv"))).as("flat"),
+        transform(
+          array_sort(collect_list(struct(col("cell"), col("cv")))),
+          x => x.getField("cell")).as("cells"))
+    q.select(col("vec_id"), col("qv"),
+        bestCell(col("qv"), coarse).getField("c").as("grp"))
+      .join(packed, "grp")
+      .select(col("vec_id"), col("cells"),
+        graft.functions.VectorExpressions.nearestInFlat(col("qv"), col("flat")).as("r"))
+      .select(col("vec_id"),
+        get(col("cells"), col("r").getField("c").cast("int")).as("cell"),
+        col("r").getField("d").as("dist"))
+  }
+
+  /** [[hierarchicalAssignQ]] over raw float embeddings with the k-lowest-id
+    * seed convention ([[ivfTopK]]'s untrained-centroid pattern): cell j =
+    * quantized vector j. */
+  def hierarchicalAssign(emb: DataFrame, k: Int, cellsPerGroup: Int,
+      quant: Double = 1e6): DataFrame = {
+    val q = quantized(emb, quant)
+    hierarchicalAssignQ(q,
+      q.filter(col("vec_id") < k).select(col("vec_id").as("cell"), col("qv").as("cv")),
+      cellsPerGroup)
+  }
 
   def semDedup(emb: DataFrame, nClusters: Int, iters: Int,
       minCos: Double, quant: Double = 1e6): DataFrame = {

@@ -447,10 +447,110 @@ object NearestCellPruned {
   }
 }
 
+/** Nearest centroid where the candidate set arrives as a COLUMN — a flat
+  * `array<long>` of `k·dim` longs riding in the row — instead of a driver
+  * literal. This is the unbounded-k building block: [[NearestCell]] /
+  * [[NearestCellPruned]] reference one driver-held array, which caps k at
+  * what a single JVM (and every executor, via the broadcast) can hold;
+  * here the centroid payload is DATA, so a join keyed by coarse group
+  * distributes it — each task holds only ITS groups' centroids
+  * ([[graft.ext.Similarity.hierarchicalAssignQ]]).
+  *
+  * Returns `struct(d, c)` with `c` the LOCAL 0-based candidate index (the
+  * caller maps it through its parallel cell-id array), ties to the lowest
+  * index — the same (d, c) struct-min contract as the literal kernels.
+  *
+  * NULL when: either array is NULL, any element is NULL, the vector is
+  * empty, or the flat length is not a positive multiple of the vector
+  * length (a torn centroid pack must not yield a plausible cell). */
+case class NearestInFlat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_in_flat"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_in_flat needs (array<bigint>, array<bigint>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val f = b.asInstanceOf[ArrayData]
+    val res = NearestInFlat.search(v, f)
+    if (res == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(res(0), res(1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, f) => {
+      val res = ctx.freshName("res")
+      s"""
+         |long[] $res = graft.functions.NearestInFlat.search($v, $f);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{java.lang.Long.valueOf($res[0]), java.lang.Long.valueOf($res[1])});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestInFlat = copy(left = newLeft, right = newRight)
+}
+
+object NearestInFlat {
+  /** Shared search kernel (eval + generated code): argmin over the packed
+    * candidates, ties to the lowest index; null (as Java null) on any
+    * malformed input per the expression contract. */
+  def search(v: ArrayData, f: ArrayData): Array[Long] = {
+    val dim = v.numElements()
+    val fn = f.numElements()
+    if (dim == 0 || fn == 0 || fn % dim != 0) return null
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
+    var i = 0
+    while (i < fn) {
+      if (f.isNullAt(i)) return null
+      i += 1
+    }
+    val k = fn / dim
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var c = 0
+    while (c < k) {
+      var d = 0L
+      val off = c * dim
+      var jj = 0
+      while (jj < dim) {
+        val t = v.getLong(jj) - f.getLong(off + jj)
+        d += t * t
+        jj += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c.toLong }
+      c += 1
+    }
+    Array(bestD, bestC)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.Bridge
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def nearestInFlat(v: Column, flat: Column): Column =
+    Bridge.column(NearestInFlat(Bridge.expression(v), Bridge.expression(flat)))
   def nearestCell(v: Column, cents: Array[Seq[Long]]): Column = {
     require(cents.nonEmpty && cents.map(_.length).distinct.length == 1,
       "nearest_cell: centroids must be non-empty and same-dimension")

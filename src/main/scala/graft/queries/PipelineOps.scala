@@ -612,6 +612,22 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q175_hierarchical_cells" -> ((s, dir) => {
+      // The unbounded-k cell assignment (the construction semDedup's
+      // 65536-cluster cap points at): fine centroids live in a TABLE and
+      // reach points through a group-keyed join — broadcast while small,
+      // SHUFFLED when huge, so no JVM ever holds all k centroids; points
+      // pick a coarse group through the literal kernels, then
+      // NearestInFlat argmins inside the group's packed row. IVF-style
+      // two-level semantics (nprobe=1), deterministic ties, every step
+      // integer — the oracle replays coarse means, coarse argmin, and
+      // in-group argmin verbatim.
+      Similarity.hierarchicalAssign(t(s, dir, "embeddings"),
+          k = 24, cellsPerGroup = 6)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"),
+          sum(col("vec_id")).as("checksum"), min(col("dist")).as("min_dist"))
+        .orderBy(col("cell"))
+    }),
     "q174_per_group_probe" -> ((s, dir) => {
       // One trained model PER LANGUAGE in a single pass: the Gram
       // aggregation shuffles once keyed by lang; the driver solves
@@ -2491,6 +2507,40 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q175_hierarchical_cells" ->
+      """WITH qe AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, qv AS cv, vec_id // 6 AS grp
+        |       FROM qe WHERE vec_id < 24),
+        |cs AS (
+        |  SELECT grp, ii.i AS pos, sum(cv[ii.i]) AS s, count(*) AS cnt
+        |  FROM c0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY grp, ii.i),
+        |cm AS (SELECT grp,
+        |    list(CAST((s - ((s % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS mv
+        |  FROM cs GROUP BY grp),
+        |dg AS (
+        |  SELECT q.vec_id, q.qv, m.grp,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (q.qv[i] - m.mv[i]) * (q.qv[i] - m.mv[i]))) AS BIGINT) AS dist
+        |  FROM qe q CROSS JOIN cm m),
+        |ag AS (SELECT vec_id, qv, grp FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, grp) AS rn
+        |    FROM dg) WHERE rn = 1),
+        |df AS (
+        |  SELECT a.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+        |  FROM ag a JOIN c0 c ON c.grp = a.grp),
+        |af AS (SELECT vec_id, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM df) WHERE rn = 1)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS checksum,
+        |  CAST(min(dist) AS BIGINT) AS min_dist
+        |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
     "q174_per_group_probe" -> {
       val A = Array(
         Array("hn", "s1", "s2"),

@@ -652,6 +652,50 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("hierarchical assignment: one group = exact argmin; grouped = in-group argmin") {
+    val r = new scala.util.Random(7)
+    val dim = 6
+    val k = 20
+    val n = 150
+    val raw = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 2 - 1)))
+    val emb = raw.toDF("vec_id", "embedding")
+    // Scala replay of the operator's exact arithmetic
+    val qv = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong).toSeq
+    }.toMap
+    val cents = (0 until k).map(c => qv(c.toLong))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def argmin(cands: Seq[(Long, Long)]): (Long, Long) = // (id, dist) → min by (d, id)
+      cands.minBy { case (c, d) => (d, c) } match { case (c, d) => (c, d) }
+
+    // law 1: cellsPerGroup ≥ k (single group) ≡ global exact assignment
+    val one = graft.ext.Similarity.hierarchicalAssign(emb, k, cellsPerGroup = k)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    raw.foreach { case (id, _) =>
+      val exp = argmin((0 until k).map(c => (c.toLong, d2(qv(id), cents(c)))))
+      assert(one(id) === ((exp._1, exp._2)),
+        s"one-group mismatch at $id: got ${one(id)}, want cell=${exp._1} d=${exp._2}")
+    }
+
+    // law 2: grouped = best cell WITHIN the nearest coarse-mean group
+    val m = 5 // 4 groups of 5
+    val grouped = graft.ext.Similarity.hierarchicalAssign(emb, k, cellsPerGroup = m)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val coarse = (0 until k / m).map { g =>
+      val mem = (g * m until (g + 1) * m).map(cents)
+      (0 until dim).map(j => Math.floorDiv(mem.map(_(j)).sum, mem.size.toLong))
+    }
+    raw.foreach { case (id, _) =>
+      val (bg, _) = argmin(coarse.indices.map(g => (g.toLong, d2(qv(id), coarse(g)))))
+      val exp = argmin((bg.toInt * m until (bg.toInt + 1) * m)
+        .map(c => (c.toLong, d2(qv(id), cents(c)))))
+      assert(grouped(id) === ((exp._1, exp._2)),
+        s"grouped mismatch at $id: got ${grouped(id)}, want $exp")
+    }
+  }
+
   test("linear probe fit: planted exact relation recovers exact ppm weights") {
     // y = 3 + 2·x1 + 5·x2 exactly → Cramer returns the exact integers
     val pts = Seq((1L, 0L), (0L, 1L), (2L, 3L), (4L, 1L), (7L, 2L))

@@ -169,6 +169,44 @@ class PropertiesSpec extends AnyFunSuite {
     assert(bad.head().isNullAt(0))
   }
 
+  test("nearest-in-flat: column-resident candidates match the literal kernel; strict NULLs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = new scala.util.Random(91)
+    val dim = 8
+    val k = 12
+    val cents: Array[Seq[Long]] =
+      Array.fill(k)(Seq.fill(dim)(r.nextLong() % 100000L))
+    val withDup = cents.updated(9, cents(3)) // duplicate → tie probe
+    val flat = withDup.flatten.toSeq
+    val vecs = Seq.fill(120)(Array.fill(dim)(r.nextLong() % 100000L)) :+
+      withDup(3).toArray
+    val df = vecs.toDF("qv").withColumn("flat", typedlit(flat))
+    val both = df.select(
+      graft.functions.VectorExpressions.nearestCell(col("qv"), withDup).as("lit"),
+      graft.functions.VectorExpressions.nearestInFlat(col("qv"), col("flat")).as("fc"))
+    assert(both.filter(col("lit.d") =!= col("fc.d") ||
+      col("lit.c") =!= col("fc.c")).count() == 0)
+    // the duplicate-candidate probe takes the LOWEST local index
+    val tie = Seq(withDup(3).toArray).toDF("qv").withColumn("flat", typedlit(flat))
+      .select(graft.functions.VectorExpressions
+        .nearestInFlat(col("qv"), col("flat")).getField("c")).head().getLong(0)
+    assert(tie == 3L, s"tie must take the lowest index, got $tie")
+    // flat length not a multiple of the vector length → NULL (torn pack)
+    val bad = Seq((Array(1L, 2L, 3L), Array(1L, 2L, 3L, 4L))).toDF("qv", "flat")
+      .select(graft.functions.VectorExpressions.nearestInFlat(col("qv"), col("flat")))
+    assert(bad.head().isNullAt(0))
+    // NULL element anywhere → NULL
+    val ne = spark.sql("SELECT array(1L, 2L) AS qv, array(1L, NULL, 3L, 4L) AS fl")
+      .select(graft.functions.VectorExpressions.nearestInFlat(col("qv"), col("fl")))
+    assert(ne.head().isNullAt(0))
+    // empty vector → NULL, never a 0-distance cell
+    val ev = spark.sql(
+      "SELECT CAST(array() AS ARRAY<BIGINT>) AS qv, array(1L, 2L) AS fl")
+      .select(graft.functions.VectorExpressions.nearestInFlat(col("qv"), col("fl")))
+    assert(ev.head().isNullAt(0))
+  }
+
   test("dot-product yields NULL on mismatched vector lengths, not a truncated value") {
     val spark = TestSpark.spark
     import spark.implicits._
