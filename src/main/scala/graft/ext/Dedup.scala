@@ -317,7 +317,10 @@ object Dedup {
     * string-set counts absent ~k²/2⁶⁵ collisions) — then a self-join keyed
     * by the hash whose output is bounded by |groups|², never by corpus
     * size. Group cardinality is assumed small (sources/crawls); for
-    * thousands of groups, band the gram space first. */
+    * thousands of groups, band the gram space first. The ppm numerator is
+    * Long arithmetic under ANSI: past ~9.2·10¹² shared shingles per pair
+    * (10⁶·|A∩B| at the Long boundary) it throws rather than wraps — switch
+    * the ppm column to DECIMAL if a corpus ever gets there. */
   def groupShingleOverlap(docs: DataFrame, group: Column, text: Column,
       n: Int): DataFrame = {
     val sh = docs

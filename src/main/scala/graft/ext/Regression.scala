@@ -54,6 +54,9 @@ object Regression {
   /** Cramer solve from one collected aggregate row: (n, Some(ppm weights)),
     * or (n, None) when the Gram matrix is singular. */
   private def solvePpm(row: Row, d: Int): (Long, Option[Seq[Long]]) = {
+    // empty input: the decimal sums are NULL — report (0, singular) instead
+    // of tripping over them (fitLinearPpm turns that into a clear throw)
+    if (row.getAs[Long]("n") == 0L) return (0L, None)
     def big(name: String): BigInt =
       BigInt(row.getAs[java.math.BigDecimal](name).toBigIntegerExact)
     val gram = Vector.tabulate(d, d) { (i, j) =>
@@ -88,7 +91,8 @@ object Regression {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val (n, ws) = solvePpm(row, d)
     val wPpm = ws.getOrElse(throw new IllegalArgumentException(
-      "fitLinearPpm: singular Gram matrix (collinear features)"))
+      if (n == 0) "fitLinearPpm: empty input"
+      else "fitLinearPpm: singular Gram matrix (collinear features)"))
     spark.createDataFrame(Seq(Tuple1(0)))
       .select(
         (lit(n).as("n") +:

@@ -552,6 +552,10 @@ object Similarity {
     *     huge, so no single JVM ever materializes all k centroids — the
     *     property that unbounds k.
     *
+    * Malformed vectors (wrong length / NULL elements) DROP: the strict-NULL
+    * kernels yield a NULL group, which joins nothing — corrupt embeddings
+    * become visible by absence, never a plausible cell.
+    *
     * Deterministic always (ties to the lowest grp, then lowest cell);
     * IVF-style two-level semantics: the answer is the best cell within the
     * nearest coarse group, which equals the global argmin when
@@ -578,13 +582,11 @@ object Similarity {
       r.getSeq[Long](2).map(Math.floorDiv(_, cnt))
     }
     val packed = grouped
-      .groupBy(col("grp")).agg(
-        flatten(transform(
-          array_sort(collect_list(struct(col("cell"), col("cv")))),
-          x => x.getField("cv"))).as("flat"),
-        transform(
-          array_sort(collect_list(struct(col("cell"), col("cv")))),
-          x => x.getField("cell")).as("cells"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("ms"))
+      .select(col("grp"),
+        flatten(transform(col("ms"), x => x.getField("cv"))).as("flat"),
+        transform(col("ms"), x => x.getField("cell")).as("cells"))
     q.select(col("vec_id"), col("qv"),
         bestCell(col("qv"), coarse).getField("c").as("grp"))
       .join(packed, "grp")

@@ -724,6 +724,15 @@ class ExtSpec extends AnyFunSuite {
       ("C", 3L, None, None)))
   }
 
+  test("linear probe fit: empty input throws a clear error, not an NPE") {
+    val df = Seq((1L, 2L)).toDF("x", "y").filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Regression.fitLinearPpm(spark, df,
+        Seq("bias" -> lit(1L), "x" -> col("x")), col("y"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("linear probe fit: collinear features throw, never pseudo-solve") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 7L), (3L, 6L, 9L)).toDF("x1", "x2", "y")
     val e = intercept[IllegalArgumentException] {
