@@ -474,6 +474,41 @@ object Curation {
       .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"), col("lift"))
   }
 
+  /** Length-bucketed dynamic batching: group documents of similar token
+    * length into fixed-size batches so per-batch padding (every sequence
+    * pads to the batch max) stays small — the throughput knob every
+    * training loader turns. Buckets are power-of-two length bands computed
+    * WITHOUT floats (`length(bin(n))` = position of the highest set bit —
+    * log2 through a double can misround at exact powers); within a
+    * (bucket, shard) the docs sort by (n_tok, doc_id) and chop into
+    * `batchSize` runs. Windows are SHARDED (`doc_id % shards`) like
+    * [[sequencePack]] — a global per-bucket window would serialize each
+    * bucket through one task; shard-local batch ids keep every partition
+    * bounded and the whole assignment deterministic.
+    *
+    * Returns one row per BATCH: (bucket, shard, batch, n_docs, max_tok,
+    * sum_tok, waste) with waste = n_docs·max_tok − sum_tok, the padding
+    * tokens the bucketing exists to minimize. */
+  def lengthBucketBatches(docs: DataFrame, id: Column, text: Column,
+      batchSize: Int, shards: Int): DataFrame = {
+    require(batchSize >= 1 && shards >= 1,
+      "lengthBucketBatches: batchSize and shards must be >= 1")
+    val n = TextAnalysis.tokenCount(text)
+    val base = docs.select(id.as("doc_id"), n.as("n_tok"))
+      .withColumn("bucket", length(bin(col("n_tok"))).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    base
+      .withColumn("rn0", row_number().over(w).cast("long") - 1)
+      .withColumn("batch", expr(s"rn0 div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
   /** Intra-document repetition signals (quality-filter features): total
     * token count, distinct-token ratio, and top-token dominance (count of
     * the most frequent token over all tokens — boilerplate and degenerate

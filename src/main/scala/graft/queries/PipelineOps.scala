@@ -612,6 +612,17 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q176_length_batching" -> ((s, dir) => {
+      // Length-bucketed dynamic batching (the loader-throughput knob):
+      // power-of-two length bands via length(bin(n)) — highest set bit,
+      // no float log2 — then sharded windows chop each band into
+      // batchSize runs; per-batch padding waste = n·max − sum is the
+      // metric the bucketing minimizes. Deterministic end to end, one
+      // (bucket, shard)-keyed window shuffle.
+      Curation.lengthBucketBatches(t(s, dir, "documents"),
+          col("doc_id"), col("text"), batchSize = 8, shards = 4)
+        .orderBy(col("bucket"), col("shard"), col("batch"))
+    }),
     "q175_hierarchical_cells" -> ((s, dir) => {
       // The unbounded-k cell assignment (the construction semDedup's
       // 65536-cluster cap points at): fine centroids live in a TABLE and
@@ -2507,6 +2518,27 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q176_length_batching" ->
+      raw"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(length(printf('%b', n_tok)) AS BIGINT) AS bucket,
+         |    doc_id % 4 AS shard
+         |  FROM b),
+         |r AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+         |      ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+         |  FROM base)
+         |SELECT bucket, shard, batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste
+         |FROM r GROUP BY bucket, shard, batch
+         |ORDER BY bucket, shard, batch""".stripMargin,
     "q175_hierarchical_cells" ->
       """WITH qe AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -772,6 +772,59 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Seq(("A", "B", 1L, 2L, 2L, 333333L)))
   }
 
+  test("repetition kernels match a Scala reference on 500 random small-vocab docs") {
+    // tiny vocabulary → dense ties, repeats, and every short-doc edge
+    val r = new scala.util.Random(123)
+    val vocab = Vector("a", "b", "c", "aa", "bb")
+    val docs = (0 until 500).map { i =>
+      val n = r.nextInt(12) // includes 0/1/2-token docs
+      (i.toLong, Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    def toks(s: String): Seq[String] = s.trim.split("\\s+").toSeq
+    def grams(t: Seq[String], n: Int): Seq[String] =
+      if (t.size < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+    def modal(xs: Seq[String]): Long =
+      if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+    def cover(t: Seq[String]): Long = {
+      val tri = grams(t, 3)
+      val rep = tri.groupBy(identity).collect { case (g, o) if o.size >= 2 => g }.toSet
+      tri.zipWithIndex.collect { case (g, i) if rep(g) => Seq(i, i + 1, i + 2) }
+        .flatten.distinct.size.toLong
+    }
+    val got = docs.toDF("doc_id", "text").select(col("doc_id"),
+        TextAnalysis.topTokenCount(col("text")).as("t1"),
+        TextAnalysis.topBigramCount(col("text")).as("t2"),
+        TextAnalysis.distinctTokenCount(col("text")).as("d"),
+        TextAnalysis.repeatedTrigramCover(col("text")).as("r3"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    docs.foreach { case (id, text) =>
+      val t = toks(text)
+      val exp = (modal(t), modal(grams(t, 2)), t.distinct.size.toLong, cover(t))
+      assert(got(id) === exp, s"doc $id '$text': got ${got(id)}, want $exp")
+    }
+  }
+
+  test("length-bucketed batching: every doc in exactly one batch, waste arithmetic exact") {
+    val docs = Seq(
+      (0L, "a"), (1L, "a b"), (2L, "a b c"), (3L, "a b c d"),
+      (4L, "a b c d e"), (5L, "a b c d e f g h"), (6L, "a"), (7L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Curation.lengthBucketBatches(docs, col("doc_id"), col("text"),
+        batchSize = 2, shards = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // total docs across batches = corpus size; waste = n*max - sum per batch
+    assert(out.map(_._4).sum === 8L)
+    out.foreach { case (_, _, _, n, mx, sm, waste) =>
+      assert(waste === n * mx - sm)
+      assert(n <= 2)
+    }
+    // bucket = highest-set-bit position of token count: doc 5 (8 tokens) → 4
+    val b5 = Curation.lengthBucketBatches(docs, col("doc_id"), col("text"), 2, 1)
+      .filter(col("max_tok") === 8L).select("bucket").as[Long].head()
+    assert(b5 === 4L)
+  }
+
   test("repetition keep gate: fluent doc passes, hammered doc fails") {
     val fluent = ("w" +: (1 to 19).map(i => s"tok$i")).mkString(" ") // 20 distinct tokens
     val hammer = Seq.fill(20)("spam").mkString(" ")                  // one token 20×
