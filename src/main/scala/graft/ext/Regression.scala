@@ -38,6 +38,14 @@ object Regression {
       sign * m(0)(j) * det(minor)
     }.sum
 
+  /** Rows where EVERY feature and the label are non-null — the only rows
+    * that can enter the moments consistently (`sum` skips NULL products
+    * while `count` would not, which would mix moments over different row
+    * subsets into silently wrong weights). Both fit entry points filter on
+    * this and report `n` = rows actually fitted. */
+  private def nonNullRows(features: Seq[(String, Column)], label: Column): Column =
+    (features.map(_._2) :+ label).map(_.isNotNull).reduce(_ && _)
+
   /** The Gram/moment aggregates for `features` against `label`: upper
     * triangle of X'X, the X'y vector, and the row count — d²+d+1 columns. */
   private def gramAggs(features: Seq[(String, Column)], label: Column): Seq[Column] = {
@@ -55,8 +63,16 @@ object Regression {
     * or (n, None) when the Gram matrix is singular. */
   private def solvePpm(row: Row, d: Int): (Long, Option[Seq[Long]]) = {
     // empty input: the decimal sums are NULL — report (0, singular) instead
-    // of tripping over them (fitLinearPpm turns that into a clear throw)
-    if (row.getAs[Long]("n") == 0L) return (0L, None)
+    // of tripping over them (fitLinearPpm turns that into a clear throw).
+    // The null-row filter upstream makes non-empty sums non-null; a guard
+    // over the MOMENT fields (never e.g. a legitimately-null group key)
+    // keeps a future caller's unfiltered row from NPE-ing anyway.
+    val momentNames =
+      (for (i <- 0 until d; j <- i until d) yield s"g_${i}_$j") ++
+        (0 until d).map(i => s"b_$i")
+    if (row.getAs[Long]("n") == 0L ||
+      momentNames.exists(nm => row.isNullAt(row.fieldIndex(nm))))
+      return (row.getAs[Long]("n"), None)
     def big(name: String): BigInt =
       BigInt(row.getAs[java.math.BigDecimal](name).toBigIntegerExact)
     val gram = Vector.tabulate(d, d) { (i, j) =>
@@ -88,7 +104,8 @@ object Regression {
     require(d >= 1 && d <= 4, s"fitLinearPpm supports 1-4 features, got $d")
     val aggs = gramAggs(features, label)
     // d²+d+1 numbers — a bounded, corpus-size-independent collect
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.filter(nonNullRows(features, label))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
     val (n, ws) = solvePpm(row, d)
     val wPpm = ws.getOrElse(throw new IllegalArgumentException(
       if (n == 0) "fitLinearPpm: empty input"
@@ -118,8 +135,12 @@ object Regression {
     val d = features.size
     require(d >= 1 && d <= 4, s"fitLinearPpmByGroup supports 1-4 features, got $d")
     val aggs = gramAggs(features, label)
-    // bounded by GROUP cardinality (languages/sources/domains), not corpus
-    val rows = df.groupBy(group.cast("string").as("grp"))
+    // bounded by GROUP cardinality (languages/sources/domains), not corpus.
+    // NULL group KEYS survive (they train their own "null" model — dirty
+    // keys must not kill the fleet); null-FEATURE rows are excluded like
+    // the global fit.
+    val rows = df.filter(nonNullRows(features, label))
+      .groupBy(group.cast("string").as("grp"))
       .agg(aggs.head, aggs.tail: _*).collect().toSeq
     val out = rows.map { row =>
       val (n, ws) = solvePpm(row, d)
@@ -130,7 +151,7 @@ object Regression {
         }))
     }
     val schema = StructType(
-      StructField("grp", StringType, nullable = false) +:
+      StructField("grp", StringType, nullable = true) +:
         StructField("n", LongType, nullable = false) +:
         features.map { case (nm, _) =>
           StructField(s"w_${nm}_ppm", LongType, nullable = true)

@@ -568,15 +568,26 @@ object Similarity {
     require(cellsPerGroup >= 1, "hierarchicalAssignQ: cellsPerGroup >= 1")
     val grouped = cents.select(col("cell"), col("cv"),
       expr(s"cell div ${cellsPerGroup}L").as("grp"))
-    // coarse means: ≤g rows to the driver (g bounded by the kernel cap)
+    // coarse means: ≤g rows to the driver (g bounded by the kernel cap);
+    // the same pass carries the density evidence — per-group distinct cell
+    // counts plus global min/max prove cells are EXACTLY 0..k-1 (groups
+    // partition the id space by construction, so distinct-within-group +
+    // global bounds + total count imply global density)
     val coarseRows = grouped.groupBy(col("grp"))
       .agg(count(lit(1)).as("cnt"),
-        graft.functions.VecSumAggregator.sum(col("cv")).as("s"))
+        graft.functions.VecSumAggregator.sum(col("cv")).as("s"),
+        countDistinct(col("cell")).as("nd"),
+        min(col("cell")).as("mn"), max(col("cell")).as("mx"))
       .collect().sortBy(_.getLong(0))
     require(coarseRows.nonEmpty, "hierarchicalAssignQ: empty centroid table")
     require(coarseRows.head.getLong(0) == 0L &&
       coarseRows.last.getLong(0) == coarseRows.length - 1L,
-      "hierarchicalAssignQ: cells must be dense 0..k-1")
+      "hierarchicalAssignQ: groups must be dense 0..g-1")
+    val k = coarseRows.map(_.getLong(1)).sum
+    require(coarseRows.forall(r => r.getLong(3) == r.getLong(1)) &&
+      coarseRows.map(_.getLong(4)).min == 0L &&
+      coarseRows.map(_.getLong(5)).max == k - 1,
+      "hierarchicalAssignQ: cells must be dense and duplicate-free 0..k-1")
     val coarse: Array[Seq[Long]] = coarseRows.map { r =>
       val cnt = r.getLong(1)
       r.getSeq[Long](2).map(Math.floorDiv(_, cnt))

@@ -1666,6 +1666,16 @@ object PipelineOps {
 
   private val stopList = "['the','a','an','of','to','in','is','and','or','for']"
 
+  /** The shared symbol layout of the q172/q173/q174 probe oracles: the 3×3
+    * Gram matrix over (bias, x1, x2) and the column-j replacement for the
+    * Cramer solve. */
+  private val gramA = Array(
+    Array("hn", "s1", "s2"),
+    Array("s1", "s11", "s12"),
+    Array("s2", "s12", "s22"))
+  private def gramRepl(j: Int): Array[Array[String]] =
+    Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else gramA(r)(c))
+
   /** 3×3 determinant as a SQL expression string (cofactor expansion along
     * the first row) — generates the Cramer solve the q172 oracle runs in
     * HUGEINT, mirroring [[graft.ext.Regression.det]] term for term. */
@@ -2574,12 +2584,6 @@ object PipelineOps {
         |  CAST(min(dist) AS BIGINT) AS min_dist
         |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
     "q174_per_group_probe" -> {
-      val A = Array(
-        Array("hn", "s1", "s2"),
-        Array("s1", "s11", "s12"),
-        Array("s2", "s12", "s22"))
-      def repl(j: Int): Array[Array[String]] =
-        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
       raw"""WITH f AS (
          |  SELECT lang AS grp,
          |    CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
@@ -2594,9 +2598,9 @@ object PipelineOps {
          |    sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2
          |  FROM f GROUP BY grp),
          |d AS (
-         |  SELECT grp, n, ${det3Sql(A)} AS dt,
-         |    ${det3Sql(repl(0))} AS d0, ${det3Sql(repl(1))} AS d1,
-         |    ${det3Sql(repl(2))} AS d2
+         |  SELECT grp, n, ${det3Sql(gramA)} AS dt,
+         |    ${det3Sql(gramRepl(0))} AS d0, ${det3Sql(gramRepl(1))} AS d1,
+         |    ${det3Sql(gramRepl(2))} AS d2
          |  FROM g)
          |SELECT grp, n,
          |  CASE WHEN dt = 0 THEN NULL
@@ -2608,12 +2612,6 @@ object PipelineOps {
          |FROM d ORDER BY grp""".stripMargin
     },
     "q173_probe_residual_gate" -> {
-      val A = Array(
-        Array("hn", "s1", "s2"),
-        Array("s1", "s11", "s12"),
-        Array("s2", "s12", "s22"))
-      def repl(j: Int): Array[Array[String]] =
-        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
       raw"""WITH f AS (
          |  SELECT doc_id,
          |    CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
@@ -2629,9 +2627,9 @@ object PipelineOps {
          |  FROM f),
          |w AS (
          |  SELECT
-         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(0))}) // ${det3Sql(A)} AS BIGINT) AS w0,
-         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(1))}) // ${det3Sql(A)} AS BIGINT) AS w1,
-         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(2))}) // ${det3Sql(A)} AS BIGINT) AS w2
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(0))}) // ${det3Sql(gramA)} AS BIGINT) AS w0,
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(1))}) // ${det3Sql(gramA)} AS BIGINT) AS w1,
+         |    CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(2))}) // ${det3Sql(gramA)} AS BIGINT) AS w2
          |  FROM g)
          |SELECT doc_id,
          |  CAST(1000000 * y - (w0 + w1 * x1 + w2 * x2) AS BIGINT) AS resid_ppm,
@@ -2639,12 +2637,6 @@ object PipelineOps {
          |FROM f, w WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
     },
     "q172_linear_probe" -> {
-      val A = Array(
-        Array("hn", "s1", "s2"),
-        Array("s1", "s11", "s12"),
-        Array("s2", "s12", "s22"))
-      def repl(j: Int): Array[Array[String]] =
-        Array.tabulate(3, 3)((r, c) => if (c == j) s"b$r" else A(r)(c))
       raw"""WITH f AS (
          |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS x1,
          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -2658,9 +2650,9 @@ object PipelineOps {
          |    sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2
          |  FROM f)
          |SELECT n,
-         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(0))}) // ${det3Sql(A)} AS BIGINT) AS w_bias_ppm,
-         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(1))}) // ${det3Sql(A)} AS BIGINT) AS w_ntok_ppm,
-         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(repl(2))}) // ${det3Sql(A)} AS BIGINT) AS w_stop_ppm
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(0))}) // ${det3Sql(gramA)} AS BIGINT) AS w_bias_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(1))}) // ${det3Sql(gramA)} AS BIGINT) AS w_ntok_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT) * ${det3Sql(gramRepl(2))}) // ${det3Sql(gramA)} AS BIGINT) AS w_stop_ppm
          |FROM g""".stripMargin
     },
     "q171_source_overlap" ->

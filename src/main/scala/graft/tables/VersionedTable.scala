@@ -101,17 +101,28 @@ object VersionedTable {
       expectedNext: Long): Long = {
     val (fs, p) = fsFor(spark, root)
     val data = dataDir(p, expectedNext)
+    val cd = commitsDir(p)
+    if (!fs.exists(cd)) fs.mkdirs(cd)
+    val marker = new Path(cd, s"v$expectedNext.ok")
+    // NEVER overwrite a COMMITTED version: if the marker exists and its data
+    // is complete, some other writer already owns this number — deleting its
+    // directory here would be the lost-update this protocol exists to
+    // prevent. A marker whose data never completed (tampering / partial
+    // vacuum) is dead weight readers already skip — clear it and proceed.
+    if (fs.exists(marker)) {
+      if (fs.exists(new Path(data, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"versioned commit: v$expectedNext at $root is already committed")
+      fs.delete(marker, false)
+    }
     // a dangling (unmarked) directory from a crashed writer is invisible to
     // readers and safe to clear before reuse
     if (fs.exists(data)) fs.delete(data, true)
     df.write.mode("errorifexists").parquet(data.toString)
     require(fs.exists(new Path(data, "_SUCCESS")),
       s"versioned commit: $data write left no _SUCCESS marker")
-    val cd = commitsDir(p)
-    if (!fs.exists(cd)) fs.mkdirs(cd)
     // overwrite = false: the atomic claim — a concurrent writer of the same
     // version fails here, AFTER its data write, never corrupting the log
-    val marker = new Path(cd, s"v$expectedNext.ok")
     val out = fs.create(marker, false)
     out.close()
     expectedNext
@@ -119,25 +130,42 @@ object VersionedTable {
 
   /** Optimistic multi-writer commit — the coordination layer single-writer
     * [[commit]] deliberately omits. Writers serialize through version-number
-    * CLAIMS: `_commits/v{N}.claim` is created with `overwrite = false` (an
-    * atomic PUT-if-absent on HDFS and strongly-consistent object stores),
-    * the claim winner derives its data from v{N−1} and commits v{N}, losers
+    * CLAIMS: `_commits/v{N}.claim` is created with `overwrite = false`, the
+    * claim winner derives its data from v{N−1} and commits v{N}, losers
     * wait out the winner's marker and REBASE — `transform` re-runs against
     * the NEW current version, so the result is serializable read-modify-
     * write, equal to some sequential order of all writers (spec-pinned).
+    *
+    * Winning a claim is NOT sufficient by itself: a stalled writer can win
+    * the claim for a version some faster contender already fully committed
+    * and released (read cur → stall → contender's whole cycle → resume).
+    * The winner therefore re-checks that `v{N}.ok` does not exist before
+    * touching anything — claims serialize all in-flight writers, so the
+    * check is race-free — and [[writeAndMark]] independently refuses to
+    * overwrite a committed version directory (defense in depth).
+    *
+    * Atomicity precondition: `create(overwrite = false)` is an atomic
+    * PUT-if-absent on HDFS, local, ABFS, and GCS connectors. Classic S3A
+    * has NO conditional create (HEAD-then-PUT — two racing claimants can
+    * both "win"); there, front the claim with an external lock service
+    * (the Delta-on-S3 pattern) or an S3 conditional-PUT-enabled store.
     *
     * The winner removes its claim after the marker PUT (and on failure), so
     * the only leftover claim is a CRASHED writer's — which blocks
     * contenders at that version until an operator fences the dead process
     * and calls [[releaseClaim]]. That is the documented stale-lock
     * semantics: blocking beats the alternative (a second writer silently
-    * overwriting a maybe-still-alive winner's in-flight data).
+    * overwriting a maybe-still-alive winner's in-flight data). The default
+    * wait budget (120 × 500 ms = 60 s) covers ordinary commit durations;
+    * size `maxAttempts·waitMs` ABOVE your slowest expected commit, because
+    * the timeout's advice is only safe to follow once the holder is
+    * actually dead.
     *
     * Do not mix plain [[commit]] and contended commits on one table: the
     * plain path does not check claims (by design — zero extra metadata
     * round trips for the single-writer common case). */
-  def commitContended(spark: SparkSession, root: String, maxAttempts: Int = 8,
-      waitMs: Long = 200)(transform: DataFrame => DataFrame): Long = {
+  def commitContended(spark: SparkSession, root: String, maxAttempts: Int = 120,
+      waitMs: Long = 500)(transform: DataFrame => DataFrame): Long = {
     val (fs, p) = fsFor(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -149,21 +177,41 @@ object VersionedTable {
       if (!fs.exists(cd)) fs.mkdirs(cd)
       val claim = new Path(cd, s"v$next.claim")
       val claimed =
-        try { fs.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(claim, false)
+          try out.close()
+          catch {
+            case e: java.io.IOException =>
+              fs.delete(claim, false) // never orphan our OWN half-made claim
+              throw e
+          }
+          true
+        } catch {
+          case e: java.io.IOException =>
+            // contention only if the claim actually exists — an infra
+            // failure must surface as itself, not as phantom contention
+            if (fs.exists(claim)) false else throw e
+        }
       if (claimed) {
         try {
-          val curDf = spark.read.parquet(dataDir(p, cur).toString)
-          return writeAndMark(spark, root, transform(curDf), expectedNext = next)
+          if (!fs.exists(new Path(cd, s"v$next.ok"))) {
+            val curDf = spark.read.parquet(dataDir(p, cur).toString)
+            return writeAndMark(spark, root, transform(curDf), expectedNext = next)
+          }
+          // v{next} was fully committed while we stalled before claiming:
+          // fall through (claim released below) and rebase immediately
         } finally fs.delete(claim, false)
+      } else {
+        // a contender holds v{next}: wait for its marker, then rebase
+        Thread.sleep(waitMs)
       }
-      // a contender holds v{next}: wait for its marker, then rebase
-      Thread.sleep(waitMs)
-      attempt += 1
+      attempt += 1 // every non-committing pass consumes budget — no livelock
     }
     throw new IllegalStateException(
       s"commitContended: no claim won after $maxAttempts attempts at $root — " +
-        "a crashed writer may hold a stale .claim; fence it, then releaseClaim()")
+        "the claim holder may still be COMMITTING (raise maxAttempts/waitMs) " +
+        "or may have crashed; verify the holder is dead (fence it) before " +
+        "releaseClaim()")
   }
 
   /** Admin escape hatch for a crashed claim holder (see [[commitContended]]):

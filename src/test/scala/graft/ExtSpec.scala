@@ -724,6 +724,48 @@ class ExtSpec extends AnyFunSuite {
       ("C", 3L, None, None)))
   }
 
+  test("linear probe fit: NULL-feature rows are excluded, not mixed into the moments") {
+    // clean subset satisfies y = 1 + 2x exactly; the null rows must not
+    // shift any moment (sum skips them, count must too)
+    val rows: Seq[(Option[Long], Option[Long])] = Seq(
+      (Some(0L), Some(1L)), (Some(1L), Some(3L)), (Some(3L), Some(7L)),
+      (None, Some(5L)), (Some(2L), None))
+    val df = rows.toDF("x", "y")
+    val out = graft.ext.Regression.fitLinearPpm(spark, df,
+        Seq("bias" -> lit(1L), "x" -> col("x")), col("y"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out === ((3L, 1000000L, 2000000L)))
+  }
+
+  test("per-group probe fit: a NULL group key trains its own model, never kills the fleet") {
+    val rows: Seq[(String, Long, Long)] = Seq(
+      ("en", 0L, 1L), ("en", 1L, 3L), ("en", 3L, 7L),       // y = 1 + 2x
+      (null, 0L, 5L), (null, 2L, 5L), (null, 7L, 5L))        // y = 5 (constant)
+    val out = graft.ext.Regression.fitLinearPpmByGroup(spark,
+        rows.toDF("g", "x", "y"), col("g"),
+        Seq("bias" -> lit(1L), "x" -> col("x")), col("y"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.get(2), r.get(3)))).toMap
+    assert(out(Some("en")) === ((3L, 1000000L, 2000000L)))
+    assert(out(None) === ((3L, 5000000L, 0L)))
+  }
+
+  test("hierarchical assignment: duplicate or gapped cell ids are rejected") {
+    val dim = 4
+    def cent(cell: Long) = (cell, Seq.fill(dim)(cell * 10))
+    val q = Seq((100L, Seq.fill(dim)(1L))).toDF("vec_id", "qv")
+    val gapped = Seq(cent(0), cent(2), cent(4)).toDF("cell", "cv")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.hierarchicalAssignQ(q, gapped, cellsPerGroup = 6).collect()
+    }
+    assert(e1.getMessage.contains("dense"))
+    val dup = Seq(cent(0), cent(1), (1L, Seq.fill(dim)(99L))).toDF("cell", "cv")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.hierarchicalAssignQ(q, dup, cellsPerGroup = 6).collect()
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("linear probe fit: empty input throws a clear error, not an NPE") {
     val df = Seq((1L, 2L)).toDF("x", "y").filter(lit(false))
     val e = intercept[IllegalArgumentException] {
