@@ -60,7 +60,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q156_domain_pagerank",
     // round 6: auto-width pair-form range join, pointer-swap version diff,
     // temperature mixture (q117, now the pushdown form, is listed above)
-    "q165_range_join_pairs", "q167_version_diff", "q168_temperature_mixture")
+    "q165_range_join_pairs", "q167_version_diff", "q168_temperature_mixture",
+    // round 6, session 2: contamination matrix (distinct + self-join),
+    // per-group Gram fleet (decimal sums must be layout-blind), two-level
+    // cell assignment (group join + packed argmin), sharded length batching
+    "q171_source_overlap", "q174_per_group_probe",
+    "q175_hierarchical_cells", "q176_length_batching")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
