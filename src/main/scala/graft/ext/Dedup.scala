@@ -606,6 +606,46 @@ object Dedup {
     * [[snapshotFingerprints]]). Size: ≤ 4 rows per corpus doc, minus
     * (bkey, fp) duplicates — exact-dup docs collapse to one snapshot row
     * per band. */
+  /** Write the corpus's DISTINCT word-n-gram hash set as a bucketed
+    * snapshot table — the q82/q108 incremental-ingest wiring at SHINGLE
+    * granularity, feeding [[noveltyAgainstSnapshot]]. */
+  def snapshotShingles(corpus: DataFrame, text: Column, table: String,
+      n: Int, buckets: Int): Unit =
+    graft.tables.Bucketing.writeBucketed(
+      corpus.select(explode(wordNgramHashes(text, n)).as("h")).distinct(),
+      table, buckets, Seq("h"))
+
+  /** Per-document NOVELTY of an incoming batch against a shingle snapshot
+    * ([[snapshotShingles]]) — the ingest gate between dedup and
+    * decontamination: a doc whose shingles the corpus has mostly seen adds
+    * little (and repeats = memorization risk), one that is mostly novel is
+    * the content worth keeping. Returns (doc_id, n_grams, n_known,
+    * novelty_ppm) with novelty_ppm = ⌊10⁶·(n_grams − n_known)/n_grams⌋
+    * over DISTINCT per-doc grams; the keep threshold is the caller's cut.
+    * Docs with fewer than n tokens have no shingles and are absent.
+    *
+    * 100 TB shape: the snapshot is consumed in its bucket layout (zero
+    * snapshot-side Exchange — the semi join co-locates by probing the
+    * bucketed hash key); only the daily-sized batch repartitions. Grams
+    * ride as XXH64 longs — counts equal string-set counts absent ~k²/2⁶⁵
+    * collisions (the q45 argument), and the oracle recounts the string
+    * sets. */
+  def noveltyAgainstSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, incoming: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val snap = spark.table(snapshotTable)
+    val g = incoming
+      .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
+      .distinct().localCheckpoint() // two consumers: totals + the semi join
+    val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val known = g.join(snap, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
+    counts.join(known, Seq("doc_id"), "left")
+      .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * (n_grams - n_known)) div n_grams"))
+  }
+
   def snapshotSimhashBands(corpus: DataFrame, id: Column, text: Column,
       table: String, buckets: Int): Unit =
     graft.tables.Bucketing.writeBucketed(

@@ -612,6 +612,25 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q177_ingest_novelty" -> ((s, dir) => {
+      // The ingest freshness/memorization gate: per-doc novelty of an
+      // incoming batch against the corpus's bucketed shingle snapshot —
+      // how much of each new doc the corpus has already seen. Snapshot
+      // probes in bucket layout (zero snapshot Exchange, the q82/q108
+      // wiring); only the batch repartitions. Integer ppm over distinct
+      // trigram sets; the oracle recounts the string sets.
+      dropScratch(s, "q177_shingle_snap")
+      val docs = t(s, dir, "documents")
+      Dedup.snapshotShingles(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), "q177_shingle_snap", n = 3, buckets = 8)
+      val out = materialize(s,
+        Dedup.noveltyAgainstSnapshot(s, "q177_shingle_snap",
+            docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+            n = 3)
+          .orderBy(col("doc_id")))
+      s.sql("DROP TABLE IF EXISTS q177_shingle_snap")
+      out
+    }),
     "q176_length_batching" -> ((s, dir) => {
       // Length-bucketed dynamic batching (the loader-throughput knob):
       // power-of-two length bands via length(bin(n)) — highest set bit,
@@ -2528,6 +2547,29 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q177_ingest_novelty" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         |  FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 3),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |      FROM bg GROUP BY doc_id),
+         |k AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_known
+         |      FROM bg JOIN cg ON bg.gram = cg.gram GROUP BY bg.doc_id)
+         |SELECT c.doc_id, c.n_grams,
+         |  CAST(coalesce(k.n_known, 0) AS BIGINT) AS n_known,
+         |  (1000000 * (c.n_grams - coalesce(k.n_known, 0))) // c.n_grams AS novelty_ppm
+         |FROM c LEFT JOIN k ON k.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q176_length_batching" ->
       raw"""WITH b AS (
          |  SELECT doc_id,

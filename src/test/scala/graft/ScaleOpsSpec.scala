@@ -179,6 +179,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rankLine.contains("*("), "rank expression should codegen:\n" + rankLine)
   }
 
+  test("ingest novelty: exact counts on crafted docs; snapshot side never shuffles") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS novelty_snap")
+    // corpus trigrams: {a b c, b c d} (doc 0) ∪ {x y z} (doc 2)
+    val corpus = Seq((0L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    graft.ext.Dedup.snapshotShingles(corpus, col("text"), "novelty_snap", n = 3, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Seq(
+        (1L, "a b c d"),     // both trigrams known → novelty 0
+        (3L, "a b c q"),     // {a b c known, b c q novel} → 500000
+        (5L, "p q r s"),     // all novel → 1000000
+        (7L, "a b")          // no trigrams → absent
+      ).toDF("doc_id", "text")
+      val out = graft.ext.Dedup.noveltyAgainstSnapshot(spark, "novelty_snap",
+        batch, col("doc_id"), col("text"), n = 3)
+      val got = out.orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq(
+        (1L, 2L, 2L, 0L), (3L, 2L, 1L, 500000L), (5L, 2L, 0L, 1000000L)))
+      // the semi join's snapshot side reads the bucket layout — no Exchange
+      val finalPlan = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val join = finalPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.getOrElse(fail("expected a shuffled semi join:\n" + finalPlan))
+      val snapSide = join.children(1).toString
+      assert(snapSide.contains("novelty_snap"), "right side should be the snapshot:\n" + snapSide)
+      assert(!snapSide.contains("Exchange"), "snapshot side must not shuffle:\n" + snapSide)
+      assert(snapSide.contains("Bucketed: true"), "snapshot must read its bucket layout:\n" + snapSide)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS novelty_snap")
+    }
+  }
+
   test("incremental dedup against a bucketed snapshot: snapshot side never shuffles") {
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
     val fp = graft.ext.TextAnalysis.contentFingerprint(col("text"))
