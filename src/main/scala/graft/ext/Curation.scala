@@ -522,4 +522,88 @@ object Curation {
         sum(col("c")).as("n_tok"),
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_tok_ratio"),
         round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_ratio"))
+
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb cleanup rule):
+    * a LINE that appears in >= `minDocs` DISTINCT documents of the same
+    * source is boilerplate (nav bars, cookie banners, license footers) and
+    * is struck from every document; the survivors are reassembled in
+    * original line order. Returns one row per input document — including
+    * documents whose every line was boilerplate (n_kept = 0, empty text):
+    * (doc_id, n_lines, n_kept, clean_md5).
+    *
+    * 100 TB shape: the document-frequency pass shuffles (source,
+    * xxhash64(line)) longs, never line text (Catalyst prunes `line` off
+    * that branch); the boilerplate key set — small by the nature of
+    * boilerplate — joins back (broadcast while it fits, AQE decides) and
+    * ONE doc-keyed aggregation rebuilds. Lines are recomputed for the two
+    * consumers rather than checkpointed: a corpus-sized materialization is
+    * exactly what won't fit, a second streaming scan always does. Hash
+    * collisions over-strike with probability ~k²/2⁶⁴ (the q45 argument). */
+  def stripBoilerplateLines(docs: DataFrame, id: Column, source: Column,
+      text: Column, sepRegex: String, sep: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "stripBoilerplateLines: minDocs must be >= 2")
+    val lines = docs.select(id.as("doc_id"), source.as("src"),
+        posexplode(split(text, sepRegex)).as(Seq("idx", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = lines.groupBy(col("src"), col("lh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("src"), col("lh"), lit(1).as("__boiler"))
+    lines.join(boiler, Seq("src", "lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops NULLs: only kept lines enter the rebuild
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("idx"), col("line"))))),
+          e => e.getField("line")), sep)).as("clean_md5"))
+  }
+
+  /** Water-filling token allocation: spread a global token budget across
+    * sources so no source exceeds a common cap `c`, with c the largest
+    * integer such that Σ min(tokens_s, c) ≤ budget — the "flatten the
+    * mixture without wasting budget" rule (uniform cap, surplus flowing to
+    * the sources that can use it). budget = ⌊budgetPpm·total/10⁶⌋. Returns
+    * (k, n_tok, alloc, cap) per source; cap is NULL (and alloc = n_tok)
+    * when the whole corpus fits the budget.
+    *
+    * Closed form, not a search: on sources sorted by tokens ascending, the
+    * level lies in exactly one gap [t_{j-1}, t_j), where it equals
+    * ⌊(budget − S_{j-1}) / slots_j⌋ — one pass of window arithmetic over
+    * the |sources|-sized relation. 100 TB shape: the corpus-sized work is
+    * the one per-source aggregation; the windows then run on |sources|
+    * rows (single-partition by construction — fine at any real source
+    * count), and the 1-row cap cross-joins back. DECIMAL(38,0) guards
+    * budgetPpm·total past the Long range. */
+  def waterFillAlloc(docs: DataFrame, key: Column, weight: Column,
+      budgetPpm: Long): DataFrame = {
+    require(budgetPpm >= 0, "waterFillAlloc: budgetPpm must be >= 0")
+    val per = docs.select(key.as("k"), weight.cast("long").as("w"))
+      .groupBy(col("k")).agg(sum(col("w")).as("n_tok"))
+    val ord = Window.orderBy(col("n_tok"), col("k"))
+    val all = Window.partitionBy(lit(1))
+    val ranked = per
+      .withColumn("j", row_number().over(ord).cast("long"))
+      .withColumn("s_prev", coalesce(sum(col("n_tok"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t_prev", coalesce(lag(col("n_tok"), 1).over(ord), lit(0L)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("total", sum(col("n_tok")).over(all))
+      .withColumn("budget", expr(
+        s"CAST((CAST(total AS DECIMAL(38,0)) * $budgetPpm) DIV 1000000 AS BIGINT)"))
+      .withColumn("cand", expr("(budget - s_prev) div (n - j + 1)"))
+    // the level's gap: t_{j-1} <= cand < t_j, re-checked feasible (the
+    // explicit Σ-bound also rejects truncated negatives landing on 0 when
+    // zero-weight sources make t_prev = 0)
+    val cap = ranked.filter(col("cand") >= col("t_prev") &&
+        col("cand") < col("n_tok") &&
+        col("s_prev") + col("cand") * (col("n") - col("j") + lit(1L)) <= col("budget"))
+      .agg(min(col("cand")).as("cap"))
+    ranked.crossJoin(cap)
+      .select(col("k"), col("n_tok"),
+        least(col("n_tok"), coalesce(col("cap"), col("n_tok"))).as("alloc"),
+        col("cap"))
+  }
 }

@@ -160,7 +160,26 @@ object Similarity {
     * bucket equi-join on cell ids — same shape as [[lshTopK]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKImpl(queries, corpus, k, nlist, nprobe, hardNeg = false)
+
+  /** Hard-negative mining (contrastive-training data prep): for each query
+    * vector, the top-k most-similar corpus vectors whose `label` DIFFERS
+    * from the query's — near misses of the wrong class, the negatives that
+    * actually teach an embedding model. Identical IVF plumbing and
+    * determinism to [[ivfTopK]] (cells, multi-probe, exact re-rank); the
+    * label inequality is one extra predicate on the probed candidates, so
+    * the exclusion costs nothing beyond the probe — no second pass, no
+    * per-label index. Both inputs must carry (vec_id, embedding, label);
+    * returns (q_id, q_label, c_id, c_label, sim, rnk). A query surrounded
+    * only by its own class within its probed cells returns < k rows —
+    * that absence IS the mining signal (no hard negatives nearby). */
+  def ivfHardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKImpl(queries, corpus, k, nlist, nprobe, hardNeg = true)
+
+  private def ivfTopKImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, hardNeg: Boolean): DataFrame = {
     // `filter(vec_id < nlist)`, NOT `orderBy(vec_id).limit(nlist)`: the
     // filter pushes down to the parquet scan (row-group pruning via min/max
     // stats — nearly free on a range-clustered layout), where a TakeOrdered
@@ -199,20 +218,31 @@ object Similarity {
         e => (-e("ni")).cast("int"))
     }
 
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+    val cBase = Seq(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       norm(col("embedding")).as("c_n"), nearestCell(col("embedding")).as("cell"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+    val qBase = Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_n"),
       explode(probeCells(col("embedding"))).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val c = corpus.select(
+      (if (hardNeg) cBase :+ col("label").as("c_label") else cBase): _*)
+    val q = queries.select(
+      (if (hardNeg) qBase :+ col("label").as("q_label") else qBase): _*)
+    val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
+    val scored = (if (hardNeg) cand.filter(col("q_label") =!= col("c_label"))
+                  else cand)
       .withColumn("sim",
         round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    val ranked = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+    if (hardNeg)
+      ranked.select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        col("sim"), col("rnk").cast("long").as("rnk"))
+    else
+      ranked.select(col("q_id"), col("c_id"), col("sim"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** Distributed Lloyd k-means fit — the IVF index-BUILD path ([[ivfTopK]]

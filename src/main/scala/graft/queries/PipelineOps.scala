@@ -612,6 +612,39 @@ object PipelineOps {
           col("sum_event_id").as("checksum"))
         .orderBy(col("w_user"))
     }),
+    "q178_line_boilerplate" -> ((s, dir) => {
+      // Line-level boilerplate removal (the CCNet/RefinedWeb cleanup): a
+      // line in >= 2 distinct docs of one source is struck everywhere and
+      // docs reassemble in order. The synthetic corpus has no newlines, so
+      // both engines first cut identical lines (8-word groups, one global
+      // regexp) — the operator's df-count / strike / rebuild plumbing is
+      // what's under test, and it sees real repeats (planted near-dups).
+      val docs = t(s, dir, "documents").withColumn("lined",
+        regexp_replace(trim(col("text")), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+      Curation.stripBoilerplateLines(docs, col("doc_id"), col("source"),
+          col("lined"), sepRegex = "\n", sep = "\n", minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+    "q179_waterfill_budget" -> ((s, dir) => {
+      // Water-filling token budget across languages: the largest uniform
+      // per-language cap whose Σ min(tokens, cap) fits 85% of the corpus's
+      // tokens — small languages fully funded, the dominant one capped.
+      // Closed-form window arithmetic on the |langs|-sized relation.
+      Curation.waterFillAlloc(t(s, dir, "documents"), col("lang"),
+          TA.tokenCount(col("text")), budgetPpm = 850000L)
+        .withColumnRenamed("k", "lang")
+        .orderBy(col("lang"))
+    }),
+    "q180_hard_negatives" -> ((s, dir) => {
+      // IVF hard-negative mining: per query vector, the top-3 most-similar
+      // corpus vectors of a DIFFERENT label within the probed cells — the
+      // contrastive-training negatives that are near misses of the wrong
+      // class. Deterministic IVF (q49b's construction) + one label
+      // predicate, so the full operator is oracle-expressible.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfHardNegatives(emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
     "q177_ingest_novelty" -> ((s, dir) => {
       // The ingest freshness/memorization gate: per-doc novelty of an
       // incoming batch against the corpus's bucketed shingle snapshot —
@@ -2547,6 +2580,88 @@ object PipelineOps {
         |  CAST(sum(cq.node) AS BIGINT) AS checksum
         |FROM cq JOIN m ON m.comp = cq.comp
         |GROUP BY cq.comp ORDER BY cq.comp""".stripMargin,
+    "q178_line_boilerplate" ->
+      raw"""WITH synth AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(trim(text), '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS s2
+         |  FROM documents),
+         |lsx AS (SELECT doc_id, source, string_split(s2, chr(10)) AS ls FROM synth),
+         |l AS (SELECT doc_id, source, i, ls[i] AS line
+         |      FROM lsx, unnest(generate_series(1, len(ls))) AS u(i)),
+         |f AS (SELECT source, line FROM l GROUP BY source, line
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |j AS (SELECT l.doc_id, l.i, l.line, f.line IS NOT NULL AS boiler
+         |      FROM l LEFT JOIN f ON f.source = l.source AND f.line = l.line)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN boiler THEN NULL ELSE line END,
+         |    chr(10) ORDER BY i), '')) AS clean_md5
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q179_waterfill_budget" ->
+      raw"""WITH per AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang),
+         |r AS (SELECT lang, n_tok,
+         |  CAST(row_number() OVER (ORDER BY n_tok, lang) AS BIGINT) AS j,
+         |  coalesce(sum(n_tok) OVER (ORDER BY n_tok, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         |  coalesce(lag(n_tok) OVER (ORDER BY n_tok, lang), 0) AS t_prev,
+         |  CAST(count(*) OVER () AS BIGINT) AS n,
+         |  sum(n_tok) OVER () AS total FROM per),
+         |r2 AS (SELECT *, (CAST(total AS HUGEINT) * 850000) // 1000000 AS budget FROM r),
+         |r3 AS (SELECT *, (budget - s_prev) // (n - j + 1) AS cand FROM r2),
+         |cap AS (SELECT min(cand) AS cap FROM r3
+         |        WHERE cand >= t_prev AND cand < n_tok
+         |          AND s_prev + cand * (n - j + 1) <= budget)
+         |SELECT lang, n_tok,
+         |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
+         |  CAST(cap AS BIGINT) AS cap
+         |FROM r2, cap ORDER BY lang""".stripMargin,
+    // q49b's deterministic IVF restatement with the label-exclusion
+    // predicate on the probed candidates — hard negatives are fully
+    // oracle-expressible because every IVF step already was.
+    "q180_hard_negatives" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
+        |  FROM embeddings WHERE vec_id < 16),
+        |scores AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
+        |  FROM embeddings e, cents c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scores) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        |    FROM scores WHERE vec_id < 10) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS c_id
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.vec_id != p.q_id),
+        |s AS (
+        |  SELECT q_id, q.label AS q_label, c_id, c2.label AS c_label, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id
+        |  WHERE q.label != c2.label),
+        |r AS (SELECT q_id, q_label, c_id, c_label, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, q_label, c_id, c_label, sim, rnk FROM r
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "q177_ingest_novelty" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -1163,4 +1163,92 @@ class ExtSpec extends AnyFunSuite {
       (node, scale * 15 / 100 / 4 + (85 * contrib(node)) / 100))
     assert(got == want)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stripBoilerplateLines: cross-doc lines struck, in-doc repeats kept, emptied docs survive") {
+    val docs = Seq(
+      (0L, "sA", "cookie banner\nunique zero\ncookie banner"),
+      (1L, "sA", "cookie banner\nunique one"),
+      (2L, "sA", "solo line\nsolo line"), // repeats only WITHIN one doc → df=1 → kept
+      (3L, "sB", "cookie banner"),        // same line, other source → kept there
+      (4L, "sA", "cookie banner")         // every line boiler → emptied, still present
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.stripBoilerplateLines(docs, col("doc_id"), col("source"),
+        col("text"), sepRegex = "\n", sep = "\n", minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (0L, 3L, 1L, md5Hex("unique zero")),
+      (1L, 2L, 1L, md5Hex("unique one")),
+      (2L, 2L, 2L, md5Hex("solo line\nsolo line")),
+      (3L, 1L, 1L, md5Hex("cookie banner")),
+      (4L, 1L, 0L, md5Hex(""))))
+  }
+
+  test("waterFillAlloc: hand-computed level; randomized trials match brute-force max cap") {
+    // sorted weights 1,2,10,20 (total 33); ppm 400000 → budget 13; the
+    // level sits in [2,10): ⌊(13−3)/2⌋ = 5 → allocs 1,2,5,5 (Σ=13)
+    val docs = Seq(("a", 1L), ("b", 2L), ("c", 4L), ("c", 6L), ("d", 20L))
+      .toDF("k0", "w")
+    val got = Curation.waterFillAlloc(docs, col("k0"), col("w"), budgetPpm = 400000L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), Option(r.get(3)))).toSeq
+    assert(got === Seq(
+      ("a", 1L, 1L, Some(5L)), ("b", 2L, 2L, Some(5L)),
+      ("c", 10L, 5L, Some(5L)), ("d", 20L, 5L, Some(5L))))
+    // budget covers the corpus → no cap, full funding
+    val full = Curation.waterFillAlloc(docs, col("k0"), col("w"), budgetPpm = 1000000L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3)))).toSeq
+    assert(full === Seq(("a", 1L, None), ("b", 2L, None),
+      ("c", 10L, None), ("d", 20L, None)))
+    // randomized trials (seeded): operator cap == brute-force "largest c
+    // with Σ min(w,c) ≤ budget" on weights that include zeros and ties
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val ws = Seq.fill(2 + rnd.nextInt(5))(rnd.nextInt(30).toLong)
+      val ppm = rnd.nextInt(1200000).toLong
+      val budget = ws.sum * ppm / 1000000
+      val in = ws.zipWithIndex.map { case (w, i) => (f"k$i%02d", w) }.toDF("k0", "w")
+      val out = Curation.waterFillAlloc(in, col("k0"), col("w"), ppm)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      val capRef =
+        if (ws.sum <= budget) None
+        else Some((0L to ws.max).filter(c => ws.map(math.min(_, c)).sum <= budget).max)
+      assert(out.forall(_._4 == capRef), s"trial $trial ws=$ws ppm=$ppm: cap ${out.head._4} != $capRef")
+      out.foreach { case (k, w, alloc, _) =>
+        assert(alloc == math.min(w, capRef.getOrElse(w)), s"trial $trial $k")
+      }
+    }
+  }
+
+  test("ivf hard negatives: labels always differ; equals label-filtered re-rank of the full IVF ranking") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 6)
+    val got = Similarity.ivfHardNegatives(qs, emb, k = 3, nlist = 8, nprobe = 3)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(1) != r.getInt(3),
+      s"same-label pair leaked: ${r}"))
+    // expected = rank EVERY probed candidate (ivfTopK at k≥corpus), join
+    // labels back, drop same-label pairs, re-rank, cut at 3 — the label
+    // predicate must commute with the probe exactly this way
+    val lab = emb.select(col("vec_id"), col("label"))
+    val all = Similarity.ivfTopK(qs, emb, k = 1000000, nlist = 8, nprobe = 3)
+      .join(lab.toDF("q_id", "q_label"), Seq("q_id"))
+      .join(lab.toDF("c_id", "c_label"), Seq("c_id"))
+      .filter(col("q_label") =!= col("c_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val exp = all.withColumn("rnk2", row_number().over(w))
+      .filter(col("rnk2") <= 3)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getLong(5))).toSet
+    assert(gotSet === exp)
+  }
 }

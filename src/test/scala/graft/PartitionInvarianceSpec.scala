@@ -65,7 +65,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // per-group Gram fleet (decimal sums must be layout-blind), two-level
     // cell assignment (group join + packed argmin), sharded length batching
     "q171_source_overlap", "q174_per_group_probe",
-    "q175_hierarchical_cells", "q176_length_batching")
+    "q175_hierarchical_cells", "q176_length_batching",
+    // round 6, session 3: shingle-snapshot novelty (semi join vs bucketed
+    // layout), line strike + ordered rebuild (collect_list + struct sort),
+    // water-fill windows, label-excluded IVF re-rank
+    "q177_ingest_novelty", "q178_line_boilerplate",
+    "q179_waterfill_budget", "q180_hard_negatives")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
