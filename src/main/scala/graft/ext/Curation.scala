@@ -529,7 +529,9 @@ object Curation {
     * is struck from every document; the survivors are reassembled in
     * original line order. Returns one row per input document — including
     * documents whose every line was boilerplate (n_kept = 0, empty text):
-    * (doc_id, n_lines, n_kept, clean_md5).
+    * (doc_id, n_lines, n_kept, clean_md5). A NULL text explodes to no
+    * lines, so the document is ABSENT from the output (the q177
+    * no-shingles convention), not present-with-zero.
     *
     * 100 TB shape: the document-frequency pass shuffles (source,
     * xxhash64(line)) longs, never line text (Catalyst prunes `line` off
@@ -580,8 +582,11 @@ object Curation {
   def waterFillAlloc(docs: DataFrame, key: Column, weight: Column,
       budgetPpm: Long): DataFrame = {
     require(budgetPpm >= 0, "waterFillAlloc: budgetPpm must be >= 0")
+    // NULL weights count as 0 (sum of an all-NULL group is NULL, and a NULL
+    // n_tok would poison the level arithmetic); a NULL key is its own group,
+    // consistent with temperatureMixture's NULL-stratum rule
     val per = docs.select(key.as("k"), weight.cast("long").as("w"))
-      .groupBy(col("k")).agg(sum(col("w")).as("n_tok"))
+      .groupBy(col("k")).agg(coalesce(sum(col("w")), lit(0L)).as("n_tok"))
     val ord = Window.orderBy(col("n_tok"), col("k"))
     val all = Window.partitionBy(lit(1))
     val ranked = per
@@ -605,5 +610,28 @@ object Curation {
       .select(col("k"), col("n_tok"),
         least(col("n_tok"), coalesce(col("cap"), col("n_tok"))).as("alloc"),
         col("cap"))
+  }
+
+  /** [[waterFillAlloc]] composed with per-stratum selection: compute the
+    * water-filled per-stratum token allocations, then keep each stratum's
+    * `priority`-desc document prefix whose running token total fits ITS
+    * allocation ([[tokenBudgetSample]]'s contiguous-prefix semantics, but
+    * with the budget decided by the corpus-wide level instead of a constant)
+    * — "flatten the mixture to the budget, then take the best of each
+    * source". The allocation table is |strata|-sized and broadcasts back
+    * (null-safe join: a NULL stratum keeps its own allocation); the
+    * corpus-sized work is one agg + one stratum-keyed window. */
+  def waterFillSample(docs: DataFrame, id: Column, text: Column,
+      stratum: Column, priority: Column, budgetPpm: Long): DataFrame = {
+    val base = docs.withColumn("__str", stratum).withColumn("__pri", priority)
+      .withColumn("__bid", id)
+      .withColumn("__tok", TextAnalysis.tokenCount(text))
+    val alloc = waterFillAlloc(base, col("__str"), col("__tok"), budgetPpm)
+      .select(col("k").as("__str2"), col("alloc").as("__alloc"))
+    val w = Window.partitionBy(col("__str")).orderBy(col("__pri").desc, col("__bid"))
+    base.join(broadcast(alloc), col("__str") <=> col("__str2"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= col("__alloc"))
+      .drop("__str", "__str2", "__pri", "__bid", "__tok", "__alloc", "__cum")
   }
 }

@@ -173,7 +173,11 @@ object Similarity {
     * per-label index. Both inputs must carry (vec_id, embedding, label);
     * returns (q_id, q_label, c_id, c_label, sim, rnk). A query surrounded
     * only by its own class within its probed cells returns < k rows —
-    * that absence IS the mining signal (no hard negatives nearby). */
+    * that absence IS the mining signal (no hard negatives nearby).
+    * NULL labels are UNLABELED, not a class: `=!=` is null-rejecting, so a
+    * NULL-label vector neither serves as a negative nor receives any —
+    * an unknown class might be the query's own, and a false negative
+    * poisons contrastive training where a missing one just shrinks it. */
   def ivfHardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfTopKImpl(queries, corpus, k, nlist, nprobe, hardNeg = true)

@@ -635,6 +635,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q182_waterfill_sample" -> ((s, dir) => {
+      // The water-fill level driving selection: per-language allocations
+      // from q179's closed form, then each language keeps its largest-docs-
+      // first prefix that fits ITS allocation — mixture flattening and
+      // best-of-source selection in one deterministic integer pipeline.
+      Curation.waterFillSample(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"), col("n_chars"), budgetPpm = 850000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q180_hard_negatives" -> ((s, dir) => {
       // IVF hard-negative mining: per query vector, the top-3 most-similar
       // corpus vectors of a DIFFERENT label within the probed cells — the
@@ -2618,6 +2628,33 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q182_waterfill_sample" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+         |  FROM documents),
+         |per AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS n_tok FROM base GROUP BY lang),
+         |r AS (SELECT lang, n_tok,
+         |  CAST(row_number() OVER (ORDER BY n_tok, lang) AS BIGINT) AS j,
+         |  coalesce(sum(n_tok) OVER (ORDER BY n_tok, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         |  coalesce(lag(n_tok) OVER (ORDER BY n_tok, lang), 0) AS t_prev,
+         |  CAST(count(*) OVER () AS BIGINT) AS n,
+         |  sum(n_tok) OVER () AS total FROM per),
+         |r2 AS (SELECT *, (CAST(total AS HUGEINT) * 850000) // 1000000 AS budget FROM r),
+         |r3 AS (SELECT *, (budget - s_prev) // (n - j + 1) AS cand FROM r2),
+         |cap AS (SELECT min(cand) AS cap FROM r3
+         |        WHERE cand >= t_prev AND cand < n_tok
+         |          AND s_prev + cand * (n - j + 1) <= budget),
+         |a AS (SELECT lang, CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc
+         |      FROM r2, cap),
+         |sel AS (
+         |  SELECT base.doc_id, base.lang, base.n_chars, a.alloc,
+         |    sum(base.tok) OVER (PARTITION BY base.lang
+         |      ORDER BY base.n_chars DESC, base.doc_id) AS cum
+         |  FROM base JOIN a ON a.lang = base.lang)
+         |SELECT doc_id, lang, n_chars FROM sel WHERE cum <= alloc
+         |ORDER BY doc_id""".stripMargin,
     // q49b's deterministic IVF restatement with the label-exclusion
     // predicate on the probed candidates — hard negatives are fully
     // oracle-expressible because every IVF step already was.

@@ -230,6 +230,24 @@ object StreamingQueries {
           needFinalBatch = false)
         .orderBy(col("source"))
     }),
+    "q181_stream_novelty" -> ((s, dir) => withStatePartitions(s, 4) {
+      // q177's ingest novelty gate as a STREAM: odd-id docs arrive as a
+      // file stream, their per-row distinct trigram hashes left-join the
+      // static even-id corpus gram set (stateless stream-static join), and
+      // one doc-keyed aggregation scores novelty_ppm. Output = q177's
+      // answer, so its oracle applies verbatim.
+      val corpusGrams = graft.tables.Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(explode(graft.ext.Dedup.wordNgramHashes(col("text"), 3)).as("h"))
+        .distinct()
+      val stream = EventStreams.readDocuments(s, dir)
+        .filter(col("doc_id") % 2 === 1)
+      val scored = EventStreams.noveltyStream(stream, corpusGrams,
+        col("text"), n = 3)
+      EventStreams.runAvailableNow(scored, "q181_sink", OutputMode.Complete,
+          needFinalBatch = false)
+        .orderBy(col("doc_id"))
+    }),
     "q113_stream_novel_ingest" -> ((s, dir) => withStatePartitions(s, 4) {
       // q82's incremental ingest dedup as a STREAM: odd-id documents arrive
       // as a file stream, anti-join the static even-id corpus fingerprint
@@ -404,6 +422,30 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS s
         |FROM x GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    // q177's oracle verbatim — the stream must land on the batch answer
+    "q181_stream_novelty" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         |  FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 3),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |      FROM bg GROUP BY doc_id),
+         |k AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_known
+         |      FROM bg JOIN cg ON bg.gram = cg.gram GROUP BY bg.doc_id)
+         |SELECT c.doc_id, c.n_grams,
+         |  CAST(coalesce(k.n_known, 0) AS BIGINT) AS n_known,
+         |  (1000000 * (c.n_grams - coalesce(k.n_known, 0))) // c.n_grams AS novelty_ppm
+         |FROM c LEFT JOIN k ON k.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     // q82's oracle verbatim — the stream must land on the batch answer
     "q113_stream_novel_ingest" ->
       """WITH fp AS (

@@ -107,6 +107,26 @@ object EventStreams {
         min_by(col("lang"), col("doc_id")).as("lang"),
         min_by(col("n_chars"), col("doc_id")).as("n_chars"))
 
+  /** Streaming ingest-novelty gate — q177's per-document novelty scoring as
+    * a STREAM: each arriving doc's DISTINCT shingle hashes (a per-row
+    * computation — a document is one row, so no cross-doc distinct state)
+    * explode against the static corpus gram set via a STATELESS
+    * stream–static left join, and one doc-keyed streaming aggregation folds
+    * the membership flags into (n_grams, n_known, novelty_ppm). A doc's
+    * grams always ride in its own micro-batch, so the answer is independent
+    * of batch boundaries; Complete mode re-emits the running scored set
+    * (the daily-batch model, as [[novelIngest]]). */
+  def noveltyStream(docs: DataFrame, corpusGrams: DataFrame,
+      text: org.apache.spark.sql.Column, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(
+        graft.ext.Dedup.wordNgramHashes(text, n))).as("h"))
+      .join(corpusGrams.select(col("h"), lit(1).as("known")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("known")), lit(0)).cast("long").as("n_known"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * (n_grams - n_known)) div n_grams"))
+
   /** Tumbling event-time window aggregation with a watermark. Window starts
     * align to the epoch, so `1 hour` buckets equal `date_trunc('hour', ts)` —
     * which keeps the batch oracle comparable. */

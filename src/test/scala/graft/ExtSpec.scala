@@ -1226,6 +1226,56 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("waterFillAlloc: NULL weights count 0, a NULL key is its own group, never a poisoned level") {
+    val docs = Seq(
+      (Some("a"), Some(10L)), (Some("a"), None), // NULL weight inside a group
+      (Some("b"), None),                         // all-NULL group → 0 tokens
+      (None, Some(4L))                           // NULL key groups alone
+    ).toDF("k0", "w")
+    val got = Curation.waterFillAlloc(docs, col("k0"), col("w"), budgetPpm = 500000L)
+      .collect().map(r =>
+        Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tokens (0, 4, 10), budget ⌊14/2⌋ = 7: the level sits in [0, 4) —
+    // ⌊7/2⌋ over the two unfunded groups = 3 (cap 4 would cost 8) →
+    // allocs 0, 3, 3
+    assert(got(Some("b")) === ((0L, 0L)))
+    assert(got(None) === ((4L, 3L)))
+    assert(got(Some("a")) === ((10L, 3L)))
+  }
+
+  test("waterFillSample: per-stratum prefixes fit the water-filled allocations") {
+    // strata X (3 docs × 5 tokens) and Y (1 doc × 2 tokens): total 17,
+    // ppm 529412 → budget 9 → level in [2, 15): ⌊(9−2)/1⌋ = 7 →
+    // alloc X=7, Y=2 → X keeps only its top-priority doc (5 ≤ 7, then
+    // cum 10 > 7 cuts), Y keeps its doc exactly at budget
+    val docs = Seq(
+      (1L, "X", 3L, "w w w w w"), (2L, "X", 2L, "w w w w w"),
+      (3L, "X", 1L, "w w w w w"), (4L, "Y", 9L, "w w")
+    ).toDF("doc_id", "lang", "pri", "text")
+    val got = Curation.waterFillSample(docs, col("doc_id"), col("text"),
+        col("lang"), col("pri"), budgetPpm = 529412L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L))
+  }
+
+  test("ivf hard negatives: NULL-label vectors neither give nor receive negatives") {
+    import spark.implicits._
+    // query 0 (label 1) near corpus 1 (NULL) and 2 (label 2); query 3 (NULL)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Option(1)),
+      (1L, Array(0.99f, 0.14f), None),
+      (2L, Array(0.9f, 0.43f), Option(2)),
+      (3L, Array(0.0f, 1.0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfHardNegatives(
+        vecs.filter(col("vec_id").isin(0L, 3L)), vecs, k = 2,
+        nlist = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // only the labeled query 0 gets the labeled foreign vector 2; the
+    // NULL-label vector 1 is never a negative, the NULL query 3 gets none
+    assert(got === Seq((0L, 2L)))
+  }
+
   test("ivf hard negatives: labels always differ; equals label-filtered re-rank of the full IVF ranking") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     val qs = emb.filter(col("vec_id") < 6)

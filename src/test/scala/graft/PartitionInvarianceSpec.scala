@@ -70,7 +70,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // layout), line strike + ordered rebuild (collect_list + struct sort),
     // water-fill windows, label-excluded IVF re-rank
     "q177_ingest_novelty", "q178_line_boilerplate",
-    "q179_waterfill_budget", "q180_hard_negatives")
+    "q179_waterfill_budget", "q180_hard_negatives",
+    "q181_stream_novelty", "q182_waterfill_sample")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)

@@ -276,6 +276,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming novelty gate equals the batch snapshot scorer, batch-boundary blind") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val corpusGrams = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(graft.ext.Dedup.wordNgramHashes(col("text"), 3)).as("h"))
+      .distinct()
+    val stream = EventStreams.readDocuments(spark, TestSpark.sfDir, maxFilesPerTrigger = 1)
+      .filter(col("doc_id") % 2 === 1)
+    val got = EventStreams.runAvailableNow(
+        EventStreams.noveltyStream(stream, corpusGrams, col("text"), n = 3),
+        "novelty_stream_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete, needFinalBatch = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: the bucketed-snapshot scorer over the same split
+    spark.sql("DROP TABLE IF EXISTS novelty_stream_snap")
+    graft.ext.Dedup.snapshotShingles(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), "novelty_stream_snap", n = 3, buckets = 4)
+    try {
+      val expected = graft.ext.Dedup.noveltyAgainstSnapshot(spark,
+          "novelty_stream_snap", docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS novelty_stream_snap")
+  }
+
   test("CDC upsert sink commits pointer-swapped versions on a VersionedTable root") {
     // Same out-of-order delivery as the flat-dir test below, but the sink
     // target is a versioned root: every micro-batch must land as a new
