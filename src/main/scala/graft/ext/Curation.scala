@@ -612,6 +612,43 @@ object Curation {
         col("cap"))
   }
 
+  /** Filter-cascade attrition report (pipeline observability): apply
+    * `rules` IN ORDER, charge each dropped document to the FIRST rule it
+    * fails, and emit the funnel — (rule_id, rule, n_in, n_drop, n_out)
+    * with n_in = documents reaching that rule and n_out = n_in − n_drop.
+    * The report that tells a curation pipeline which gate is doing the
+    * work (and which is dead weight) before anyone retrains on the result.
+    * A NULL predicate value FAILS its rule (a gate that cannot evaluate a
+    * document must not wave it through); rule order changes the blame, not
+    * the surviving set.
+    *
+    * ONE corpus pass: the first-fail index is a single codegen'd CASE at
+    * scan speed, aggregated to ≤ rules+1 counts; the funnel arithmetic
+    * runs on the |rules|-sized relation. */
+  def filterAttrition(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterAttrition: need at least one rule")
+    val first = rules.zipWithIndex.tail
+      .foldLeft(when(not(coalesce(rules.head._2, lit(false))), lit(0L))) {
+        case (acc, ((_, p), i)) => acc.when(not(coalesce(p, lit(false))), lit(i.toLong))
+      }.otherwise(lit(rules.length.toLong))
+    val counts = docs.select(first.as("fi"))
+      .groupBy(col("fi")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)).as("total"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val ruleTable = rules.map(_._1).zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm) }.toDF("rule_id", "rule")
+    val cum = Window.orderBy(col("rule_id"))
+    ruleTable
+      .join(counts, col("rule_id") === col("fi"), "left")
+      .withColumn("n_drop", coalesce(col("c"), lit(0L)))
+      .crossJoin(total)
+      .withColumn("n_in", col("total") - coalesce(
+        sum(col("n_drop")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_drop"))
+      .select(col("rule_id"), col("rule"), col("n_in"), col("n_drop"), col("n_out"))
+  }
+
   /** [[waterFillAlloc]] composed with per-stratum selection: compute the
     * water-filled per-stratum token allocations, then keep each stratum's
     * `priority`-desc document prefix whose running token total fits ITS

@@ -635,6 +635,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q183_filter_attrition" -> ((s, dir) => {
+      // The curation-cascade funnel: which gate drops how much, charged to
+      // the FIRST failing rule — one codegen'd CASE pass over the corpus,
+      // funnel math on the |rules|-sized relation.
+      Curation.filterAttrition(t(s, dir, "documents"), Seq(
+          "lang_allowed" -> col("lang").isin("en", "es", "de", "fr"),
+          "min_tokens" -> (TA.tokenCount(col("text")) >= 25),
+          "max_chars" -> (col("n_chars") <= 380)))
+        .orderBy(col("rule_id"))
+    }),
     "q182_waterfill_sample" -> ((s, dir) => {
       // The water-fill level driving selection: per-language allocations
       // from q179's closed form, then each language keeps its largest-docs-
@@ -2628,6 +2638,25 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q183_filter_attrition" ->
+      raw"""WITH base AS (
+         |  SELECT CASE WHEN NOT (lang IN ('en','es','de','fr')) THEN 0
+         |              WHEN NOT (len(string_split_regex(trim(text), '\s+')) >= 25) THEN 1
+         |              WHEN NOT (n_chars <= 380) THEN 2 ELSE 3 END AS fi
+         |  FROM documents),
+         |c AS (SELECT fi, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY fi),
+         |rules AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT),'lang_allowed'),
+         |  (1,'min_tokens'), (2,'max_chars')) t(rule_id, rule)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |f AS (SELECT r.rule_id, r.rule, CAST(coalesce(c.c, 0) AS BIGINT) AS n_drop
+         |      FROM rules r LEFT JOIN c ON c.fi = r.rule_id)
+         |SELECT rule_id, rule,
+         |  total - CAST(coalesce(sum(n_drop) OVER (ORDER BY rule_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+         |  n_drop,
+         |  total - CAST(coalesce(sum(n_drop) OVER (ORDER BY rule_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_out
+         |FROM f, tot ORDER BY rule_id""".stripMargin,
     "q182_waterfill_sample" ->
       raw"""WITH base AS (
          |  SELECT doc_id, lang, n_chars,

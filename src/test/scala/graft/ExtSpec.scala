@@ -1243,6 +1243,30 @@ class ExtSpec extends AnyFunSuite {
     assert(got(Some("a")) === ((10L, 3L)))
   }
 
+  test("filterAttrition: first-fail blame, NULL predicates fail, funnel arithmetic exact") {
+    val docs = Seq(
+      (1L, Some(10L), Some(100L)), // passes all
+      (2L, Some(3L), Some(100L)),  // fails rule 0
+      (3L, Some(3L), Some(999L)),  // fails rule 0 (blame the FIRST, not rule 1)
+      (4L, Some(10L), Some(999L)), // fails rule 1
+      (5L, None, Some(100L))       // NULL predicate → fails rule 0
+    ).toDF("doc_id", "tok", "chars")
+    val got = Curation.filterAttrition(docs, Seq(
+        "min_tok" -> (col("tok") >= 5),
+        "max_chars" -> (col("chars") <= 500)))
+      .orderBy("rule_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, "min_tok", 5L, 3L, 2L),
+      (1L, "max_chars", 2L, 1L, 1L)))
+    // rule order changes the blame, never the surviving count
+    val flipped = Curation.filterAttrition(docs, Seq(
+        "max_chars" -> (col("chars") <= 500),
+        "min_tok" -> (col("tok") >= 5)))
+      .orderBy("rule_id").collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(flipped === Seq((2L, 3L), (2L, 1L)))
+  }
+
   test("waterFillSample: per-stratum prefixes fit the water-filled allocations") {
     // strata X (3 docs × 5 tokens) and Y (1 doc × 2 tokens): total 17,
     // ppm 529412 → budget 9 → level in [2, 15): ⌊(9−2)/1⌋ = 7 →
