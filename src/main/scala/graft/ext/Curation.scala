@@ -544,13 +544,43 @@ object Curation {
   def stripBoilerplateLines(docs: DataFrame, id: Column, source: Column,
       text: Column, sepRegex: String, sep: String, minDocs: Int): DataFrame = {
     require(minDocs >= 2, "stripBoilerplateLines: minDocs must be >= 2")
+    stripBoilerplateImpl(docs, id, source, text, sepRegex, sep, None, minDocs)
+  }
+
+  /** [[stripBoilerplateLines]] with the threshold SCALED to each source's
+    * size: a line is boilerplate in source s when it appears in
+    * ≥ max(2, ⌈fracPpm·n_docs(s)/10⁶⌉) distinct documents — the knob that
+    * keeps the operator meaningful from a 25-doc source to a million-doc
+    * one (at a fixed minDocs=2, every twice-pasted snippet in a large
+    * crawl source is "boilerplate"; at a fixed fraction it must recur at
+    * the source's own scale). Integer ceiling (`(n·ppm + 999999) div 10⁶`)
+    * — no float threshold to diverge cross-engine. The per-source doc
+    * counts are a |sources|-sized broadcast into the frequency filter;
+    * the 2-doc floor keeps tiny sources from striking every shared line.
+    * Same class of auto-scaling rule as `neardupPlanesFor`/`binWidthFor`/
+    * `semDedupClustersFor`. */
+  def stripBoilerplateLinesFrac(docs: DataFrame, id: Column, source: Column,
+      text: Column, sepRegex: String, sep: String, fracPpm: Long): DataFrame = {
+    require(fracPpm >= 1, "stripBoilerplateLinesFrac: fracPpm must be >= 1")
+    stripBoilerplateImpl(docs, id, source, text, sepRegex, sep, Some(fracPpm), 2)
+  }
+
+  private def stripBoilerplateImpl(docs: DataFrame, id: Column, source: Column,
+      text: Column, sepRegex: String, sep: String, fracPpm: Option[Long],
+      minDocs: Int): DataFrame = {
     val lines = docs.select(id.as("doc_id"), source.as("src"),
         posexplode(split(text, sepRegex)).as(Seq("idx", "line")))
       .withColumn("lh", xxhash64(col("line")))
-    val boiler = lines.groupBy(col("src"), col("lh"))
+    val freq = lines.groupBy(col("src"), col("lh"))
       .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("src"), col("lh"), lit(1).as("__boiler"))
+    val boiler = (fracPpm match {
+      case None => freq.filter(col("df") >= minDocs)
+      case Some(ppm) =>
+        val thr = docs.groupBy(source.as("src"))
+          .agg(greatest(lit(2L),
+            expr(s"(count(1) * $ppm + 999999) div 1000000")).as("__thr"))
+        freq.join(broadcast(thr), Seq("src")).filter(col("df") >= col("__thr"))
+    }).select(col("src"), col("lh"), lit(1).as("__boiler"))
     lines.join(boiler, Seq("src", "lh"), "left")
       .groupBy(col("doc_id"))
       .agg(

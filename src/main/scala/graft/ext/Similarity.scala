@@ -70,6 +70,44 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Two-stage truncated-prefix ANN (the Matryoshka/MRL serving shape,
+    * Kusupati et al. 2022: prefix dims of an MRL-trained embedding are
+    * themselves a valid embedding): stage 1 scores the corpus by cosine
+    * over only the FIRST `dPrefix` dims — dPrefix/dim of the dot-product
+    * work and, at scale, of the scan bytes, since a column of pre-truncated
+    * prefixes (or a prefix-only Parquet column) is what you'd store hot —
+    * and keeps `kCand` candidates per query; stage 2 re-ranks just those
+    * exactly at full dimension. kCand trades recall against stage-2 cost;
+    * kCand ≥ corpus degenerates to [[bruteForceTopK]] (spec-pinned law).
+    * Candidates carry bare structure through the window; at 100 TB the
+    * full-dim embeddings for stage 2 re-join by id on the kCand·nq rows
+    * (the q148 re-rank discipline). Deterministic ties as everywhere:
+    * (sim DESC, c_id). */
+  def truncatedRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      dPrefix: Int, kCand: Int): DataFrame = {
+    require(kCand >= k, "truncatedRerank: kCand must be >= k")
+    def pre(e: Column): Column = slice(e, 1, dPrefix)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"), norm(pre(col("embedding"))).as("q_pn"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"), norm(pre(col("embedding"))).as("c_pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+    val cand = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("psim", round(
+        dot(pre(col("q_emb")), pre(col("c_emb"))) / (col("q_pn") * col("c_pn")), 5))
+      .withColumn("prnk",
+        row_number().over(w.orderBy(col("psim").desc, col("c_id"))))
+      .filter(col("prnk") <= kCand)
+    cand
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 5))
+      .withColumn("rnk",
+        row_number().over(w.orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Deduplicated LSH candidate pairs (pre-re-rank): corpus vectors sharing
     * ANY probed bucket with a query. Exposed separately so candidate volume
     * — the actual cost driver at scale — is measurable and assertable in

@@ -614,15 +614,19 @@ object PipelineOps {
     }),
     "q178_line_boilerplate" -> ((s, dir) => {
       // Line-level boilerplate removal (the CCNet/RefinedWeb cleanup): a
-      // line in >= 2 distinct docs of one source is struck everywhere and
-      // docs reassemble in order. The synthetic corpus has no newlines, so
-      // both engines first cut identical lines (8-word groups, one global
-      // regexp) — the operator's df-count / strike / rebuild plumbing is
-      // what's under test, and it sees real repeats (planted near-dups).
+      // line recurring at its source's own scale — ≥ max(2, ⌈4%·source
+      // docs⌉) distinct docs — is struck everywhere and docs reassemble in
+      // order. The synthetic corpus has no newlines, so both engines first
+      // cut identical lines (8-word groups, one global regexp) — the
+      // operator's df-count / strike / rebuild plumbing is what's under
+      // test, and it sees real repeats (planted near-dups). The fraction
+      // form keeps the threshold meaningful at ANY sf (fixed minDocs=2
+      // would call every twice-pasted snippet in a 250-doc source
+      // "boilerplate").
       val docs = t(s, dir, "documents").withColumn("lined",
         regexp_replace(trim(col("text")), "((?:\\S+ ){7}\\S+) ", "$1\n"))
-      Curation.stripBoilerplateLines(docs, col("doc_id"), col("source"),
-          col("lined"), sepRegex = "\n", sep = "\n", minDocs = 2)
+      Curation.stripBoilerplateLinesFrac(docs, col("doc_id"), col("source"),
+          col("lined"), sepRegex = "\n", sep = "\n", fracPpm = 40000L)
         .orderBy(col("doc_id"))
     }),
     "q179_waterfill_budget" -> ((s, dir) => {
@@ -634,6 +638,16 @@ object PipelineOps {
           TA.tokenCount(col("text")), budgetPpm = 850000L)
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
+    }),
+    "q184_matryoshka_rerank" -> ((s, dir) => {
+      // Two-stage truncated-prefix ANN (the MRL serving shape): candidates
+      // by 16-dim prefix cosine (¼ of the dot work and the hot bytes),
+      // exact 64-dim re-rank on the top-20 only. Fully deterministic →
+      // fully oracle-expressible.
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRerank(emb.filter(col("vec_id") < 10), emb,
+          k = 3, dPrefix = 16, kCand = 20)
+        .orderBy(col("q_id"), col("rnk"))
     }),
     "q183_filter_attrition" -> ((s, dir) => {
       // The curation-cascade funnel: which gate drops how much, charged to
@@ -2608,8 +2622,13 @@ object PipelineOps {
          |lsx AS (SELECT doc_id, source, string_split(s2, chr(10)) AS ls FROM synth),
          |l AS (SELECT doc_id, source, i, ls[i] AS line
          |      FROM lsx, unnest(generate_series(1, len(ls))) AS u(i)),
-         |f AS (SELECT source, line FROM l GROUP BY source, line
-         |      HAVING count(DISTINCT doc_id) >= 2),
+         |thr AS (SELECT source,
+         |  greatest(2, (count(*) * 40000 + 999999) // 1000000) AS thr
+         |  FROM documents GROUP BY source),
+         |f0 AS (SELECT source, line, count(DISTINCT doc_id) AS df
+         |       FROM l GROUP BY source, line),
+         |f AS (SELECT f0.source, f0.line FROM f0 JOIN thr USING (source)
+         |      WHERE df >= thr),
          |j AS (SELECT l.doc_id, l.i, l.line, f.line IS NOT NULL AS boiler
          |      FROM l LEFT JOIN f ON f.source = l.source AND f.line = l.line)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
@@ -2638,6 +2657,34 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q184_matryoshka_rerank" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |p AS (
+        |  SELECT q_id, c_id, q_emb, c_emb, round(
+        |    list_sum(list_transform(generate_series(1, 16),
+        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 16),
+        |         i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 16),
+        |         i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))), 5) AS psim
+        |  FROM c, q WHERE q_id != c_id),
+        |cand AS (SELECT q_id, c_id, q_emb, c_emb FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY psim DESC, c_id) AS prnk
+        |  FROM p) t WHERE prnk <= 20),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand),
+        |r AS (SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "q183_filter_attrition" ->
       raw"""WITH base AS (
          |  SELECT CASE WHEN NOT (lang IN ('en','es','de','fr')) THEN 0

@@ -1188,6 +1188,29 @@ class ExtSpec extends AnyFunSuite {
       (4L, 1L, 0L, md5Hex(""))))
   }
 
+  test("stripBoilerplateLinesFrac: threshold scales with source size, floor of 2 holds") {
+    // source A (3 docs, thr = max(2, ⌈1.5⌉) = 2): a 2-doc line IS struck;
+    // source B (10 docs, thr = max(2, ⌈5⌉) = 5): a 4-doc line survives,
+    // a 5-doc line is struck
+    val a = Seq(
+      (0L, "A", "shared a\nkeep zero"), (1L, "A", "shared a"), (2L, "A", "keep two"))
+    val b = (10L until 20L).map { i =>
+      val l4 = if (i < 14) "\nfour doc line" else ""
+      val l5 = if (i < 15) "\nfive doc line" else ""
+      (i, "B", s"own $i$l4$l5")
+    }
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val got = Curation.stripBoilerplateLinesFrac(docs, col("doc_id"),
+        col("source"), col("text"), "\n", "\n", fracPpm = 500000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expB = (10L until 20L).map { i =>
+      val n = 1L + (if (i < 14) 1L else 0L) + (if (i < 15) 1L else 0L)
+      (i, n, n - (if (i < 15) 1L else 0L)) // only the 5-doc line struck
+    }
+    assert(got === Seq((0L, 2L, 1L), (1L, 1L, 0L), (2L, 1L, 1L)) ++ expB)
+  }
+
   test("waterFillAlloc: hand-computed level; randomized trials match brute-force max cap") {
     // sorted weights 1,2,10,20 (total 33); ppm 400000 → budget 13; the
     // level sits in [2,10): ⌊(13−3)/2⌋ = 5 → allocs 1,2,5,5 (Σ=13)
@@ -1298,6 +1321,35 @@ class ExtSpec extends AnyFunSuite {
     // only the labeled query 0 gets the labeled foreign vector 2; the
     // NULL-label vector 1 is never a negative, the NULL query 3 gets none
     assert(got === Seq((0L, 2L)))
+  }
+
+  test("truncated rerank: full-corpus candidates degenerate to brute force; recall floor at kCand=20") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val degenerate = Similarity.truncatedRerank(qs, emb, k = 3,
+      dPrefix = 16, kCand = n).collect().map(key).toSet
+    val brute = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .collect().map(key).toSet
+    assert(degenerate === brute)
+    // these embeddings are RANDOM (no MRL training), so a 16-dim prefix is
+    // just a random projection — the worst case for the operator. Floors
+    // are set against that: recall must still sit far above the
+    // chance line (kCand/n) and climb with kCand.
+    val bruteIds = brute.map(t => (t._1, t._2))
+    def recallAt(kCand: Int): Double = {
+      val pruned = Similarity.truncatedRerank(qs, emb, k = 3,
+        dPrefix = 16, kCand = kCand).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pruned & bruteIds).size.toDouble / bruteIds.size
+    }
+    val r20 = recallAt(20); val r100 = recallAt(100)
+    info(f"truncated-prefix recall@3 (d=16): kCand=20 → $r20%.3f, kCand=100 → $r100%.3f")
+    assert(r20 >= 0.25, s"recall $r20 below floor (chance = ${20.0 / n})")
+    assert(r100 >= 0.5, s"recall $r100 below floor (chance = ${100.0 / n})")
+    assert(r100 >= r20, "recall must not fall as kCand grows")
   }
 
   test("ivf hard negatives: labels always differ; equals label-filtered re-rank of the full IVF ranking") {

@@ -71,7 +71,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // water-fill windows, label-excluded IVF re-rank
     "q177_ingest_novelty", "q178_line_boilerplate",
     "q179_waterfill_budget", "q180_hard_negatives",
-    "q181_stream_novelty", "q182_waterfill_sample", "q183_filter_attrition")
+    "q181_stream_novelty", "q182_waterfill_sample", "q183_filter_attrition",
+    "q184_matryoshka_rerank")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
