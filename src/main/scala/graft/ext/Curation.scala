@@ -642,6 +642,80 @@ object Curation {
         col("cap"))
   }
 
+  /** Per-source corpus diversity profile — the health report that catches
+    * a collapsed or over-templated source (synthetic data regurgitating,
+    * a crawler stuck in a calendar) before it trains: token type-token
+    * ratio, word-trigram diversity, and top-token dominance, each over the
+    * WHOLE source rather than per document ([[repetitionSignals]] is the
+    * per-doc sibling — a source can be degenerate while every doc looks
+    * fine, e.g. one template stamped a million times).
+    *
+    * Two two-phase hash aggregations (tokens, trigram hashes), both keyed
+    * (source, term) then (source) — map-side combine does the heavy lift;
+    * trigrams ride as XXH64 longs (the q45 collision argument). Sources
+    * too short for a trigram report n_tri = 0 with NULL diversity, not a
+    * division error. */
+  def sourceDiversity(docs: DataFrame, id: Column, source: Column,
+      text: Column, n: Int = 3): DataFrame = {
+    val toks = docs.select(source.as("src"), explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy(col("src"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src")).agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("distinct_tok"),
+        max(col("c")).as("top_tok"))
+    val tris = docs.select(source.as("src"),
+        explode(Dedup.wordNgramHashes(text, n)).as("h"))
+      .groupBy(col("src"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src")).agg(
+        sum(col("c")).as("n_tri"), count(lit(1)).as("distinct_tri"))
+    val dc = docs.groupBy(source.as("src")).agg(count(lit(1)).as("n_docs"))
+    dc.join(toks, Seq("src"), "left").join(tris, Seq("src"), "left")
+      .select(col("src"), col("n_docs"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        round(col("distinct_tok").cast("double") / col("n_tok"), 6).as("ttr"),
+        round(col("top_tok").cast("double") / col("n_tok"), 6).as("top_tok_ratio"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
+  }
+
+  /** Weight-proportional sample without replacement — PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM 2007): each row draws a deterministic
+    * hash-uniform u_i and gets priority w_i/u_i; the sample is the top-k
+    * priorities and τ = the (k+1)-th, with Horvitz–Thompson adjusted
+    * weights ŵ_i = max(w_i, τ) making Σŵ over the sample an (near-)unbiased
+    * estimator of Σw — "sample long documents proportionally, and still
+    * sum tokens honestly". The sampling rule every token-budgeted subset
+    * job wants when uniform sampling would under-represent long docs.
+    *
+    * Determinism: u_i = ([[sampleKey]](id)+1)/10⁶ — integer hash, no RNG;
+    * the priority ORDER is evaluated on the exact rational w·10⁶/(h+1) via
+    * one IEEE double division (identical on every engine) with id
+    * tie-break. Zero-weight rows never enter the sample. Scale shape: a
+    * bounded top-(k+1) (TakeOrdered — no global sort), everything else is
+    * a per-row map; emits (id, w, priority, est_w) for the k sampled
+    * rows. */
+  def prioritySample(docs: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "prioritySample: k must be >= 1")
+    val base = docs.select(id.as("s_id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("priority", round(
+        col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
+    val top = base.orderBy(col("priority").desc, col("s_id")).limit(k + 1)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("s_id"))))
+    // τ = 0 when the corpus has ≤ k rows (everything sampled, no
+    // adjustment); the one-row aggregate is deterministic where a
+    // union+limit(1) would race
+    val tau = top.agg(coalesce(
+      max(when(col("rnk") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    top.filter(col("rnk") <= k)
+      .crossJoin(tau)
+      .select(col("s_id").as("id"), col("w"), col("priority"),
+        round(greatest(col("w").cast("double"), col("tau")), 6).as("est_w"))
+  }
+
   /** Filter-cascade attrition report (pipeline observability): apply
     * `rules` IN ORDER, charge each dropped document to the FIRST rule it
     * fails, and emit the funnel — (rule_id, rule, n_in, n_drop, n_out)

@@ -639,6 +639,25 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q186_source_diversity" -> ((s, dir) => {
+      // Whole-source diversity health: type-token ratio, trigram
+      // diversity, top-token dominance per source — the collapsed-source
+      // detector (per-doc signals can't see one template stamped a
+      // million times).
+      Curation.sourceDiversity(t(s, dir, "documents"), col("doc_id"),
+          col("source"), col("text"))
+        .orderBy(col("src"))
+    }),
+    "q185_priority_sample" -> ((s, dir) => {
+      // Token-weighted sampling without replacement (priority sampling,
+      // Duffield-Lund-Thorup): top-50 hash-deterministic priorities w/u,
+      // with Horvitz-Thompson adjusted weights ŵ = max(w, τ) so token
+      // totals estimated from the sample stay honest. Bounded TakeOrdered,
+      // no global sort.
+      Curation.prioritySample(t(s, dir, "documents"), col("doc_id"),
+          TA.tokenCount(col("text")), k = 50)
+        .orderBy(col("id"))
+    }),
     "q184_matryoshka_rerank" -> ((s, dir) => {
       // Two-stage truncated-prefix ANN (the MRL serving shape): candidates
       // by 16-dim prefix cosine (¼ of the dot work and the hot bytes),
@@ -2657,6 +2676,47 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q186_source_diversity" ->
+      raw"""WITH toks AS (
+         |  SELECT source AS src,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS t
+         |  FROM documents),
+         |tc AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY src, t),
+         |ta AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(count(*) AS BIGINT) AS distinct_tok, max(c) AS top_tok
+         |  FROM tc GROUP BY src),
+         |tw AS (SELECT doc_id, source AS src,
+         |  string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |tri AS (SELECT src, unnest(list_transform(
+         |    generate_series(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM tw WHERE len(w) >= 3),
+         |gc AS (SELECT src, g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY src, g),
+         |ga AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tri,
+         |  CAST(count(*) AS BIGINT) AS distinct_tri FROM gc GROUP BY src),
+         |dc AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT dc.src, dc.n_docs,
+         |  coalesce(ta.n_tok, 0) AS n_tok,
+         |  round(CAST(ta.distinct_tok AS DOUBLE) / ta.n_tok, 6) AS ttr,
+         |  round(CAST(ta.top_tok AS DOUBLE) / ta.n_tok, 6) AS top_tok_ratio,
+         |  coalesce(ga.n_tri, 0) AS n_tri,
+         |  round(CAST(ga.distinct_tri AS DOUBLE) / ga.n_tri, 6) AS tri_diversity
+         |FROM dc LEFT JOIN ta ON ta.src = dc.src LEFT JOIN ga ON ga.src = dc.src
+         |ORDER BY dc.src""".stripMargin,
+    "q185_priority_sample" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |p AS (SELECT id, w,
+         |  round(w * 1000000.0 / ((((id % 1000003) * 2654435761) % 1000000) + 1.0), 6) AS priority
+         |  FROM base WHERE w > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, id) AS BIGINT) AS rnk
+         |      FROM p),
+         |tau AS (SELECT coalesce(max(CASE WHEN rnk = 51 THEN priority END), 0.0) AS tau FROM r)
+         |SELECT id, w, priority, round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_w
+         |FROM r, tau WHERE rnk <= 50 ORDER BY id""".stripMargin,
     "q184_matryoshka_rerank" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

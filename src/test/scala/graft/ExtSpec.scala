@@ -1266,6 +1266,50 @@ class ExtSpec extends AnyFunSuite {
     assert(got(Some("a")) === ((10L, 3L)))
   }
 
+  test("sourceDiversity: collapsed template source scores low, diverse source high, short source NULL-safe") {
+    val docs = Seq(
+      (1L, "tpl", "buy now cheap"), (2L, "tpl", "buy now cheap"),
+      (3L, "tpl", "buy now cheap"),
+      (4L, "div", "one two three four"), (5L, "div", "five six seven"),
+      (6L, "tiny", "a b") // no trigram
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceDiversity(docs, col("doc_id"), col("source"), col("text"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), Option(r.get(6)))).toSeq
+    assert(got === Seq(
+      ("div", 2L, 7L, 1.0, 0.142857, 3L, Some(1.0)),
+      ("tiny", 1L, 2L, 1.0, 0.5, 0L, None),
+      ("tpl", 3L, 9L, 0.333333, 0.333333, 3L, Some(0.333333))))
+  }
+
+  test("prioritySample: top-k by replayed priorities, HT weights use the (k+1)-th, k>=n passes through") {
+    val docs = (1L to 40L).map(i => (i, 10L + (i * 7) % 50)).toDF("doc_id", "w")
+    val got = Curation.prioritySample(docs, col("doc_id"), col("w"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // Scala replay of the exact arithmetic
+    def pri(id: Long, w: Long): Double = {
+      val h = ((id % 1000003L) * 2654435761L) % 1000000L
+      BigDecimal(w * 1000000.0 / (h + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ranked = (1L to 40L).map(i => (i, 10L + (i * 7) % 50))
+      .map { case (i, w) => (i, w, pri(i, w)) }
+      .sortBy { case (i, _, p) => (-p, i) }
+    val tau = ranked(10)._3
+    val expect = ranked.take(10).map { case (i, w, p) =>
+      (i, w, p, BigDecimal(math.max(w.toDouble, tau))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got === expect)
+    // k >= n: everything sampled, τ = 0, est_w = w
+    val all = Curation.prioritySample(docs, col("doc_id"), col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(all.length === 40)
+    all.foreach { case (_, w, est) => assert(est === w.toDouble) }
+  }
+
   test("filterAttrition: first-fail blame, NULL predicates fail, funnel arithmetic exact") {
     val docs = Seq(
       (1L, Some(10L), Some(100L)), // passes all
