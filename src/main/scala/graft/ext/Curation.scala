@@ -642,6 +642,33 @@ object Curation {
         col("cap"))
   }
 
+  /** [[prioritySample]] per stratum: an independent weight-proportional
+    * sample of k rows from EACH stratum, each with its own threshold
+    * τ_s = the stratum's (k+1)-th priority and HT weights ŵ = max(w, τ_s)
+    * — "a token-honest sample of every language", the per-stratum sibling
+    * of the global TakeOrdered form. One stratum-keyed window shuffle;
+    * the rnk ≤ k+1 cut happens before the |strata|-sized τ table joins
+    * back (broadcast). Strata with ≤ k rows pass through with τ_s = 0. */
+  def prioritySampleByStratum(docs: DataFrame, id: Column, stratum: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "prioritySampleByStratum: k must be >= 1")
+    val base = docs.select(id.as("s_id"), stratum.as("strat"),
+        weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("priority", round(
+        col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
+    val w1 = Window.partitionBy(col("strat"))
+      .orderBy(col("priority").desc, col("s_id"))
+    val ranked = base.withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") <= k + 1)
+    val tau = ranked.groupBy(col("strat")).agg(coalesce(
+      max(when(col("rnk") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("strat"))
+      .select(col("strat"), col("s_id").as("id"), col("w"), col("priority"),
+        round(greatest(col("w").cast("double"), col("tau")), 6).as("est_w"))
+  }
+
   /** Per-source corpus diversity profile — the health report that catches
     * a collapsed or over-templated source (synthetic data regurgitating,
     * a crawler stuck in a calendar) before it trains: token type-token

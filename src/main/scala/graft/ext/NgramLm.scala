@@ -58,4 +58,49 @@ object NgramLm {
       .agg(count(lit(1)).as("m"), sum(col("p_int")).as("tot"))
       .withColumn("fluency", expr("tot div m"))
       .select(col("doc_id"), col("m"), col("fluency"))
+
+  /** Within-word adjacent character trigrams, in reading order. */
+  def charTrigrams(text: Column): Column =
+    flatten(transform(
+      filter(TextAnalysis.tokens(text), w => length(w) >= 3),
+      w => transform(sequence(lit(1), length(w) - 2), i => w.substr(i, lit(3)))))
+
+  /** Trigram conditional table: (tg, c_tri, c_xy, p_int) with the
+    * denominator counting trigrams sharing the first TWO characters —
+    * p(c₃ | c₁c₂) in integer ppm. charset³-bounded, so it broadcasts
+    * like [[probTable]] at any corpus size. */
+  def probTable3(docs: DataFrame, text: Column): DataFrame = {
+    val counts = docs.select(explode(charTrigrams(text)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c_tri"))
+    val prefix = counts.groupBy(substring(col("tg"), 1, 2).as("pxy"))
+      .agg(sum(col("c_tri")).as("c_xy"))
+    counts.withColumn("pxy", substring(col("tg"), 1, 2))
+      .join(prefix, "pxy")
+      .withColumn("p_int",
+        expr("CAST(CAST(c_tri AS DECIMAL(38,0)) * 1000000 / c_xy AS BIGINT)"))
+      .select(col("tg"), col("c_tri"), col("c_xy"), col("p_int"))
+  }
+
+  /** Interpolated trigram fluency (the higher-order CCNet shape; Jelinek–
+    * Mercer fixed-weight interpolation): each trigram instance scores
+    * mixPpm·p(c₃|c₁c₂) + (1−mixPpm)·p(c₃|c₂) — the bigram term is the
+    * trigram's SUFFIX bigram under [[probTable]], the backoff that keeps a
+    * rare context from zeroing a common continuation. All integer ppm;
+    * unseen n-grams read 0 (cross-corpus scoring), so the mix degrades
+    * smoothly instead of dropping the instance. Both model tables
+    * broadcast (charset-bounded); one doc-keyed aggregation. */
+  def scoreInterpolated(docs: DataFrame, id: Column, text: Column,
+      lm3: DataFrame, lm2: DataFrame, mixPpm: Long): DataFrame = {
+    require(mixPpm >= 0 && mixPpm <= 1000000, "scoreInterpolated: mixPpm in [0, 1e6]")
+    docs.select(id.as("doc_id"), explode(charTrigrams(text)).as("tg"))
+      .join(broadcast(lm3.select(col("tg"), col("p_int").as("p3"))), Seq("tg"), "left")
+      .withColumn("bg", substring(col("tg"), 2, 2))
+      .join(broadcast(lm2.select(col("bg"), col("p_int").as("p2"))), Seq("bg"), "left")
+      .withColumn("mix", expr(
+        s"($mixPpm * coalesce(p3, 0) + ${1000000 - mixPpm} * coalesce(p2, 0)) div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("m"), sum(col("mix")).as("tot"))
+      .withColumn("fluency3", expr("tot div m"))
+      .select(col("doc_id"), col("m"), col("fluency3"))
+  }
 }

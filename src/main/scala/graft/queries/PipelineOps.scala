@@ -639,6 +639,30 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q188_trigram_lm" -> ((s, dir) => {
+      // Interpolated char-trigram fluency (Jelinek-Mercer fixed-weight mix
+      // with the suffix-bigram backoff, λ = 0.6): the 20 least-fluent docs
+      // — the higher-order CCNet filter. Both model tables are
+      // charset-bounded broadcasts.
+      import graft.ext.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm2 = NgramLm.probTable(docs, col("text"))
+      val lm3 = NgramLm.probTable3(docs, col("text"))
+      NgramLm.scoreInterpolated(docs, col("doc_id"), col("text"),
+          lm3, lm2, mixPpm = 600000L)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("m"), col("fluency3"))
+        .orderBy(col("fluency3"), col("doc_id")).limit(20)
+    }),
+    "q187_stratified_priority" -> ((s, dir) => {
+      // Priority sampling PER LANGUAGE: 20 token-weighted draws from each
+      // lang with that stratum's own τ and HT weights — a token-honest
+      // sample of every language in one stratum-keyed window pass.
+      Curation.prioritySampleByStratum(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), TA.tokenCount(col("text")), k = 20)
+        .withColumnRenamed("strat", "lang")
+        .orderBy(col("lang"), col("id"))
+    }),
     "q186_source_diversity" -> ((s, dir) => {
       // Whole-source diversity health: type-token ratio, trigram
       // diversity, top-token dominance per source — the collapsed-source
@@ -2676,6 +2700,51 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q188_trigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |bgr AS (
+        |  SELECT doc_id, unnest([substring(w, i, 2) for i in range(1, length(w))]) AS bg
+        |  FROM tk WHERE length(w) >= 2),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bi FROM bgr GROUP BY bg),
+        |px AS (SELECT substring(bg, 1, 1) AS x, CAST(sum(c_bi) AS BIGINT) AS c_x
+        |       FROM c2 GROUP BY 1),
+        |lm2 AS (SELECT bg, (1000000 * c_bi) // c_x AS p2
+        |        FROM c2 JOIN px ON substring(c2.bg, 1, 1) = px.x),
+        |tgr AS (
+        |  SELECT doc_id, unnest([substring(w, i, 3) for i in range(1, length(w) - 1)]) AS tg
+        |  FROM tk WHERE length(w) >= 3),
+        |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c_tri FROM tgr GROUP BY tg),
+        |pxy AS (SELECT substring(tg, 1, 2) AS xy, CAST(sum(c_tri) AS BIGINT) AS c_xy
+        |        FROM c3 GROUP BY 1),
+        |lm3 AS (SELECT tg, (1000000 * c_tri) // c_xy AS p3
+        |        FROM c3 JOIN pxy ON substring(c3.tg, 1, 2) = pxy.xy),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum((600000 * coalesce(p3, 0) + 400000 * coalesce(p2, 0)) // 1000000)
+        |         AS BIGINT) AS tot
+        |  FROM tgr t LEFT JOIN lm3 USING (tg)
+        |       LEFT JOIN lm2 ON lm2.bg = substring(t.tg, 2, 2)
+        |  GROUP BY t.doc_id)
+        |SELECT sc.doc_id, d.lang, sc.m, CAST(sc.tot // sc.m AS BIGINT) AS fluency3
+        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |ORDER BY fluency3, sc.doc_id LIMIT 20""".stripMargin,
+    "q187_stratified_priority" ->
+      raw"""WITH base AS (
+         |  SELECT lang, doc_id AS id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |p AS (SELECT lang, id, w,
+         |  round(w * 1000000.0 / ((((id % 1000003) * 2654435761) % 1000000) + 1.0), 6) AS priority
+         |  FROM base WHERE w > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY priority DESC, id) AS BIGINT) AS rnk FROM p),
+         |tau AS (SELECT lang, coalesce(max(CASE WHEN rnk = 21 THEN priority END), 0.0) AS tau
+         |        FROM r WHERE rnk <= 21 GROUP BY lang)
+         |SELECT r.lang, id, w, priority,
+         |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_w
+         |FROM r JOIN tau ON tau.lang = r.lang
+         |WHERE rnk <= 20 ORDER BY r.lang, id""".stripMargin,
     "q186_source_diversity" ->
       raw"""WITH toks AS (
          |  SELECT source AS src,

@@ -1310,6 +1310,54 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("interpolated trigram LM: hand-computed mix, unseen n-grams back off to zero") {
+    import graft.ext.NgramLm
+    // corpus "aab aab" + "abb": p2(aa)=0.4, p2(ab)=0.6, p2(bb)=1.0;
+    // p3(aab)=p3(abb)=1.0. mix(aab)=0.6+0.4·p2(ab)=0.84;
+    // mix(abb)=0.6+0.4·p2(bb)=1.0 (ppm-exact)
+    val docs = Seq((1L, "aab aab"), (2L, "abb")).toDF("doc_id", "text")
+    val lm2 = NgramLm.probTable(docs, col("text"))
+    val lm3 = NgramLm.probTable3(docs, col("text"))
+    val got = NgramLm.scoreInterpolated(docs, col("doc_id"), col("text"),
+        lm3, lm2, mixPpm = 600000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 840000L), (2L, 1L, 1000000L)))
+    // a doc of entirely unseen trigrams scores 0, not absent and not NULL
+    val unseen = NgramLm.scoreInterpolated(
+        Seq((9L, "zzz")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+        lm3, lm2, mixPpm = 600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(unseen === Seq((9L, 1L, 0L)))
+  }
+
+  test("prioritySampleByStratum: per-stratum tau, small strata pass through, k-cut per stratum") {
+    val docs = ((1L to 30L).map(i => (i, "big", 10L + (i * 7) % 50)) ++
+      Seq((100L, "small", 5L), (101L, "small", 9L))).toDF("doc_id", "lang", "w")
+    val got = Curation.prioritySampleByStratum(docs, col("doc_id"),
+        col("lang"), col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val (big, small) = got.partition(_._1 == "big")
+    assert(big.length === 5 && small.length === 2)
+    // small stratum: tau = 0 → est_w = w exactly
+    small.foreach { case (_, _, w, _, est) => assert(est === w.toDouble) }
+    // big stratum: replay — its top-5 by priority, est = max(w, tau6)
+    def pri(id: Long, w: Long): Double = {
+      val h = ((id % 1000003L) * 2654435761L) % 1000000L
+      BigDecimal(w * 1000000.0 / (h + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ranked = (1L to 30L).map(i => (i, 10L + (i * 7) % 50))
+      .map { case (i, w) => (i, w, pri(i, w)) }.sortBy { case (i, _, p) => (-p, i) }
+    val tau = ranked(5)._3
+    val expBig = ranked.take(5).map { case (i, w, p) =>
+      ("big", i, w, p, BigDecimal(math.max(w.toDouble, tau))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._2)
+    assert(big.sortBy(_._2).toSeq === expBig)
+  }
+
   test("filterAttrition: first-fail blame, NULL predicates fail, funnel arithmetic exact") {
     val docs = Seq(
       (1L, Some(10L), Some(100L)), // passes all

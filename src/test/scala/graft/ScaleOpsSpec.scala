@@ -221,6 +221,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("priority sample plans a bounded TakeOrdered, never a global sort") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val out = graft.ext.Curation.prioritySample(docs, col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")), k = 50)
+    out.collect() // materialize so AQE finalizes the plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected the bounded top-(k+1) operator:\n" + p)
+    // a global Sort outside the k+1-row window region would mean the whole
+    // corpus sorts; the only Sort allowed is the one under the tiny Window
+    val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts <= 1, s"unexpected global sorts in plan ($sorts):\n" + p)
+  }
+
   test("incremental dedup against a bucketed snapshot: snapshot side never shuffles") {
     val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
     val fp = graft.ext.TextAnalysis.contentFingerprint(col("text"))
