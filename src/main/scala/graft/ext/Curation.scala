@@ -705,6 +705,40 @@ object Curation {
         round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
   }
 
+  /** Mixture reweighting by MULTIPLICATIVE WEIGHTS (the DoReMi-shaped
+    * update, Xie et al. 2023, with exp(η·r) replaced by its integer-exact
+    * first-order surrogate 1 + η·r): starting uniform, each round
+    * multiplies every source's weight by (10⁶ + ⌊η·r_s/10⁶⌋)/10⁶ and
+    * renormalizes to ppm shares — sources with higher reward (excess loss,
+    * diversity, quality: any per-source integer score) compound their
+    * share, the rest decay. Returns (k, r, share_ppm) after `rounds`
+    * updates; NULL rewards read 0 (neutral), Σshare ≤ 10⁶ with residue
+    * < |sources| (floor division).
+    *
+    * All arithmetic stays in Long: shares ≤ 10⁶, factors ≤ 2·10⁶, so the
+    * largest intermediate is 2·10¹². The corpus never appears — this runs
+    * on the |sources|-sized score relation (single-partition windows by
+    * construction); the caller computes rewards with whatever corpus pass
+    * their objective needs. */
+  def mixtureReweight(scores: DataFrame, key: Column, rewardPpm: Column,
+      rounds: Int, etaPpm: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "mixtureReweight: rounds in [1, 16]")
+    require(etaPpm >= 0 && etaPpm <= 1000000, "mixtureReweight: etaPpm in [0, 1e6]")
+    val all = Window.partitionBy(lit(1))
+    var df = scores.select(key.as("k"),
+        coalesce(rewardPpm.cast("long"), lit(0L)).as("r"))
+      .withColumn("w", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      df = df
+        .withColumn("wu", expr(
+          s"(w * (1000000 + ($etaPpm * r) div 1000000)) div 1000000"))
+        .withColumn("tot", sum(col("wu")).over(all))
+        .withColumn("w", expr("(wu * 1000000) div tot"))
+        .drop("wu", "tot")
+    }
+    df.select(col("k"), col("r"), col("w").as("share_ppm"))
+  }
+
   /** Weight-proportional sample without replacement — PRIORITY SAMPLING
     * (Duffield, Lund & Thorup, JACM 2007): each row draws a deterministic
     * hash-uniform u_i and gets priority w_i/u_i; the sample is the top-k

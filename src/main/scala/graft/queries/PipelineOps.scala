@@ -639,6 +639,23 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q189_mixture_reweight" -> ((s, dir) => {
+      // Multiplicative-weights mixture tuning (the DoReMi shape, integer
+      // surrogate): reward = each language's type-token-ratio ppm, 3
+      // rounds at η = 0.5 — diverse languages compound share, templated
+      // ones decay. One corpus pass for rewards; the update runs on the
+      // |langs|-sized relation.
+      val docs = t(s, dir, "documents")
+      val rewards = docs
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang")).agg(
+          expr("(1000000 * count(1)) div sum(c)").as("reward_ppm"))
+      Curation.mixtureReweight(rewards, col("lang"), col("reward_ppm"),
+          rounds = 3, etaPpm = 500000L)
+        .withColumnRenamed("k", "lang").withColumnRenamed("r", "reward_ppm")
+        .orderBy(col("lang"))
+    }),
     "q188_trigram_lm" -> ((s, dir) => {
       // Interpolated char-trigram fluency (Jelinek-Mercer fixed-weight mix
       // with the suffix-bigram backoff, λ = 0.6): the 20 least-fluent docs
@@ -2700,6 +2717,22 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q189_mixture_reweight" ->
+      raw"""WITH tc AS (
+         |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+         |    FROM documents) GROUP BY lang, t),
+         |s0 AS (SELECT lang AS k, (1000000 * count(*)) // sum(c) AS r
+         |       FROM tc GROUP BY lang),
+         |w0 AS (SELECT k, CAST(r AS BIGINT) AS r, CAST(1000000 AS BIGINT) AS w FROM s0),
+         |w1 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w0)),
+         |w2 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w1)),
+         |w3 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w2))
+         |SELECT k AS lang, r AS reward_ppm, w AS share_ppm
+         |FROM w3 ORDER BY lang""".stripMargin,
     "q188_trigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),

@@ -1310,6 +1310,37 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("mixtureReweight: compounding shares match an integer replay; zero eta stays uniform") {
+    val scores = Seq(("a", 800000L), ("b", 200000L), ("c", 0L))
+      .toDF("k0", "r0")
+    val got = Curation.mixtureReweight(scores, col("k0"), col("r0"),
+        rounds = 3, etaPpm = 500000L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    // exact integer replay of the update
+    var w = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    val r = Map("a" -> 800000L, "b" -> 200000L, "c" -> 0L)
+    for (_ <- 1 to 3) {
+      val wu = w.map { case (k, v) => k -> v * (1000000L + (500000L * r(k)) / 1000000L) / 1000000L }
+      val tot = wu.values.sum
+      w = wu.map { case (k, v) => k -> v * 1000000L / tot }
+    }
+    assert(got === w.toSeq.sortBy(_._1))
+    assert(got.head._2 > got(1)._2 && got(1)._2 > got(2)._2, "shares must order by reward")
+    // η = 0 never moves the mixture off uniform (mod floor residue)
+    val flat = Curation.mixtureReweight(scores, col("k0"), col("r0"),
+        rounds = 3, etaPpm = 0L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(flat === Seq(333333L, 333333L, 333333L))
+    // NULL reward is neutral, not poison
+    val withNull = Curation.mixtureReweight(
+        Seq(("a", Some(500000L)), ("b", None)).toDF("k0", "r0"),
+        col("k0"), col("r0"), rounds = 2, etaPpm = 500000L)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(withNull.map(_._2) === Seq(500000L, 0L))
+    assert(withNull.map(_._3).sum <= 1000000L && withNull.head._3 > withNull(1)._3)
+  }
+
   test("interpolated trigram LM: hand-computed mix, unseen n-grams back off to zero") {
     import graft.ext.NgramLm
     // corpus "aab aab" + "abb": p2(aa)=0.4, p2(ab)=0.6, p2(bb)=1.0;
