@@ -648,23 +648,22 @@ object Curation {
     * — "a token-honest sample of every language", the per-stratum sibling
     * of the global TakeOrdered form. One stratum-keyed window shuffle;
     * the rnk ≤ k+1 cut happens before the |strata|-sized τ table joins
-    * back (broadcast). Strata with ≤ k rows pass through with τ_s = 0. */
+    * back (broadcast, NULL-SAFE: a NULL stratum samples as its own group,
+    * the file-wide NULL-key convention). Strata with ≤ k rows pass
+    * through with τ_s = 0. */
   def prioritySampleByStratum(docs: DataFrame, id: Column, stratum: Column,
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, "prioritySampleByStratum: k must be >= 1")
-    val base = docs.select(id.as("s_id"), stratum.as("strat"),
-        weight.cast("long").as("w"))
-      .filter(col("w") > 0)
-      .withColumn("priority", round(
-        col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
+    val base = priorityBase(docs, Seq(id.as("s_id"), stratum.as("strat")), weight)
     val w1 = Window.partitionBy(col("strat"))
       .orderBy(col("priority").desc, col("s_id"))
     val ranked = base.withColumn("rnk", row_number().over(w1))
       .filter(col("rnk") <= k + 1)
     val tau = ranked.groupBy(col("strat")).agg(coalesce(
       max(when(col("rnk") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+      .withColumnRenamed("strat", "strat2")
     ranked.filter(col("rnk") <= k)
-      .join(broadcast(tau), Seq("strat"))
+      .join(broadcast(tau), col("strat") <=> col("strat2"))
       .select(col("strat"), col("s_id").as("id"), col("w"), col("priority"),
         round(greatest(col("w").cast("double"), col("tau")), 6).as("est_w"))
   }
@@ -682,7 +681,7 @@ object Curation {
     * trigrams ride as XXH64 longs (the q45 collision argument). Sources
     * too short for a trigram report n_tri = 0 with NULL diversity, not a
     * division error. */
-  def sourceDiversity(docs: DataFrame, id: Column, source: Column,
+  def sourceDiversity(docs: DataFrame, source: Column,
       text: Column, n: Int = 3): DataFrame = {
     val toks = docs.select(source.as("src"), explode(TextAnalysis.tokens(text)).as("t"))
       .groupBy(col("src"), col("t")).agg(count(lit(1)).as("c"))
@@ -713,7 +712,7 @@ object Curation {
     * diversity, quality: any per-source integer score) compound their
     * share, the rest decay. Returns (k, r, share_ppm) after `rounds`
     * updates; NULL rewards read 0 (neutral), Σshare ≤ 10⁶ with residue
-    * < |sources| (floor division).
+    * < |sources| (floor division); rewards clamp to [−10⁶, 10⁶].
     *
     * All arithmetic stays in Long: shares ≤ 10⁶, factors ≤ 2·10⁶, so the
     * largest intermediate is 2·10¹². The corpus never appears — this runs
@@ -725,15 +724,21 @@ object Curation {
     require(rounds >= 1 && rounds <= 16, "mixtureReweight: rounds in [1, 16]")
     require(etaPpm >= 0 && etaPpm <= 1000000, "mixtureReweight: etaPpm in [0, 1e6]")
     val all = Window.partitionBy(lit(1))
+    // rewards clamp to [−10⁶, 10⁶] at intake: a full negative reward zeroes
+    // the factor (the source decays out in one round, never goes negative),
+    // and the clamp makes the Long bound unconditional for arbitrary caller
+    // scores; greatest(tot, 1) keeps an all-zeroed mixture at share 0
+    // instead of dividing by zero
     var df = scores.select(key.as("k"),
-        coalesce(rewardPpm.cast("long"), lit(0L)).as("r"))
+        greatest(lit(-1000000L), least(lit(1000000L),
+          coalesce(rewardPpm.cast("long"), lit(0L)))).as("r"))
       .withColumn("w", lit(1000000L))
     for (_ <- 1 to rounds) {
       df = df
         .withColumn("wu", expr(
-          s"(w * (1000000 + ($etaPpm * r) div 1000000)) div 1000000"))
+          s"(w * greatest(0, 1000000 + ($etaPpm * r) div 1000000)) div 1000000"))
         .withColumn("tot", sum(col("wu")).over(all))
-        .withColumn("w", expr("(wu * 1000000) div tot"))
+        .withColumn("w", expr("(wu * 1000000) div greatest(tot, 1)"))
         .drop("wu", "tot")
     }
     df.select(col("k"), col("r"), col("w").as("share_ppm"))
@@ -755,13 +760,21 @@ object Curation {
     * bounded top-(k+1) (TakeOrdered — no global sort), everything else is
     * a per-row map; emits (id, w, priority, est_w) for the k sampled
     * rows. */
-  def prioritySample(docs: DataFrame, id: Column, weight: Column,
-      k: Int): DataFrame = {
-    require(k >= 1, "prioritySample: k must be >= 1")
-    val base = docs.select(id.as("s_id"), weight.cast("long").as("w"))
+  /** Shared priority construction for the samplers: w > 0 rows with the
+    * deterministic hash-uniform priority w·10⁶/(h+1) rounded to 6 — THE
+    * cross-engine contract both oracles replay; change it in one place or
+    * the global and stratified samplers de-synchronize. */
+  private def priorityBase(docs: DataFrame, cols: Seq[Column],
+      weight: Column): DataFrame =
+    docs.select(cols :+ weight.cast("long").as("w"): _*)
       .filter(col("w") > 0)
       .withColumn("priority", round(
         col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
+
+  def prioritySample(docs: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "prioritySample: k must be >= 1")
+    val base = priorityBase(docs, Seq(id.as("s_id")), weight)
     val top = base.orderBy(col("priority").desc, col("s_id")).limit(k + 1)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -597,15 +597,6 @@ object Dedup {
         (shiftright(col("fp"), 15 * i).bitwiseAND(lit(32767L)) + lit(i * 32768L)).as("bkey")): _*))
         .as("bkey"))
 
-  /** Build the production corpus side of incremental NEAR-dup ingest: the
-    * corpus's distinct (band key, fingerprint) pairs as a bucketed,
-    * bucket-sorted catalog table keyed by `bkey`. The shuffle over the
-    * (100 TB) corpus is paid ONCE here — every subsequent ingest probes the
-    * snapshot in its bucket layout with zero Exchange on the snapshot side
-    * ([[novelNearDupAgainstSnapshot]]; the near-dup analogue of
-    * [[snapshotFingerprints]]). Size: ≤ 4 rows per corpus doc, minus
-    * (bkey, fp) duplicates — exact-dup docs collapse to one snapshot row
-    * per band. */
   /** Write the corpus's DISTINCT word-n-gram hash set as a bucketed
     * snapshot table — the q82/q108 incremental-ingest wiring at SHINGLE
     * granularity, feeding [[noveltyAgainstSnapshot]]. */
@@ -646,6 +637,15 @@ object Dedup {
         expr("(1000000 * (n_grams - n_known)) div n_grams"))
   }
 
+  /** Build the production corpus side of incremental NEAR-dup ingest: the
+    * corpus's distinct (band key, fingerprint) pairs as a bucketed,
+    * bucket-sorted catalog table keyed by `bkey`. The shuffle over the
+    * (100 TB) corpus is paid ONCE here — every subsequent ingest probes the
+    * snapshot in its bucket layout with zero Exchange on the snapshot side
+    * ([[novelNearDupAgainstSnapshot]]; the near-dup analogue of
+    * [[snapshotFingerprints]]). Size: ≤ 4 rows per corpus doc, minus
+    * (bkey, fp) duplicates — exact-dup docs collapse to one snapshot row
+    * per band. */
   def snapshotSimhashBands(corpus: DataFrame, id: Column, text: Column,
       table: String, buckets: Int): Unit =
     graft.tables.Bucketing.writeBucketed(

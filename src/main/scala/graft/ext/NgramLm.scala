@@ -40,10 +40,12 @@ object NgramLm {
     counts.withColumn("px", substring(col("bg"), 1, 1))
       .join(prefix, "px")
       // the multiply runs in DECIMAL so a web-scale c_bi (> ~9.2e12)
-      // cannot wrap Long; the cast back truncates the exact quotient —
-      // identical to integer div for these nonnegative values
+      // cannot wrap Long; DIV (not `/` then CAST) floors the exact
+      // quotient — decimal `/` rounds HALF_UP at scale 6 first, which
+      // diverges from the oracle's `//` by 1 once a denominator passes
+      // ~2e6 and the fraction lands in the rounding window
       .withColumn("p_int",
-        expr("CAST(CAST(c_bi AS DECIMAL(38,0)) * 1000000 / c_x AS BIGINT)"))
+        expr("CAST((CAST(c_bi AS DECIMAL(38,0)) * 1000000) DIV c_x AS BIGINT)"))
       .select(col("bg"), col("c_bi"), col("c_x"), col("p_int"))
   }
 
@@ -76,8 +78,9 @@ object NgramLm {
       .agg(sum(col("c_tri")).as("c_xy"))
     counts.withColumn("pxy", substring(col("tg"), 1, 2))
       .join(prefix, "pxy")
+      // DIV, not `/` + CAST: see [[probTable]] — the floor must match `//`
       .withColumn("p_int",
-        expr("CAST(CAST(c_tri AS DECIMAL(38,0)) * 1000000 / c_xy AS BIGINT)"))
+        expr("CAST((CAST(c_tri AS DECIMAL(38,0)) * 1000000) DIV c_xy AS BIGINT)"))
       .select(col("tg"), col("c_tri"), col("c_xy"), col("p_int"))
   }
 

@@ -85,7 +85,8 @@ object Similarity {
     * (sim DESC, c_id). */
   def truncatedRerank(queries: DataFrame, corpus: DataFrame, k: Int,
       dPrefix: Int, kCand: Int): DataFrame = {
-    require(kCand >= k, "truncatedRerank: kCand must be >= k")
+    require(k >= 1 && dPrefix >= 1 && kCand >= k,
+      "truncatedRerank: need k >= 1, dPrefix >= 1, kCand >= k")
     def pre(e: Column): Column = slice(e, 1, dPrefix)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_n"), norm(pre(col("embedding"))).as("q_pn"))

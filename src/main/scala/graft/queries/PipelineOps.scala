@@ -685,7 +685,7 @@ object PipelineOps {
       // diversity, top-token dominance per source — the collapsed-source
       // detector (per-doc signals can't see one template stamped a
       // million times).
-      Curation.sourceDiversity(t(s, dir, "documents"), col("doc_id"),
+      Curation.sourceDiversity(t(s, dir, "documents"),
           col("source"), col("text"))
         .orderBy(col("src"))
     }),
@@ -2776,7 +2776,7 @@ object PipelineOps {
          |        FROM r WHERE rnk <= 21 GROUP BY lang)
          |SELECT r.lang, id, w, priority,
          |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_w
-         |FROM r JOIN tau ON tau.lang = r.lang
+         |FROM r JOIN tau ON tau.lang IS NOT DISTINCT FROM r.lang
          |WHERE rnk <= 20 ORDER BY r.lang, id""".stripMargin,
     "q186_source_diversity" ->
       raw"""WITH toks AS (
@@ -2849,9 +2849,11 @@ object PipelineOps {
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "q183_filter_attrition" ->
       raw"""WITH base AS (
-         |  SELECT CASE WHEN NOT (lang IN ('en','es','de','fr')) THEN 0
-         |              WHEN NOT (len(string_split_regex(trim(text), '\s+')) >= 25) THEN 1
-         |              WHEN NOT (n_chars <= 380) THEN 2 ELSE 3 END AS fi
+         |  -- coalesce(cond, false): a NULL predicate FAILS its rule, the
+         |  -- operator's semantics — bare NOT(NULL) would skip the rule
+         |  SELECT CASE WHEN NOT coalesce(lang IN ('en','es','de','fr'), false) THEN 0
+         |              WHEN NOT coalesce(len(string_split_regex(trim(text), '\s+')) >= 25, false) THEN 1
+         |              WHEN NOT coalesce(n_chars <= 380, false) THEN 2 ELSE 3 END AS fi
          |  FROM documents),
          |c AS (SELECT fi, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY fi),
          |rules AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT),'lang_allowed'),
@@ -2887,10 +2889,12 @@ object PipelineOps {
          |a AS (SELECT lang, CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc
          |      FROM r2, cap),
          |sel AS (
+         |  -- IS NOT DISTINCT FROM mirrors the operator's null-safe <=>
+         |  -- join: a NULL stratum keeps its own allocation
          |  SELECT base.doc_id, base.lang, base.n_chars, a.alloc,
          |    sum(base.tok) OVER (PARTITION BY base.lang
          |      ORDER BY base.n_chars DESC, base.doc_id) AS cum
-         |  FROM base JOIN a ON a.lang = base.lang)
+         |  FROM base JOIN a ON a.lang IS NOT DISTINCT FROM base.lang)
          |SELECT doc_id, lang, n_chars FROM sel WHERE cum <= alloc
          |ORDER BY doc_id""".stripMargin,
     // q49b's deterministic IVF restatement with the label-exclusion

@@ -1273,7 +1273,7 @@ class ExtSpec extends AnyFunSuite {
       (4L, "div", "one two three four"), (5L, "div", "five six seven"),
       (6L, "tiny", "a b") // no trigram
     ).toDF("doc_id", "source", "text")
-    val got = Curation.sourceDiversity(docs, col("doc_id"), col("source"), col("text"))
+    val got = Curation.sourceDiversity(docs, col("source"), col("text"))
       .orderBy("src").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), r.getLong(5), Option(r.get(6)))).toSeq
@@ -1339,6 +1339,19 @@ class ExtSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(withNull.map(_._2) === Seq(500000L, 0L))
     assert(withNull.map(_._3).sum <= 1000000L && withNull.head._3 > withNull(1)._3)
+    // a fully negative reward zeroes its source in one round (clamped
+    // factor, never a negative weight); out-of-range rewards clamp
+    val neg = Curation.mixtureReweight(
+        Seq(("a", 0L), ("b", -5000000L)).toDF("k0", "r0"),
+        col("k0"), col("r0"), rounds = 2, etaPpm = 1000000L)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(neg === Seq(("a", 0L, 1000000L), ("b", -1000000L, 0L)))
+    // all sources zeroed: shares read 0 instead of dividing by zero
+    val dead = Curation.mixtureReweight(
+        Seq(("a", -2000000L), ("b", -2000000L)).toDF("k0", "r0"),
+        col("k0"), col("r0"), rounds = 1, etaPpm = 1000000L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(dead === Seq(0L, 0L))
   }
 
   test("interpolated trigram LM: hand-computed mix, unseen n-grams back off to zero") {
@@ -1387,6 +1400,14 @@ class ExtSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy(_._2)
     assert(big.sortBy(_._2).toSeq === expBig)
+    // a NULL stratum samples as its own group (null-safe tau join) — it
+    // must not vanish from the output
+    val withNull = Curation.prioritySampleByStratum(
+        Seq((200L, Option.empty[String], 7L), (201L, Some("x"), 3L))
+          .toDF("doc_id", "lang", "w"),
+        col("doc_id"), col("lang"), col("w"), k = 1)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(withNull === Set((None, 200L), (Some("x"), 201L)))
   }
 
   test("filterAttrition: first-fail blame, NULL predicates fail, funnel arithmetic exact") {
