@@ -108,6 +108,98 @@ object Multimodal {
     }(enc)
   }
 
+  /** Attach a 32×32 grayscale PATTERN PNG per row: pixel
+    * g(x, y, id) = ((id div 4)·31 + 7x + 13y) mod 256, plus a tiny
+    * perturbation (+ id mod 4 at the origin pixel) — so ids sharing
+    * id div 4 are NEAR-duplicate images, the perceptual-dedup fixture.
+    * Encoded through real JDK ImageIO; PNG is lossless, so every decoded
+    * sample equals the formula exactly — which is what lets a SQL oracle
+    * recompute [[imageAHashBits]] without decoding anything (the q145
+    * trick, extended from metadata to pixels). */
+  def withPatternPng(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = Encoders.row(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val g = ((((id / 4) * 31 + 7L * x + 13L * y) % 256) +
+              (if (x == 0 && y == 0) id % 4 else 0L)).toInt % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Perceptual average-hash (aHash) of each payload image, decoded through
+    * real ImageIO at the sanctioned codec boundary: grayscale samples,
+    * 8×8 blocks of 4×4 pixels, each block's floor-average compared to the
+    * whole image's floor-average — emitted as a 64-char '0'/'1' string in
+    * (cy, cx) order (a string, not a Long: bit 63 would be sign-ambiguous
+    * across engines). Requires 32×32 payloads ([[withPatternPng]]);
+    * non-32×32 images throw rather than hash garbage. All integer floors,
+    * so two engines computing from the same pixels agree bit-for-bit. */
+  def imageAHashBits(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("phash", StringType, nullable = false))
+    val enc = Encoders.row(outSchema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null && img.getWidth == 32 && img.getHeight == 32,
+            "imageAHashBits: expected a decodable 32x32 image")
+          val gray = Array.ofDim[Long](32, 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val rgb = img.getRGB(x, y)
+              gray(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+              x += 1
+            }
+            y += 1
+          }
+          val total = gray.map(_.sum).sum
+          val mean = total / 1024L
+          val sb = new StringBuilder(64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              var s = 0L
+              var by = 0
+              while (by < 4) {
+                var bx = 0
+                while (bx < 4) { s += gray(cy * 4 + by)(cx * 4 + bx); bx += 1 }
+                by += 1
+              }
+              sb.append(if (s / 16L >= mean) '1' else '0')
+              cx += 1
+            }
+            cy += 1
+          }
+          Row.fromSeq(r.toSeq :+ sb.toString)
+        }
+      }
+    }(enc)
+  }
+
   /** Payload byte length — pure expression, pushes down. */
   def payloadBytes(payload: Column): Column = octet_length(payload).cast("long")
 

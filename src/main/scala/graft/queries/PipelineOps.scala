@@ -639,6 +639,21 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q190_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash image dedup through the REAL codec path: 32×32
+      // pattern PNGs (ids sharing id div 4 are near-duplicate images)
+      // encode → ImageIO decode → 8×8 average-hash → hash-groupBy
+      // clusters with keep-min. PNG is lossless, so the oracle recomputes
+      // every hash from the pixel formula without decoding anything —
+      // q145's trick extended from metadata to pixels.
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      Multimodal.imageAHashBits(Multimodal.withPatternPng(docs))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("phash"))
+    }),
     "q189_mixture_reweight" -> ((s, dir) => {
       // Multiplicative-weights mixture tuning (the DoReMi shape, integer
       // surrogate): reward = each language's type-token-ratio ppm, 3
@@ -2717,6 +2732,24 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q190_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, x, y,
+        |  (((doc_id // 4) * 31 + 7 * x + 13 * y) % 256 +
+        |   CASE WHEN x = 0 AND y = 0 THEN doc_id % 4 ELSE 0 END) % 256 AS g
+        |  FROM ids,
+        |    unnest(generate_series(0, 31)) u(x),
+        |    unnest(generate_series(0, 31)) v(y)),
+        |tot AS (SELECT doc_id, sum(g) // 1024 AS mean FROM px GROUP BY doc_id),
+        |cells AS (SELECT doc_id, y // 4 AS cy, x // 4 AS cx, sum(g) AS s
+        |          FROM px GROUP BY doc_id, y // 4, x // 4),
+        |bits AS (SELECT c.doc_id, cy, cx,
+        |           CASE WHEN s // 16 >= mean THEN '1' ELSE '0' END AS b
+        |         FROM cells c JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY cy, cx) AS phash
+        |      FROM bits GROUP BY doc_id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+        |FROM h GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""".stripMargin,
     "q189_mixture_reweight" ->
       raw"""WITH tc AS (
          |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM (

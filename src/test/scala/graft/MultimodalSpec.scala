@@ -194,4 +194,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fr == (0 until 4).map(i => i * len / 4))
     }
   }
+
+  test("aHash through the real PNG round trip equals the pixel-formula replay; near-dup ids cluster") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val got = Multimodal.imageAHashBits(Multimodal.withPatternPng(docs))
+      .select("doc_id", "phash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // formula replay — the PNG encode→ImageIO decode loop must be exact
+    def replay(id: Long): String = {
+      val g = Array.tabulate(32, 32) { (y, x) =>
+        (((id / 4) * 31 + 7L * x + 13L * y) % 256 +
+          (if (x == 0 && y == 0) id % 4 else 0L)) % 256
+      }
+      val mean = g.map(_.sum).sum / 1024L
+      (for (cy <- 0 until 8; cx <- 0 until 8) yield {
+        val s = (for (by <- 0 until 4; bx <- 0 until 4)
+          yield g(cy * 4 + by)(cx * 4 + bx)).sum
+        if (s / 16L >= mean) '1' else '0'
+      }).mkString
+    }
+    (0L until 20L).foreach(id => assert(got(id) === replay(id), s"id $id"))
+    // the perturbed siblings of each id div 4 group land on one hash here
+    // (the +3 max nudge moves no block across its threshold for this
+    // pattern), so the near-dup fixture clusters in groups of 4
+    assert(got.groupBy(_._2).values.map(_.size).toSeq.sorted === Seq(4, 4, 4, 4, 4))
+  }
 }
