@@ -704,6 +704,40 @@ object Curation {
         round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
   }
 
+  /** Robust per-stratum outlier scoring — median/MAD z-scores (Hampel
+    * identifier), the gate that survives what mean/stddev cannot: a
+    * handful of megadocs drags a mean-based z past any threshold, while
+    * the median and the median-absolute-deviation ignore them. Emits
+    * (doc_id, strat, score, z_ppm) with z_ppm =
+    * ⌊10⁶·(x − med)/max(MAD, ⅛)⌋ computed EXACTLY in integers: an
+    * interpolated median of integers is a multiple of ½ (so 4·med is an
+    * integral double, cast exact) and the MAD of the ×4 deviations a
+    * multiple of ½ again (so 2·MAD is integral — a bare cast of an x.5
+    * double TRUNCATES in Spark but ROUNDS in DuckDB; the scaling is what
+    * removes that divergence, never a rounding mode). No float z
+    * anywhere. Score magnitudes to ~10¹¹ stay inside Long.
+    *
+    * Two stratum-keyed aggregations (median, then MAD of deviations) and
+    * two |strata|-sized broadcasts back; the corpus streams three times,
+    * shuffles only its stratum keys. */
+  def robustScores(docs: DataFrame, id: Column, stratum: Column,
+      score: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), stratum.as("strat"),
+      score.cast("long").as("x"))
+    val med = base.groupBy(col("strat"))
+      .agg(expr("CAST(4 * percentile(x, 0.5) AS BIGINT)").as("med4"))
+      .withColumnRenamed("strat", "strat_m")
+    val withMed = base.join(broadcast(med), col("strat") <=> col("strat_m"))
+      .withColumn("dev4", abs(col("x") * 4 - col("med4")))
+    val mad = withMed.groupBy(col("strat"))
+      .agg(expr("CAST(2 * percentile(dev4, 0.5) AS BIGINT)").as("mad8"))
+      .withColumnRenamed("strat", "strat_d")
+    withMed.join(broadcast(mad), col("strat") <=> col("strat_d"))
+      .withColumn("z_ppm", expr(
+        "(2000000 * (x * 4 - med4)) div greatest(mad8, 1)"))
+      .select(col("doc_id"), col("strat"), col("x").as("score"), col("z_ppm"))
+  }
+
   /** Mixture reweighting by MULTIPLICATIVE WEIGHTS (the DoReMi-shaped
     * update, Xie et al. 2023, with exp(η·r) replaced by its integer-exact
     * first-order surrogate 1 + η·r): starting uniform, each round

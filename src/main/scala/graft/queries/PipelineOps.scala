@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q191_robust_outliers" -> ((s, dir) => {
+      // Hampel outlier report: per-source median/MAD z-scores on doc
+      // length, exact integer arithmetic (×4/×8 scaling absorbs the
+      // interpolated quantiles); report docs beyond ±2 MADs.
+      Curation.robustScores(t(s, dir, "documents"), col("doc_id"),
+          col("source"), col("n_chars"))
+        .filter(abs(col("z_ppm")) >= 2000000L)
+        .withColumnRenamed("strat", "source")
+        .orderBy(col("doc_id"))
+    }),
     "q190_phash_dedup" -> ((s, dir) => {
       // Perceptual-hash image dedup through the REAL codec path: 32×32
       // pattern PNGs (ids sharing id div 4 are near-duplicate images)
@@ -2732,6 +2742,19 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q191_robust_outliers" ->
+      """WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |med AS (SELECT source, CAST(4 * quantile_cont(x, 0.5) AS BIGINT) AS med4
+        |        FROM base GROUP BY source),
+        |dev AS (SELECT b.doc_id, b.source, b.x, m.med4, abs(b.x * 4 - m.med4) AS dev4
+        |        FROM base b JOIN med m ON m.source = b.source),
+        |mad AS (SELECT source, CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+        |        FROM dev GROUP BY source),
+        |z AS (SELECT d.doc_id, d.source, d.x AS score,
+        |        (2000000 * (d.x * 4 - d.med4)) // greatest(mad8, 1) AS z_ppm
+        |      FROM dev d JOIN mad ON mad.source = d.source)
+        |SELECT doc_id, source, score, CAST(z_ppm AS BIGINT) AS z_ppm
+        |FROM z WHERE abs(z_ppm) >= 2000000 ORDER BY doc_id""".stripMargin,
     "q190_phash_dedup" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |px AS (SELECT doc_id, x, y,

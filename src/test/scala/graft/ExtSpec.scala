@@ -1310,6 +1310,25 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("robustScores: hand-computed Hampel z on odd/even strata; a megadoc cannot drag the gate") {
+    // stratum A (odd n=5): x = 1,2,3,4,100 → med 3, deviations 2,1,0,1,97
+    //   → MAD 1 → z(100) = 97e6; the megadoc does NOT move med/MAD
+    // stratum B (even n=4): x = 10,20,30,40 → med 25 (interpolated),
+    //   dev4 = 60,20,20,60 → mad8 = 80 → z(40) = 2e6·60/80 = 1_500_000
+    val docs = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L), (5L, "A", 100L),
+      (6L, "B", 10L), (7L, "B", 20L), (8L, "B", 30L), (9L, "B", 40L)
+    ).toDF("doc_id", "src", "x")
+    val got = Curation.robustScores(docs, col("doc_id"), col("src"), col("x"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got(5L) === 97000000L)
+    assert(got(3L) === 0L)
+    assert(got(1L) === -2000000L && got(4L) === 1000000L)
+    assert(got(6L) === -1500000L && got(9L) === 1500000L)
+    assert(got(7L) === -500000L && got(8L) === 500000L)
+  }
+
   test("mixtureReweight: compounding shares match an integer replay; zero eta stays uniform") {
     val scores = Seq(("a", 800000L), ("b", 200000L), ("c", 0L))
       .toDF("k0", "r0")
