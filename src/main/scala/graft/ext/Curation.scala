@@ -704,6 +704,43 @@ object Curation {
         round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
   }
 
+  /** Span-level benchmark decontamination (the n-gram masking shape of
+    * LLM eval hygiene): every n-token window of a document that appears in
+    * the benchmark gram set is struck — overlapping hits merge into
+    * masked token RANGES — and the survivors reassemble in order.
+    * [[flagContaminated]] is the doc-level tripwire; this is the surgical
+    * form that keeps the rest of a long document. Returns one row per doc
+    * that has tokens: (doc_id, n_tok, n_masked, clean_md5) — a fully
+    * contaminated doc survives with n_masked = n_tok and md5("").
+    *
+    * 100 TB shape: grams ride as XXH64 longs against the BROADCAST
+    * benchmark gram set (benchmarks are small by nature — semi-join-reduce
+    * first if not); each hit explodes to exactly n masked indices; ONE
+    * doc-keyed aggregation rebuilds (the q178 strike/rebuild discipline at
+    * token granularity). */
+  def maskContaminatedSpans(docs: DataFrame, id: Column, text: Column,
+      benchGrams: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "maskContaminatedSpans: n must be >= 2")
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("idx", "tok")))
+    val hits = docs.select(id.as("doc_id"),
+        posexplode(Dedup.wordNgramHashes(text, n)).as(Seq("start", "h")))
+      .join(broadcast(benchGrams.select(col("h"))), Seq("h"), "left_semi")
+    val masked = hits.select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("idx"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    toks.join(masked, Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_masked"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__hit").isNull,
+            struct(col("idx"), col("tok"))))),
+          e => e.getField("tok")), " ")).as("clean_md5"))
+  }
+
   /** Robust per-stratum outlier scoring — median/MAD z-scores (Hampel
     * identifier), the gate that survives what mean/stddev cannot: a
     * handful of megadocs drags a mean-based z past any threshold, while

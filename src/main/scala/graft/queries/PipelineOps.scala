@@ -639,6 +639,20 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q192_span_decontamination" -> ((s, dir) => {
+      // Surgical eval decontamination: every corpus trigram window that
+      // appears in the benchmark split (doc_id % 10 = 0) is struck as a
+      // merged token range, the rest of each doc survives — the span form
+      // of q98's doc-level tripwire. Bench grams broadcast as longs; one
+      // doc-keyed rebuild.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(Dedup.wordNgramHashes(col("text"), 3)).as("h"))
+        .distinct()
+      Curation.maskContaminatedSpans(docs.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"), bench, n = 3)
+        .orderBy(col("doc_id"))
+    }),
     "q191_robust_outliers" -> ((s, dir) => {
       // Hampel outlier report: per-source median/MAD z-scores on doc
       // length, exact integer arithmetic (×4/×8 scaling absorbs the
@@ -2742,6 +2756,32 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q192_span_decontamination" ->
+      raw"""WITH tw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |  FROM tw WHERE doc_id % 10 = 0 AND len(t) >= 3),
+         |toks AS (
+         |  SELECT doc_id, i, t[i] AS tok FROM tw, unnest(generate_series(1, len(t))) u(i)
+         |  WHERE doc_id % 10 != 0),
+         |starts AS (
+         |  SELECT tw.doc_id, i
+         |  FROM tw, unnest(generate_series(1, len(t) - 2)) u(i)
+         |  JOIN bg ON bg.gram = t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |  WHERE tw.doc_id % 10 != 0),
+         |masked AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 2)) AS i FROM starts),
+         |j AS (SELECT toks.doc_id, toks.i, toks.tok, masked.i IS NOT NULL AS hit
+         |      FROM toks LEFT JOIN masked
+         |        ON masked.doc_id = toks.doc_id AND masked.i = toks.i)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  md5(coalesce(string_agg(CASE WHEN hit THEN NULL ELSE tok END, ' ' ORDER BY i), ''))
+         |    AS clean_md5
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q191_robust_outliers" ->
       """WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
         |med AS (SELECT source, CAST(4 * quantile_cont(x, 0.5) AS BIGINT) AS med4

@@ -1310,6 +1310,26 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("maskContaminatedSpans: merged ranges, surviving rebuild, fully-masked docs persist") {
+    val bench = Seq("a b c", "b c d").toDF("g")
+      .select(Dedup.wordNgramHashes(col("g"), 3)(0).as("h"))
+    val docs = Seq(
+      (1L, "x a b c y"),   // one hit at idx 1 → masked {1,2,3} → "x y"
+      (2L, "a b c d"),     // two overlapping hits merge → everything masked
+      (3L, "p q r s"),     // clean
+      (4L, "a b")          // too short for a trigram → clean
+    ).toDF("doc_id", "text")
+    val got = Curation.maskContaminatedSpans(docs, col("doc_id"), col("text"),
+        bench, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 5L, 3L, md5Hex("x y")),
+      (2L, 4L, 4L, md5Hex("")),
+      (3L, 4L, 0L, md5Hex("p q r s")),
+      (4L, 2L, 0L, md5Hex("a b"))))
+  }
+
   test("robustScores: hand-computed Hampel z on odd/even strata; a megadoc cannot drag the gate") {
     // stratum A (odd n=5): x = 1,2,3,4,100 → med 3, deviations 2,1,0,1,97
     //   → MAD 1 → z(100) = 97e6; the megadoc does NOT move med/MAD
