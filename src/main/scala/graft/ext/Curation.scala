@@ -756,7 +756,11 @@ object Curation {
     *
     * Two stratum-keyed aggregations (median, then MAD of deviations) and
     * two |strata|-sized broadcasts back; the corpus streams three times,
-    * shuffles only its stratum keys. */
+    * shuffles only its stratum keys. Scale caveat: exact `percentile`
+    * BUFFERS each stratum's values in its aggregation — right for the
+    * exact gate and the oracle; at strata past executor memory swap in
+    * `percentile_approx` (fixed-size sketch, same plan shape, approximate
+    * cut line) — the same exact-vs-sketch trade as q60 vs q135. */
   def robustScores(docs: DataFrame, id: Column, stratum: Column,
       score: Column): DataFrame = {
     val base = docs.select(id.as("doc_id"), stratum.as("strat"),
