@@ -70,6 +70,44 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** kNN label-noise detection (the Confident-Learning-shaped cleaner):
+    * each query vector's k nearest neighbors (deterministic IVF — same
+    * cells/probes/re-rank as [[ivfTopK]]) VOTE with their labels; the
+    * majority (ties: most votes, then LOWEST label) is the consensus, and
+    * a row whose own label disagrees is the label-noise candidate worth
+    * re-annotating. Returns (q_id, own_label, voted_label, n_votes,
+    * n_neighbors, agree). Corpus rows need (vec_id, embedding, label);
+    * neighbors with NULL labels don't vote (unlabeled ≠ a class — the
+    * [[ivfHardNegatives]] rule), and a query with zero labeled neighbors
+    * is absent rather than voted on by nobody.
+    *
+    * Scale shape: the probe join is [[ivfTopK]]'s; voting adds one
+    * (q_id, label) aggregation over nq·k rows and one argmax window —
+    * query-set-sized, never corpus-sized. */
+  def knnLabelVote(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val nn = ivfTopK(queries.select(col("vec_id"), col("embedding")),
+      corpus.select(col("vec_id"), col("embedding")), k, nlist, nprobe)
+    val lab = corpus.select(col("vec_id"), col("label"))
+    val votes = nn.join(lab.toDF("c_id", "c_label"), Seq("c_id"))
+      .filter(col("c_label").isNotNull)
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("c_label"))
+    val consensus = votes
+      .withColumn("vrnk", row_number().over(w))
+      .withColumn("n_neighbors", sum(col("n_votes")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))))
+      .filter(col("vrnk") === 1)
+      .select(col("q_id"), col("c_label").as("voted_label"),
+        col("n_votes"), col("n_neighbors"))
+    consensus.join(lab.toDF("q_id", "own_label"), Seq("q_id"))
+      .select(col("q_id"), col("own_label"), col("voted_label"),
+        col("n_votes"), col("n_neighbors"),
+        (col("own_label") === col("voted_label")).as("agree"))
+  }
+
   /** Two-stage truncated-prefix ANN (the Matryoshka/MRL serving shape,
     * Kusupati et al. 2022: prefix dims of an MRL-trained embedding are
     * themselves a valid embedding): stage 1 scores the corpus by cosine

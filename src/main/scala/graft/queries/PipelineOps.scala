@@ -639,6 +639,15 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q193_knn_label_vote" -> ((s, dir) => {
+      // Label-noise detection: each of 20 vectors' 5 nearest neighbors
+      // (deterministic IVF) vote with their labels; disagreement with the
+      // own label flags the row for re-annotation. Votes are an nq·k-sized
+      // aggregation on top of q49b's probe join.
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelVote(emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy(col("q_id"))
+    }),
     "q192_span_decontamination" -> ((s, dir) => {
       // Surgical eval decontamination: every corpus trigram window that
       // appears in the benchmark split (doc_id % 10 = 0) is struck as a
@@ -2756,6 +2765,59 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    // q49b's deterministic IVF at k=5 feeding a per-query label vote —
+    // the argmax tie rule (most votes, then lowest label) restated.
+    "q193_knn_label_vote" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
+        |  FROM embeddings WHERE vec_id < 16),
+        |scores AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
+        |  FROM embeddings e, cents c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        |    FROM scores) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        |    FROM scores WHERE vec_id < 20) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS c_id
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.vec_id != p.q_id),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM s) t WHERE rnk <= 5),
+        |v AS (SELECT r.q_id, e.label AS c_label, CAST(count(*) AS BIGINT) AS n_votes
+        |      FROM r JOIN embeddings e ON e.vec_id = r.c_id
+        |      WHERE e.label IS NOT NULL GROUP BY r.q_id, e.label),
+        |tot AS (SELECT q_id, CAST(sum(n_votes) AS BIGINT) AS n_neighbors
+        |        FROM v GROUP BY q_id),
+        |c1 AS (SELECT q_id, c_label AS voted_label, n_votes FROM (
+        |   SELECT *, row_number() OVER (
+        |     PARTITION BY q_id ORDER BY n_votes DESC, c_label) AS vrnk FROM v) t
+        |   WHERE vrnk = 1)
+        |SELECT c1.q_id, eo.label AS own_label, c1.voted_label, c1.n_votes,
+        |  tot.n_neighbors, eo.label = c1.voted_label AS agree
+        |FROM c1 JOIN tot USING (q_id) JOIN embeddings eo ON eo.vec_id = c1.q_id
+        |ORDER BY c1.q_id""".stripMargin,
     "q192_span_decontamination" ->
       raw"""WITH tw AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

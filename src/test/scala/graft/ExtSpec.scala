@@ -1310,6 +1310,37 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("knnLabelVote: planted noisy label is outvoted; ties go to the lowest label; NULL labels don't vote") {
+    import spark.implicits._
+    // a tight cluster of 4 near-identical vectors: 0 mislabeled 9, its 3
+    // neighbors labeled 1 → consensus 1, agree=false; a far pair votes on
+    // each other; vector 6 (NULL label) sits in the cluster but can't vote
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.00f), Option(9)),
+      (1L, Array(1.0f, 0.01f), Option(1)),
+      (2L, Array(1.0f, 0.02f), Option(1)),
+      (3L, Array(1.0f, 0.03f), Option(1)),
+      (4L, Array(0.0f, 1.00f), Option(2)),
+      (5L, Array(0.01f, 1.0f), Option(3)),
+      (6L, Array(1.0f, 0.015f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelVote(vecs.filter(col("vec_id") < 5), vecs,
+        k = 3, nlist = 2, nprobe = 2)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    // the mislabeled center: its k=3 neighbors are 1, 6, 2 — the NULL
+    // vector OCCUPIES a slot (it is genuinely nearest) but cannot vote,
+    // so label 1 wins 2-0 and the noisy 9 is flagged
+    assert(byId(0L) === ((0L, 9, 1, 2L, 2L, false)))
+    assert(byId(1L)._3 === 1 && byId(1L)._6 === true)
+    // vec 4's 3 nearest incl. the cluster edge: votes split 1/1/... tie →
+    // lowest label wins; just pin determinism and self-consistency
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+    got.foreach { case (_, _, _, nv, nn, _) => assert(nv >= 1 && nv <= nn && nn <= 3) }
+  }
+
   test("maskContaminatedSpans: merged ranges, surviving rebuild, fully-masked docs persist") {
     val bench = Seq("a b c", "b c d").toDF("g")
       .select(Dedup.wordNgramHashes(col("g"), 3)(0).as("h"))
