@@ -704,6 +704,33 @@ object Curation {
         round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
   }
 
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    * estimate — "how big is the dedup yield" answered from k tiny values
+    * BEFORE paying for the dedup: hash every key to a 60-bit integer (the
+    * first 15 md5 nibbles — md5, not an engine-internal hash, so an
+    * external oracle replays it bit-for-bit), keep the k smallest distinct
+    * values, and estimate n̂ = (k−1)·2⁶⁰ / h_k. With fewer than k distinct
+    * values the estimate IS the exact count (the sketch saw everything).
+    * Returns one row: (k, h_k, n_est).
+    *
+    * Scale shape: a bounded top-k (TakeOrdered after a distinct on hash
+    * values — the only shuffle, and it carries 8-byte longs); DECIMAL
+    * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
+    * accuracy against the k-row collect, and sketches from shards can be
+    * merged by union + re-top-k (the same mergeability as q130's). */
+  def kmvDistinctEstimate(docs: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinctEstimate: k must be >= 2")
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val topk = docs.select(h.as("h")).distinct().orderBy(col("h")).limit(k)
+    topk.agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("h_k"),
+        when(col("m") < k, col("m")).otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) DIV h_k AS BIGINT)"))
+          .as("n_est"))
+  }
+
   /** Span-level benchmark decontamination (the n-gram masking shape of
     * LLM eval hygiene): every n-token window of a document that appears in
     * the benchmark gram set is struck — overlapping hits merge into

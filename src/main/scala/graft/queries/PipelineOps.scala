@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q194_kmv_estimate" -> ((s, dir) => {
+      // Distinct-count estimation from a 20-value KMV sketch vs the exact
+      // answer — "size the dedup yield before paying for it". The md5-
+      // derived 60-bit hashes replay bit-for-bit in the oracle.
+      val docs = t(s, dir, "documents")
+      Curation.kmvDistinctEstimate(docs, col("text"), k = 20)
+        .crossJoin(docs.agg(count_distinct(col("text")).as("n_exact")))
+        .withColumn("err_ppm",
+          expr("(1000000 * abs(n_est - n_exact)) div n_exact"))
+    }),
     "q193_knn_label_vote" -> ((s, dir) => {
       // Label-noise detection: each of 20 vectors' 5 nearest neighbors
       // (deterministic IVF) vote with their labels; disagreement with the
@@ -2765,6 +2775,24 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q194_kmv_estimate" ->
+      """WITH h AS (
+        |  SELECT DISTINCT list_reduce(
+        |    list_transform(string_split(md5(text), '')[1:15],
+        |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h
+        |  FROM documents),
+        |topk AS (SELECT h FROM h ORDER BY h LIMIT 20),
+        |s AS (SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS m FROM topk),
+        |x AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents),
+        |e AS (SELECT CAST(20 AS BIGINT) AS k, h_k,
+        |  CASE WHEN m < 20 THEN m ELSE
+        |    CAST((CAST(19 AS HUGEINT) * 1152921504606846976) // h_k AS BIGINT) END AS n_est
+        |  FROM s)
+        |SELECT k, h_k, n_est, n_exact,
+        |  (1000000 * abs(n_est - n_exact)) // n_exact AS err_ppm
+        |FROM e, x""".stripMargin,
     // q49b's deterministic IVF at k=5 feeding a per-query label vote —
     // the argmax tie rule (most votes, then lowest label) restated.
     "q193_knn_label_vote" ->

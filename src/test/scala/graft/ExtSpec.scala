@@ -1310,6 +1310,24 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("kmvDistinctEstimate: sub-k inputs are exact; estimate lands within the KMV error band") {
+    // fewer than k distinct keys → the sketch saw everything, n_est exact
+    val small = Seq.tabulate(7)(i => s"v$i").toDF("t")
+    val exact = Curation.kmvDistinctEstimate(small, col("t"), k = 20)
+      .collect().head
+    assert(exact.getLong(2) === 7L)
+    // 5000 distinct keys, k=64: estimator within 4 standard errors of truth
+    val big = Seq.tabulate(5000)(i => s"key-$i").toDF("t")
+    val est = Curation.kmvDistinctEstimate(big, col("t"), k = 64)
+      .collect().head.getLong(2)
+    val se = 5000.0 / math.sqrt(62)
+    assert(math.abs(est - 5000.0) <= 4 * se, s"estimate $est outside 4se of 5000")
+    // duplicates never move the sketch (distinct hash values)
+    val dup = Curation.kmvDistinctEstimate(
+      big.union(big), col("t"), k = 64).collect().head.getLong(2)
+    assert(dup === est)
+  }
+
   test("knnLabelVote: planted noisy label is outvoted; ties go to the lowest label; NULL labels don't vote") {
     import spark.implicits._
     // a tight cluster of 4 near-identical vectors: 0 mislabeled 9, its 3
