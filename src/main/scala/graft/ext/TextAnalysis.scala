@@ -96,6 +96,18 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Canonical text form — the normalization every dedup should run
+    * BEFORE fingerprinting (case, punctuation, and whitespace variants of
+    * one document must collide, not survive as "distinct"): lowercase,
+    * punctuation → space, whitespace runs collapsed, ends trimmed. The
+    * character classes (\p{L}\p{N}) and the lowercase are
+    * locale-independent and parse identically under Java regex and RE2 —
+    * the [[redactPii]] cross-engine discipline. Pure codegen expressions,
+    * zero shuffle. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]+", " ")), "\\s+", " "))
+
   // ---------- PII scrubbing ------------------------------------------------
 
   /** Conservative PII patterns — the character classes are chosen to parse

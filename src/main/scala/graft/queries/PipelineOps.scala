@@ -639,6 +639,23 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q195_normalized_dedup" -> ((s, dir) => {
+      // Canonicalize-then-dedup: every doc gets a deterministic MESSY twin
+      // (uppercased + punctuation + ragged whitespace, id + 10⁶) that raw
+      // fingerprints call distinct; normalization collapses each twin pair
+      // back into one group. Output = norm-fingerprint groups ≥ 2 with the
+      // keep-min rule — the stage that belongs BEFORE q40's exact dedup.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val messy = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!  ")).as("text"))
+      docs.unionByName(messy)
+        .select(col("doc_id"),
+          md5(TA.normalizedText(col("text"))).as("norm_md5"))
+        .groupBy(col("norm_md5"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("norm_md5"))
+    }),
     "q194_kmv_estimate" -> ((s, dir) => {
       // Distinct-count estimation from a 20-value KMV sketch vs the exact
       // answer — "size the dedup yield before paying for it". The md5-
@@ -2775,6 +2792,19 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q195_normalized_dedup" ->
+      raw"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, upper(text) || ' !!  ' FROM documents),
+         |norm AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(
+         |    lower(regexp_replace(text, '[^\p{L}\p{N}\s]+', ' ', 'g')),
+         |    '\s+', ' ', 'g'))) AS norm_md5
+         |  FROM uni)
+         |SELECT norm_md5, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+         |FROM norm GROUP BY norm_md5 HAVING count(*) >= 2
+         |ORDER BY norm_md5""".stripMargin,
     "q194_kmv_estimate" ->
       """WITH h AS (
         |  SELECT DISTINCT list_reduce(

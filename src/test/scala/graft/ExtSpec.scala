@@ -1310,6 +1310,21 @@ class ExtSpec extends AnyFunSuite {
     all.foreach { case (_, w, est) => assert(est === w.toDouble) }
   }
 
+  test("normalizedText: case/punct/whitespace variants collapse, distinct content never merges") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      "Hello,   World!", "hello world", "HELLO -- WORLD  ",
+      "hello worlds" // genuinely different
+    ).toDF("t").select(TextAnalysis.normalizedText(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows.take(3).toSet === Set("hello world"))
+    assert(rows(3) === "hello worlds")
+    // digits and letters survive; only punctuation dies
+    val keep = Seq("A1-b2_c3").toDF("t")
+      .select(TextAnalysis.normalizedText(col("t"))).collect().head.getString(0)
+    assert(keep === "a1 b2 c3")
+  }
+
   test("kmvDistinctEstimate: sub-k inputs are exact; estimate lands within the KMV error band") {
     // fewer than k distinct keys → the sketch saw everything, n_est exact
     val small = Seq.tabulate(7)(i => s"v$i").toDF("t")
