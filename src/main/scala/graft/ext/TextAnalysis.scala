@@ -108,6 +108,34 @@ object TextAnalysis {
     trim(regexp_replace(
       lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]+", " ")), "\\s+", " "))
 
+  // ---------- markup stripping --------------------------------------------
+
+  /** HTML/markup → text, the web-corpus cleanup stage that runs BEFORE
+    * every quality/dedup signal (the CCNet/RefinedWeb "extract" step):
+    * script and style elements vanish WITH their contents (code is not
+    * prose — and `if (a < b)` inside a script must not leak as text),
+    * remaining tags and comments collapse to spaces, the five ubiquitous
+    * character entities decode (`&amp;` LAST, so `&amp;lt;` yields the
+    * literal `&lt;` a correct encoder meant, never a double-decode),
+    * whitespace runs collapse. Every pattern parses identically under
+    * Java regex and RE2 — `(?is)` flags and lazy `.*?`, no lookaround —
+    * the [[redactPii]] cross-engine discipline. Pure codegen'd
+    * per-row expression chain: zero shuffle, scan speed at any scale. */
+  private[graft] val scriptBlockRe = "(?is)<script[^>]*>.*?</script>"
+  private[graft] val styleBlockRe = "(?is)<style[^>]*>.*?</style>"
+  private[graft] val tagRe = "<[^>]*>"
+
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, scriptBlockRe, " "), styleBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, tagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---------- PII scrubbing ------------------------------------------------
 
   /** Conservative PII patterns — the character classes are chosen to parse

@@ -639,6 +639,27 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q196_markup_strip" -> ((s, dir) => {
+      // HTML → text extraction: each doc is wrapped in a deterministic web
+      // page (style block, attributed tags, entities, a script whose body
+      // contains `<`/`>`/`&&` that MUST NOT leak, a comment) and stripped
+      // back. Both engines build the identical page and run the identical
+      // regex/entity chain, so the recovered text (and its md5) is exact.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val page = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p { color: #333; }</style></head>" +
+          "<body><h1 id=\"t\">Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit(" &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;tail</p>" +
+          "<script>if (a < b && c > d) { go(\"x\"); }</script>" +
+          "<!-- hidden comment --></body></html>"))
+      docs.select(col("doc_id"),
+          TA.stripMarkup(page).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    }),
     "q195_normalized_dedup" -> ((s, dir) => {
       // Canonicalize-then-dedup: every doc gets a deterministic MESSY twin
       // (uppercased + punctuation + ragged whitespace, id + 10⁶) that raw
@@ -2792,6 +2813,31 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q196_markup_strip" ->
+      raw"""WITH page AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>d</title><style type="text/css">p { color: #333; }</style></head>' ||
+         |    '<body><h1 id="t">Doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</h1><p class="main">' || text ||
+         |    ' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;tail</p>' ||
+         |    '<script>if (a < b && c > d) { go("x"); }</script>' ||
+         |    '<!-- hidden comment --></body></html>' AS h
+         |  FROM documents),
+         |stripped AS (
+         |  SELECT doc_id, trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '\s+', ' ', 'g')) AS clean
+         |  FROM page)
+         |SELECT doc_id, md5(clean) AS clean_md5,
+         |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+         |FROM stripped ORDER BY doc_id""".stripMargin,
     "q195_normalized_dedup" ->
       raw"""WITH uni AS (
          |  SELECT doc_id, text FROM documents

@@ -1325,6 +1325,25 @@ class ExtSpec extends AnyFunSuite {
     assert(keep === "a1 b2 c3")
   }
 
+  test("stripMarkup: blocks vanish with contents, tags collapse, entities decode once") {
+    import graft.ext.TextAnalysis
+    val cases = Seq(
+      // script/style contents must not leak; tags and comments collapse
+      """<html><style>p{x:1}</style><body><h1>Hi</h1><p a="b">world</p>""" +
+        """<script>if (a < b && c > d) leak("NO");</script><!-- gone --></body></html>""" ->
+        "Hi world",
+      // entities decode; &amp;lt; is the LITERAL string "&lt;" (no double decode)
+      "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;" ->
+        "a & b <tag> \"q\" 's' end &lt;",
+      // no markup at all: whitespace still normalizes
+      "  plain   text  " -> "plain text",
+      // multiple script blocks, case-insensitive tags
+      "<SCRIPT>x</SCRIPT>keep<Script src='u'>y</scRipt>me" -> "keep me")
+    val out = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripMarkup(col("h"))).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
+  }
+
   test("kmvDistinctEstimate: sub-k inputs are exact; estimate lands within the KMV error band") {
     // fewer than k distinct keys → the sketch saw everything, n_est exact
     val small = Seq.tabulate(7)(i => s"v$i").toDF("t")
