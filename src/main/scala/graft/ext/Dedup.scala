@@ -723,4 +723,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  // ---------- winnowing (MOSS) fingerprints -------------------------------
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): in every window of `w` consecutive
+    * word-`n`-gram hashes, select the minimal hash — ties broken to the
+    * RIGHTMOST position (the paper's basic-winnowing tie rule) — then
+    * dedupe selections. The guarantee: any shared token run of length
+    * ≥ w + n − 1 between two documents shares at least one selected
+    * fingerprint, with ~2/(w+1) of grams expected selected — the local,
+    * position-aware fingerprint family that MinHash (global,
+    * position-blind) is not.
+    *
+    * Hashes are md5-derived 44-bit integers (portable: the oracle replays
+    * them bit-for-bit), and the tie rule is packed INTO the comparison key:
+    * `key = h·2¹⁶ + (2¹⁶−1 − pos)`, so one `array_min` per window gives
+    * "smallest hash, rightmost position" in a single comparison. Fits a
+    * long for positions < 65536 (token index — split longer docs into
+    * chunks first, [[graft.ext.Curation]] `chunkDocs`).
+    *
+    * Pure per-row HOF expressions over the gram array — ZERO shuffle, scan
+    * speed at any corpus size (each doc's O(n·w) work is local); composes
+    * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
+    * shape) for cross-doc match detection. Returns per-doc
+    * (doc_id, n_grams, n_fp, fp_sum). */
+  /** The selected-key array for one document (packed `h·2¹⁶ + (65535−pos)`
+    * longs, distinct). Empty array for a gramless doc. */
+  private def winnowKeys(text: Column, n: Int, w: Int): Column = {
+    val grams = graft.functions.TextExpressions.wordNgrams(text, n)
+    val keys = transform(grams, (g, i) =>
+      conv(substring(md5(g), 1, 11), 16, 10).cast("long") * 65536L +
+        (lit(65535L) - i))
+    val mins = transform(
+      sequence(lit(0), greatest(lit(0), size(grams) - w)),
+      i => array_min(slice(keys, i + 1, lit(w))))
+    when(size(grams) === 0, array().cast("array<long>"))
+      .otherwise(array_distinct(mins))
+  }
+
+  def winnowingProfile(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "winnowingProfile: n and w must be >= 1")
+    val grams = graft.functions.TextExpressions.wordNgrams(text, n)
+    val fps = winnowKeys(text, n, w)
+    docs.select(id.as("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(fps).cast("long").as("n_fp"),
+        // key >> 16 recovers h exactly (integer; a double `/` would lose
+        // bits past 2^53)
+        aggregate(fps, lit(0L), (a, k) => a + shiftright(k, 16)).as("fp_sum"))
+  }
+
+  /** Exploded winnowing fingerprints — one row per selected (doc, position,
+    * hash); the inverted-index-join form for cross-doc match detection
+    * (group by `h`, pair within — the [[ngramJaccard]] shape). Still zero
+    * shuffle to PRODUCE (explode is narrow). */
+  def winnowingFingerprints(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "winnowingFingerprints: n and w must be >= 1")
+    docs.select(id.as("doc_id"), explode(winnowKeys(text, n, w)).as("key"))
+      .select(col("doc_id"),
+        (lit(65535L) - pmod(col("key"), lit(65536L))).as("pos"),
+        shiftright(col("key"), 16).as("h"))
+  }
 }

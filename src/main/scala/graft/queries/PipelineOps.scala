@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q197_winnowing" -> ((s, dir) => {
+      // Winnowing (MOSS) fingerprint profile per document: any shared run
+      // of ≥ w+n-1 = 6 tokens is guaranteed to share a selected
+      // fingerprint, at ~2/(w+1) of grams stored. md5-derived 44-bit
+      // hashes with the rightmost-min tie rule packed into one long key —
+      // the oracle replays both bit-for-bit. Zero shuffle (per-row HOFs).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.winnowingProfile(docs, col("doc_id"), col("text"), n = 3, w = 4)
+        .orderBy(col("doc_id"))
+    }),
     "q196_markup_strip" -> ((s, dir) => {
       // HTML → text extraction: each doc is wrapped in a deterministic web
       // page (style block, attributed tags, entities, a script whose body
@@ -2813,6 +2823,32 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q197_winnowing" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3
+         |    THEN list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [] END AS grams
+         |  FROM toks),
+         |k AS (
+         |  SELECT doc_id, grams, list_transform(grams, (x, i) ->
+         |    list_reduce(list_transform(string_split(md5(x), '')[1:11],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) * 65536 + (65535 - (i - 1))) AS keys
+         |  FROM g),
+         |m AS (
+         |  SELECT doc_id, grams, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(0, greatest(0, len(grams) - 4)),
+         |      i -> list_min(keys[i+1 : i+4]))) END AS fps
+         |  FROM k)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(coalesce(list_sum(list_transform(fps, y -> y >> 16)), 0) AS BIGINT) AS fp_sum
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q196_markup_strip" ->
       raw"""WITH page AS (
          |  SELECT doc_id,

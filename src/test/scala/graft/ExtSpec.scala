@@ -1344,6 +1344,32 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("winnowing: shared-run guarantee, rightmost tie rule, density bound") {
+    import graft.ext.Dedup
+    // two docs sharing a >= w+n-1 = 6-token run MUST share a fingerprint hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight seven $shared six"),
+      (3L, "totally unrelated words here only")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, col("doc_id"), col("text"))
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // all-identical grams: every window selects its own rightmost -> n-w+1 fps
+    val rep = Seq((9L, "a a a a a a a a a a")).toDF("doc_id", "text") // 8 grams
+    val prof = Dedup.winnowingProfile(rep, col("doc_id"), col("text")).collect().head
+    assert(prof.getLong(1) === 8L && prof.getLong(2) === 5L)
+    // density: 1 <= n_fp <= n_windows; gramless docs -> (0, 0, 0)
+    val p = Dedup.winnowingProfile(docs, col("doc_id"), col("text")).collect()
+    p.foreach { r => assert(r.getLong(2) >= 1 &&
+      r.getLong(2) <= math.max(1, r.getLong(1) - 4 + 1)) }
+    val empty = Dedup.winnowingProfile(
+      Seq((5L, "two words")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().head
+    assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L && empty.getLong(3) === 0L)
+  }
+
   test("kmvDistinctEstimate: sub-k inputs are exact; estimate lands within the KMV error band") {
     // fewer than k distinct keys → the sketch saw everything, n_est exact
     val small = Seq.tabulate(7)(i => s"v$i").toDF("t")
