@@ -748,6 +748,35 @@ object Dedup {
     * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
     * shape) for cross-doc match detection. Returns per-doc
     * (doc_id, n_grams, n_fp, fp_sum). */
+  // ---------- edit-distance fuzzy matching (record linkage) ---------------
+
+  /** Fuzzy near-duplicate NAME pairs under a Levenshtein gate with
+    * prefix blocking — the classic record-linkage / entity-resolution
+    * shape (Fellegi–Sunter blocking + edit-distance compare): distinct
+    * names group on a cheap blocking key (default: first two characters),
+    * pairs form only WITHIN a block, and each surviving pair carries its
+    * exact edit distance. Levenshtein with unit costs is engine-portable
+    * (deterministic DP — the oracle recomputes it exactly).
+    *
+    * 100 TB shape: never all-pairs — the block key bounds the quadratic
+    * to block-local; the standard recall trade is documented and tested
+    * (a typo INSIDE the blocking prefix escapes this pass; production
+    * linkage runs a second pass on a complementary key — suffix, length
+    * band, or q-gram LSH — and unions, same operator). Names are
+    * DISTINCT-ed first so row-level duplicates can't square the block. */
+  def editDistancePairs(recs: DataFrame, name: Column, maxDist: Int,
+      blockLen: Int = 2): DataFrame = {
+    require(maxDist >= 0, "editDistancePairs: maxDist must be >= 0")
+    val ents = recs.select(name.as("name")).distinct()
+      .withColumn("blk", substring(col("name"), 1, blockLen))
+    ents.as("a").join(ents.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("lev", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("lev") <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("lev").cast("long").as("lev"))
+  }
+
   /** The selected-key array for one document (packed `h·2¹⁶ + (65535−pos)`
     * longs, distinct). Empty array for a gramless doc. */
   private def winnowKeys(text: Column, n: Int, w: Int): Column = {

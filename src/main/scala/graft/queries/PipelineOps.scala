@@ -639,6 +639,20 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q198_fuzzy_names" -> ((s, dir) => {
+      // Record-linkage fuzzy matching: part names plus a deterministic
+      // typo twin for every 7th part (3rd character dropped) pair up under
+      // prefix-2 blocking + Levenshtein <= 2. The dropped char sits PAST
+      // the blocking prefix, so every planted twin is reachable; pairs
+      // never form across blocks (the documented recall trade).
+      val names = t(s, dir, "part")
+        .filter(col("p_partkey") % 7 === 0)
+        .select(concat(substring(col("p_name"), 1, 2),
+          substring(col("p_name"), 4, 10000)).as("name"))
+        .unionByName(t(s, dir, "part").select(col("p_name").as("name")))
+      Dedup.editDistancePairs(names, col("name"), maxDist = 2)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
     "q197_winnowing" -> ((s, dir) => {
       // Winnowing (MOSS) fingerprint profile per document: any shared run
       // of ≥ w+n-1 = 6 tokens is guaranteed to share a selected
@@ -2823,6 +2837,18 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q198_fuzzy_names" ->
+      """WITH recs AS (
+        |  SELECT substring(p_name, 1, 2) || substring(p_name, 4) AS name
+        |  FROM part WHERE p_partkey % 7 = 0
+        |  UNION ALL SELECT p_name FROM part),
+        |ents AS (
+        |  SELECT DISTINCT name, substring(name, 1, 2) AS blk FROM recs)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM ents a JOIN ents b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q197_winnowing" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

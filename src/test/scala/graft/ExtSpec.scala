@@ -1344,6 +1344,25 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("editDistancePairs: planted typos pair up, gate holds, cross-block misses are the documented trade") {
+    import graft.ext.Dedup
+    val recs = Seq(
+      "small ring", "small rng",      // deletion past the prefix -> found
+      "blue bolt", "blue belt",       // substitution past the prefix -> found
+      "red widget", "red widget",     // exact dup rows must not square anything
+      "green gear", "grain gear",     // lev 2, shares "gr" prefix -> found
+      "hot gizmo", "cold gizmo"       // differs IN the blocking prefix -> missed
+    ).toDF("name")
+    val pairs = Dedup.editDistancePairs(recs, col("name"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs.contains(("small ring", "small rng", 1L)))
+    assert(pairs.contains(("blue belt", "blue bolt", 1L)))
+    assert(pairs.contains(("grain gear", "green gear", 2L)))
+    assert(!pairs.exists(p => p._1.contains("gizmo")))
+    // every surviving pair respects the gate
+    assert(pairs.forall(_._3 <= 2))
+  }
+
   test("winnowing: shared-run guarantee, rightmost tie rule, density bound") {
     import graft.ext.Dedup
     // two docs sharing a >= w+n-1 = 6-token run MUST share a fingerprint hash
