@@ -249,6 +249,34 @@ object TextAnalysis {
       (repeatedTrigramCover(text) * 4 <= n)
   }
 
+  /** Token-diversity score as Gini impurity in ppm, exact-integer (the
+    * log-free stand-in for token entropy — logs are floats and floats
+    * diverge cross-engine; Gini is pure integer arithmetic and orders
+    * corpora the same way): `10⁶ · (1 − Σ cntᵢ²/n²)` with integer floor
+    * division. 0 for a doc that is one token repeated (or empty — no
+    * diversity either way), → 10⁶·(1−1/n) for all-distinct tokens.
+    * Σcnt² folds out of ONE sorted pass using the incremental identity
+    * r² − (r−1)² = 2r − 1 (no run-close detection needed). Pure per-row
+    * HOFs: zero shuffle, scan speed; the gate composes with the Gopher
+    * repetition rules ([[repetitionKeep]]) as an orthogonal signal. */
+  def giniDiversityPpm(text: Column): Column = {
+    val tk = tokens(text)
+    val n = size(tk).cast("long")
+    val sorted = array_sort(tk)
+    val sumSq = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("acc") + run * 2 - 1).as("acc"))
+      },
+      acc => acc.getField("acc"))
+    when(n === 0, lit(0L)).otherwise(
+      lit(1000000L) - org.apache.spark.sql.graft.Bridge.idiv(
+        lit(1000000L) * sumSq, n * n))
+  }
+
   /** Rolling polynomial fingerprint over tokens (mod 1e9+7, ascii+length
     * token features) — an order-SENSITIVE sketch, cross-engine mirrorable
     * (DuckDB `list_reduce` seeds with the first element, so we fold from the

@@ -639,6 +639,20 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q199_gini_diversity" -> ((s, dir) => {
+      // Integer-exact token-diversity gate: Gini impurity in ppm (the
+      // log-free entropy stand-in), rolled up per (lang, keep) so the
+      // gate's corpus-level effect is visible. keep = gini >= 0.5.
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"), TA.tokenCount(col("text")).as("n_tok"),
+          TA.giniDiversityPpm(col("text")).as("gini_ppm"))
+        .withColumn("keep", (col("gini_ppm") >= 500000L).cast("long"))
+        .groupBy(col("lang"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("gini_ppm")).as("sum_gini"))
+        .orderBy(col("lang"), col("keep"))
+    }),
     "q198_fuzzy_names" -> ((s, dir) => {
       // Record-linkage fuzzy matching: part names plus a deterministic
       // typo twin for every 7th part (3rd character dropped) pair up under
@@ -2837,6 +2851,26 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q199_gini_diversity" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS gini_ppm
+         |  FROM d)
+         |SELECT lang, CAST(CASE WHEN gini_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(sum(gini_ppm) AS BIGINT) AS sum_gini
+         |FROM g GROUP BY lang, keep ORDER BY lang, keep""".stripMargin,
     "q198_fuzzy_names" ->
       """WITH recs AS (
         |  SELECT substring(p_name, 1, 2) || substring(p_name, 4) AS name

@@ -20,6 +20,17 @@ object Bridge {
   def sessionExpression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Integer floor division as a composable Column (`a DIV b`) — the
+    * Column API has no `div`, and the two workarounds are traps at the
+    * repo's integer-exactness bar: decimal `/` then CAST rounds HALF_UP
+    * before truncating (diverges from DuckDB `//` past ~2e6 denominators),
+    * and double `/` loses bits past 2^53. ANSI mode: throws on overflow /
+    * division by zero, same as the rest of the session. */
+  def idiv(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+
   /** Register a Catalyst-expression-backed SQL function on a session (the
     * reference registers scalar functions in a name→ctor factory map,
     * common/functions/src/scalars/function_factory.rs:30-36; this is the

@@ -1344,6 +1344,18 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("giniDiversityPpm: exact integer values on known distributions") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      "a a a a",        // one type: gini = 0
+      "a b c d",        // all distinct, n=4: 1e6 - 1e6*4/16 = 750000
+      "a a b b",        // two pairs: 1e6 - 1e6*8/16 = 500000
+      "a a a b",        // 9+1=10: 1e6 - 10*1e6 DIV 16 = 1e6 - 625000 = 375000
+      ""                // empty string -> single '' token -> gini 0
+    ).toDF("t").select(TextAnalysis.giniDiversityPpm(col("t"))).collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(0L, 750000L, 500000L, 375000L, 0L))
+  }
+
   test("editDistancePairs: planted typos pair up, gate holds, cross-block misses are the documented trade") {
     import graft.ext.Dedup
     val recs = Seq(

@@ -76,7 +76,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q187_stratified_priority", "q188_trigram_lm", "q189_mixture_reweight",
     "q190_phash_dedup", "q191_robust_outliers", "q192_span_decontamination",
     "q193_knn_label_vote", "q194_kmv_estimate", "q195_normalized_dedup",
-    "q196_markup_strip", "q197_winnowing", "q198_fuzzy_names")
+    "q196_markup_strip", "q197_winnowing", "q198_fuzzy_names",
+    "q199_gini_diversity")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
