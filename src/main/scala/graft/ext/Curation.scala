@@ -718,6 +718,43 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** DSIR-shaped importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): hashed
+    * token features over `buckets` md5-derived buckets, each bucket's
+    * target/raw frequency ratio (add-one smoothed) becomes an integer
+    * ppm weight, and a document's importance is the average weight of its
+    * tokens. The published method sums log-likelihood ratios; the integer
+    * frequency RATIO is the determinism-safe form (logs are floats, floats
+    * diverge cross-engine) and induces the same bucket-level ordering
+    * signal. Returns (doc_id, n_tok, score_ppm) for every doc — callers
+    * resample/top-k the raw pool by score.
+    *
+    * 100 TB shape: the ratio table is `buckets` rows (a knob, ≤ ~1e5) —
+    * ONE hash aggregation then broadcast back; scoring is one doc-keyed
+    * aggregation. Two corpus passes total (count, score) — DSIR is
+    * inherently two-pass. DECIMAL(38,0) guards the 10⁶·count product. */
+  def dsirScorePpm(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "dsirScorePpm: buckets must be >= 2")
+    val toks = docs.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(TextAnalysis.tokens(text)).as("w"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("w")), 1, 11), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val ratio = toks.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("s_cnt"))
+      .select(col("b"), expr(
+        "CAST((CAST(t_cnt + 1 AS DECIMAL(38,0)) * 1000000) DIV (s_cnt + 1) AS BIGINT)")
+        .as("r_ppm"))
+    toks.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("r_ppm")).as("sum_r"))
+      .select(col("doc_id"), col("n_tok"),
+        org.apache.spark.sql.graft.Bridge.idiv(col("sum_r"), col("n_tok"))
+          .as("score_ppm"))
+  }
+
   def kmvDistinctEstimate(docs: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2, "kmvDistinctEstimate: k must be >= 2")
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")

@@ -639,6 +639,19 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q200_dsir_reweight" -> ((s, dir) => {
+      // DSIR-shaped selection: src0 is the target distribution, every
+      // other source is the raw pool; hashed-token bucket ratios score the
+      // pool and the top 50 most-target-like docs surface. Integer ppm
+      // ratios (not float logs) keep both engines bit-identical.
+      val docs = t(s, dir, "documents")
+      Curation.dsirScorePpm(docs, col("doc_id"), col("text"),
+          col("source") === "src0")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .filter(col("source") =!= "src0")
+        .orderBy(col("score_ppm").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("score_ppm"))
+    }),
     "q199_gini_diversity" -> ((s, dir) => {
       // Integer-exact token-diversity gate: Gini impurity in ppm (the
       // log-free entropy stand-in), rolled up per (lang, keep) so the
@@ -2851,6 +2864,31 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q200_dsir_reweight" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_transform(string_split(md5(w), '')[1:11],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 64 AS b
+         |  FROM tok),
+         |r AS (
+         |  SELECT b,
+         |    CAST((1000000 * (sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1)) //
+         |         (sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1) AS BIGINT) AS r_ppm
+         |  FROM tb GROUP BY b),
+         |sc AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(r.r_ppm) AS BIGINT) AS sum_r
+         |  FROM tb t JOIN r USING (b) GROUP BY t.doc_id)
+         |SELECT d.doc_id, d.source, sc.n_tok,
+         |  CAST(sc.sum_r // sc.n_tok AS BIGINT) AS score_ppm
+         |FROM sc JOIN documents d USING (doc_id)
+         |WHERE d.source <> 'src0'
+         |ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
     "q199_gini_diversity" ->
       raw"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w

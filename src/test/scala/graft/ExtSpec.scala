@@ -1344,6 +1344,40 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("dsirScorePpm: matches an exact Scala replay of the bucket-ratio arithmetic") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "alpha alpha beta", true),   // target
+      (2L, "alpha beta beta", true),    // target
+      (3L, "alpha alpha alpha", false), // raw, target-like
+      (4L, "zebra zebra zebra", false), // raw, out-of-distribution
+      (5L, "alpha zebra", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = Curation.dsirScorePpm(docs, col("doc_id"), col("text"), col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact replay with the same md5 bucketing and integer arithmetic
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(11), 16) % 64
+    }
+    val toks = Seq(1L -> ("alpha alpha beta", true), 2L -> ("alpha beta beta", true),
+      3L -> ("alpha alpha alpha", false), 4L -> ("zebra zebra zebra", false),
+      5L -> ("alpha zebra", false))
+      .flatMap { case (id, (t, f)) => t.split(" ").map(w => (id, bucket(w), f)) }
+    val byB = toks.groupBy(_._2)
+    val rPpm = byB.map { case (b, xs) =>
+      val tc = xs.count(_._3) + 1L; val sc = xs.count(!_._3) + 1L
+      b -> (1000000L * tc) / sc
+    }
+    val want = toks.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.map(x => rPpm(x._2)).sum / xs.size)
+    }
+    assert(got === want)
+    // the target-like raw doc must outrank the out-of-distribution one
+    assert(got(3L)._2 > got(4L)._2)
+  }
+
   test("giniDiversityPpm: exact integer values on known distributions") {
     import graft.ext.TextAnalysis
     val rows = Seq(
