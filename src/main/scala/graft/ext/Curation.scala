@@ -718,6 +718,33 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Tokenizer-coverage audit: per-document out-of-vocabulary rate against
+    * the corpus's own top-`vocabSize` tokens (count desc, token asc
+    * tie-break — fully deterministic). The signal behind "will my
+    * tokenizer fragment this corpus": high OOV ppm → the vocab (or the
+    * corpus slice) needs work. Returns (doc_id, n_tok, n_oov, oov_ppm),
+    * integer-exact.
+    *
+    * 100 TB shape: the vocabulary is ONE hash aggregation + a bounded
+    * TakeOrdered (vocabSize rows — a real tokenizer vocab is ≤ ~256k) that
+    * broadcasts back; per-doc rates are one doc-keyed aggregation. */
+  def oovRatePpm(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "oovRatePpm: vocabSize must be >= 1")
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L) * col("n_oov"), col("n_tok")).as("oov_ppm"))
+  }
+
   /** DSIR-shaped importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): hashed
     * token features over `buckets` md5-derived buckets, each bucket's

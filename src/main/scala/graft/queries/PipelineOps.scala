@@ -639,6 +639,24 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q201_vocab_oov" -> ((s, dir) => {
+      // Tokenizer-coverage audit rolled up per source: OOV mass against
+      // the corpus's own top-16 vocabulary, plus how many docs would
+      // fragment badly (> 25% OOV). The per-source corpus rate divides
+      // SUMS (exact), not an average of per-doc ratios.
+      val docs = t(s, dir, "documents")
+      Curation.oovRatePpm(docs, col("doc_id"), col("text"), vocabSize = 16)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_oov")).as("sum_oov"),
+          sum(when(col("oov_ppm") > 250000L, 1L).otherwise(0L)).as("n_frag"))
+        .withColumn("corpus_oov_ppm",
+          org.apache.spark.sql.graft.Bridge.idiv(
+            lit(1000000L) * col("sum_oov"), col("sum_tok")))
+        .orderBy(col("source"))
+    }),
     "q200_dsir_reweight" -> ((s, dir) => {
       // DSIR-shaped selection: src0 is the target distribution, every
       // other source is the raw pool; hashed-token bucket ratios score the
@@ -2864,6 +2882,28 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q201_vocab_oov" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS c FROM tok GROUP BY w
+         |    ORDER BY c DESC, w LIMIT 16)),
+         |per_doc AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+         |  GROUP BY t.doc_id),
+         |j AS (
+         |  SELECT p.*, (1000000 * p.n_oov) // p.n_tok AS oov_ppm, d.source
+         |  FROM per_doc p JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(sum(n_oov) AS BIGINT) AS sum_oov,
+         |  CAST(sum(CASE WHEN oov_ppm > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_frag,
+         |  CAST((1000000 * sum(n_oov)) // sum(n_tok) AS BIGINT) AS corpus_oov_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q200_dsir_reweight" ->
       raw"""WITH tok AS (
          |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS w

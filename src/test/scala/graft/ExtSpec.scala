@@ -1344,6 +1344,25 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("oovRatePpm: vocab cut is deterministic and rates are exact") {
+    import graft.ext.Curation
+    // freq: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}; tie c/x broken lexicographically
+    val docs = Seq(
+      (1L, "a a b c"),   // 1 oov of 4 -> 250000
+      (2L, "a b b c d"), // 2 oov of 5 -> 400000
+      (3L, "a a")        // 0 oov
+    ).toDF("doc_id", "text")
+    val got = Curation.oovRatePpm(docs, col("doc_id"), col("text"), vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> (4L, 1L, 250000L), 2L -> (5L, 2L, 400000L),
+      3L -> (2L, 0L, 0L)))
+    // tie at the cut: vocab(3) over freq a=4,b=3,c=2,x=2 must pick c (lex before x)
+    val tie = Seq((1L, "a a a a b b b c c x x")).toDF("doc_id", "text")
+    val r = Curation.oovRatePpm(tie, col("doc_id"), col("text"), vocabSize = 3)
+      .collect().head
+    assert(r.getLong(2) === 2L) // only the two x tokens are OOV
+  }
+
   test("dsirScorePpm: matches an exact Scala replay of the bucket-ratio arithmetic") {
     import graft.ext.Curation
     val docs = Seq(
