@@ -162,6 +162,34 @@ object TextAnalysis {
         emailRe, "<EMAIL>"),
       longNumRe, "<NUM>")
 
+  /** Consistent pseudonymization — the referential-integrity-preserving
+    * form of [[redactPii]]: every PII span is replaced by a TYPED token
+    * carrying a digest of the span (`<EMAIL_gajkbfcd>`), so the same
+    * address maps to the same token corpus-wide (joins, co-occurrence and
+    * frequency analyses still work on the scrubbed corpus) while the raw
+    * value is gone. Digest hex digits are transliterated to letters
+    * (`0-9` → `g-p`) so a pseudonym can never re-match the digit-run
+    * pattern of a later pass. Distinct matches are replaced LONGEST FIRST
+    * (then lexicographic) — a shorter match that is a prefix/substring of
+    * a longer one must not corrupt it — and the order is built from a
+    * sortable key, not engine list-distinct order, so both engines replay
+    * the exact same fold. Pure per-row HOF chain: zero shuffle. */
+  private def pseudoPass(c: Column, re: String, tag: String): Column = {
+    val matches = array_distinct(regexp_extract_all(c, lit(re), lit(0)))
+    val ordered = transform(
+      array_sort(transform(matches, m =>
+        concat(lpad((lit(10000) - length(m)).cast("string"), 5, "0"), m))),
+      x => substring(x, 6, 1000000))
+    aggregate(ordered, c, (acc, m) =>
+      replace(acc, m, concat(lit("<" + tag + "_"),
+        translate(substring(md5(m), 1, 8), "0123456789", "ghijklmnop"),
+        lit(">"))))
+  }
+
+  def pseudonymizePii(text: Column): Column =
+    pseudoPass(pseudoPass(pseudoPass(text, urlRe, "URL"), emailRe, "EMAIL"),
+      longNumRe, "NUM")
+
   // ---------- repetition signals (Gopher/MassiveText rules) ---------------
 
   /** Word n-grams as strings, in document order — the one-pass codegen'd

@@ -639,6 +639,24 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q202_pseudonymize" -> ((s, dir) => {
+      // Consistent pseudonymization: cohorts share PII values (email by
+      // doc_id%50, URL by %30, account number by %20), so the SAME value
+      // must map to the SAME typed token across docs — the md5-compare
+      // pins that plus Java-regex/RE2 agreement and the longest-first
+      // replace order.
+      val piiText = concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 50).cast("string"),
+        lit("@mail.example.com via https://ex.example/u/"),
+        (col("doc_id") % 30).cast("string"),
+        lit(" acct 99"), (col("doc_id") % 20).cast("string"), lit("001122"))
+      val ps = TA.pseudonymizePii(piiText)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), ps.as("p"))
+        .select(col("doc_id"), md5(col("p")).as("ps_md5"),
+          regexp_extract(col("p"), "<EMAIL_([a-p]+)>", 1).as("email_pseudo"))
+        .orderBy(col("doc_id"))
+    }),
     "q201_vocab_oov" -> ((s, dir) => {
       // Tokenizer-coverage audit rolled up per source: OOV mass against
       // the corpus's own top-16 vocabulary, plus how many docs would
@@ -2882,6 +2900,39 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q202_pseudonymize" ->
+      raw"""WITH p0 AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) ||
+         |    '@mail.example.com via https://ex.example/u/' || CAST(doc_id % 30 AS VARCHAR) ||
+         |    ' acct 99' || CAST(doc_id % 20 AS VARCHAR) || '001122' AS x
+         |  FROM documents WHERE doc_id < 300),
+         |p1 AS (SELECT doc_id, list_reduce(list_prepend(x,
+         |    list_transform(list_sort(list_transform(
+         |      list_distinct(regexp_extract_all(x, 'https?://[^ \t\r\n]+')),
+         |      m -> lpad(CAST(10000 - length(m) AS VARCHAR), 5, '0') || m)),
+         |      y -> y[6:])),
+         |    (a, m) -> replace(a, m, '<URL_' ||
+         |      translate(md5(m)[1:8], '0123456789', 'ghijklmnop') || '>')) AS x
+         |  FROM p0),
+         |p2 AS (SELECT doc_id, list_reduce(list_prepend(x,
+         |    list_transform(list_sort(list_transform(
+         |      list_distinct(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+         |      m -> lpad(CAST(10000 - length(m) AS VARCHAR), 5, '0') || m)),
+         |      y -> y[6:])),
+         |    (a, m) -> replace(a, m, '<EMAIL_' ||
+         |      translate(md5(m)[1:8], '0123456789', 'ghijklmnop') || '>')) AS x
+         |  FROM p1),
+         |p3 AS (SELECT doc_id, list_reduce(list_prepend(x,
+         |    list_transform(list_sort(list_transform(
+         |      list_distinct(regexp_extract_all(x, '[0-9]{7,}')),
+         |      m -> lpad(CAST(10000 - length(m) AS VARCHAR), 5, '0') || m)),
+         |      y -> y[6:])),
+         |    (a, m) -> replace(a, m, '<NUM_' ||
+         |      translate(md5(m)[1:8], '0123456789', 'ghijklmnop') || '>')) AS x
+         |  FROM p2)
+         |SELECT doc_id, md5(x) AS ps_md5,
+         |  regexp_extract(x, '<EMAIL_([a-p]+)>', 1) AS email_pseudo
+         |FROM p3 ORDER BY doc_id""".stripMargin,
     "q201_vocab_oov" ->
       raw"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w

@@ -1344,6 +1344,27 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("pseudonymizePii: consistent tokens, longest-first substring safety, no digit re-match") {
+    import graft.ext.TextAnalysis
+    val out = Seq(
+      "mail a@x.com then a@x.com again",               // same addr -> same token
+      "mail a@x.com and b@y.org",                      // different addrs -> different tokens
+      "ids 12345678 and 1234567 distinct",             // shorter is a PREFIX of longer
+      "see https://ex.com/a?id=9999999 tail"           // digits inside URL vanish with it
+    ).toDF("t").select(TextAnalysis.pseudonymizePii(col("t"))).collect().map(_.getString(0))
+    val tok = "<EMAIL_([a-p]+)>".r
+    val t0 = tok.findAllMatchIn(out(0)).map(_.group(1)).toSeq
+    assert(t0.size === 2 && t0.distinct.size === 1)
+    val t1 = tok.findAllMatchIn(out(1)).map(_.group(1)).toSeq
+    assert(t1.size === 2 && t1.distinct.size === 2)
+    // both numbers pseudonymized independently; no leftover digits
+    val nums = "<NUM_([a-p]+)>".r.findAllMatchIn(out(2)).map(_.group(1)).toSeq
+    assert(nums.size === 2 && nums.distinct.size === 2)
+    assert(!out(2).exists(_.isDigit))
+    // the URL (digits included) became one URL token; nothing re-matched
+    assert(out(3).contains("<URL_") && !out(3).contains("<NUM_"))
+  }
+
   test("oovRatePpm: vocab cut is deterministic and rates are exact") {
     import graft.ext.Curation
     // freq: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}; tie c/x broken lexicographically

@@ -77,7 +77,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q190_phash_dedup", "q191_robust_outliers", "q192_span_decontamination",
     "q193_knn_label_vote", "q194_kmv_estimate", "q195_normalized_dedup",
     "q196_markup_strip", "q197_winnowing", "q198_fuzzy_names",
-    "q199_gini_diversity", "q200_dsir_reweight", "q201_vocab_oov")
+    "q199_gini_diversity", "q200_dsir_reweight", "q201_vocab_oov",
+    "q202_pseudonymize")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
