@@ -70,6 +70,57 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * LASER/CCMatrix alignment rule): a candidate pair (x, y) is a mined
+    * pair when its similarity stands out RELATIVE to each side's
+    * neighborhood — absolute-threshold mining fails because "high cosine"
+    * means different things in dense vs sparse regions. Score:
+    * `margin = sim(x,y) / pooled-mean of both sides' top-k sims`,
+    * here in exact integer arithmetic over `floor(10⁶·v)` quantized dot
+    * products (the q103 construction — floats would diverge cross-engine):
+    * `margin_ppm = 10⁶ · d · (k_x + k_y) DIV (Σtopk_x + Σtopk_y)`, with
+    * DECIMAL(38,0) guarding the product. Non-positive dots are not
+    * candidates (mining semantics) and keep every denominator positive.
+    * For each x pool vector the single best-margin y survives (ties →
+    * lowest y_id). Backward neighborhoods are computed within the x pool —
+    * the standard retrieval-pool restriction of the published method.
+    *
+    * Scale shape: the x side is a bounded mining batch (broadcast); the
+    * y side is corpus-sized and meets it in ONE pass (at 100 TB the
+    * candidate dots come from an IVF probe join, [[ivfTopK]] — the margin
+    * arithmetic downstream is unchanged); top-k and argmax are bounded
+    * windows over nq·k rows. */
+  def bitextMarginPairs(xPool: DataFrame, yPool: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "bitextMarginPairs: k must be >= 1")
+    val qx = quantized(xPool, 1e6)
+      .select(col("vec_id").as("x_id"), col("qv").as("xv"))
+    val qy = quantized(yPool, 1e6)
+      .select(col("vec_id").as("y_id"), col("qv").as("yv"))
+    val dots = qy.join(broadcast(qx))
+      .withColumn("d", aggregate(
+        zip_with(col("xv"), col("yv"), (a, b) => a * b),
+        lit(0L), (s, v) => s + v))
+      .filter(col("d") > 0)
+      .select(col("x_id"), col("y_id"), col("d"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x_id")).orderBy(col("d").desc, col("y_id"))
+    val fwd = dots.withColumn("rf", row_number().over(wf)).filter(col("rf") <= k)
+    val sx = fwd.groupBy(col("x_id"))
+      .agg(sum(col("d")).as("sum_x"), count(lit(1)).as("k_x"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("y_id")).orderBy(col("d").desc, col("x_id"))
+    val bwd = dots.withColumn("rb", row_number().over(wb)).filter(col("rb") <= k)
+    val sy = bwd.groupBy(col("y_id"))
+      .agg(sum(col("d")).as("sum_y"), count(lit(1)).as("k_y"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x_id")).orderBy(col("margin_ppm").desc, col("y_id"))
+    fwd.join(sx, Seq("x_id")).join(sy, Seq("y_id"))
+      .withColumn("margin_ppm", expr(
+        "CAST((CAST(d AS DECIMAL(38,0)) * 1000000 * (k_x + k_y)) DIV (sum_x + sum_y) AS BIGINT)"))
+      .withColumn("rm", row_number().over(wm)).filter(col("rm") === 1)
+      .select(col("x_id"), col("y_id"), col("d"), col("margin_ppm"))
+  }
+
   /** kNN label-noise detection (the Confident-Learning-shaped cleaner):
     * each query vector's k nearest neighbors (deterministic IVF — same
     * cells/probes/re-rank as [[ivfTopK]]) VOTE with their labels; the

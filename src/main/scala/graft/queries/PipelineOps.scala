@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q203_bitext_margin" -> ((s, dir) => {
+      // Margin-based bitext mining: even vec_ids are the "source
+      // language" mining batch (first 50), odd vec_ids the target corpus;
+      // each source vector keeps its best-MARGIN (not best-dot) partner.
+      val emb = t(s, dir, "embeddings")
+      val xp = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+      val yp = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.bitextMarginPairs(xp, yp, k = 4)
+        .orderBy(col("x_id"))
+    }),
     "q202_pseudonymize" -> ((s, dir) => {
       // Consistent pseudonymization: cohorts share PII values (email by
       // doc_id%50, URL by %30, account number by %20), so the SAME value
@@ -2900,6 +2910,36 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q203_bitext_margin" ->
+      """WITH q AS (
+        |  SELECT vec_id AS x_id,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xv
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 100),
+        |c AS (
+        |  SELECT vec_id AS y_id,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS yv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |dots AS (
+        |  SELECT x_id, y_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> xv[i] * yv[i])) AS BIGINT) AS d
+        |  FROM q, c),
+        |pos AS (SELECT * FROM dots WHERE d > 0),
+        |fwd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY d DESC, y_id) AS rf FROM pos),
+        |f AS (SELECT x_id, y_id, d FROM fwd WHERE rf <= 4),
+        |sx AS (SELECT x_id, CAST(sum(d) AS BIGINT) AS sum_x,
+        |       CAST(count(*) AS BIGINT) AS k_x FROM f GROUP BY x_id),
+        |bwd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY d DESC, x_id) AS rb FROM pos),
+        |b AS (SELECT y_id, CAST(sum(d) AS BIGINT) AS sum_y, CAST(count(*) AS BIGINT) AS k_y
+        |      FROM (SELECT * FROM bwd WHERE rb <= 4) GROUP BY y_id),
+        |m AS (
+        |  SELECT f.x_id, f.y_id, f.d,
+        |    CAST((CAST(f.d AS HUGEINT) * 1000000 * (sx.k_x + b.k_y)) // (sx.sum_x + b.sum_y) AS BIGINT) AS margin_ppm
+        |  FROM f JOIN sx USING (x_id) JOIN b USING (y_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin_ppm DESC, y_id) AS rm FROM m)
+        |SELECT x_id, y_id, d, margin_ppm FROM r WHERE rm = 1 ORDER BY x_id""".stripMargin,
     "q202_pseudonymize" ->
       raw"""WITH p0 AS (
          |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) ||

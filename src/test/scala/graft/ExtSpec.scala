@@ -1344,6 +1344,26 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("bitextMarginPairs: margin beats raw similarity on a planted hub vector") {
+    import graft.ext.Similarity
+    // y=101 is a HUB: moderately close to everything (high mean -> low margin).
+    // y=103 is x=0's true partner: lower raw dot than the hub for other xs
+    // but stands out from ITS OWN neighborhood.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val x = Seq(
+      (0L, v(1.0, 0.0, 0.0)), (2L, v(0.0, 1.0, 0.0)), (4L, v(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val y = Seq(
+      (101L, v(0.6, 0.6, 0.6)),   // hub
+      (103L, v(0.9, 0.1, 0.0)),   // x=0's partner
+      (105L, v(0.1, 0.8, 0.1)),   // x=2's partner
+      (107L, v(0.0, 0.1, 0.85))   // x=4's partner
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMarginPairs(x, y, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 103L, 2L -> 105L, 4L -> 107L))
+  }
+
   test("pseudonymizePii: consistent tokens, longest-first substring safety, no digit re-match") {
     import graft.ext.TextAnalysis
     val out = Seq(
