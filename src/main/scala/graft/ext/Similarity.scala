@@ -121,6 +121,64 @@ object Similarity {
       .select(col("x_id"), col("y_id"), col("d"), col("margin_ppm"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` items maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected` — the
+    * diverse-exemplar / dedup-aware retrieval rule (pure top-k returns
+    * near-duplicates; MMR's second term pushes each pick away from the
+    * ones before it). All arithmetic is exact integer over `floor(10⁶·v)`
+    * quantized dots with λ as a percent split (default 70/30); ties break
+    * to the lowest vec_id; max-sim over the empty set is 0, so the first
+    * pick is pure relevance — the published initialization.
+    *
+    * Scale shape: candidate generation is the corpus-scale distributed
+    * pass (relevance dot + TakeOrdered top-nCand — at 100 TB an IVF probe
+    * feeds it, [[ivfTopK]]); the greedy loop then runs on the BOUNDED
+    * candidate set on the driver (nCand·k dots over ≤ nCand rows — the
+    * lloydCentroidsQ collect discipline: small-by-construction, and the
+    * sequential data dependence is inherent to MMR). Returns
+    * (rank, vec_id, rel, gain). */
+  def mmrSelect(corpus: DataFrame, queryId: Long, nCand: Int, k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && nCand >= k, "mmrSelect: need nCand >= k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "mmrSelect: lambdaPct in [0,100]")
+    val q = quantized(corpus, 1e6)
+    val qvec: Seq[Long] = q.filter(col("vec_id") === queryId)
+      .collect() match {
+        case Array(r) => r.getSeq[Long](1)
+        case other => throw new IllegalArgumentException(
+          s"mmrSelect: queryId $queryId matched ${other.length} rows")
+      }
+    // bounded collect (nCand rows) — the greedy chain is sequential by
+    // definition; candidate GENERATION above stays distributed
+    val cands: Array[(Long, Seq[Long], Long)] = q
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("d", aggregate(
+        zip_with(col("qv"), typedlit(qvec), (a, b) => a * b),
+        lit(0L), (s, v) => s + v))
+      .orderBy(col("d").desc, col("vec_id")).limit(nCand)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val vecOf: Map[Long, Seq[Long]] = cands.map(c => c._1 -> c._2).toMap
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c._3): _*)
+    for (rank <- 1L to k.toLong) {
+      val scored = remaining.iterator.map { case (id, rel) =>
+        val ms = if (sel.isEmpty) 0L
+          else sel.map(s => dot(vecOf(id), vecOf(s._2))).max
+        (id, rel, lambdaPct * rel - (100 - lambdaPct) * ms)
+      }.toSeq
+      val best = scored.minBy { case (id, _, gain) => (-gain, id) }
+      sel += ((rank, best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    sel.toSeq.toDF("rank", "vec_id", "rel", "gain")
+  }
+
   /** kNN label-noise detection (the Confident-Learning-shaped cleaner):
     * each query vector's k nearest neighbors (deterministic IVF — same
     * cells/probes/re-rank as [[ivfTopK]]) VOTE with their labels; the

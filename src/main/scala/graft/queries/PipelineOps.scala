@@ -639,6 +639,15 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q204_mmr_select" -> ((s, dir) => {
+      // MMR diverse top-5 against query vector 0 from a top-30 candidate
+      // pool: each pick maximizes 70%·relevance − 30%·max-sim-to-chosen,
+      // in exact quantized-integer arithmetic; the oracle unrolls the
+      // greedy chain as 5 CTE rounds.
+      Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 0L,
+          nCand = 30, k = 5)
+        .orderBy(col("rank"))
+    }),
     "q203_bitext_margin" -> ((s, dir) => {
       // Margin-based bitext mining: even vec_ids are the "source
       // language" mining batch (first 50), odd vec_ids the target corpus;
@@ -2910,6 +2919,7 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q204_mmr_select" -> mmrSql(queryId = 0L, nCand = 30, k = 5),
     "q203_bitext_margin" ->
       """WITH q AS (
         |  SELECT vec_id AS x_id,
@@ -4515,6 +4525,42 @@ object PipelineOps {
     * double-U+0001 framing, same left-to-right `replace`, same
     * count-desc/lexicographic tie-break). `b{i}` holds round i+1's winning
     * pair; `s{i}` the symbol strings entering round i+1. */
+  /** Unrolled MMR greedy chain (k rounds): each round scores the remaining
+    * candidates as 70·rel − 30·max-dot-to-selected and takes the best
+    * (ties → lowest vec_id), mirroring Similarity.mmrSelect exactly. */
+  private def mmrSql(queryId: Long, nCand: Int, k: Int): String = {
+    val dotQ = "list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * q.qv[i]))"
+    def dotCS(c: String, s: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $c.v[i] * $s.v[i]))"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""qv AS (
+         |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id = $queryId)""".stripMargin,
+      s"""base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id <> $queryId)""".stripMargin,
+      s"""cand AS (
+         |  SELECT b.vec_id, b.v, CAST($dotQ AS BIGINT) AS rel
+         |  FROM base b, qv q ORDER BY rel DESC, vec_id LIMIT $nCand)""".stripMargin,
+      s"""selu1 AS (
+         |  SELECT vec_id, v, rel, CAST(1 AS BIGINT) AS rank, CAST(70 * rel AS BIGINT) AS gain
+         |  FROM cand ORDER BY 70 * rel DESC, vec_id LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      parts += s"""g$i AS (
+         |  SELECT c.vec_id, c.v, c.rel, max(CAST(${dotCS("c", "s")} AS BIGINT)) AS ms
+         |  FROM cand c, selu${i - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+         |  GROUP BY c.vec_id, c.v, c.rel)""".stripMargin
+      parts += s"""pick$i AS (
+         |  SELECT vec_id, v, rel, CAST($i AS BIGINT) AS rank,
+         |    CAST(70 * rel - 30 * ms AS BIGINT) AS gain
+         |  FROM g$i ORDER BY 70 * rel - 30 * ms DESC, vec_id LIMIT 1)""".stripMargin
+      parts += s"selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM pick$i)"
+    }
+    s"WITH ${parts.mkString(",\n")}\n" +
+      s"SELECT rank, vec_id, rel, gain FROM selu$k ORDER BY rank"
+  }
+
   private def bpeCtes(n: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer(
       """wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n

@@ -1344,6 +1344,21 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("mmrSelect: first pick is pure relevance, later picks avoid near-dups of the chosen") {
+    import graft.ext.Similarity
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1.0, 0.0, 0.0)),   // the query
+      (1L, v(0.9, 0.4, 0.0)),   // most relevant -> first pick
+      (2L, v(0.6, 0.8, 0.0)),   // same relevance as 3, but CLOSE to 1
+      (3L, v(0.6, 0.0, 0.8)),   // same relevance as 2, far from 1
+      (4L, v(0.0, 0.0, 1.0))    // orthogonal, low relevance
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, queryId = 0L, nCand = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L))) // equal rel: the penalty decides
+  }
+
   test("bitextMarginPairs: margin beats raw similarity on a planted hub vector") {
     import graft.ext.Similarity
     // y=101 is a HUB: moderately close to everything (high mean -> low margin).
