@@ -718,6 +718,27 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Deterministic equal-frequency binning within each stratum: rows rank
+    * by `(orderBy desc, tie asc)` and bucket `i` of `nBuckets` receives
+    * ranks with `⌊(rank−1)·n / count⌋ = i` — integer-exact, no percentile
+    * interpolation, no RNG. The CCNet head/middle/tail split (Wenzek et
+    * al., LREC 2020 — per-language perplexity tertiles) is
+    * `nBuckets = 3` over an LM fluency score; the same operator is the
+    * general quantile-binning stage (difficulty curricula, length tiers).
+    * Adds `bucket_idx`. One stratum-keyed window shuffle; both window
+    * functions share the Exchange. */
+  def stratumEqualBuckets(df: DataFrame, stratum: Column, orderBy: Column,
+      tie: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "stratumEqualBuckets: nBuckets must be >= 2")
+    val wr = Window.partitionBy(stratum).orderBy(orderBy.desc, tie)
+    val wc = Window.partitionBy(stratum)
+    df.withColumn("__rn", row_number().over(wr).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .withColumn("bucket_idx", org.apache.spark.sql.graft.Bridge.idiv(
+        (col("__rn") - 1) * nBuckets, col("__cnt")))
+      .drop("__rn", "__cnt")
+  }
+
   /** Tokenizer-coverage audit: per-document out-of-vocabulary rate against
     * the corpus's own top-`vocabSize` tokens (count desc, token asc
     * tie-break — fully deterministic). The signal behind "will my

@@ -639,6 +639,27 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q205_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language equal-count tertiles of the
+      // interpolated trigram-LM fluency (most fluent third = head). Docs
+      // with zero trigrams have no fluency and stay out (both engines).
+      import graft.ext.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm2 = NgramLm.probTable(docs, col("text"))
+      val lm3 = NgramLm.probTable3(docs, col("text"))
+      val scored = NgramLm.scoreInterpolated(docs, col("doc_id"), col("text"),
+          lm3, lm2, mixPpm = 600000L)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Curation.stratumEqualBuckets(scored, col("lang"), col("fluency3"),
+          col("doc_id"), nBuckets = 3)
+        .withColumn("bucket", when(col("bucket_idx") === 0, "head")
+          .when(col("bucket_idx") === 1, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("fluency3")).as("min_f"), max(col("fluency3")).as("max_f"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
     "q204_mmr_select" -> ((s, dir) => {
       // MMR diverse top-5 against query vector 0 from a top-30 candidate
       // pool: each pick maximizes 70%·relevance − 30%·max-sim-to-chosen,
@@ -3271,34 +3292,29 @@ object PipelineOps {
          |SELECT k AS lang, r AS reward_ppm, w AS share_ppm
          |FROM w3 ORDER BY lang""".stripMargin,
     "q188_trigram_lm" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-        |bgr AS (
-        |  SELECT doc_id, unnest([substring(w, i, 2) for i in range(1, length(w))]) AS bg
-        |  FROM tk WHERE length(w) >= 2),
-        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bi FROM bgr GROUP BY bg),
-        |px AS (SELECT substring(bg, 1, 1) AS x, CAST(sum(c_bi) AS BIGINT) AS c_x
-        |       FROM c2 GROUP BY 1),
-        |lm2 AS (SELECT bg, (1000000 * c_bi) // c_x AS p2
-        |        FROM c2 JOIN px ON substring(c2.bg, 1, 1) = px.x),
-        |tgr AS (
-        |  SELECT doc_id, unnest([substring(w, i, 3) for i in range(1, length(w) - 1)]) AS tg
-        |  FROM tk WHERE length(w) >= 3),
-        |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c_tri FROM tgr GROUP BY tg),
-        |pxy AS (SELECT substring(tg, 1, 2) AS xy, CAST(sum(c_tri) AS BIGINT) AS c_xy
-        |        FROM c3 GROUP BY 1),
-        |lm3 AS (SELECT tg, (1000000 * c_tri) // c_xy AS p3
-        |        FROM c3 JOIN pxy ON substring(c3.tg, 1, 2) = pxy.xy),
-        |sc AS (
-        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS m,
-        |    CAST(sum((600000 * coalesce(p3, 0) + 400000 * coalesce(p2, 0)) // 1000000)
-        |         AS BIGINT) AS tot
-        |  FROM tgr t LEFT JOIN lm3 USING (tg)
-        |       LEFT JOIN lm2 ON lm2.bg = substring(t.tg, 2, 2)
-        |  GROUP BY t.doc_id)
-        |SELECT sc.doc_id, d.lang, sc.m, CAST(sc.tot // sc.m AS BIGINT) AS fluency3
-        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
-        |ORDER BY fluency3, sc.doc_id LIMIT 20""".stripMargin,
+      (s"WITH $trigramLmCtes\n" +
+        """SELECT sc.doc_id, d.lang, sc.m, CAST(sc.tot // sc.m AS BIGINT) AS fluency3
+          |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+          |ORDER BY fluency3, sc.doc_id LIMIT 20""".stripMargin),
+    "q205_ccnet_buckets" ->
+      (s"WITH $trigramLmCtes,\n" +
+        """scored AS (
+          |  SELECT sc.doc_id, d.lang, CAST(sc.tot // sc.m AS BIGINT) AS fluency3
+          |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+          |r AS (
+          |  SELECT *, CAST(row_number() OVER (
+          |      PARTITION BY lang ORDER BY fluency3 DESC, doc_id) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+          |  FROM scored),
+          |b AS (
+          |  SELECT lang, doc_id, fluency3,
+          |    CASE ((rn - 1) * 3) // cnt WHEN 0 THEN 'head'
+          |         WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+          |  FROM r)
+          |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  min(fluency3) AS min_f, max(fluency3) AS max_f,
+          |  CAST(sum(doc_id) AS BIGINT) AS checksum
+          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
     "q187_stratified_priority" ->
       raw"""WITH base AS (
          |  SELECT lang, doc_id AS id,
@@ -4525,6 +4541,38 @@ object PipelineOps {
     * double-U+0001 framing, same left-to-right `replace`, same
     * count-desc/lexicographic tie-break). `b{i}` holds round i+1's winning
     * pair; `s{i}` the symbol strings entering round i+1. */
+  /** The interpolated char-trigram LM scoring CTE chain (shared by q188
+    * and q205): builds both model tables and per-doc (m, tot); final
+    * fluency3 = tot // m. */
+  // def, not val: referenced from the oracleSql map, which may initialize
+  // first in the object body
+  private def trigramLmCtes: String =
+    """tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |bgr AS (
+      |  SELECT doc_id, unnest([substring(w, i, 2) for i in range(1, length(w))]) AS bg
+      |  FROM tk WHERE length(w) >= 2),
+      |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bi FROM bgr GROUP BY bg),
+      |px AS (SELECT substring(bg, 1, 1) AS x, CAST(sum(c_bi) AS BIGINT) AS c_x
+      |       FROM c2 GROUP BY 1),
+      |lm2 AS (SELECT bg, (1000000 * c_bi) // c_x AS p2
+      |        FROM c2 JOIN px ON substring(c2.bg, 1, 1) = px.x),
+      |tgr AS (
+      |  SELECT doc_id, unnest([substring(w, i, 3) for i in range(1, length(w) - 1)]) AS tg
+      |  FROM tk WHERE length(w) >= 3),
+      |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c_tri FROM tgr GROUP BY tg),
+      |pxy AS (SELECT substring(tg, 1, 2) AS xy, CAST(sum(c_tri) AS BIGINT) AS c_xy
+      |        FROM c3 GROUP BY 1),
+      |lm3 AS (SELECT tg, (1000000 * c_tri) // c_xy AS p3
+      |        FROM c3 JOIN pxy ON substring(c3.tg, 1, 2) = pxy.xy),
+      |sc AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum((600000 * coalesce(p3, 0) + 400000 * coalesce(p2, 0)) // 1000000)
+      |         AS BIGINT) AS tot
+      |  FROM tgr t LEFT JOIN lm3 USING (tg)
+      |       LEFT JOIN lm2 ON lm2.bg = substring(t.tg, 2, 2)
+      |  GROUP BY t.doc_id)""".stripMargin
+
   /** Unrolled MMR greedy chain (k rounds): each round scores the remaining
     * candidates as 70·rel − 30·max-dot-to-selected and takes the best
     * (ties → lowest vec_id), mirroring Similarity.mmrSelect exactly. */

@@ -1344,6 +1344,21 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("stratumEqualBuckets: exact integer tertile boundaries per stratum") {
+    import graft.ext.Curation
+    // 7 rows in stratum A -> tertiles of 3/2/2 (floor rule); 2 rows in B -> 1/0/1
+    val df = (1 to 7).map(i => ("A", i.toLong, (100 - i).toLong)) ++
+      Seq(("B", 8L, 50L), ("B", 9L, 40L))
+    val out = Curation.stratumEqualBuckets(df.toDF("s", "id", "score"),
+        col("s"), col("score"), col("id"), nBuckets = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // stratum A ordered by score desc = ids 1..7; buckets: ⌊(rn-1)*3/7⌋
+    val wantA = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L, 7L -> 2L)
+      .map { case (id, b) => ("A", id, b) }
+    val wantB = Seq(("B", 8L, 0L), ("B", 9L, 1L))
+    assert(out === (wantA ++ wantB).toSet)
+  }
+
   test("mmrSelect: first pick is pure relevance, later picks avoid near-dups of the chosen") {
     import graft.ext.Similarity
     def v(xs: Double*) = xs.map(_.toFloat).toArray

@@ -78,7 +78,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q193_knn_label_vote", "q194_kmv_estimate", "q195_normalized_dedup",
     "q196_markup_strip", "q197_winnowing", "q198_fuzzy_names",
     "q199_gini_diversity", "q200_dsir_reweight", "q201_vocab_oov",
-    "q202_pseudonymize", "q203_bitext_margin", "q204_mmr_select")
+    "q202_pseudonymize", "q203_bitext_margin", "q204_mmr_select",
+    "q205_ccnet_buckets")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
