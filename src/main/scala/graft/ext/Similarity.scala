@@ -121,6 +121,34 @@ object Similarity {
       .select(col("x_id"), col("y_id"), col("d"), col("margin_ppm"))
   }
 
+  /** Symmetric per-vector int8 quantization profile — the storage path
+    * that cuts an fp32 embedding corpus 4× (codes + one scale per vector)
+    * for rerank/ANN serving: scale = max |component|, code ∈ [−127, 127]
+    * = ⌊127·|v|/scale⌋ with the component's sign. All arithmetic runs in
+    * the quantized `floor(10⁶·x)` long space with NON-NEGATIVE integer
+    * divisions only (signed integer division truncates toward zero in
+    * Spark but floors in some engines — staying in |·| space sidesteps
+    * the divergence class entirely); a zero vector divides by
+    * `greatest(scale, 1)` and codes to all-zeros instead of throwing
+    * under ANSI. Returns per vector (vec_id, amax, code_sum, max_err,
+    * sum_err) where err is the exact reconstruction error in quantized
+    * units — bounded by amax/127, which the spec asserts. Pure per-row
+    * HOFs: zero shuffle, scan speed. */
+  def int8QuantizeProfile(emb: DataFrame, quant: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.idiv
+    val q = quantized(emb, quant)
+      .withColumn("amax", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("d", greatest(col("amax"), lit(1L)))
+    def cabs(x: Column) = idiv(lit(127L) * abs(x), col("d"))
+    q.select(col("vec_id"), col("amax"),
+        aggregate(col("qv"), lit(0L), (s, x) =>
+          s + when(x < 0, -cabs(x)).otherwise(cabs(x))).as("code_sum"),
+        array_max(transform(col("qv"), x =>
+          abs(x) - idiv(cabs(x) * col("d"), lit(127L)))).as("max_err"),
+        aggregate(col("qv"), lit(0L), (s, x) =>
+          s + (abs(x) - idiv(cabs(x) * col("d"), lit(127L)))).as("sum_err"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `k` items maximizing
     * `λ·relevance − (1−λ)·max-similarity-to-already-selected` — the

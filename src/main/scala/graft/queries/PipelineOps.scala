@@ -639,6 +639,14 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q206_int8_quantize" -> ((s, dir) => {
+      // Per-vector int8 quantization audit: scale, signed-code checksum,
+      // and exact reconstruction error (max and total) for every
+      // embedding — the 4× storage path, with the error-bound law
+      // (max_err <= amax/127) pinned in ExtSpec.
+      Similarity.int8QuantizeProfile(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    }),
     "q205_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail: per-language equal-count tertiles of the
       // interpolated trigram-LM fluency (most fluent third = head). Docs
@@ -2940,6 +2948,24 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q206_int8_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS amax,
+        |    CAST(greatest(list_max(list_transform(qv, x -> abs(x))), 1) AS BIGINT) AS d
+        |  FROM q)
+        |SELECT vec_id, amax,
+        |  CAST(list_sum(list_transform(qv, x -> CASE WHEN x < 0
+        |    THEN -((127 * abs(x)) // d) ELSE (127 * abs(x)) // d END)) AS BIGINT) AS code_sum,
+        |  CAST(list_max(list_transform(qv, x ->
+        |    abs(x) - ((((127 * abs(x)) // d) * d) // 127))) AS BIGINT) AS max_err,
+        |  CAST(list_sum(list_transform(qv, x ->
+        |    abs(x) - ((((127 * abs(x)) // d) * d) // 127))) AS BIGINT) AS sum_err
+        |FROM a ORDER BY vec_id""".stripMargin,
     "q204_mmr_select" -> mmrSql(queryId = 0L, nCand = 30, k = 5),
     "q203_bitext_margin" ->
       """WITH q AS (

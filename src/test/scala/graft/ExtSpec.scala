@@ -1344,6 +1344,28 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("int8QuantizeProfile: error bound holds, zero vectors are safe, known values exact") {
+    import graft.ext.Similarity
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(0.5, -0.25, 0.0)),  // amax 500000; codes 127, -63, 0
+      (2L, v(0.0, 0.0, 0.0))     // zero vector
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.int8QuantizeProfile(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (amax, codeSum, maxErr, sumErr) = rows(1L)
+    assert(amax === 500000L && codeSum === 127L - 63L)
+    // err(0.5)=0 (code 127 reconstructs exactly); err(-0.25): 63*500000/127=248031
+    assert(maxErr === 250000L - 248031L && sumErr === maxErr)
+    assert(rows(2L) === (0L, 0L, 0L, 0L))
+    // the bound: max_err <= amax/127 + 1 on every real embedding row
+    val real = (0 until 8).map(i => (100L + i,
+      v((0 until 4).map(j => math.sin(i * 4 + j) * 0.4): _*))).toDF("vec_id", "embedding")
+    Similarity.int8QuantizeProfile(real).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) / 127 + 1)
+    }
+  }
+
   test("stratumEqualBuckets: exact integer tertile boundaries per stratum") {
     import graft.ext.Curation
     // 7 rows in stratum A -> tertiles of 3/2/2 (floor rule); 2 rows in B -> 1/0/1
