@@ -136,6 +136,45 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  // ---------- URL canonicalization -----------------------------------------
+
+  /** Canonical URL form — the web-pipeline identity under which
+    * crawl variants of one page must collide (the stage before per-URL
+    * dedup and per-domain caps): scheme and host lowercase, `www.` and
+    * default ports (`:80` http, `:443` https) drop, the fragment drops,
+    * tracking parameters (`utm_*`, `gclid`, `fbclid`) drop while real
+    * parameters keep their order, and a bare trailing `/` on the path
+    * normalizes away (`http://X/` ≡ `http://X`). Everything is
+    * regex-group + HOF string surgery that parses identically under Java
+    * regex and RE2 (no lookaround); pure codegen, zero shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path0 = regexp_replace(rest, "\\?.*", "")
+    val path = regexp_replace(path0, "/+$", "")
+    val qs = regexp_extract(rest, "\\?(.*)", 1)
+    val kept = filter(split(qs, "&"), p =>
+      !(p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid)=") || p === ""))
+    val query = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, query)
+  }
+
+  /** Registered-domain approximation — the per-domain cap / PageRank key:
+    * last two host labels (a documented public-suffix-list-free
+    * simplification; `co.uk`-class suffixes need the PSL). */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(canonicalUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    when(host.rlike("[^.]+\\.[^.]+$"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+  }
+
   // ---------- PII scrubbing ------------------------------------------------
 
   /** Conservative PII patterns — the character classes are chosen to parse

@@ -639,6 +639,31 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q207_url_canonical" -> ((s, dir) => {
+      // URL canonicalization: every doc yields two crawl variants of one
+      // page (case/port/www/tracking-params/fragment/trailing-slash
+      // noise vs the clean form); canonicalization must collapse each
+      // pair. Rolled up per registered domain: raw vs canonical counts.
+      val base = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"))
+      val u1 = concat(lit("http://WWW.Site"), (col("doc_id") % 7).cast("string"),
+        lit(".Ex"), (col("doc_id") % 3).cast("string"),
+        lit(".COM:80/p/"), (col("doc_id") % 97).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 41).cast("string"),
+        lit("&utm_campaign=x#sec2"))
+      val u2 = concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+        lit(".ex"), (col("doc_id") % 3).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 97).cast("string"),
+        lit("?id="), (col("doc_id") % 41).cast("string"))
+      base.select(u1.as("u")).unionByName(base.select(u2.as("u")))
+        .select(TA.canonicalUrl(col("u")).as("cu"),
+          TA.urlDomain(col("u")).as("dom"))
+        .groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("cu")).as("n_canon"),
+          min(col("cu")).as("sample_cu"))
+        .orderBy(col("dom"))
+    }),
     "q206_int8_quantize" -> ((s, dir) => {
       // Per-vector int8 quantization audit: scale, signed-code checksum,
       // and exact reconstruction error (max and total) for every
@@ -2948,6 +2973,51 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q207_url_canonical" ->
+      raw"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+         |raw_urls AS (
+         |  SELECT 'http://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    '.Ex' || CAST(doc_id % 3 AS VARCHAR) ||
+         |    '.COM:80/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         |    '/?utm_source=feed&id=' || CAST(doc_id % 41 AS VARCHAR) ||
+         |    '&utm_campaign=x#sec2' AS u FROM ids
+         |  UNION ALL
+         |  SELECT 'http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    '.ex' || CAST(doc_id % 3 AS VARCHAR) ||
+         |    '.com/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         |    '?id=' || CAST(doc_id % 41 AS VARCHAR) FROM ids),
+         |p1 AS (
+         |  SELECT u, regexp_replace(u, '#.*', '') AS nf FROM raw_urls),
+         |p2 AS (
+         |  SELECT u,
+         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+         |      '^www\.', '') AS host0,
+         |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT u, scheme,
+         |    CASE scheme WHEN 'http' THEN regexp_replace(host0, ':80$$', '')
+         |      WHEN 'https' THEN regexp_replace(host0, ':443$$', '')
+         |      ELSE host0 END AS host,
+         |    regexp_replace(regexp_replace(rest, '\?.*', ''), '/+$$', '') AS path,
+         |    list_filter(string_split(regexp_extract(rest, '\?(.*)', 1), '&'),
+         |      p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=') OR p = '')) AS kept
+         |  FROM p2),
+         |cus AS (
+         |  SELECT u, scheme || '://' || host || path ||
+         |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS cu
+         |  FROM p3),
+         |dom AS (
+         |  SELECT cu, regexp_extract(cu, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS h2 FROM cus),
+         |fin AS (
+         |  SELECT cu, CASE WHEN regexp_matches(h2, '[^.]+\.[^.]+$$')
+         |    THEN regexp_extract(h2, '([^.]+\.[^.]+)$$', 1) ELSE h2 END AS dom
+         |  FROM dom)
+         |SELECT dom, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT cu) AS BIGINT) AS n_canon,
+         |  min(cu) AS sample_cu
+         |FROM fin GROUP BY dom ORDER BY dom""".stripMargin,
     "q206_int8_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

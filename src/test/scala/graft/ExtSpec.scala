@@ -1344,6 +1344,24 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("canonicalUrl: variants collapse, real params survive in order, domains extract") {
+    import graft.ext.TextAnalysis
+    val cases = Seq(
+      "http://WWW.Example.COM:80/a/b/?utm_source=x&id=7&utm_campaign=c#frag" ->
+        "http://example.com/a/b?id=7",
+      "https://Sub.Example.org:443/p" -> "https://sub.example.org/p",
+      "http://example.com/" -> "http://example.com",
+      "http://example.com/x?gclid=abc&fbclid=z" -> "http://example.com/x",
+      "http://example.com:8080/x?b=2&a=1" -> "http://example.com:8080/x?b=2&a=1",
+      "http://host" -> "http://host")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+    val doms = Seq("http://a.b.example.com/x", "http://host/y").toDF("u")
+      .select(TextAnalysis.urlDomain(col("u"))).collect().map(_.getString(0))
+    assert(doms.toSeq === Seq("example.com", "host"))
+  }
+
   test("int8QuantizeProfile: error bound holds, zero vectors are safe, known values exact") {
     import graft.ext.Similarity
     def v(xs: Double*) = xs.map(_.toFloat).toArray
