@@ -718,6 +718,42 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Balanced output-shard assignment by snake (boustrophedon) ordering:
+    * rows rank globally by (weight desc, id), round g = ⌊(rank−1)/N⌋ deals
+    * one row to each of the N shards, and odd rounds reverse direction —
+    * the classic greedy-balance approximation (shard totals spread is
+    * bounded by one round's weight span) that a training-shard writer
+    * needs so no worker gets all the long documents.
+    *
+    * The global rank is TWO-LEVEL, never a single global window: rank
+    * within each weight TIER (a per-tier window, tiers run in parallel)
+    * plus the cumulative count of heavier tiers (a |tiers|-row aggregate,
+    * window-summed at bounded size and broadcast back). Weight-tie skew
+    * concentrates a tier's window — the [[sequencePack]] shard caveat;
+    * sub-shard on `id div s` inside a tier if one weight dominates.
+    * Returns (doc_id, w, rn, shard). */
+  def snakeShardAssign(docs: DataFrame, id: Column, weight: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "snakeShardAssign: nShards must be >= 1")
+    val base = docs.select(id.as("doc_id"), weight.as("w"))
+    val wt = Window.partitionBy(col("w")).orderBy(col("doc_id"))
+    val local = base.withColumn("lrn", row_number().over(wt).cast("long"))
+    val wo = Window.orderBy(col("w").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wo), lit(0L)))
+      .select(col("w"), col("off"))
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    local.join(broadcast(offs), Seq("w"))
+      .withColumn("rn", col("off") + col("lrn"))
+      .withColumn("shard", {
+        val g = idiv(col("rn") - 1, lit(nShards.toLong))
+        val pos = pmod(col("rn") - 1, lit(nShards.toLong))
+        when(pmod(g, lit(2L)) === 0, pos).otherwise(lit(nShards - 1L) - pos)
+      })
+      .select(col("doc_id"), col("w"), col("rn"), col("shard"))
+  }
+
   /** Deterministic equal-frequency binning within each stratum: rows rank
     * by `(orderBy desc, tie asc)` and bucket `i` of `nBuckets` receives
     * ranks with `⌊(rank−1)·n / count⌋ = i` — integer-exact, no percentile

@@ -639,6 +639,19 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q208_snake_shards" -> ((s, dir) => {
+      // Balanced training-shard assignment: snake-deal docs (by token
+      // count desc) across 8 shards; per-shard totals must come out
+      // near-equal (the spread law lives in ExtSpec). Checksums pin the
+      // exact membership, not just the balance.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+      Curation.snakeShardAssign(docs, col("doc_id"), col("n_tok"), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_tok"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("shard"))
+    }),
     "q207_url_canonical" -> ((s, dir) => {
       // URL canonicalization: every doc yields two crawl variants of one
       // page (case/port/www/tracking-params/fragment/trailing-slash
@@ -2973,6 +2986,23 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q208_snake_shards" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, w, CAST(row_number() OVER (ORDER BY w DESC, doc_id) AS BIGINT) AS rn
+         |  FROM d),
+         |a AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+         |         ELSE 7 - ((rn - 1) % 8) END AS shard
+         |  FROM r)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS sum_tok,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q207_url_canonical" ->
       raw"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
          |raw_urls AS (

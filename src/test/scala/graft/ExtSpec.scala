@@ -1344,6 +1344,29 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("snakeShardAssign: exact snake order, balance law, two-level rank equals global sort") {
+    import graft.ext.Curation
+    // 10 rows, weights 10..1, N=3: ranks 1..10; shards snake 0,1,2,2,1,0,0,1,2,2
+    val docs = (1L to 10L).map(i => (i, 11L - i)).toDF("doc_id", "w")
+    val got = Curation.snakeShardAssign(docs, col("doc_id"), col("w"), nShards = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val wantShard = Seq(0L, 1L, 2L, 2L, 1L, 0L, 0L, 1L, 2L, 2L)
+    (1L to 10L).foreach { i =>
+      assert(got(i) === (i, wantShard((i - 1).toInt)), s"doc $i")
+    }
+    // weight ties: two-level rank must equal the (w desc, id) global sort
+    val tied = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 2L), (5L, 2L)).toDF("doc_id", "w")
+    val rn = Curation.snakeShardAssign(tied, col("doc_id"), col("w"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rn === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // balance: spread of shard totals bounded by the max weight
+    val rand = (1L to 97L).map(i => (i, (i * 37 % 23) + 1)).toDF("doc_id", "w")
+    val sums = Curation.snakeShardAssign(rand, col("doc_id"), col("w"), 5)
+      .groupBy(col("shard")).agg(sum(col("w")).as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.max - sums.min <= 23L)
+  }
+
   test("canonicalUrl: variants collapse, real params survive in order, domains extract") {
     import graft.ext.TextAnalysis
     val cases = Seq(
