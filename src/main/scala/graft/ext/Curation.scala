@@ -718,6 +718,25 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Split-leakage audit: given a per-row SPLIT assignment and a grouping
+    * KEY under which rows are "the same content" (a content fingerprint,
+    * a near-dup cluster id — any equivalence handle), count the groups
+    * that span ≥ 2 splits and the rows they cover. A train/test split
+    * leaks when a group straddles it (the eval set then contains
+    * training-set near-copies and the benchmark lies) — this is the
+    * CHECK that belongs in every pipeline next to the cluster-keyed
+    * split that prevents it. One key-hashed aggregation, then a scalar
+    * roll-up: (n_groups, n_leaky_groups, n_docs_at_risk). */
+  def splitLeakageAudit(df: DataFrame, key: Column, split: Column): DataFrame =
+    df.select(key.as("k"), split.as("split"))
+      .groupBy(col("k"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_splits") >= 2, 1L).otherwise(0L)).as("n_leaky_groups"),
+        sum(when(col("n_splits") >= 2, col("n_rows")).otherwise(0L))
+          .as("n_docs_at_risk"))
+
   /** Balanced output-shard assignment by snake (boustrophedon) ordering:
     * rows rank globally by (weight desc, id), round g = ⌊(rank−1)/N⌋ deals
     * one row to each of the N shards, and odd rounds reverse direction —

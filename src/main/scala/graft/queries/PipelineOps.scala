@@ -639,6 +639,27 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q209_split_leakage" -> ((s, dir) => {
+      // Leakage audit, naive vs keyed: a doc_id % 10 split scatters
+      // exact-duplicate content across train/val/test (leaky groups > 0);
+      // splitting on the FINGERPRINT's hash cannot (0 by construction —
+      // the audit proves it rather than assumes it).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.contentFingerprint(col("text")).as("fp"))
+      def splitOf(c: org.apache.spark.sql.Column) = when(pmod(c, lit(10L)) <= 7, "train")
+        .when(pmod(c, lit(10L)) === 8, "val").otherwise("test")
+      val naive = Curation.splitLeakageAudit(docs, col("fp"),
+          splitOf(col("doc_id")))
+        .withColumn("mode", lit("naive"))
+      val keyed = Curation.splitLeakageAudit(docs, col("fp"),
+          splitOf(pmod(conv(substring(col("fp"), 1, 11), 16, 10).cast("long"),
+            lit(1000003L))))
+        .withColumn("mode", lit("keyed"))
+      naive.unionByName(keyed)
+        .select(col("mode"), col("n_groups"), col("n_leaky_groups"),
+          col("n_docs_at_risk"))
+        .orderBy(col("mode"))
+    }),
     "q208_snake_shards" -> ((s, dir) => {
       // Balanced training-shard assignment: snake-deal docs (by token
       // count desc) across 8 shards; per-shard totals must come out
@@ -2986,6 +3007,34 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q209_split_leakage" ->
+      raw"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         |  FROM documents),
+         |naive AS (
+         |  SELECT fp, CASE WHEN doc_id % 10 <= 7 THEN 'train'
+         |    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM fp),
+         |keyed AS (
+         |  SELECT fp,
+         |    CASE WHEN h % 10 <= 7 THEN 'train' WHEN h % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT fp, list_reduce(
+         |      list_transform(string_split(fp, '')[1:11],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 1000003 AS h FROM fp)),
+         |audit AS (
+         |  SELECT 'naive' AS mode, fp AS k, count(DISTINCT split) AS n_splits,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM naive GROUP BY fp
+         |  UNION ALL
+         |  SELECT 'keyed', fp, count(DISTINCT split), CAST(count(*) AS BIGINT)
+         |  FROM keyed GROUP BY fp)
+         |SELECT mode, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+         |  CAST(sum(CASE WHEN n_splits >= 2 THEN n_rows ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+         |FROM audit GROUP BY mode ORDER BY mode""".stripMargin,
     "q208_snake_shards" ->
       raw"""WITH d AS (
          |  SELECT doc_id,

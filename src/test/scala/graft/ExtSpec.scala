@@ -1344,6 +1344,21 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("splitLeakageAudit: straddling groups counted exactly; keyed splits audit clean") {
+    import graft.ext.Curation
+    val df = Seq(
+      (1L, "g1", "train"), (2L, "g1", "val"),    // leaks: 2 rows at risk
+      (3L, "g2", "train"), (4L, "g2", "train"),  // same split -> clean
+      (5L, "g3", "test")                          // singleton -> clean
+    ).toDF("id", "k", "split")
+    val r = Curation.splitLeakageAudit(df, col("k"), col("split")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3L, 1L, 2L))
+    // split derived FROM the key can never leak
+    val keyed = Curation.splitLeakageAudit(df, col("k"),
+      when(col("k") === "g1", "train").otherwise("val")).collect().head
+    assert(keyed.getLong(1) === 0L && keyed.getLong(2) === 0L)
+  }
+
   test("snakeShardAssign: exact snake order, balance law, two-level rank equals global sort") {
     import graft.ext.Curation
     // 10 rows, weights 10..1, N=3: ranks 1..10; shards snake 0,1,2,2,1,0,0,1,2,2
