@@ -784,11 +784,19 @@ object Dedup {
     val keys = transform(grams, (g, i) =>
       conv(substring(md5(g), 1, 11), 16, 10).cast("long") * 65536L +
         (lit(65535L) - i))
-    val mins = transform(
-      sequence(lit(0), greatest(lit(0), size(grams) - w)),
-      i => array_min(slice(keys, i + 1, lit(w))))
-    when(size(grams) === 0, array().cast("array<long>"))
-      .otherwise(array_distinct(mins))
+    // BIND the key array as a lambda variable before the window pass:
+    // referencing the raw `keys` expression inside the per-window lambda
+    // re-evaluates the whole md5 array PER WINDOW (Catalyst inlines
+    // single-use aliases into lambda bodies without seeing the n-fold
+    // evaluation) — O(n²) hashing, measured 75 s at sf0.1. One element
+    // of `array(keys)` evaluates once; windows then read the variable.
+    element_at(transform(array(keys), ks => {
+      val mins = transform(
+        sequence(lit(0), greatest(lit(0), size(ks) - w)),
+        i => array_min(slice(ks, i + 1, lit(w))))
+      when(size(ks) === 0, array().cast("array<long>"))
+        .otherwise(array_distinct(mins))
+    }), 1)
   }
 
   def winnowingProfile(docs: DataFrame, id: Column, text: Column,
