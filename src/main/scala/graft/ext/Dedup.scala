@@ -748,6 +748,52 @@ object Dedup {
     * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
     * shape) for cross-doc match detection. Returns per-doc
     * (doc_id, n_grams, n_fp, fp_sum). */
+  // ---------- inverted-index phrase search --------------------------------
+
+  /** Exact phrase search over the corpus WITHOUT a full text scan per
+    * query: the n-gram postings list (one corpus pass, reusable across
+    * every query — the index economics) meets the phrase's own grams on
+    * hash, alignment `start = doc_pos − phrase_gram_idx` groups hits, a
+    * candidate needs ALL its grams aligned, and a final token-slice
+    * equality check makes the answer exact under hash collisions. The
+    * "find every document containing this sentence" primitive behind
+    * targeted decontamination, quote tracing, and license-string audits.
+    *
+    * 100 TB shape: postings shuffle once on gram hash (longs); the query
+    * set is small by nature → its grams broadcast; candidate groups are
+    * (phrase, doc, start)-keyed and hit-bounded; verification joins text
+    * for CANDIDATE docs only. Phrases shorter than `n` tokens are
+    * rejected. Returns (phrase_id, doc_id, start) — 0-based token offset
+    * of each occurrence. */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+      phrases: DataFrame, phraseId: Column, phrase: Column,
+      n: Int = 4): DataFrame = {
+    require(n >= 1, "phraseSearch: n must be >= 1")
+    val ptoks = phrases.select(phraseId.as("phrase_id"),
+      TextAnalysis.tokens(phrase).as("ptk"),
+      graft.functions.TextExpressions.wordNgramHashes(phrase, n).as("pg"))
+    val pgrams = ptoks
+      .select(col("phrase_id"), size(col("ptk")).as("len"),
+        size(col("pg")).as("n_grams"),
+        posexplode(col("pg")).as(Seq("j", "h")))
+    val postings = docs.select(id.as("doc_id"),
+      posexplode(graft.functions.TextExpressions.wordNgramHashes(text, n))
+        .as(Seq("p", "h")))
+    val cand = postings.join(broadcast(pgrams), Seq("h"))
+      .withColumn("start", col("p") - col("j"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("j")).as("n_hit"), max(col("n_grams")).as("n_grams"),
+        max(col("len")).as("len"))
+      .filter(col("n_hit") === col("n_grams"))
+    cand
+      .join(docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("dtk")),
+        Seq("doc_id"))
+      .join(ptoks.select(col("phrase_id"), col("ptk")), Seq("phrase_id"))
+      .filter(slice(col("dtk"), col("start") + 1, col("len")) === col("ptk"))
+      .select(col("phrase_id"), col("doc_id"), col("start").cast("long").as("start"))
+  }
+
   // ---------- edit-distance fuzzy matching (record linkage) ---------------
 
   /** Fuzzy near-duplicate NAME pairs under a Levenshtein gate with

@@ -639,6 +639,20 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q210_phrase_search" -> ((s, dir) => {
+      // Inverted-index phrase search: the first 6 tokens of docs 3/77/123
+      // become query phrases; every occurrence in the corpus surfaces
+      // with its token offset (self-matches at start 0 included). Gram
+      // alignment + exact token-slice verify — hash collisions can't
+      // false-positive.
+      val docs = t(s, dir, "documents")
+      val phrases = docs.filter(col("doc_id").isin(3L, 77L, 123L))
+        .select(col("doc_id").as("phrase_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("phrase"))
+      Dedup.phraseSearch(docs, col("doc_id"), col("text"),
+          phrases, col("phrase_id"), col("phrase"), n = 4)
+        .orderBy(col("phrase_id"), col("doc_id"), col("start"))
+    }),
     "q209_split_leakage" -> ((s, dir) => {
       // Leakage audit, naive vs keyed: a doc_id % 10 split scatters
       // exact-duplicate content across train/val/test (leaky groups > 0);
@@ -3007,6 +3021,19 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q210_phrase_search" ->
+      raw"""WITH ph AS (
+         |  SELECT doc_id AS phrase_id,
+         |    string_split_regex(trim(text), '\s+')[1:6] AS ptk
+         |  FROM documents WHERE doc_id IN (3, 77, 123)),
+         |dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |m AS (
+         |  SELECT p.phrase_id, d.doc_id,
+         |    unnest(list_filter(range(1, greatest(1, len(d.tk) - 4)),
+         |      i -> d.tk[i : i + 5] = p.ptk)) AS s
+         |  FROM ph p, dt d)
+         |SELECT phrase_id, doc_id, CAST(s - 1 AS BIGINT) AS start
+         |FROM m ORDER BY phrase_id, doc_id, start""".stripMargin,
     "q209_split_leakage" ->
       raw"""WITH fp AS (
          |  SELECT doc_id,

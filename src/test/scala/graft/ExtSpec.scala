@@ -1344,6 +1344,22 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("phraseSearch: all occurrences with offsets, repeated grams, no short-doc hits") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g"),          // phrase at start 0
+      (2L, "x y a b c d e f z"),      // phrase at start 2
+      (3L, "a b c d x e f"),          // broken run -> no match
+      (4L, "a b c"),                  // shorter than the phrase
+      (5L, "a b c d e f a b c d e f") // two occurrences (0 and 6)
+    ).toDF("doc_id", "text")
+    val phrases = Seq((10L, "a b c d e f")).toDF("pid", "phrase")
+    val got = Dedup.phraseSearch(docs, col("doc_id"), col("text"),
+        phrases, col("pid"), col("phrase"), n = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L), (2L, 2L), (5L, 0L), (5L, 6L)))
+  }
+
   test("splitLeakageAudit: straddling groups counted exactly; keyed splits audit clean") {
     import graft.ext.Curation
     val df = Seq(
