@@ -718,6 +718,35 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Weighted-lexicon matching — the safety/topic filter stage (toxicity
+    * lexicons, license-string lists, compliance terms): terms of one OR
+    * two tokens (real lexicons contain phrases) match exactly against the
+    * token stream, every hit carries the term's category and weight, and
+    * the result is per-(doc, category) hit/weight totals for callers to
+    * threshold. A two-token term's hits are independent of its tokens'
+    * own unigram hits (both count — document-level weights encode the
+    * intent). Matching is case-sensitive on the already-normalized
+    * stream; run [[TextAnalysis.normalizedText]] first for case-blind
+    * lexicons.
+    *
+    * 100 TB shape: the lexicon is small by nature → broadcast to BOTH
+    * the unigram and bigram probes; one (doc, category) aggregation. */
+  def lexiconHits(docs: DataFrame, id: Column, text: Column,
+      lexicon: DataFrame, term: Column, category: Column,
+      weight: Column): DataFrame = {
+    val lex = lexicon.select(term.as("__t"), category.as("category"),
+      weight.as("__w"))
+    val u = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("__t"))
+      .join(broadcast(lex), Seq("__t"))
+    val b = docs.select(id.as("doc_id"),
+        explode(graft.functions.TextExpressions.wordNgrams(text, 2)).as("__t"))
+      .join(broadcast(lex), Seq("__t"))
+    u.unionByName(b)
+      .groupBy(col("doc_id"), col("category"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("__w")).as("sum_weight"))
+  }
+
   /** Split-leakage audit: given a per-row SPLIT assignment and a grouping
     * KEY under which rows are "the same content" (a content fingerprint,
     * a near-dup cluster id — any equivalence handle), count the groups

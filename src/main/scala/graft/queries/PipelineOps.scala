@@ -639,6 +639,26 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q211_lexicon_filter" -> ((s, dir) => {
+      // Weighted-lexicon safety filter: a 5-term lexicon (including a
+      // two-token phrase) scores every doc per category; the roll-up
+      // counts flagged docs (category weight >= 5) per source.
+      val s2 = s; import s2.implicits._
+      val lex = Seq(
+        ("slow", "latency", 5L), ("fast", "latency", 1L),
+        ("merge", "ops", 2L), ("window", "ops", 1L),
+        ("slow fast", "latency", 7L)
+      ).toDF("term", "category", "weight")
+      val docs = t(s, dir, "documents")
+      Curation.lexiconHits(docs, col("doc_id"), col("text"),
+          lex, col("term"), col("category"), col("weight"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("category"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_hits")).as("n_hits"),
+          sum(when(col("sum_weight") >= 5L, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("source"), col("category"))
+    }),
     "q210_phrase_search" -> ((s, dir) => {
       // Inverted-index phrase search: the first 6 tokens of docs 3/77/123
       // become query phrases; every occurrence in the corpus surfaces
@@ -3021,6 +3041,33 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q211_lexicon_filter" ->
+      raw"""WITH lex AS (
+         |  SELECT * FROM (VALUES
+         |    ('slow', 'latency', 5), ('fast', 'latency', 1),
+         |    ('merge', 'ops', 2), ('window', 'ops', 1),
+         |    ('slow fast', 'latency', 7)) AS t(term, category, weight)),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+         |  FROM documents),
+         |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1])) AS t
+         |  FROM tw WHERE len(w) >= 2),
+         |hits AS (
+         |  SELECT doc_id, category, CAST(weight AS BIGINT) AS w FROM tok JOIN lex ON tok.t = lex.term
+         |  UNION ALL
+         |  SELECT doc_id, category, CAST(weight AS BIGINT) FROM bg JOIN lex ON bg.t = lex.term),
+         |per AS (
+         |  SELECT doc_id, category, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(sum(w) AS BIGINT) AS sum_weight
+         |  FROM hits GROUP BY doc_id, category)
+         |SELECT d.source, p.category, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.n_hits) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN p.sum_weight >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM per p JOIN documents d USING (doc_id)
+         |GROUP BY d.source, p.category ORDER BY d.source, p.category""".stripMargin,
     "q210_phrase_search" ->
       raw"""WITH ph AS (
          |  SELECT doc_id AS phrase_id,

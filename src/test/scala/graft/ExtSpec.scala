@@ -1344,6 +1344,24 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("lexiconHits: unigram and phrase terms both count, weights sum per category") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "bad apple bad worm good"),  // bad x2 (w3), "bad apple" phrase (w10)
+      (2L, "good clean text"),          // no hits
+      (3L, "worm")                      // worm (cat2, w1)
+    ).toDF("doc_id", "text")
+    val lex = Seq(("bad", "c1", 3L), ("bad apple", "c1", 10L), ("worm", "c2", 1L))
+      .toDF("term", "category", "weight")
+    val got = Curation.lexiconHits(docs, col("doc_id"), col("text"),
+        lex, col("term"), col("category"), col("weight"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      (1L, "c1") -> (3L, 16L),  // 2 unigram hits + 1 phrase hit; 3+3+10
+      (1L, "c2") -> (1L, 1L),
+      (3L, "c2") -> (1L, 1L)))
+  }
+
   test("phraseSearch: all occurrences with offsets, repeated grams, no short-doc hits") {
     import graft.ext.Dedup
     val docs = Seq(

@@ -80,7 +80,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q199_gini_diversity", "q200_dsir_reweight", "q201_vocab_oov",
     "q202_pseudonymize", "q203_bitext_margin", "q204_mmr_select",
     "q205_ccnet_buckets", "q206_int8_quantize", "q207_url_canonical",
-    "q208_snake_shards", "q209_split_leakage", "q210_phrase_search")
+    "q208_snake_shards", "q209_split_leakage", "q210_phrase_search",
+    "q211_lexicon_filter")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
