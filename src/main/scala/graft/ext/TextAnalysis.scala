@@ -316,6 +316,34 @@ object TextAnalysis {
       (repeatedTrigramCover(text) * 4 <= n)
   }
 
+  /** Printable-character ratio in ppm — the binary-junk detector's first
+    * signal (mojibake, control-character soup, truncated binary blobs
+    * masquerading as text): printable = ASCII 0x20–0x7E plus
+    * tab/newline/CR, counted by length after stripping the complement
+    * (one portable regex — `\x` classes parse identically under Java
+    * regex and RE2). Empty text scores 0. */
+  def printableRatioPpm(text: Column): Column = {
+    val printable = length(regexp_replace(text, "[^\\x20-\\x7e\\t\\n\\r]", ""))
+    org.apache.spark.sql.graft.Bridge.idiv(
+      lit(1000000L) * printable.cast("long"),
+      greatest(length(text).cast("long"), lit(1L)))
+  }
+
+  /** Longest run of one repeated character — the second junk signal
+    * (padding storms, progress-bar dumps, `zzzz…` keyboard mash). One
+    * in-order fold over the char array; 0 for empty text. */
+  def maxCharRun(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(split(text, ""),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, c) => {
+          val run = when(c === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(c.as("prev"), run.as("run"),
+            greatest(run, acc.getField("best")).as("best"))
+        },
+        acc => acc.getField("best")))
+
   /** Token-diversity score as Gini impurity in ppm, exact-integer (the
     * log-free stand-in for token entropy — logs are floats and floats
     * diverge cross-engine; Gini is pure integer arithmetic and orders

@@ -639,6 +639,29 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q212_garbage_gate" -> ((s, dir) => {
+      // Binary-junk gate: every 5th doc gets a corrupted twin (control
+      // bytes + a 30-char run appended); the printable-ratio + max-run
+      // gate must flag exactly the twins. Grouped so the driver check
+      // pins both signals' exact values in aggregate.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val junk = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit("\u0001\u0002\u0003\u0004\u0005"),
+            lit("z" * 30)).as("text"))
+      docs.unionByName(junk)
+        .select(col("doc_id"),
+          TA.printableRatioPpm(col("text")).as("printable_ppm"),
+          TA.maxCharRun(col("text")).as("max_run"))
+        .withColumn("keep",
+          (col("printable_ppm") >= 990000L && col("max_run") <= 10L).cast("long"))
+        .withColumn("is_twin", (col("doc_id") >= 1000000L).cast("long"))
+        .groupBy(col("is_twin"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("printable_ppm")).as("sum_ppm"),
+          sum(col("max_run")).as("sum_run"))
+        .orderBy(col("is_twin"), col("keep"))
+    }),
     "q211_lexicon_filter" -> ((s, dir) => {
       // Weighted-lexicon safety filter: a 5-term lexicon (including a
       // two-token phrase) scores every doc per category; the roll-up
@@ -3041,6 +3064,45 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q212_garbage_gate" ->
+      raw"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    text || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) || repeat('z', 30)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |chars AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS c,
+         |    unnest(generate_series(1, length(text))) AS i
+         |  FROM uni),
+         |bnd AS (
+         |  SELECT doc_id, i, CASE WHEN lag(c) OVER
+         |      (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM c
+         |    THEN 1 ELSE 0 END AS nb
+         |  FROM chars),
+         |rid AS (
+         |  SELECT doc_id, i, sum(nb) OVER
+         |    (PARTITION BY doc_id ORDER BY i
+         |     ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM bnd),
+         |runs AS (SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY doc_id, run_id),
+         |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY doc_id),
+         |sig AS (
+         |  SELECT u.doc_id,
+         |    (1000000 * length(regexp_replace(u.text, '[^\x20-\x7e\t\n\r]', '', 'g')))
+         |      // greatest(length(u.text), 1) AS printable_ppm,
+         |    coalesce(mr.max_run, 0) AS max_run
+         |  FROM uni u LEFT JOIN mr ON mr.doc_id = u.doc_id),
+         |g AS (
+         |  SELECT doc_id, printable_ppm, max_run,
+         |    CAST(CASE WHEN printable_ppm >= 990000 AND max_run <= 10
+         |         THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |    CAST(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS is_twin
+         |  FROM sig)
+         |SELECT is_twin, keep, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(printable_ppm) AS BIGINT) AS sum_ppm,
+         |  CAST(sum(max_run) AS BIGINT) AS sum_run
+         |FROM g GROUP BY is_twin, keep ORDER BY is_twin, keep""".stripMargin,
     "q211_lexicon_filter" ->
       raw"""WITH lex AS (
          |  SELECT * FROM (VALUES

@@ -1344,6 +1344,20 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("printableRatioPpm / maxCharRun: exact values on planted junk") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      "abcd",                      // all printable, max run 1
+      "aab\u0001\u0001\u0001cc", // 5 printable of 8; runs aa=2, ctrl=3, cc=2
+      "zzzzzzzzzz",                // run of 10
+      ""                           // empty
+    ).toDF("t").select(
+      TextAnalysis.printableRatioPpm(col("t")).as("p"),
+      TextAnalysis.maxCharRun(col("t")).as("r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1000000L, 1L), (625000L, 3L), (1000000L, 10L), (0L, 0L)))
+  }
+
   test("lexiconHits: unigram and phrase terms both count, weights sum per category") {
     import graft.ext.Curation
     val docs = Seq(
