@@ -639,6 +639,28 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q213_dedup_savings" -> ((s, dir) => {
+      // Dedup-savings report: token mass that exact dedup (keep-min per
+      // content fingerprint) would remove, attributed to the SOURCE of
+      // each dropped doc — the "is dedup worth the shuffle here" sizing
+      // answer, per corpus slice. ONE fingerprint-keyed window, no join.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).as("n_tok"),
+          TA.contentFingerprint(col("text")).as("fp"))
+        .withColumn("keep_doc", min(col("doc_id")).over(w))
+        .withColumn("dropped", (col("doc_id") =!= col("keep_doc")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("dropped")).as("n_dropped"),
+          sum(col("n_tok") * col("dropped")).as("drop_tok"))
+        .withColumn("savings_ppm", org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L) * col("drop_tok"), greatest(col("sum_tok"), lit(1L))))
+        .orderBy(col("source"))
+    }),
     "q212_garbage_gate" -> ((s, dir) => {
       // Binary-junk gate: every 5th doc gets a corrupted twin (control
       // bytes + a 30-char run appended); the printable-ratio + max-run
@@ -3064,6 +3086,23 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q213_dedup_savings" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         |  FROM documents),
+         |k AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_doc FROM d),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |    CAST(sum(CASE WHEN doc_id <> keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |    CAST(sum(CASE WHEN doc_id <> keep_doc THEN n_tok ELSE 0 END) AS BIGINT) AS drop_tok
+         |  FROM k GROUP BY source)
+         |SELECT source, n_docs, sum_tok, n_dropped, drop_tok,
+         |  (1000000 * drop_tok) // greatest(sum_tok, 1) AS savings_ppm
+         |FROM g ORDER BY source""".stripMargin,
     "q212_garbage_gate" ->
       raw"""WITH uni AS (
          |  SELECT doc_id, text FROM documents
