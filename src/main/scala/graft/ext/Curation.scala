@@ -887,6 +887,86 @@ object Curation {
           .as("score_ppm"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) as a
+    * depth×width counter TABLE — the point-frequency-query companion to
+    * the Misra-Gries heavy-hitter sketch: `est(key) = min over rows r of
+    * counter[r][h_r(key)]`, never an underestimate, overestimate bounded
+    * by collisions (≤ N/width per row in expectation). Row hashes are
+    * md5-derived with the row index salted in, so the oracle replays them
+    * bit-for-bit. The counter table is depth·width rows — mergeable by
+    * cellwise ADDITION (counters of a union = sum of counters, exactly),
+    * broadcastable, and independent of vocabulary size: the sketch
+    * answers "how often does THIS term occur" without a vocabulary-sized
+    * state anywhere.
+    *
+    * Shapes: build = one (r, b) aggregation over depth× exploded keys;
+    * probe = a broadcast-sized join + one min-agg per probe key. */
+  def cmSketch(items: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2, "cmSketch: need depth >= 1, width >= 2")
+    items.select(key.cast("string").as("__k"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("b", pmod(
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("__k"))),
+          1, 11), 16, 10).cast("long"),
+        lit(width.toLong)))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for probe keys against a built sketch: absent
+    * (r, b) cells count 0, so unseen keys can estimate 0. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val p = probes.select(key.cast("string").as("probe"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("b", pmod(
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("probe"))),
+          1, 11), 16, 10).cast("long"),
+        lit(width.toLong)))
+    p.join(sketch, Seq("r", "b"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Per-stratum KMV sketch ROWS — the mergeable form of
+    * [[kmvDistinctEstimate]] for incremental rollup maintenance: each
+    * stratum keeps its k smallest distinct md5-derived hashes as plain
+    * rows. The merge LAW (union two sketches, re-take the k minima ≡
+    * sketch of the union — exact, not approximate, because the k minima
+    * of A ∪ B are a subset of A's k minima ∪ B's k minima) is what makes
+    * yesterday's rollup + today's delta equal a full recompute without
+    * rescanning the corpus; q214's oracle exploits exactly that identity.
+    * Shapes: one distinct on (stratum, hash) longs, one stratum-keyed
+    * bounded window. */
+  def kmvStratumSketch(docs: DataFrame, stratum: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvStratumSketch: k must be >= 2")
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    docs.select(stratum.as("stratum"), h.as("h")).distinct()
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .select(col("stratum"), col("h"))
+  }
+
+  /** Merge sketch row-sets (any number, via union) back to k minima per
+    * stratum. */
+  def kmvMergeSketches(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    sketches.reduce(_ unionByName _).distinct()
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .select(col("stratum"), col("h"))
+  }
+
+  /** Distinct-count estimates from sketch rows: exact below k, the KMV
+    * estimator at k. */
+  def kmvSketchEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("stratum"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
+      .select(col("stratum"),
+        when(col("m") < k, col("m")).otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) DIV h_k AS BIGINT)"))
+          .as("n_est"))
+
   def kmvDistinctEstimate(docs: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2, "kmvDistinctEstimate: k must be >= 2")
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")

@@ -639,6 +639,47 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q215_cm_sketch" -> ((s, dir) => {
+      // Count-min point-frequency estimates for a probe set (five corpus
+      // terms + one absent term) against a 4x64 sketch of the token
+      // stream, with the exact counts alongside: est >= true always, and
+      // the absent key estimates whatever its collisions hold.
+      val s2 = s; import s2.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("w"))
+      val sketch = Curation.cmSketch(toks, col("w"))
+      val probes = Seq("table", "slow", "merge", "spark", "window",
+        "zz-absent").toDF("w")
+      val truth = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+      Curation.cmEstimate(sketch, probes, col("w"))
+        .join(truth.withColumnRenamed("w", "probe"), Seq("probe"), "left")
+        .select(col("probe"), col("est"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+        .withColumn("over", col("est") - col("true_cnt"))
+        .orderBy(col("probe"))
+    }),
+    "q214_incremental_rollup" -> ((s, dir) => {
+      // Incremental corpus-profile maintenance: yesterday's rollup
+      // (docs < 400) merges with today's delta (docs >= 400) WITHOUT
+      // rescanning yesterday — counts sum, and distinct-text counts ride
+      // a mergeable KMV sketch (merge ≡ full-corpus sketch, exactly; the
+      // oracle computes the single-pass form, so the equality check IS
+      // the mergeability proof).
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 400)
+      val delta = docs.filter(col("doc_id") >= 400)
+      def counts(d: DataFrame) = d.groupBy(col("source").as("stratum"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val mergedCounts = counts(old).unionByName(counts(delta))
+        .groupBy(col("stratum"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      val mergedSketch = Curation.kmvMergeSketches(Seq(
+        Curation.kmvStratumSketch(old, col("source"), col("text"), k = 16),
+        Curation.kmvStratumSketch(delta, col("source"), col("text"), k = 16)), k = 16)
+      mergedCounts
+        .join(Curation.kmvSketchEstimate(mergedSketch, k = 16), Seq("stratum"))
+        .orderBy(col("stratum"))
+    }),
     "q213_dedup_savings" -> ((s, dir) => {
       // Dedup-savings report: token mass that exact dedup (keep-min per
       // content fingerprint) would remove, attributed to the SOURCE of
@@ -3086,6 +3127,60 @@ object PipelineOps {
          |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
          |  CAST(cap AS BIGINT) AS cap
          |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q215_cm_sketch" ->
+      raw"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+         |cells AS (
+         |  SELECT r, list_reduce(
+         |      list_transform(string_split(md5(CAST(r AS VARCHAR) || ':' || w), '')[1:11],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 64 AS b
+         |  FROM toks, unnest(generate_series(0, 3)) AS t(r)),
+         |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, b),
+         |probes AS (SELECT * FROM (VALUES ('table'), ('slow'), ('merge'),
+         |  ('spark'), ('window'), ('zz-absent')) AS t(probe)),
+         |pc AS (
+         |  SELECT probe, r, list_reduce(
+         |      list_transform(string_split(md5(CAST(r AS VARCHAR) || ':' || probe), '')[1:11],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 64 AS b
+         |  FROM probes, unnest(generate_series(0, 3)) AS t(r)),
+         |est AS (
+         |  SELECT probe, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN sk USING (r, b) GROUP BY probe),
+         |tr AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY w)
+         |SELECT e.probe, e.est, coalesce(tr.true_cnt, 0) AS true_cnt,
+         |  e.est - coalesce(tr.true_cnt, 0) AS over
+         |FROM est e LEFT JOIN tr ON tr.w = e.probe
+         |ORDER BY e.probe""".stripMargin,
+    "q214_incremental_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source AS stratum, list_reduce(
+        |    list_transform(string_split(md5(text), '')[1:15],
+        |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h
+        |  FROM documents),
+        |topk AS (
+        |  SELECT stratum, h FROM (
+        |    SELECT stratum, h, row_number() OVER (
+        |      PARTITION BY stratum ORDER BY h) AS r FROM h)
+        |  WHERE r <= 16),
+        |est AS (
+        |  SELECT stratum, max(h) AS h_k, CAST(count(*) AS BIGINT) AS m
+        |  FROM topk GROUP BY stratum),
+        |e AS (
+        |  SELECT stratum, CASE WHEN m < 16 THEN m ELSE
+        |    CAST((CAST(15 AS HUGEINT) * 1152921504606846976) // h_k AS BIGINT) END AS n_est
+        |  FROM est),
+        |c AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source)
+        |SELECT c.stratum, c.n_docs, c.sum_chars, e.n_est
+        |FROM c JOIN e USING (stratum) ORDER BY c.stratum""".stripMargin,
     "q213_dedup_savings" ->
       raw"""WITH d AS (
          |  SELECT doc_id, source,

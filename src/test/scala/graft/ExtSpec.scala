@@ -1344,6 +1344,47 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("cmSketch: never underestimates, exact without collisions, mergeable by addition") {
+    import graft.ext.Curation
+    val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val sk = Curation.cmSketch(items, col("k"), depth = 4, width = 64)
+    val probes = Seq("a", "b", "c", "never-seen").toDF("k")
+    val est = Curation.cmEstimate(sk, probes, col("k"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 7L && est("b") >= 3L && est("c") >= 1L)
+    // 3 keys in 64 buckets across 4 independent rows: some row separates them
+    assert(est("a") === 7L && est("b") === 3L && est("c") === 1L)
+    assert(est("never-seen") >= 0L)
+    // merge law: sketch(A) + sketch(B) cellwise == sketch(A ∪ B)
+    val a = items.limit(5); val b = items.exceptAll(a)
+    val merged = Curation.cmSketch(a, col("k")).unionByName(Curation.cmSketch(b, col("k")))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(merged) === canon(sk))
+  }
+
+  test("kmvStratumSketch: merge of shard sketches equals the full-corpus sketch exactly") {
+    import graft.ext.Curation
+    val rows = (1 to 300).map(i => (if (i % 2 == 0) "A" else "B", s"key-${i % 73}"))
+      .toDF("stratum", "key")
+    val shard1 = rows.filter(col("key") < "key-4")
+    val shard2 = rows.filter(col("key") >= "key-4")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged = Curation.kmvMergeSketches(Seq(
+      Curation.kmvStratumSketch(shard1, col("stratum"), col("key"), 8),
+      Curation.kmvStratumSketch(shard2, col("stratum"), col("key"), 8)), 8)
+    val full = Curation.kmvStratumSketch(rows, col("stratum"), col("key"), 8)
+    assert(canon(merged) === canon(full))
+    // estimates: sub-k strata are exact
+    val tiny = Seq(("C", "x"), ("C", "y"), ("C", "x")).toDF("stratum", "key")
+    val est = Curation.kmvSketchEstimate(
+      Curation.kmvStratumSketch(tiny, col("stratum"), col("key"), 8), 8)
+      .collect().head
+    assert(est.getString(0) === "C" && est.getLong(1) === 2L)
+  }
+
   test("printableRatioPpm / maxCharRun: exact values on planted junk") {
     import graft.ext.TextAnalysis
     val rows = Seq(
