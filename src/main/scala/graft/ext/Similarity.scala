@@ -121,6 +121,34 @@ object Similarity {
       .select(col("x_id"), col("y_id"), col("d"), col("margin_ppm"))
   }
 
+  /** ANN index-quality audit — recall/MRR of the IVF index against
+    * exact brute-force gold on a bounded query sample: the measurement
+    * that belongs BEFORE trusting any approximate index (the recall
+    * floors asserted in specs, turned into a queryable report). For each
+    * query: the brute top-1 neighbor (gold), the rank at which the index
+    * returns it (0 = missed), and reciprocal-rank in ppm (exact integer
+    * `10⁶ DIV rank` — MRR without float division). Averages/recall@k
+    * roll up downstream with plain sums.
+    *
+    * Scale shape: gold is brute ONLY over the bounded query sample
+    * (broadcast side); the index path is [[ivfTopK]]'s probe join,
+    * unchanged. */
+  def annRecallAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val gold = bruteForceTopK(queries, corpus, 1)
+      .select(col("q_id"), col("c_id").as("gold_id"))
+    val appr = ivfTopK(queries, corpus, k, nlist, nprobe)
+      .select(col("q_id"), col("c_id").as("gold_id"), col("rnk"))
+    gold.join(appr, Seq("q_id", "gold_id"), "left")
+      .groupBy(col("q_id"), col("gold_id"))
+      .agg(min(col("rnk")).as("fr"))
+      .select(col("q_id"), col("gold_id"),
+        coalesce(col("fr"), lit(0L)).as("found_rank"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(org.apache.spark.sql.graft.Bridge.idiv(lit(1000000L), col("fr")))
+          .as("mrr_ppm"))
+  }
+
   /** Symmetric per-vector int8 quantization profile — the storage path
     * that cuts an fp32 embedding corpus 4× (codes + one scale per vector)
     * for rerank/ANN serving: scale = max |component|, code ∈ [−127, 127]

@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q216_ann_recall_audit" -> ((s, dir) => {
+      // Index QA: per query (vec_id < 10), the rank at which the q49b
+      // IVF index (nlist 16, nprobe 4, k 3) surfaces the exact brute
+      // top-1 neighbor, with integer reciprocal rank — recall measured,
+      // not assumed.
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallAudit(emb.filter(col("vec_id") < 10), emb,
+          k = 3, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"))
+    }),
     "q215_cm_sketch" -> ((s, dir) => {
       // Count-min point-frequency estimates for a probe set (five corpus
       // terms + one absent term) against a 4x64 sketch of the token
@@ -2480,44 +2490,32 @@ object PipelineOps {
     // and the re-rank rounds to 5. Every step is the same IEEE op sequence
     // in DuckDB, so the full operator is oracle-expressible.
     "q49b_ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |      sqrt(list_sum(list_transform(embedding,
-        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
-        |  FROM embeddings WHERE vec_id < 16),
-        |scores AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
-        |  FROM embeddings e, cents c),
-        |cells AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-        |    FROM scores) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-        |    FROM scores WHERE vec_id < 10) t WHERE rn <= 4),
-        |cand AS (
-        |  SELECT p.q_id, c.vec_id AS c_id
-        |  FROM probes p JOIN cells c USING (cell)
-        |  WHERE c.vec_id != p.q_id),
-        |s AS (
-        |  SELECT q_id, c_id, round(
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
-        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
-        |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
-        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+      (s"WITH $ivfTopKCtes\n" +
+        "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q216_ann_recall_audit" ->
+      (s"WITH $ivfTopKCtes,\n" +
+        """ivf AS (SELECT q_id, c_id, rnk FROM r WHERE rnk <= 3),
+          |bs AS (
+          |  SELECT q.vec_id AS q_id, c2.vec_id AS c_id, round(
+          |    list_sum(list_transform(generate_series(1, 64),
+          |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+          |  FROM embeddings q, embeddings c2
+          |  WHERE q.vec_id < 10 AND c2.vec_id != q.vec_id),
+          |gold AS (
+          |  SELECT q_id, c_id AS gold_id FROM (
+          |    SELECT q_id, c_id, row_number() OVER (
+          |      PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM bs)
+          |  WHERE rn = 1)
+          |SELECT g.q_id, g.gold_id,
+          |  CAST(coalesce(min(i.rnk), 0) AS BIGINT) AS found_rank,
+          |  CAST(CASE WHEN min(i.rnk) IS NULL THEN 0
+          |       ELSE 1000000 // min(i.rnk) END AS BIGINT) AS mrr_ppm
+          |FROM gold g LEFT JOIN ivf i ON i.q_id = g.q_id AND i.c_id = g.gold_id
+          |GROUP BY g.q_id, g.gold_id ORDER BY g.q_id""".stripMargin),
     // Full restatement of the deterministic SimHash twin: md5-token-hash →
     // per-bit votes → 60-bit signature → 4×15-bit bands → banded pairs at
     // Hamming ≤ 5. Same integer op sequence as the Spark side.
@@ -5017,6 +5015,48 @@ object PipelineOps {
       |  FROM tgr t LEFT JOIN lm3 USING (tg)
       |       LEFT JOIN lm2 ON lm2.bg = substring(t.tg, 2, 2)
       |  GROUP BY t.doc_id)""".stripMargin
+
+  /** The q49b deterministic-IVF CTE chain (untrained lowest-16 centroids,
+    * nprobe 4, queries vec_id < 10, re-ranked by round-5 cosine) ending
+    * at ranked candidates `r` — shared by q49b and q216's recall audit. */
+  private def ivfTopKCtes: String =
+    """cents AS (
+      |  SELECT vec_id AS cid,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_sum(list_transform(embedding,
+      |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
+      |  FROM embeddings WHERE vec_id < 16),
+      |scores AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
+      |  FROM embeddings e, cents c),
+      |cells AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+      |    FROM scores) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+      |    FROM scores WHERE vec_id < 10) t WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.q_id, c.vec_id AS c_id
+      |  FROM probes p JOIN cells c USING (cell)
+      |  WHERE c.vec_id != p.q_id),
+      |s AS (
+      |  SELECT q_id, c_id, round(
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+      |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+      |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+      |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)""".stripMargin
 
   /** Unrolled MMR greedy chain (k rounds): each round scores the remaining
     * candidates as 70·rel − 30·max-dot-to-selected and takes the best

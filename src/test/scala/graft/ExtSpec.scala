@@ -1344,6 +1344,27 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("annRecallAudit: exhaustive probing recovers brute gold at rank 1; misses report 0") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    // nprobe = nlist: every cell probed -> the index IS brute force
+    val full = Similarity.annRecallAudit(q, emb, k = 3, nlist = 4, nprobe = 4)
+      .collect()
+    assert(full.length === 10)
+    full.foreach { r => assert(r.getLong(2) === 1L && r.getLong(3) === 1000000L) }
+    // nprobe 1: rank is in {0 (miss), 1..3}; mrr consistent with rank
+    val narrow = Similarity.annRecallAudit(q, emb, k = 3, nlist = 4, nprobe = 1)
+      .collect()
+    narrow.foreach { r =>
+      val (fr, mrr) = (r.getLong(2), r.getLong(3))
+      assert(fr >= 0L && fr <= 3L)
+      assert(if (fr == 0L) mrr === 0L else mrr === 1000000L / fr)
+    }
+  }
+
   test("cmSketch: never underestimates, exact without collisions, mergeable by addition") {
     import graft.ext.Curation
     val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
