@@ -31,6 +31,27 @@ object EventsOps {
     * no window functions, no per-user event buffering. At 100 TB the step
     * frames are small (one row per converting user) and AQE broadcasts the
     * later, shrinking chain sides. */
+  /** Exponential freshness decay as EXACT integer ppm — the recency
+    * weighting every "prefer newer data" mixture needs, with the float
+    * `exp(−age/τ)` replaced by halving per half-life:
+    * `weight = 10⁶ DIV 2^(age_hours DIV halfLife)`, capped at 20 halvings
+    * (≤ 1 ppm ≈ zero). Pure integer shifts — bit-identical anywhere;
+    * piecewise-constant within a half-life, which is what makes it
+    * reproducible (a continuous exp would hang the weight on float
+    * rounding of the age). Age is measured in whole hours from `refTs`
+    * (pass the corpus max or a pinned wall-clock). */
+  def freshnessWeightPpm(ts: Column, refTs: Column,
+      halfLifeHours: Long): Column = {
+    require(halfLifeHours >= 1, "freshnessWeightPpm: halfLifeHours >= 1")
+    import org.apache.spark.sql.graft.Bridge
+    val ageH = Bridge.idiv(unix_micros(refTs), lit(3600000000L)) -
+      Bridge.idiv(unix_micros(ts), lit(3600000000L))
+    val n = least(Bridge.idiv(ageH, lit(halfLifeHours)), lit(20L)).cast("int")
+    val pow2 = Bridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      Bridge.expression(lit(1L)), Bridge.expression(n)))
+    Bridge.idiv(lit(1000000L), pow2)
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
       windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

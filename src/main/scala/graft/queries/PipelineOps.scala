@@ -639,6 +639,45 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q218_rate_anomaly" -> ((s, dir) => {
+      // Ingest-rate anomaly detection: hourly event counts per type,
+      // robust-z (median/MAD, integer-exact) within each type, hours
+      // with |z| > 4 flagged — the pipeline-health monitor that a mean/
+      // stddev gate gets wrong whenever one burst drags the baseline.
+      val ev = t(s, dir, "events")
+      val hourly = ev.select(col("event_type"),
+          org.apache.spark.sql.graft.Bridge.idiv(
+            unix_micros(col("ts")), lit(3600000000L)).as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      Curation.robustScores(hourly,
+          col("h"), col("event_type"), col("n"))
+        .withColumn("anomaly",
+          (abs(col("z_ppm")) > 4000000L).cast("long"))
+        .groupBy(col("strat"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("anomaly")).as("n_anomalous"),
+          max(abs(col("z_ppm"))).as("max_abs_z_ppm"))
+        .orderBy(col("strat"))
+    }),
+    "q217_freshness_decay" -> ((s, dir) => {
+      // Recency-weighted event statistics: each event's weight halves per
+      // 72h of age from the corpus max timestamp (exact integer shifts,
+      // no float exp); per type, decayed mass vs raw counts shows how
+      // stale each stream is.
+      import graft.ext.EventsOps
+      val ev = t(s, dir, "events")
+      val ref = ev.agg(max(col("ts")).as("ref_ts"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("event_type"),
+          EventsOps.freshnessWeightPpm(col("ts"), col("ref_ts"),
+            halfLifeHours = 72L).as("w_ppm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w_ppm")).as("decayed_mass_ppm"),
+          max(col("w_ppm")).as("max_w"), min(col("w_ppm")).as("min_w"))
+        .orderBy(col("event_type"))
+    }),
     "q216_ann_recall_audit" -> ((s, dir) => {
       // Index QA: per query (vec_id < 10), the rank at which the q49b
       // IVF index (nlist 16, nprobe 4, k 3) surfaces the exact brute
@@ -2492,6 +2531,36 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q218_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, h),
+        |med AS (SELECT event_type, CAST(4 * quantile_cont(x, 0.5) AS BIGINT) AS med4
+        |        FROM hourly GROUP BY event_type),
+        |dev AS (SELECT b.event_type, b.h, b.x, m.med4, abs(b.x * 4 - m.med4) AS dev4
+        |        FROM hourly b JOIN med m ON m.event_type = b.event_type),
+        |mad AS (SELECT event_type, CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+        |        FROM dev GROUP BY event_type),
+        |z AS (SELECT d.event_type, d.h,
+        |        (2000000 * (d.x * 4 - d.med4)) // greatest(mad8, 1) AS z_ppm
+        |      FROM dev d JOIN mad ON mad.event_type = d.event_type)
+        |SELECT event_type AS strat, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z_ppm) > 4000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+        |  CAST(max(abs(z_ppm)) AS BIGINT) AS max_abs_z_ppm
+        |FROM z GROUP BY event_type ORDER BY strat""".stripMargin,
+    "q217_freshness_decay" ->
+      """WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    1000000 // (1 << least(
+        |      (epoch_us(ref_ts) // 3600000000 - epoch_us(ts) // 3600000000) // 72,
+        |      20)) AS w_ppm
+        |  FROM events, ref)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(w_ppm) AS BIGINT) AS decayed_mass_ppm,
+        |  CAST(max(w_ppm) AS BIGINT) AS max_w, CAST(min(w_ppm) AS BIGINT) AS min_w
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q216_ann_recall_audit" ->
       (s"WITH $ivfTopKCtes,\n" +
         """ivf AS (SELECT q_id, c_id, rnk FROM r WHERE rnk <= 3),

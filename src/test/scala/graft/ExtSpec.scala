@@ -1344,6 +1344,24 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("freshnessWeightPpm: exact halvings, cap at 20, fresh events full weight") {
+    import graft.ext.EventsOps
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def at(hours: Long) = new java.sql.Timestamp(base.getTime + hours * 3600000L)
+    val df = Seq(
+      (1L, at(0)), (2L, at(100)), (3L, at(100 - 72)), (4L, at(100 - 144)),
+      (5L, at(100 - 72 * 25))  // past the 20-halving cap
+    ).toDF("id", "ts").crossJoin(Seq(Tuple1(at(100))).toDF("ref_ts"))
+    val got = df.select(col("id"),
+        EventsOps.freshnessWeightPpm(col("ts"), col("ref_ts"), 72L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 1000000L)           // age 0
+    assert(got(3L) === 500000L)            // exactly one half-life
+    assert(got(4L) === 250000L)            // two half-lives
+    assert(got(1L) === 1000000L / 2L)      // age 100h -> 1 halving
+    assert(got(5L) === 1000000L / (1L << 20)) // capped
+  }
+
   test("annRecallAudit: exhaustive probing recovers brute gold at rank 1; misses report 0") {
     import graft.ext.Similarity
     val rnd = new scala.util.Random(7)
