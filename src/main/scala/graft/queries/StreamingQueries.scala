@@ -181,6 +181,37 @@ object StreamingQueries {
           OutputMode.Complete, needFinalBatch = false)
         .orderBy(col("h"))
     }),
+    "q219_stream_cm_sketch" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming count-min maintenance: CM counters are ADDITIVE, so a
+      // streaming count per (row, bucket) cell IS the sketch update rule,
+      // and state is depth×width rows (4×64 = 256) — bounded regardless
+      // of key cardinality, the CM promise in streaming form. Because
+      // cell counts are exact counts, the streamed sketch equals the
+      // batch-built sketch bit-for-bit; probes read the final table with
+      // q215's estimator and carry the exact counts alongside.
+      val s2 = s; import s2.implicits._
+      val cells = EventStreams.readEvents(s, dir)
+        .select(col("user_id").cast("string").as("k"))
+        .withColumn("r", explode(sequence(lit(0), lit(3))))
+        .withColumn("b", pmod(
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("k"))),
+            1, 11), 16, 10).cast("long"),
+          lit(64L)))
+      val agg = cells.groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val sketch = EventStreams.runAvailableNow(agg, "q219_sink",
+        OutputMode.Complete, needFinalBatch = false)
+      val probes = Seq("0", "1", "2", "3", "4", "no-such-user").toDF("k")
+      val truth = Tables.table(s, dir, "events")
+        .groupBy(col("user_id").cast("string").as("probe"))
+        .agg(count(lit(1)).as("true_cnt"))
+      graft.ext.Curation.cmEstimate(sketch, probes, col("k"))
+        .join(truth, Seq("probe"), "left")
+        .select(col("probe"), col("est"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+        .withColumn("over", col("est") - col("true_cnt"))
+        .orderBy(col("probe"))
+    }),
     "q133_stream_sketch_distinct" -> ((s, dir) => withStatePartitions(s, 4) {
       // Streaming distinct-users-per-hour via a DataSketches HLL aggregate:
       // state per open window is ONE kilobyte-scale sketch instead of one
@@ -313,6 +344,34 @@ object StreamingQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q219_stream_cm_sketch" ->
+      """WITH cells AS (
+        |  SELECT r, list_reduce(
+        |      list_transform(string_split(md5(CAST(r AS VARCHAR) || ':' ||
+        |        CAST(user_id AS VARCHAR)), '')[1:11],
+        |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                  ELSE unicode(c) - 48 END AS BIGINT)),
+        |      (a, v) -> a * 16 + v) % 64 AS b
+        |  FROM events, unnest(generate_series(0, 3)) AS t(r)),
+        |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, b),
+        |probes AS (SELECT * FROM (VALUES ('0'), ('1'), ('2'), ('3'), ('4'),
+        |  ('no-such-user')) AS t(probe)),
+        |pc AS (
+        |  SELECT probe, r, list_reduce(
+        |      list_transform(string_split(md5(CAST(r AS VARCHAR) || ':' || probe), '')[1:11],
+        |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                  ELSE unicode(c) - 48 END AS BIGINT)),
+        |      (a, v) -> a * 16 + v) % 64 AS b
+        |  FROM probes, unnest(generate_series(0, 3)) AS t(r)),
+        |est AS (
+        |  SELECT probe, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+        |  FROM pc LEFT JOIN sk USING (r, b) GROUP BY probe),
+        |tr AS (SELECT CAST(user_id AS VARCHAR) AS probe,
+        |       CAST(count(*) AS BIGINT) AS true_cnt FROM events GROUP BY 1)
+        |SELECT e.probe, e.est, coalesce(tr.true_cnt, 0) AS true_cnt,
+        |  e.est - coalesce(tr.true_cnt, 0) AS over
+        |FROM est e LEFT JOIN tr USING (probe)
+        |ORDER BY e.probe""".stripMargin,
     // the CDC snapshot is micro-batch-independent, so the batch argmax
     // (latest by ts, then event_id) restates it directly
     "q122_stream_upsert" ->
