@@ -718,6 +718,43 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Quantile normalization across strata (Bolstad et al. 2003 — the
+    * batch-effect remover, here for calibrating quality scores across
+    * corpora whose scorers drift): each row's within-stratum rank maps
+    * onto the POOLED distribution, `norm = pooled value at index
+    * ⌊(r−1)·N/n_s⌋ + 1`, so every stratum's normalized values come from
+    * one common distribution while within-stratum ORDER is untouched.
+    * All integer: ranks, counts, floor division — and the pooled lookup
+    * needs no global sort join: the pooled value at index i is simply
+    * the VALUE TIER whose cumulative range covers i, so the |distinct
+    * values|-sized tier table (value, offset, count) broadcasts and a
+    * range condition resolves the lookup. One stratum-keyed window pass
+    * over the data; tier offsets from a bounded aggregate.
+    * Returns (doc_id, strat, x, norm). */
+  def quantileNormalize(df: DataFrame, id: Column, stratum: Column,
+      score: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), stratum.as("strat"),
+      score.cast("long").as("x"))
+    val tiers = base.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val wo = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tiers
+      .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .select(col("x").as("vx"), col("off"), col("cnt"))
+    val wr = Window.partitionBy(col("strat")).orderBy(col("x"), col("doc_id"))
+    val wn = Window.partitionBy(col("strat"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    base
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(wn))
+      .crossJoin(broadcast(total))
+      .withColumn("i", idiv((col("r") - 1) * col("n_total"), col("n_s")) + 1)
+      .join(broadcast(offs),
+        col("i") > col("off") && col("i") <= col("off") + col("cnt"))
+      .select(col("doc_id"), col("strat"), col("x"), col("vx").as("norm"))
+  }
+
   /** Weighted-lexicon matching — the safety/topic filter stage (toxicity
     * lexicons, license-string lists, compliance terms): terms of one OR
     * two tokens (real lexicons contain phrases) match exactly against the

@@ -639,6 +639,19 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q220_quantile_normalize" -> ((s, dir) => {
+      // Cross-source score calibration: every source's n_chars
+      // distribution maps onto the pooled one; the per-source roll-up
+      // shows the normalized ranges agree while raw ranges differ.
+      val docs = t(s, dir, "documents")
+      Curation.quantileNormalize(docs, col("doc_id"), col("source"),
+          col("n_chars"))
+        .groupBy(col("strat"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sum_raw"), sum(col("norm")).as("sum_norm"),
+          min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
+        .orderBy(col("strat"))
+    }),
     "q218_rate_anomaly" -> ((s, dir) => {
       // Ingest-rate anomaly detection: hourly event counts per type,
       // robust-z (median/MAD, integer-exact) within each type, hours
@@ -2531,6 +2544,28 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q220_quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT doc_id, source AS strat, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |t AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY x),
+        |o AS (SELECT x AS vx, cnt, CAST(coalesce(sum(cnt) OVER (
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, strat, x,
+        |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) AS n_s,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_total
+        |  FROM b),
+        |m AS (
+        |  SELECT doc_id, strat, x, ((r - 1) * n_total) // n_s + 1 AS i FROM r),
+        |j AS (
+        |  SELECT m.doc_id, m.strat, m.x, o.vx AS norm
+        |  FROM m JOIN o ON m.i > o.off AND m.i <= o.off + o.cnt)
+        |SELECT strat, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(x) AS BIGINT) AS sum_raw, CAST(sum(norm) AS BIGINT) AS sum_norm,
+        |  CAST(min(norm) AS BIGINT) AS min_norm, CAST(max(norm) AS BIGINT) AS max_norm
+        |FROM j GROUP BY strat ORDER BY strat""".stripMargin,
     "q218_rate_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,

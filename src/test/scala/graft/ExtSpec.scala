@@ -1344,6 +1344,31 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("quantileNormalize: equal-size strata land on identical normalized multisets") {
+    import graft.ext.Curation
+    // A is shifted +100 vs B; same shape. n_s=5, N=10 -> indices 1,3,5,7,9 for both.
+    val df = Seq(
+      (1L, "A", 110L), (2L, "A", 120L), (3L, "A", 130L), (4L, "A", 140L), (5L, "A", 150L),
+      (6L, "B", 10L), (7L, "B", 20L), (8L, "B", 30L), (9L, "B", 40L), (10L, "B", 50L)
+    ).toDF("id", "s", "x")
+    val out = Curation.quantileNormalize(df, col("id"), col("s"), col("x"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val byS = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byS("A") === byS("B")) // identical normalized multisets
+    // pooled sorted = 10,20,30,40,50,110,120,130,140,150; picks 1,3,5,7,9
+    assert(byS("A") === Seq(10L, 30L, 50L, 120L, 140L))
+    // within-stratum order preserved: norm is monotone in x per stratum
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3) === sorted.map(_._3).sorted)
+    }
+    // duplicate values across strata (tier with cnt > 1) still resolve
+    val dup = Seq((1L, "A", 5L), (2L, "A", 5L), (3L, "B", 5L), (4L, "B", 7L))
+      .toDF("id", "s", "x")
+    val n = Curation.quantileNormalize(dup, col("id"), col("s"), col("x")).count()
+    assert(n === 4L)
+  }
+
   test("freshnessWeightPpm: exact halvings, cap at 20, fresh events full weight") {
     import graft.ext.EventsOps
     val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")

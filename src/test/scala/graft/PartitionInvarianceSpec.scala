@@ -83,7 +83,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q208_snake_shards", "q209_split_leakage", "q210_phrase_search",
     "q211_lexicon_filter", "q212_garbage_gate", "q213_dedup_savings",
     "q214_incremental_rollup", "q215_cm_sketch", "q216_ann_recall_audit",
-    "q217_freshness_decay", "q218_rate_anomaly", "q219_stream_cm_sketch")
+    "q217_freshness_decay", "q218_rate_anomaly", "q219_stream_cm_sketch",
+    "q220_quantile_normalize")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
