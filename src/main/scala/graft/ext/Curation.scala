@@ -718,6 +718,34 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Exact-ratio stratified split: every stratum gets EXACTLY
+    * ⌊n·train/1000⌋ train rows and ⌊n·(train+val)/1000⌋ − train val rows
+    * (the modular-key split only approximates ratios in expectation —
+    * fine for big strata, visibly off for small ones, and some evals
+    * need the counts exact). Rows order by the seeded [[shuffleKey]]
+    * within each stratum (deterministic, engine-portable, uncorrelated
+    * with content), ranks gate the gap. One stratum-keyed window.
+    * Returns (doc_id, strat, split). For leakage-safe splitting compose
+    * with a cluster representative as the id ([[splitLeakageAudit]]). */
+  def exactRatioSplit(df: DataFrame, id: Column, stratum: Column,
+      trainPermille: Int, valPermille: Int, seed: String = "split"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "exactRatioSplit: permilles invalid")
+    val base = df.select(id.as("doc_id"), stratum.as("strat"),
+      shuffleKey(id, seed).as("__sk"))
+    val wr = Window.partitionBy(col("strat")).orderBy(col("__sk"), col("doc_id"))
+    val wn = Window.partitionBy(col("strat"))
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    base.withColumn("__r", row_number().over(wr).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("__r") <= idiv(col("__n") * trainPermille, lit(1000L)), "train")
+          .when(col("__r") <= idiv(col("__n") * (trainPermille + valPermille),
+            lit(1000L)), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("strat"), col("split"))
+  }
+
   /** Quantile normalization across strata (Bolstad et al. 2003 — the
     * batch-effect remover, here for calibrating quality scores across
     * corpora whose scorers drift): each row's within-stratum rank maps

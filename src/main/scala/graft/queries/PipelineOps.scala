@@ -639,6 +639,16 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q221_exact_split" -> ((s, dir) => {
+      // Exact-ratio 80/10/10 split per source: counts are floor-exact per
+      // stratum (not approximate like a modular-key split); checksums pin
+      // the exact membership under the seeded order.
+      Curation.exactRatioSplit(t(s, dir, "documents"), col("doc_id"),
+          col("source"), trainPermille = 800, valPermille = 100)
+        .groupBy(col("strat"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+        .orderBy(col("strat"), col("split"))
+    }),
     "q220_quantile_normalize" -> ((s, dir) => {
       // Cross-source score calibration: every source's n_chars
       // distribution maps onto the pooled one; the per-source roll-up
@@ -2544,6 +2554,25 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q221_exact_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source AS strat,
+        |    md5('split' || ':' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, strat,
+        |    CAST(row_number() OVER (PARTITION BY strat ORDER BY sk, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) AS n
+        |  FROM b),
+        |sp AS (
+        |  SELECT doc_id, strat,
+        |    CASE WHEN r <= (n * 800) // 1000 THEN 'train'
+        |         WHEN r <= (n * 900) // 1000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT strat, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM sp GROUP BY strat, split ORDER BY strat, split""".stripMargin,
     "q220_quantile_normalize" ->
       """WITH b AS (
         |  SELECT doc_id, source AS strat, CAST(n_chars AS BIGINT) AS x FROM documents),

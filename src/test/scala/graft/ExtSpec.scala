@@ -1344,6 +1344,27 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("exactRatioSplit: per-stratum counts are floor-exact, assignment is seed-stable") {
+    import graft.ext.Curation
+    val df = (1L to 23L).map(i => (i, if (i <= 13) "A" else "B")).toDF("id", "s")
+    val out = Curation.exactRatioSplit(df, col("id"), col("s"), 800, 100)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val counts = out.groupBy(identity).view.mapValues(_.size).toMap
+    // A: n=13 -> 10 train, floor(13*900/1000)=11 -> 1 val, 2 test; B: n=10 -> 8/1/1
+    assert(counts === Map(("A", "train") -> 10, ("A", "val") -> 1, ("A", "test") -> 2,
+      ("B", "train") -> 8, ("B", "val") -> 1, ("B", "test") -> 1))
+    // same seed -> identical assignment; different seed -> same counts
+    val a1 = Curation.exactRatioSplit(df, col("id"), col("s"), 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a2 = Curation.exactRatioSplit(df, col("id"), col("s"), 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a1 === a2)
+    val b = Curation.exactRatioSplit(df, col("id"), col("s"), 800, 100, seed = "other")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(b === counts)
+  }
+
   test("quantileNormalize: equal-size strata land on identical normalized multisets") {
     import graft.ext.Curation
     // A is shifted +100 vs B; same shape. n_s=5, N=10 -> indices 1,3,5,7,9 for both.
