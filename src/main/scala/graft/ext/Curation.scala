@@ -718,6 +718,37 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Preference-pair construction for DPO/RLHF-style training: within
+    * each stratum, rank rows by a quality score and pair rank r (top
+    * half, "chosen") with rank r + ⌊n/2⌋ (bottom half, "rejected") —
+    * the deterministic half-shift pairing that maximizes the MINIMUM
+    * score gap across pairs for a fixed pairing count (adjacent pairing
+    * yields near-zero gaps; the half-shift keeps every pair half the
+    * distribution apart). Pairs below `minGap` drop (a preference label
+    * needs a margin the scorer actually distinguishes). One
+    * stratum-keyed window + one (stratum, rank) self-join. Returns
+    * (strat, chosen_id, rejected_id, chosen_score, rejected_score, gap). */
+  def preferencePairs(df: DataFrame, id: Column, stratum: Column,
+      score: Column, minGap: Long): DataFrame = {
+    val base = df.select(id.as("doc_id"), stratum.as("strat"),
+      score.cast("long").as("x"))
+    val wr = Window.partitionBy(col("strat")).orderBy(col("x").desc, col("doc_id"))
+    val wn = Window.partitionBy(col("strat"))
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val ranked = base.withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("h", idiv(count(lit(1)).over(wn), lit(2L)))
+    val top = ranked.filter(col("r") <= col("h"))
+      .select(col("strat"), col("doc_id").as("chosen_id"),
+        col("x").as("chosen_score"), (col("r") + col("h")).as("pr"))
+    val bot = ranked.select(col("strat"), col("doc_id").as("rejected_id"),
+      col("x").as("rejected_score"), col("r").as("pr"))
+    top.join(bot, Seq("strat", "pr"))
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .filter(col("gap") >= minGap)
+      .select(col("strat"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"), col("gap"))
+  }
+
   /** Exact-ratio stratified split: every stratum gets EXACTLY
     * ⌊n·train/1000⌋ train rows and ⌊n·(train+val)/1000⌋ − train val rows
     * (the modular-key split only approximates ratios in expectation —

@@ -639,6 +639,22 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q222_preference_pairs" -> ((s, dir) => {
+      // DPO-style preference pairs per language: gini diversity is the
+      // quality score, half-shift pairing, pairs must clear a 100000-ppm
+      // gap. Roll-up per lang pins pair counts and gap mass; a bounded
+      // sample of pairs rides along via min/max checksums.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.giniDiversityPpm(col("text")).as("g"))
+      Curation.preferencePairs(docs, col("doc_id"), col("lang"),
+          col("g"), minGap = 100000L)
+        .groupBy(col("strat"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("gap")).as("sum_gap"), min(col("gap")).as("min_gap"),
+          sum(col("chosen_id") - col("rejected_id")).as("pair_checksum"))
+        .orderBy(col("strat"))
+    }),
     "q221_exact_split" -> ((s, dir) => {
       // Exact-ratio 80/10/10 split per source: counts are floor-exact per
       // stratum (not approximate like a modular-key split); checksums pin
@@ -2554,6 +2570,36 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q222_preference_pairs" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang AS strat,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS x
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, strat, x,
+         |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x DESC, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) // 2 AS h
+         |  FROM g),
+         |top AS (SELECT strat, doc_id AS chosen_id, x AS cs, r + h AS pr FROM r WHERE r <= h),
+         |bot AS (SELECT strat, doc_id AS rejected_id, x AS rs, r AS pr FROM r),
+         |p AS (
+         |  SELECT top.strat, chosen_id, rejected_id, cs, rs, cs - rs AS gap
+         |  FROM top JOIN bot USING (strat, pr)
+         |  WHERE cs - rs >= 100000)
+         |SELECT strat, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(gap) AS BIGINT) AS sum_gap, CAST(min(gap) AS BIGINT) AS min_gap,
+         |  CAST(sum(chosen_id - rejected_id) AS BIGINT) AS pair_checksum
+         |FROM p GROUP BY strat ORDER BY strat""".stripMargin,
     "q221_exact_split" ->
       """WITH b AS (
         |  SELECT doc_id, source AS strat,

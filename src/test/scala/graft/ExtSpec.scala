@@ -1344,6 +1344,25 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("preferencePairs: half-shift pairing, gap gate, odd-count middle row unpaired") {
+    import graft.ext.Curation
+    // scores 50,40,30,20,10 in one stratum: h=2 -> pairs (50,30),(40,20); 10 unpaired
+    val df = Seq((1L, "A", 50L), (2L, "A", 40L), (3L, "A", 30L),
+      (4L, "A", 20L), (5L, "A", 10L)).toDF("id", "s", "x")
+    val got = Curation.preferencePairs(df, col("id"), col("s"), col("x"), minGap = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(got === Set((1L, 3L, 20L), (2L, 4L, 20L)))
+    // the gap gate drops close pairs
+    val tight = Curation.preferencePairs(df, col("id"), col("s"), col("x"), minGap = 21L)
+    assert(tight.count() === 0L)
+    // two strata don't cross-pair
+    val two = Seq((1L, "A", 9L), (2L, "A", 1L), (3L, "B", 8L), (4L, "B", 2L))
+      .toDF("id", "s", "x")
+    val pairs = Curation.preferencePairs(two, col("id"), col("s"), col("x"), 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set(("A", 1L, 2L), ("B", 3L, 4L)))
+  }
+
   test("exactRatioSplit: per-stratum counts are floor-exact, assignment is seed-stable") {
     import graft.ext.Curation
     val df = (1L to 23L).map(i => (i, if (i <= 13) "A" else "B")).toDF("id", "s")
