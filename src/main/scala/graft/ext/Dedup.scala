@@ -748,6 +748,32 @@ object Dedup {
     * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
     * shape) for cross-doc match detection. Returns per-doc
     * (doc_id, n_grams, n_fp, fp_sum). */
+  // ---------- corpus novelty scoring --------------------------------------
+
+  /** Per-document novelty against the REST of the corpus: the fraction
+    * (ppm) of a document's distinct word n-grams that occur in no other
+    * document — the memorization/originality audit (a doc whose grams all
+    * appear elsewhere is boilerplate or a copy even when no single pair
+    * crosses a near-dup threshold; the doc-level complement of the q45
+    * pair view). Distinct grams per doc, document frequency per gram, and
+    * `novel = grams with df = 1` — all on hashed longs, one gram-keyed
+    * shuffle; the df table joins back on the same key. Returns
+    * (doc_id, n_grams, n_novel, novelty_ppm); gramless docs are absent. */
+  def noveltyScore(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+        explode(graft.functions.TextExpressions.wordNgramHashes(text, n)).as("h"))
+      .distinct()
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L) * col("n_novel"), col("n_grams")).as("novelty_ppm"))
+  }
+
   // ---------- inverted-index phrase search --------------------------------
 
   /** Exact phrase search over the corpus WITHOUT a full text scan per

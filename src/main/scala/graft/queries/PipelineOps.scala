@@ -639,6 +639,13 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q223_novelty_score" -> ((s, dir) => {
+      // Memorization/originality audit: per doc, the ppm of its distinct
+      // trigrams found in NO other document. Low novelty = boilerplate
+      // or copy even when no single near-dup pair fires.
+      Dedup.noveltyScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q222_preference_pairs" -> ((s, dir) => {
       // DPO-style preference pairs per language: gini diversity is the
       // quality score, half-shift pairing, pairs must clear a 100000-ppm
@@ -2570,6 +2577,23 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q223_novelty_score" ->
+      raw"""WITH tw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS t
+         |  FROM tw),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY t),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM g JOIN df USING (t) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_novel,
+         |  (1000000 * n_novel) // n_grams AS novelty_ppm
+         |FROM per ORDER BY doc_id""".stripMargin,
     "q222_preference_pairs" ->
       raw"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w

@@ -1344,6 +1344,22 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("noveltyScore: copies score 0, unique docs score 1e6, in-doc repeats don't inflate df") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),          // shares all grams with doc 2
+      (2L, "a b c d e"),          // exact copy
+      (3L, "p q r s t"),          // fully unique
+      (4L, "x y z x y z x y z")   // in-doc repeats: distinct grams still unique to doc 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (3L, 0L, 0L) && got(2L) === (3L, 0L, 0L))
+    assert(got(3L) === (3L, 3L, 1000000L))
+    // doc 4: 7 windows but 3 distinct gram values, all df=1
+    assert(got(4L) === (3L, 3L, 1000000L))
+  }
+
   test("preferencePairs: half-shift pairing, gap gate, odd-count middle row unpaired") {
     import graft.ext.Curation
     // scores 50,40,30,20,10 in one stratum: h=2 -> pairs (50,30),(40,20); 10 unpaired
