@@ -90,6 +90,26 @@ object TextAnalysis {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(firstWins)
   }
 
+  /** Language labels of a document's first and second token halves — the
+    * mixed-language detector (a doc whose head and tail disagree is a
+    * concatenation artifact, a bad extraction, or genuine code-switching;
+    * every monolingual pipeline wants them surfaced): same marker scoring
+    * as [[langId]] on each half, split at ⌈n/2⌉ tokens. Returns a struct
+    * (lang_head, lang_tail, mixed) — `mixed` only fires when BOTH halves
+    * identify (an `und` half is absence of evidence, not disagreement).
+    * Pure per-row expressions, zero shuffle. */
+  def mixedLangProfile(text: Column): Column = {
+    val tk = tokens(text)
+    val h = org.apache.spark.sql.graft.Bridge.idiv(
+      size(tk).cast("long") + 1, lit(2L)).cast("int")
+    val h1 = array_join(slice(tk, lit(1), h), " ")
+    val h2 = array_join(slice(tk, h + 1, size(tk)), " ")
+    val l1 = langId(h1)
+    val l2 = langId(h2)
+    struct(l1.as("lang_head"), l2.as("lang_tail"),
+      (l1 =!= l2 && l1 =!= "und" && l2 =!= "und").as("mixed"))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Robust to shuffled word order; exact-dedup key for bag-of-words
     * duplicates. */

@@ -639,6 +639,23 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q224_mixed_language" -> ((s, dir) => {
+      // Mixed-language detection: every 10th doc gets a French tail
+      // grafted on (the concatenation-artifact shape); the head/tail
+      // language profile must flag exactly the grafted docs as mixed.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" le la les de et un est le la de et est")))
+          .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"), TA.mixedLangProfile(col("text")).as("p"))
+        .select(col("doc_id"), col("p.lang_head").as("lang_head"),
+          col("p.lang_tail").as("lang_tail"),
+          col("p.mixed").cast("long").as("mixed"))
+        .groupBy(col("lang_head"), col("lang_tail"), col("mixed"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang_head"), col("lang_tail"), col("mixed"))
+    }),
     "q223_novelty_score" -> ((s, dir) => {
       // Memorization/originality audit: per doc, the ppm of its distinct
       // trigrams found in NO other document. Low novelty = boilerplate
@@ -2577,6 +2594,30 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q224_mixed_language" ->
+      (raw"""WITH uni AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+          |    THEN text || ' le la les de et un est le la de et est'
+          |    ELSE text END AS text
+          |  FROM documents),
+          |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM uni),
+          |hv AS (
+          |  SELECT doc_id,
+          |    array_to_string(w[1 : (len(w) + 1) // 2], ' ') AS t1,
+          |    array_to_string(w[(len(w) + 1) // 2 + 1 :], ' ') AS t2
+          |  FROM tk),
+          |""".stripMargin +
+        s"sc AS (\n  SELECT doc_id,\n    ${langScoreCols("t1", "h")},\n    ${langScoreCols("t2", "t")}\n  FROM hv),\n" +
+        s"p AS (\n  SELECT doc_id,\n    ${langPredSql("h")} AS lang_head,\n    ${langPredSql("t")} AS lang_tail\n  FROM sc),\n" +
+        """m AS (
+          |  SELECT doc_id, lang_head, lang_tail,
+          |    CAST(CASE WHEN lang_head <> lang_tail AND lang_head <> 'und'
+          |         AND lang_tail <> 'und' THEN 1 ELSE 0 END AS BIGINT) AS mixed
+          |  FROM p)
+          |SELECT lang_head, lang_tail, mixed, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS checksum
+          |FROM m GROUP BY lang_head, lang_tail, mixed
+          |ORDER BY lang_head, lang_tail, mixed""".stripMargin),
     "q223_novelty_score" ->
       raw"""WITH tw AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -5218,6 +5259,31 @@ object PipelineOps {
       |  FROM tgr t LEFT JOIN lm3 USING (tg)
       |       LEFT JOIN lm2 ON lm2.bg = substring(t.tg, 2, 2)
       |  GROUP BY t.doc_id)""".stripMargin
+
+  /** Marker-score columns + prediction CASE for one text column `src`,
+    * suffix-tagged — the q43 langId restatement factored for reuse on
+    * document halves (q224). */
+  private def langScoreCols(src: String, sfx: String): String = {
+    val ms = Seq(
+      "en" -> "['the','a','of','and','to','is','in']",
+      "fr" -> "['le','la','les','de','et','un','est']",
+      "de" -> "['der','die','das','und','ist','ein','nicht']",
+      "es" -> "['el','los','las','y','un','es','que']")
+    ms.map { case (l, lst) =>
+      s"CAST(len(list_filter(string_split_regex(trim($src), '\\s+'), x -> list_contains($lst, x))) AS BIGINT) AS ${l}_$sfx"
+    }.mkString(",\n    ") +
+      s",\n    regexp_matches($src, '[\\x{4e00}-\\x{9fff}]') AS cjk_$sfx"
+  }
+
+  private def langPredSql(sfx: String): String = {
+    val g = s"greatest(en_$sfx, fr_$sfx, de_$sfx, es_$sfx)"
+    s"""CASE WHEN cjk_$sfx THEN 'zh'
+       |      WHEN $g = 0 THEN 'und'
+       |      WHEN en_$sfx = $g THEN 'en'
+       |      WHEN fr_$sfx = $g THEN 'fr'
+       |      WHEN de_$sfx = $g THEN 'de'
+       |      ELSE 'es' END""".stripMargin
+  }
 
   /** The q49b deterministic-IVF CTE chain (untrained lowest-16 centroids,
     * nprobe 4, queries vec_id < 10, re-ranked by round-5 cosine) ending

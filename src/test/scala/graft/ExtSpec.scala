@@ -1344,6 +1344,22 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("mixedLangProfile: grafted bilingual docs flag, monolingual and und halves don't") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      "the cat of the house is here and le chat de la maison est un",  // en + fr
+      "the dog of the yard is a good dog and the cat is in it too",   // en + en
+      "xyzzy qwerty foo bar baz klmno pqrst uvwxy the cat of and is in to", // und head, en tail
+      "le la de et un est xyzzy qwerty foo bar baz"                   // fr head, und tail
+    ).toDF("t").select(TextAnalysis.mixedLangProfile(col("t")).as("p"))
+      .select(col("p.lang_head"), col("p.lang_tail"), col("p.mixed"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows(0) === ("en", "fr", true))
+    assert(rows(1) === ("en", "en", false))
+    assert(rows(2)._3 === false && rows(2)._1 === "und")
+    assert(rows(3)._3 === false && rows(3)._2 === "und")
+  }
+
   test("noveltyScore: copies score 0, unique docs score 1e6, in-doc repeats don't inflate df") {
     import graft.ext.Dedup
     val docs = Seq(
