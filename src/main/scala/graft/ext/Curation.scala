@@ -718,6 +718,47 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** Document-level co-occurrence associations for probe terms — the
+    * distributional "what goes with X" miner ([[collocations]] ranks
+    * ADJACENT bigrams; this ranks same-document company at any
+    * distance): lift_ppm = ⌊10⁶ · n_xy · N / (n_x · n_y)⌋ over distinct
+    * (doc, term) incidence, top `k` associates per probe by (lift desc,
+    * term), with a minimum co-occurrence support gate (lift explodes on
+    * rare accidental pairs — the classic association-mining trap).
+    *
+    * Shapes: ONE distinct (doc, term) shuffle; probe incidence is
+    * semi-join-reduced by the broadcast probe list, so the co-occurrence
+    * join is probe-docs-sized, never corpus²; DECIMAL(38,0) guards
+    * 10⁶·n_xy·N. Returns (probe, term, n_xy, lift_ppm, rnk). */
+  def termAssociations(docs: DataFrame, id: Column, text: Column,
+      probes: DataFrame, probe: Column, k: Int, minSupport: Long): DataFrame = {
+    val dt = docs.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("t")).distinct()
+    // scalar N rides as a 1-row broadcast, not a driver action — the plan
+    // stays lazy and layout-blind
+    val total = dt.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val df = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val p = probes.select(probe.as("p"))
+    val pDocs = dt.join(broadcast(p), col("t") === col("p"))
+      .select(col("p"), col("doc_id"))
+    val co = pDocs.join(dt, Seq("doc_id"))
+      .filter(col("t") =!= col("p"))
+      .groupBy(col("p"), col("t")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minSupport)
+    val withN = co
+      .join(df.withColumnRenamed("t", "p").withColumnRenamed("n_t", "n_x"), Seq("p"))
+      .join(df, Seq("t"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(n_xy AS DECIMAL(38,0)) * 1000000 * n_docs) DIV (n_x * n_t) AS BIGINT)"))
+    val w = Window.partitionBy(col("p")).orderBy(col("lift_ppm").desc, col("t"))
+    withN.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("p").as("probe"), col("t").as("term"), col("n_xy"),
+        col("lift_ppm"), col("rnk"))
+  }
+
   /** Preference-pair construction for DPO/RLHF-style training: within
     * each stratum, rank rows by a quality score and pair rank r (top
     * half, "chosen") with rank r + ⌊n/2⌋ (bottom half, "rejected") —

@@ -639,6 +639,15 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q225_term_associations" -> ((s, dir) => {
+      // "What goes with X": top-5 same-document associates by lift for
+      // three probe terms, support >= 5 (lift on rare pairs is noise).
+      val s2 = s; import s2.implicits._
+      val probes = Seq("table", "slow", "merge").toDF("p")
+      Curation.termAssociations(t(s, dir, "documents"), col("doc_id"),
+          col("text"), probes, col("p"), k = 5, minSupport = 5L)
+        .orderBy(col("probe"), col("rnk"))
+    }),
     "q224_mixed_language" -> ((s, dir) => {
       // Mixed-language detection: every 10th doc gets a French tail
       // grafted on (the concatenation-artifact shape); the head/tail
@@ -2594,6 +2603,32 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q225_term_associations" ->
+      raw"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+         |  FROM documents),
+         |total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY t),
+         |probes AS (SELECT * FROM (VALUES ('table'), ('slow'), ('merge')) AS x(p)),
+         |pd AS (SELECT p, doc_id FROM dt JOIN probes ON dt.t = probes.p),
+         |co AS (
+         |  SELECT pd.p, dt.t, CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM pd JOIN dt USING (doc_id)
+         |  WHERE dt.t <> pd.p
+         |  GROUP BY pd.p, dt.t
+         |  HAVING count(*) >= 5),
+         |lift AS (
+         |  SELECT co.p, co.t, co.n_xy,
+         |    CAST((CAST(co.n_xy AS HUGEINT) * 1000000 * total.n_docs) //
+         |         (px.n_t * dy.n_t) AS BIGINT) AS lift_ppm
+         |  FROM co JOIN df px ON px.t = co.p
+         |          JOIN df dy ON dy.t = co.t, total),
+         |r AS (
+         |  SELECT p, t, n_xy, lift_ppm, CAST(row_number() OVER (
+         |    PARTITION BY p ORDER BY lift_ppm DESC, t) AS BIGINT) AS rnk
+         |  FROM lift)
+         |SELECT p AS probe, t AS term, n_xy, lift_ppm, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY probe, rnk""".stripMargin,
     "q224_mixed_language" ->
       (raw"""WITH uni AS (
           |  SELECT doc_id, CASE WHEN doc_id % 10 = 0

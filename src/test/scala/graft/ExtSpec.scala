@@ -1344,6 +1344,21 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("termAssociations: exact lift arithmetic, support gate, in-doc repeats count once") {
+    import graft.ext.Curation
+    // 6 docs; 'x' with 'y' in 4 docs; 'x' with 'z' in 1 doc (below support)
+    val docs = Seq(
+      (1L, "x y y y"), (2L, "x y"), (3L, "x y"), (4L, "x y"),
+      (5L, "x z"), (6L, "w w")
+    ).toDF("doc_id", "text")
+    val probes = Seq("x").toDF("p")
+    val got = Curation.termAssociations(docs, col("doc_id"), col("text"),
+        probes, col("p"), k = 5, minSupport = 2L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // y: n_xy=4 (doc 1 counts ONCE), n_x=5, n_y=4, N=6 -> 1e6*4*6/(5*4)=1200000
+    assert(got.toSeq === Seq(("y", 4L, 1200000L)))
+  }
+
   test("mixedLangProfile: grafted bilingual docs flag, monolingual and und halves don't") {
     import graft.ext.TextAnalysis
     val rows = Seq(
