@@ -718,6 +718,36 @@ object Curation {
     * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
     * accuracy against the k-row collect, and sketches from shards can be
     * merged by union + re-top-k (the same mergeability as q130's). */
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) over a release candidate: rows group by their
+    * quasi-identifier combination; a group smaller than `k` re-identifies
+    * (its members are distinguishable down to < k candidates), and a
+    * group with fewer than `l` distinct sensitive values discloses even
+    * at size ≥ k (everyone in it shares the secret). Returns the scalar
+    * audit row (n_groups, n_small_groups, n_low_ldiv_groups,
+    * n_rows_at_risk, min_group_size, min_ldiv) — at-risk rows counted
+    * once even when a group fails both tests. ONE quasi-identifier-keyed
+    * aggregation plus a scalar roll-up. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1, "kAnonymityAudit: k and l must be >= 1")
+    // group by the SELECTED columns' names — re-using the caller's Column
+    // expressions would re-resolve against the projected frame and fail
+    // for computed quasi-ids (their inputs are already projected away)
+    val sel = df.select((quasiIds :+ sensitive.as("__s")): _*)
+    val groups = sel
+      .groupBy(sel.columns.filterNot(_ == "__s").map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col("__s")).as("ldiv"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+      sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_low_ldiv_groups"),
+      sum(when(col("n") < k || col("ldiv") < l, col("n")).otherwise(0L))
+        .as("n_rows_at_risk"),
+      min(col("n")).as("min_group_size"),
+      min(col("ldiv")).as("min_ldiv"))
+  }
+
   /** Document-level co-occurrence associations for probe terms — the
     * distributional "what goes with X" miner ([[collocations]] ranks
     * ADJACENT bigrams; this ranks same-document company at any

@@ -639,6 +639,18 @@ object PipelineOps {
         .withColumnRenamed("k", "lang")
         .orderBy(col("lang"))
     }),
+    "q226_k_anonymity" -> ((s, dir) => {
+      // Privacy-release audit: quasi-identifiers (lang, source,
+      // 50-char length band) against a synthetic categorical secret
+      // (doc_id % 7); groups under k=5 or with fewer than l=3 distinct
+      // secrets put their rows at risk.
+      val docs = t(s, dir, "documents")
+      Curation.kAnonymityAudit(docs,
+        Seq(col("lang"), col("source"),
+          org.apache.spark.sql.graft.Bridge.idiv(col("n_chars"), lit(50L))
+            .as("len_band")),
+        pmod(col("doc_id"), lit(7L)), k = 5, l = 3)
+    }),
     "q225_term_associations" -> ((s, dir) => {
       // "What goes with X": top-5 same-document associates by lift for
       // three probe terms, support >= 5 (lift on rare pairs is noise).
@@ -2603,6 +2615,19 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q226_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 50 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS ldiv
+        |  FROM documents GROUP BY lang, source, len_band)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_ldiv_groups,
+        |  CAST(sum(CASE WHEN n < 5 OR ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size,
+        |  CAST(min(ldiv) AS BIGINT) AS min_ldiv
+        |FROM g""".stripMargin,
     "q225_term_associations" ->
       raw"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

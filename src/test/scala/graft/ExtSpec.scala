@@ -1344,6 +1344,22 @@ class ExtSpec extends AnyFunSuite {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
   }
 
+  test("kAnonymityAudit: small groups and low-diversity groups both flag, rows counted once") {
+    import graft.ext.Curation
+    val df = Seq(
+      // group (A): size 3 < k -> small AND (1 distinct secret) low-ldiv; 3 rows at risk, once
+      (1L, "A", 0L), (2L, "A", 0L), (3L, "A", 0L),
+      // group (B): size 5, 2 distinct secrets < l=3 -> low-ldiv only
+      (4L, "B", 0L), (5L, "B", 0L), (6L, "B", 1L), (7L, "B", 1L), (8L, "B", 0L),
+      // group (C): size 5, 3 distinct secrets -> clean
+      (9L, "C", 0L), (10L, "C", 1L), (11L, "C", 2L), (12L, "C", 0L), (13L, "C", 1L)
+    ).toDF("id", "qi", "s")
+    val r = Curation.kAnonymityAudit(df, Seq(col("qi")), col("s"), k = 5, l = 3)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (3L, 1L, 2L, 8L, 3L, 1L))
+  }
+
   test("termAssociations: exact lift arithmetic, support gate, in-doc repeats count once") {
     import graft.ext.Curation
     // 6 docs; 'x' with 'y' in 4 docs; 'x' with 'z' in 1 doc (below support)

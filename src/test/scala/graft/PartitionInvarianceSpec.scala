@@ -85,7 +85,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q214_incremental_rollup", "q215_cm_sketch", "q216_ann_recall_audit",
     "q217_freshness_decay", "q218_rate_anomaly", "q219_stream_cm_sketch",
     "q220_quantile_normalize", "q221_exact_split", "q222_preference_pairs",
-    "q223_novelty_score", "q224_mixed_language", "q225_term_associations")
+    "q223_novelty_score", "q224_mixed_language", "q225_term_associations",
+    "q226_k_anonymity")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
