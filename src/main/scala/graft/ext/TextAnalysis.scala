@@ -104,10 +104,19 @@ object TextAnalysis {
       size(tk).cast("long") + 1, lit(2L)).cast("int")
     val h1 = array_join(slice(tk, lit(1), h), " ")
     val h2 = array_join(slice(tk, h + 1, size(tk)), " ")
-    val l1 = langId(h1)
-    val l2 = langId(h2)
-    struct(l1.as("lang_head"), l2.as("lang_tail"),
-      (l1 =!= l2 && l1 =!= "und" && l2 =!= "und").as("mixed"))
+    // double lambda-bind (the q197 lesson): the half strings evaluate
+    // once before langId re-reads them, and the two langId RESULTS
+    // evaluate once before the struct/mixed logic re-reads THEM —
+    // unbound, every textual reference re-runs the whole
+    // join-split-score chain (measured 9.3 s vs ~2 s at sf0.1)
+    element_at(transform(array(struct(h1.as("a"), h2.as("b"))), v =>
+      element_at(transform(array(struct(
+        langId(v.getField("a")).as("l1"), langId(v.getField("b")).as("l2"))), s =>
+        struct(s.getField("l1").as("lang_head"),
+          s.getField("l2").as("lang_tail"),
+          (s.getField("l1") =!= s.getField("l2") &&
+            s.getField("l1") =!= "und" &&
+            s.getField("l2") =!= "und").as("mixed"))), 1)), 1)
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
