@@ -1367,4 +1367,132 @@ object Curation {
       .filter(col("__cum") <= col("__alloc"))
       .drop("__str", "__str2", "__pri", "__bid", "__tok", "__alloc", "__cum")
   }
+
+  /** BM25 lexical retrieval (Robertson & Spärck Jones; the Okapi weighting
+    * every search/retrieval-augmented pipeline starts from): top-k
+    * documents per query, scored Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b +
+    * b·dl/avgdl)), exact-integer throughout. idf is the integer-rational
+    * surrogate (1e6·(N−df+1)) // (df+1) — the q61 TF-IDF discipline:
+    * monotone in df like the log form, but cross-engine EXACT (both
+    * engines floor the same integer division; ln() would hand the rank
+    * order to last-ulp libm differences). The saturation term clears its
+    * denominators: with k1 = k1Milli/1000, b = bMilli/1000, avgdl = T/N,
+    *   sat_ppm = (1e9·tf·(k1Milli+1000)·T) //
+    *             (tf·1e6·T + k1Milli·(1000−bMilli)·T + k1Milli·bMilli·dl·N)
+    * — one integer division per (doc, term), DECIMAL(38,0)-guarded (tf·T
+    * alone reaches 10¹⁷ on a 10¹²-token corpus; ×10⁹ is past Long by
+    * construction, not by accident). score_ppm = Σ_t (idf_ppm · sat_ppm)
+    * // 1e6.
+    *
+    * 100 TB shape: the query set is tiny and its term list BROADCASTS;
+    * the corpus-sized work is one tokenize pass producing per-doc term
+    * counts (one doc-keyed aggregation) of which only postings matching a
+    * query term survive the broadcast semi join — df counts and scoring
+    * run on that postings slice, never the full vocabulary. dl and the
+    * (N, T) scalars come from one corpus-level aggregate. Top-k cuts with
+    * a per-query window over candidate docs (candidates per query ≤
+    * postings of its terms). Ties break (score DESC, doc_id). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qId: Column, qText: Column, k: Int,
+      k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val dt = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
+    val qt = queries.select(qId.as("q_id"),
+        explode(TextAnalysis.tokens(qText)).as("t"))
+      .distinct()
+    val qTerms = qt.select(col("t")).distinct()
+    val postings = dt.join(broadcast(qTerms), Seq("t"))
+    val dfT = postings.groupBy(col("t"))
+      .agg(count(lit(1)).as("df_t"))
+    val scored = postings
+      .join(broadcast(dfT), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_ppm", org.apache.spark.sql.graft.Bridge.idiv(
+        (col("n_docs") - col("df_t") + 1L) * 1000000L, col("df_t") + 1L))
+      .withColumn("sat_ppm", expr(
+        s"CAST((CAST(tf AS DECIMAL(38,0)) * 1000000000 * ${k1Milli + 1000} * tt) DIV " +
+          s"(CAST(tf AS DECIMAL(38,0)) * 1000000 * tt " +
+          s" + CAST(${k1Milli * (1000 - bMilli)} AS DECIMAL(38,0)) * tt " +
+          s" + CAST(${k1Milli * bMilli} AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"))
+      .join(broadcast(qt), Seq("t"))
+      .groupBy(col("q_id"), col("doc_id"))
+      // DECIMAL(38,0) on the idf·sat product: idf_ppm reaches N·10⁶ and
+      // sat_ppm (k1+1)·10⁶ — the product passes Long at ~10⁷ docs
+      .agg(sum(expr("CAST((CAST(idf_ppm AS DECIMAL(38,0)) * sat_ppm) " +
+        "DIV 1000000 AS BIGINT)")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("n_terms"), col("score_ppm"),
+        col("rnk"))
+  }
+
+  /** Bradley–Terry strength fitting (Bradley & Terry 1952; Zermelo's MM
+    * iteration as given in Hunter 2004, "MM algorithms for generalized
+    * Bradley-Terry models") over pairwise preference outcomes — the
+    * reward-model / arena-ranking primitive that turns preference PAIRS
+    * (q222's output shape) into per-player STRENGTHS. Exact-integer
+    * iteration in ppm: each round
+    *   d_i  = Σ_j (c_ij · 1e9) // (w_i + w_j)      (c_ij = games vs j)
+    *   w_i' = (W_i · 1e9) // d_i                   (W_i = wins of i)
+    * then mean-normalizes to Σw = |players|·1e6 (the MM update is
+    * scale-free; pinning the mean makes every round — and the final
+    * strengths — cross-engine exact integers). Players with zero
+    * comparisons never appear; a player with zero WINS converges to
+    * strength 0 (the true MLE boundary). Integer truncation makes this a
+    * quantized MM step, not IEEE Zermelo — the fixed point differs from
+    * the float iteration by O(1e-6), which is the price of exactness.
+    *
+    * 100 TB shape: outcomes aggregate ONCE to the |players|²-bounded pair
+    * table (the only corpus-sized shuffle); every round is two joins + an
+    * aggregation on that table, localCheckpoint'd (the q95/PageRank
+    * lineage rule) — |players| is arena-sized (models, sources, domains),
+    * so rounds are broadcast-cheap. */
+  def bradleyTerryStrength(outcomes: DataFrame, winner: Column,
+      loser: Column, iters: Int = 3): DataFrame = {
+    val wl = outcomes.select(winner.as("wi"), loser.as("lo"))
+    val wins = wl.groupBy(col("wi").as("p")).agg(count(lit(1)).as("n_wins"))
+    // symmetric comparison counts: one row per ORDERED pair (i, j), c_ij =
+    // total games between them regardless of direction
+    val sym = wl.select(col("wi").as("i"), col("lo").as("j"))
+      .unionAll(wl.select(col("lo").as("i"), col("wi").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val players = sym.select(col("i").as("p")).distinct()
+      .join(wins, Seq("p"), "left")
+      .select(col("p"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .localCheckpoint()
+    // |players|-sized driver count (arena-bounded — the lloydCentroidsQ
+    // collect discipline): the normalization target Σw = nPlayers·1e6
+    val nPlayers: Long = players.count()
+    var w = players.select(col("p"), lit(1000000L).as("w"))
+    for (_ <- 0 until iters) {
+      val d = sym
+        .join(w.select(col("p").as("i"), col("w").as("wI")), Seq("i"))
+        .join(w.select(col("p").as("j"), col("w").as("wJ")), Seq("j"))
+        .groupBy(col("i").as("p"))
+        .agg(sum(org.apache.spark.sql.graft.Bridge.idiv(
+          col("c") * 1000000000L, col("wI") + col("wJ"))).as("d"))
+      val raw = players.join(d, Seq("p"))
+        .select(col("p"), org.apache.spark.sql.graft.Bridge.idiv(
+          col("n_wins") * 1000000000L, col("d")).as("wr"))
+      val tot = raw.agg(sum(col("wr")).as("s"))
+      w = raw.crossJoin(tot)
+        .select(col("p"), expr(
+          s"CAST((CAST(wr AS DECIMAL(38,0)) * 1000000 * $nPlayers) DIV s " +
+            "AS BIGINT)").as("w"))
+        .localCheckpoint()
+    }
+    players.join(w, Seq("p"))
+      .join(sym.groupBy(col("i").as("p")).agg(sum(col("c")).as("n_games")),
+        Seq("p"))
+      .select(col("p"), col("n_games"), col("n_wins"),
+        col("w").as("strength_ppm"))
+  }
 }

@@ -200,4 +200,54 @@ object EventsOps {
       .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
       .select(col("user_id"), col("h"), col("filled"))
   }
+
+  /** Conversation-structure audit for instruction-tuning data: given an
+    * interaction log mapped to (conversation, turn-order, role, token
+    * count), validate per conversation the structural contract SFT
+    * training assumes — starts with a user turn, roles strictly
+    * alternate — and compute the loss-mask token splits (assistant tokens
+    * train; user tokens are context). Returns one row per conversation:
+    * (conv_id, n_turns, n_user_turns, n_asst_turns, asst_tok, user_tok,
+    * starts_user, alternates, valid).
+    *
+    * 100 TB shape: ONE conversation-keyed aggregation (collect_list of a
+    * (ts, tie, role-bit, tokens) struct, sort_array for deterministic
+    * in-conversation order) and pure array HOFs after — conversations are
+    * bounded (a chat is not a corpus), so the per-group array is small by
+    * the data model; no window, no self-join. The alternation check walks
+    * adjacent pairs via element_at over the POST-AGGREGATION attribute
+    * (already materialized — the q197 lambda-inlining trap only bites
+    * expression aliases, not agg outputs). */
+  def conversationAudit(log: DataFrame, convId: Column, orderBy: Column,
+      tieBreak: Column, isUser: Column, nTok: Column): DataFrame = {
+    val turns = log.select(convId.as("conv_id"),
+        struct(orderBy.as("o"), tieBreak.as("tb"),
+          isUser.cast("long").as("u"), nTok.as("tk")).as("t"))
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+    turns
+      .withColumn("n_turns", size(col("ts")).cast("long"))
+      .withColumn("n_user_turns",
+        aggregate(col("ts"), lit(0L), (a, x) => a + x.getField("u")))
+      .withColumn("asst_tok", aggregate(col("ts"), lit(0L),
+        (a, x) => a + when(x.getField("u") === 0L, x.getField("tk"))
+          .otherwise(0L)))
+      .withColumn("user_tok", aggregate(col("ts"), lit(0L),
+        (a, x) => a + when(x.getField("u") === 1L, x.getField("tk"))
+          .otherwise(0L)))
+      .withColumn("starts_user",
+        (element_at(col("ts"), 1).getField("u") === 1L).cast("long"))
+      // sequence(2, n) DESCENDS when n = 1 (Spark generates backwards
+      // ranges) — a single-turn conversation alternates vacuously
+      .withColumn("alternates", when(size(col("ts")) < 2, lit(1L)).otherwise(
+        forall(sequence(lit(2), size(col("ts"))),
+          i => element_at(col("ts"), i).getField("u") =!=
+            element_at(col("ts"), i - 1).getField("u")).cast("long")))
+      .select(col("conv_id"), col("n_turns"), col("n_user_turns"),
+        (col("n_turns") - col("n_user_turns")).as("n_asst_turns"),
+        col("asst_tok"), col("user_tok"), col("starts_user"),
+        col("alternates"),
+        (col("starts_user") === 1L && col("alternates") === 1L)
+          .cast("long").as("valid"))
+  }
 }

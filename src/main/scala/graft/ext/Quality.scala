@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge.idiv
+
+/** Dataset-quality gates for training-data pipelines: a declarative
+  * constraint-audit suite (the Deequ/Great-Expectations shape — Schelter et
+  * al., VLDB'18 "Automating Large-Scale Data Quality Verification" — a
+  * public-knowledge construction) and inter-annotator agreement (Cohen's
+  * kappa, Cohen 1960) for labeled-data QA.
+  *
+  * Both operators are exact-integer (ppm metrics, no floats in the result)
+  * so every number is cross-engine mirrorable. Shapes are 100 TB-safe:
+  * the row-wise constraints fold into ONE aggregation pass over the table
+  * (conditional sums — adding a constraint adds a column, not a scan);
+  * uniqueness adds one distinct aggregate; each foreign-key constraint is
+  * one left-anti count against its reference table (broadcast while the
+  * reference is dimension-sized, shuffled hash join past that — AQE's
+  * call). Kappa's confusion matrix is one (labelA, labelB)-keyed two-phase
+  * hash aggregation; everything after runs on the |classes|²-sized relation.
+  */
+object Quality {
+
+  /** One declarative expectation over a table. `name` keys the result row. */
+  sealed trait Constraint { def name: String }
+
+  /** Column is non-null in at least `minPpm` of rows (default: all). */
+  final case class Complete(name: String, col: Column,
+      minPpm: Long = 1000000L) extends Constraint
+
+  /** The column tuple has no duplicate non-null values (candidate key). */
+  final case class Unique(name: String, cols: Seq[Column]) extends Constraint
+
+  /** Non-null values fall in the closed interval [lo, hi]. */
+  final case class InRange(name: String, col: Column, lo: Column,
+      hi: Column) extends Constraint
+
+  /** Non-null values come from the given finite domain. */
+  final case class InSet(name: String, col: Column,
+      values: Seq[String]) extends Constraint
+
+  /** Non-null values satisfy an arbitrary row predicate. */
+  final case class Satisfies(name: String, pred: Column) extends Constraint
+
+  /** Every non-null value exists in `ref`'s `refCol` (referential
+    * integrity; orphans are the violations). */
+  final case class ForeignKey(name: String, col: Column, ref: DataFrame,
+      refCol: Column) extends Constraint
+
+  /** Audit `df` against `constraints`; one result row per constraint:
+    * (constraint, n_rows, n_checked, n_violations, metric_ppm, pass).
+    * `n_checked` is the constraint's own denominator (all rows for
+    * Complete/Unique, non-null rows for the value constraints);
+    * `metric_ppm` = 1e6 · passing/checked (1e6 on an empty denominator —
+    * a vacuous constraint holds); `pass` = violations == 0 AND any
+    * completeness floor met. Violation ROWS are deliberately not returned
+    * (at 100 TB that's a table, not an answer) — callers re-filter with
+    * the constraint's own predicate to materialize offenders. */
+  def constraintAudit(df: DataFrame,
+      constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "constraintAudit: no constraints")
+    // Row-wise constraints: one conditional-sum aggregation pass. Each
+    // constraint contributes (violations, checked) columns; Unique
+    // contributes an exact distinct count over the key tuple.
+    val rowWise = constraints.collect {
+      case c: Complete  => c.name -> (c.col.isNull, lit(true))
+      case c: InRange   =>
+        c.name -> (c.col.isNotNull && !c.col.between(c.lo, c.hi),
+          c.col.isNotNull)
+      case c: InSet     =>
+        c.name -> (c.col.isNotNull && !c.col.isin(c.values: _*),
+          c.col.isNotNull)
+      case c: Satisfies =>
+        // NULL predicate = violation: a gate that cannot evaluate must
+        // not wave the row through (the q183 filter-attrition rule).
+        c.name -> (!coalesce(c.pred, lit(false)), lit(true))
+    }
+    val uniques = constraints.collect { case c: Unique => c }
+    val fks = constraints.collect { case c: ForeignKey => c }
+
+    val aggCols =
+      Seq(count(lit(1)).as("__n")) ++
+      rowWise.flatMap { case (n, (viol, checked)) => Seq(
+        sum(when(viol, 1L).otherwise(0L)).as(s"__v_$n"),
+        sum(when(checked, 1L).otherwise(0L)).as(s"__c_$n"))
+      } ++
+      uniques.flatMap { u => Seq(
+        count_distinct(struct(u.cols: _*)).as(s"__d_${u.name}"),
+        sum(when(u.cols.map(_.isNotNull).reduce(_ && _), 1L).otherwise(0L))
+          .as(s"__k_${u.name}"))
+      }
+    val base = df.agg(aggCols.head, aggCols.tail: _*)
+
+    def resultRow(src: DataFrame, name: String, checked: Column,
+        violations: Column): DataFrame =
+      src.select(lit(name).as("constraint"), col("__n").as("n_rows"),
+          checked.as("n_checked"), violations.as("n_violations"),
+          when(checked === 0L, 1000000L)
+            .otherwise(idiv((checked - violations) * 1000000L, checked))
+            .as("metric_ppm"))
+        .withColumn("pass", (col("n_violations") === 0L).cast("long"))
+
+    val rowResults = rowWise.map { case (n, _) =>
+      constraints.find(_.name == n).get match {
+        // Complete's pass applies the ppm floor (nulls are allowed up to
+        // 1e6 - minPpm of the table), not the zero-violation rule.
+        case c: Complete =>
+          resultRow(base, n, col(s"__c_$n"), col(s"__v_$n"))
+            .withColumn("pass",
+              (col("metric_ppm") >= c.minPpm).cast("long"))
+        case _ => resultRow(base, n, col(s"__c_$n"), col(s"__v_$n"))
+      }
+    }
+    val uniqResults = uniques.map { u =>
+      // Violations = key rows minus distinct keys (the count of EXTRA
+      // copies). count_distinct skips all-null tuples; __k counts rows
+      // where every key column is non-null, so for single-column keys the
+      // two sides agree exactly (a multi-column key with a partially-null
+      // tuple is counted distinct but not in __k — such keys are a
+      // Complete constraint's job first).
+      resultRow(base, u.name, col(s"__k_${u.name}"),
+        col(s"__k_${u.name}") - col(s"__d_${u.name}"))
+    }
+    val fkResults = fks.map { f =>
+      val orphans = df.select(f.col.as("__fk")).filter(col("__fk").isNotNull)
+        .join(f.ref.select(f.refCol.as("__fk")).distinct(), Seq("__fk"),
+          "left_anti")
+        .agg(count(lit(1)).as("__v"))
+      val nonNull = df.agg(
+        sum(when(f.col.isNotNull, 1L).otherwise(0L)).as("__c"),
+        count(lit(1)).as("__n"))
+      resultRow(nonNull.crossJoin(orphans), f.name, col("__c"), col("__v"))
+    }
+
+    (rowResults ++ uniqResults ++ fkResults)
+      .reduce(_.unionByName(_))
+      .orderBy(col("constraint"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) between two label columns, exact-integer:
+    * one row (n, n_agree, po_ppm, pe_ppm, kappa_ppm). po = observed
+    * agreement; pe = chance agreement from the marginals (Σ_c pA_c·pB_c);
+    * kappa = (po − pe)/(1 − pe), all in ppm with DECIMAL(38,0) guarding
+    * the n² products (n = 10⁸ rows puts n²·10⁶ at 10²² — past Long).
+    * kappa_ppm is NULL when pe = 1e6 (a constant labeler agrees by chance
+    * alone — kappa is undefined, not 0). NULL labels count as their own
+    * class on both sides (an abstention IS a disagreement with any real
+    * label): both columns coalesce to a sentinel before the matrix.
+    *
+    * 100 TB shape: ONE (a, b)-keyed two-phase hash aggregation over the
+    * corpus; marginals, pe, and kappa run on the |classes|²-sized
+    * confusion relation. */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val sentinel = "null"
+    val conf = df.select(
+        coalesce(labelA.cast("string"), lit(sentinel)).as("a"),
+        coalesce(labelB.cast("string"), lit(sentinel)).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val totals = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    val margA = conf.groupBy(col("a")).agg(sum(col("c")).as("na"))
+    val margB = conf.groupBy(col("b")).agg(sum(col("c")).as("nb"))
+    val peNum = margA.join(margB, col("a") === col("b"))
+      .agg(coalesce(sum(expr(
+        "CAST(na AS DECIMAL(38,0)) * nb")), lit(0L).cast("decimal(38,0)"))
+        .as("pe_num"))
+    totals.crossJoin(peNum)
+      .withColumn("po_ppm", idiv(col("n_agree") * 1000000L, col("n")))
+      .withColumn("pe_ppm", expr(
+        "CAST((pe_num * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n) " +
+          "AS BIGINT)"))
+      // negative kappa (systematic disagreement) divides as explicit
+      // sign · (|po−pe| // (1e6−pe)): Spark's DIV truncates toward zero
+      // while DuckDB's // floors — on a negative numerator they differ
+      // by one ulp, so both engines are pinned to the magnitude form
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") === 1000000L, lit(null).cast("long"))
+          .when(col("po_ppm") >= col("pe_ppm"),
+            idiv((col("po_ppm") - col("pe_ppm")) * 1000000L,
+              lit(1000000L) - col("pe_ppm")))
+          .otherwise(-idiv((col("pe_ppm") - col("po_ppm")) * 1000000L,
+            lit(1000000L) - col("pe_ppm"))))
+      .select(col("n"), col("n_agree"), col("po_ppm"), col("pe_ppm"),
+        col("kappa_ppm"))
+  }
+}

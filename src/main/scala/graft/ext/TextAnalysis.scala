@@ -358,6 +358,33 @@ object TextAnalysis {
       greatest(length(text).cast("long"), lit(1L)))
   }
 
+  /** The mojibake artifact pattern (shared with oracle SQL so both engines
+    * scan the identical regex): the classic double-encoded UTF-8 families --
+    * UTF-8 bytes of a non-ASCII char re-decoded as cp1252 and re-encoded,
+    * the single most common text-corruption mode in web corpora. Family 1:
+    * Latin-1 accents (U+00E9 e-acute -> bytes 0xC3 0xA9 -> a 2-char pair
+    * led by U+00C3); family 2: the cp1252 punctuation block (U+2019
+    * right-quote -> 0xE2 0x80 0x99 -> the a-circumflex/euro/trademark
+    * triple); plus the U+FFFD replacement char a lossy decode leaves
+    * behind. Built from code points so the source stays ASCII. */
+  val mojibakePattern: String = {
+    def c(cp: Int): String = new String(Character.toChars(cp))
+    c(0xC3) + "[" +
+      Seq(0xA9, 0xA8, 0xA1, 0xB3, 0xBA, 0xB1, 0xA7, 0xBC).map(c).mkString +
+      "]|" +
+      c(0xE2) + c(0x20AC) + "[" +
+      Seq(0x2122, 0x0153, 0xA6, 0x201C).map(c).mkString + "]|" +
+      c(0xFFFD)
+  }
+
+  /** Mojibake hit count per document: non-overlapping scan of
+    * [[mojibakePattern]] (regexp_extract_all -- same left-to-right
+    * semantics under Java regex and RE2); literal characters only, no
+    * engine-specific classes. Pure codegen, zero shuffle. */
+  def mojibakeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(mojibakePattern), lit(0)))
+      .cast("long")
+
   /** Longest run of one repeated character — the second junk signal
     * (padding storms, progress-bar dumps, `zzzz…` keyboard mash). One
     * in-order fold over the char array; 0 for empty text. */

@@ -18,6 +18,15 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Mojibake fixtures for q232, built from code points (ASCII source; the
+    * SAME Scala constants interpolate into the DuckDB oracle, so the two
+    * engines inject byte-identical corruption): a double-encoded e-acute +
+    * right-quote tail and a U+FFFD replacement-char tail. */
+  private def cp(c: Int): String = new String(Character.toChars(c))
+  private val mojiTail1: String =
+    s" encod${cp(0xC3)}${cp(0xA9)} don${cp(0xE2)}${cp(0x20AC)}${cp(0x2122)}t"
+  private val mojiTail2: String = s" bad${cp(0xFFFD)}byte"
+
   /** Scratch-table hygiene for queries that build bucketed catalog tables:
     * drop the catalog entry AND any orphaned warehouse directory a previous
     * aborted run left behind (saveAsTable refuses a managed location that
@@ -637,6 +646,138 @@ object PipelineOps {
       Curation.waterFillAlloc(t(s, dir, "documents"), col("lang"),
           TA.tokenCount(col("text")), budgetPpm = 850000L)
         .withColumnRenamed("k", "lang")
+        .orderBy(col("lang"))
+    }),
+    "q227_bm25_search" -> ((s, dir) => {
+      // BM25 lexical retrieval: top-10 docs for three probe queries,
+      // exact-integer Okapi scoring (integer-rational idf, cleared-
+      // denominator saturation). Probe terms broadcast; only their
+      // postings shuffle.
+      val s2 = s; import s2.implicits._
+      val probes = Seq((1L, "slow merge table"), (2L, "hash join fast"),
+        (3L, "window sort batch")).toDF("q_id", "q_text")
+      Curation.bm25TopK(t(s, dir, "documents"), col("doc_id"), col("text"),
+          probes, col("q_id"), col("q_text"), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "q228_bradley_terry" -> ((s, dir) => {
+      // Bradley-Terry arena over sources: consecutive doc pairs are
+      // "matches" judged by gini diversity (ties and same-source pairs
+      // drop), 3 exact-integer MM rounds turn the win table into
+      // per-source strengths — the preference-pairs -> reward-strength
+      // step of an RLHF data pipeline.
+      val d = t(s, dir, "documents").select(
+        org.apache.spark.sql.graft.Bridge.idiv(col("doc_id"), lit(2L))
+          .as("pid"),
+        pmod(col("doc_id"), lit(2L)).as("side"),
+        col("source"), TA.giniDiversityPpm(col("text")).as("g"))
+      val a = d.filter(col("side") === 0)
+        .select(col("pid"), col("source").as("sa"), col("g").as("ga"))
+      val b = d.filter(col("side") === 1)
+        .select(col("pid"), col("source").as("sb"), col("g").as("gb"))
+      val outcomes = a.join(b, "pid")
+        .filter(col("sa") =!= col("sb") && col("ga") =!= col("gb"))
+        .select(
+          when(col("ga") > col("gb"), col("sa")).otherwise(col("sb"))
+            .as("winner"),
+          when(col("ga") > col("gb"), col("sb")).otherwise(col("sa"))
+            .as("loser"))
+      Curation.bradleyTerryStrength(outcomes, col("winner"), col("loser"),
+          iters = 3)
+        .orderBy(col("p"))
+    }),
+    "q229_constraint_audit" -> ((s, dir) => {
+      // Deequ-style declarative data-quality audit over a deliberately
+      // dirtied orders view (planted FK orphans, negated prices, nulled
+      // statuses): five constraint families, row-wise ones folded into
+      // ONE aggregation pass.
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(97L)) === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(53L)) === 0,
+          lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(31L)) === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ext.Quality.constraintAudit(o, Seq(
+        graft.ext.Quality.Complete("status_complete", col("o_orderstatus"),
+          minPpm = 990000L),
+        graft.ext.Quality.Unique("orderkey_unique", Seq(col("o_orderkey"))),
+        graft.ext.Quality.InRange("price_range", col("o_totalprice"),
+          lit(0.0), lit(1000000.0)),
+        graft.ext.Quality.InSet("status_domain", col("o_orderstatus"),
+          Seq("O", "F", "P")),
+        graft.ext.Quality.ForeignKey("custkey_fk", col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey"))))
+    }),
+    "q230_annotator_agreement" -> ((s, dir) => {
+      // Cohen's kappa between two deterministic "annotators" (char-band
+      // vs token-band labelers — correlated but not identical): the
+      // labeled-data QA gate, exact-integer ppm.
+      val docs = t(s, dir, "documents")
+      val la = when(col("n_chars") < 120, "short")
+        .when(col("n_chars") < 200, "mid").otherwise("long")
+      val lb = when(TA.tokenCount(col("text")) < 25, "short")
+        .when(TA.tokenCount(col("text")) < 40, "mid").otherwise("long")
+      graft.ext.Quality.cohenKappa(docs, la, lb)
+    }),
+    "q231_sft_turns" -> ((s, dir) => {
+      // SFT conversation-structure audit: events as conversations
+      // (user_id = conversation, click/view = user turns), validating
+      // the starts-with-user strict-alternation contract and computing
+      // loss-mask token splits per conversation.
+      graft.ext.EventsOps.conversationAudit(t(s, dir, "events"),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("event_type").isin("click", "view"),
+          TA.tokenCount(col("props")))
+        .orderBy(col("conv_id"))
+    }),
+    "q232_mojibake_audit" -> ((s, dir) => {
+      // Encoding-corruption audit: every 13th doc gets a double-encoded
+      // UTF-8 tail, every 29th a replacement-char tail; the per-source
+      // report must isolate exactly the planted corruption.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(13L)) === 0, lit(mojiTail1))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(29L)) === 0, lit(mojiTail2))
+            .otherwise(lit(""))).as("text"))
+      docs.select(col("doc_id"), col("source"),
+          TA.mojibakeCount(col("text")).as("hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("hits") > 0).cast("long")).as("n_flagged"),
+          sum(col("hits")).as("n_hits"),
+          sum(when(col("hits") > 0, col("doc_id")).otherwise(0L))
+            .as("checksum"))
+        .withColumn("flagged_ppm", org.apache.spark.sql.graft.Bridge.idiv(
+          col("n_flagged") * 1000000L, col("n_docs")))
+        .orderBy(col("source"))
+    }),
+    "q233_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer-fairness audit: chars-per-BPE-token and BPE-tokens-
+      // per-word by language under the 4-merge trained vocabulary — the
+      // fertility skew that decides which languages pay more tokens for
+      // the same text.
+      val docs = t(s, dir, "documents")
+      val wc = graft.ext.Bpe.wordCounts(docs, col("text"))
+      val merges = graft.ext.Bpe.trainMerges(wc, nMerges = 4)
+      val vocab = graft.ext.Bpe.encodeWords(wc, merges)
+      docs.select(col("doc_id"), col("lang"),
+          explode(TA.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(vocab.select(col("w"), col("n_tok"))), "w")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("n_tok")).as("n_bpe_tok"))
+        .withColumn("chars_per_tok_ppm",
+          org.apache.spark.sql.graft.Bridge.idiv(
+            col("n_chars") * 1000000L, col("n_bpe_tok")))
+        .withColumn("tok_per_word_ppm",
+          org.apache.spark.sql.graft.Bridge.idiv(
+            col("n_bpe_tok") * 1000000L, col("n_words")))
         .orderBy(col("lang"))
     }),
     "q226_k_anonymity" -> ((s, dir) => {
@@ -2615,6 +2756,206 @@ object PipelineOps {
     "q49b_ann_ivf" ->
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "q227_bm25_search" ->
+      raw"""WITH dt AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+         |    FROM documents)
+         |  GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |q AS (SELECT * FROM (VALUES (1, 'slow merge table'),
+         |  (2, 'hash join fast'), (3, 'window sort batch')) AS x(q_id, q_text)),
+         |qt AS (SELECT DISTINCT q_id,
+         |  unnest(string_split_regex(trim(q_text), '\s+')) AS t FROM q),
+         |qterms AS (SELECT DISTINCT t FROM qt),
+         |p AS (SELECT dt.* FROM dt JOIN qterms USING (t)),
+         |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM p GROUP BY t),
+         |sc AS (
+         |  SELECT qt.q_id, p.doc_id,
+         |    CAST(((tot.n_docs - dft.df_t + 1) * 1000000) // (dft.df_t + 1)
+         |      AS BIGINT) AS idf_ppm,
+         |    CAST((CAST(p.tf AS HUGEINT) * 1000000000 * 2200 * tot.tt) //
+         |      (CAST(p.tf AS HUGEINT) * 1000000 * tot.tt
+         |       + CAST(300000 AS HUGEINT) * tot.tt
+         |       + CAST(900000 AS HUGEINT) * dl.dl * tot.n_docs)
+         |      AS BIGINT) AS sat_ppm
+         |  FROM p JOIN dft USING (t) JOIN dl USING (doc_id)
+         |    JOIN qt USING (t), tot),
+         |agg AS (
+         |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum((CAST(idf_ppm AS HUGEINT) * sat_ppm) // 1000000)
+         |      AS BIGINT) AS score_ppm
+         |  FROM sc GROUP BY q_id, doc_id),
+         |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_terms, score_ppm, rnk
+         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q228_bradley_terry" ->
+      (raw"""WITH tok AS (
+          |  SELECT doc_id, source,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |cnt AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+          |  FROM tok GROUP BY doc_id, source, w),
+          |gd AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+          |  CAST(sum(c * c) AS BIGINT) AS sumsq
+          |  FROM cnt GROUP BY doc_id, source),
+          |g AS (SELECT doc_id, source,
+          |  1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS g FROM gd),
+          |pa AS (SELECT doc_id // 2 AS pid, source, g FROM g WHERE doc_id % 2 = 0),
+          |pb AS (SELECT doc_id // 2 AS pid, source, g FROM g WHERE doc_id % 2 = 1),
+          |o AS (SELECT
+          |    CASE WHEN pa.g > pb.g THEN pa.source ELSE pb.source END AS winner,
+          |    CASE WHEN pa.g > pb.g THEN pb.source ELSE pa.source END AS loser
+          |  FROM pa JOIN pb USING (pid)
+          |  WHERE pa.source <> pb.source AND pa.g <> pb.g),
+          |wins AS (SELECT winner AS p, CAST(count(*) AS BIGINT) AS n_wins
+          |  FROM o GROUP BY winner),
+          |sym AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT winner AS i, loser AS j FROM o
+          |    UNION ALL SELECT loser AS i, winner AS j FROM o)
+          |  GROUP BY i, j),
+          |pl AS (SELECT p, CAST(coalesce(n_wins, 0) AS BIGINT) AS n_wins
+          |  FROM (SELECT DISTINCT i AS p FROM sym) LEFT JOIN wins USING (p)),
+          |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pl),
+          |w0 AS (SELECT p, CAST(1000000 AS BIGINT) AS w FROM pl),
+          |""".stripMargin +
+        btRoundCtes(3) +
+        """,
+          |ng AS (SELECT i AS p, CAST(sum(c) AS BIGINT) AS n_games
+          |  FROM sym GROUP BY i)
+          |SELECT pl.p, ng.n_games, pl.n_wins, w3.w AS strength_ppm
+          |FROM pl JOIN w3 USING (p) JOIN ng USING (p) ORDER BY p""".stripMargin),
+    "q229_constraint_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_compl,
+        |    CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_uniq,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_uniq,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND NOT (o_totalprice BETWEEN 0 AND 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_fk
+        |  FROM o),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v_fk FROM o
+        |  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+        |u AS (
+        |  SELECT 'custkey_fk' AS cname, n AS n_rows, c_fk AS n_checked,
+        |    v_fk AS n_violations, 0 AS is_compl FROM base, fk
+        |  UNION ALL SELECT 'orderkey_unique', n, k_uniq, k_uniq - d_uniq, 0 FROM base
+        |  UNION ALL SELECT 'price_range', n, c_price, v_price, 0 FROM base
+        |  UNION ALL SELECT 'status_complete', n, n, v_compl, 1 FROM base
+        |  UNION ALL SELECT 'status_domain', n, c_status, v_status, 0 FROM base),
+        |m AS (SELECT cname, n_rows, n_checked, n_violations, is_compl,
+        |  CAST(CASE WHEN n_checked = 0 THEN 1000000
+        |    ELSE ((n_checked - n_violations) * 1000000) // n_checked END AS BIGINT) AS metric_ppm
+        |  FROM u)
+        |SELECT cname AS "constraint", n_rows, n_checked, n_violations, metric_ppm,
+        |  CAST(CASE WHEN is_compl = 1
+        |    THEN CASE WHEN metric_ppm >= 990000 THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN n_violations = 0 THEN 1 ELSE 0 END END AS BIGINT) AS pass
+        |FROM m ORDER BY cname""".stripMargin,
+    "q230_annotator_agreement" ->
+      raw"""WITH l AS (
+         |  SELECT
+         |    CASE WHEN n_chars < 120 THEN 'short'
+         |         WHEN n_chars < 200 THEN 'mid' ELSE 'long' END AS a,
+         |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 25 THEN 'short'
+         |         WHEN len(string_split_regex(trim(text), '\s+')) < 40 THEN 'mid'
+         |         ELSE 'long' END AS b
+         |  FROM documents),
+         |l2 AS (SELECT coalesce(a, 'null') AS a, coalesce(b, 'null') AS b FROM l),
+         |conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM l2 GROUP BY a, b),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM conf),
+         |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM conf GROUP BY a),
+         |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM conf GROUP BY b),
+         |pe AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS pe_num
+         |  FROM ma JOIN mb ON ma.a = mb.b),
+         |x AS (SELECT n, n_agree,
+         |  CAST((n_agree * 1000000) // n AS BIGINT) AS po_ppm,
+         |  CAST((pe_num * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+         |  FROM tot, pe)
+         |SELECT n, n_agree, po_ppm, pe_ppm,
+         |  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL
+         |    WHEN po_ppm >= pe_ppm
+         |      THEN ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
+         |    ELSE -(((pe_ppm - po_ppm) * 1000000) // (1000000 - pe_ppm))
+         |  END AS BIGINT) AS kappa_ppm
+         |FROM x""".stripMargin,
+    "q231_sft_turns" ->
+      raw"""WITH e AS (
+         |  SELECT user_id AS conv_id,
+         |    list(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END
+         |      ORDER BY ts, event_id) AS us,
+         |    list(CAST(len(string_split_regex(trim(props), '\s+')) AS BIGINT)
+         |      ORDER BY ts, event_id) AS tks
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT conv_id, CAST(len(us) AS BIGINT) AS n_turns,
+         |    CAST(list_sum(us) AS BIGINT) AS n_user_turns,
+         |    CAST(list_sum(list_transform(range(1, len(us) + 1),
+         |      i -> CASE WHEN us[i] = 0 THEN tks[i] ELSE 0 END)) AS BIGINT) AS asst_tok,
+         |    CAST(list_sum(list_transform(range(1, len(us) + 1),
+         |      i -> CASE WHEN us[i] = 1 THEN tks[i] ELSE 0 END)) AS BIGINT) AS user_tok,
+         |    CAST(CASE WHEN us[1] = 1 THEN 1 ELSE 0 END AS BIGINT) AS starts_user,
+         |    CAST(CASE WHEN len(us) < 2 OR len(list_filter(range(2, len(us) + 1),
+         |      i -> us[i] = us[i-1])) = 0 THEN 1 ELSE 0 END AS BIGINT) AS alternates
+         |  FROM e)
+         |SELECT conv_id, n_turns, n_user_turns,
+         |  n_turns - n_user_turns AS n_asst_turns,
+         |  asst_tok, user_tok, starts_user, alternates,
+         |  CAST(CASE WHEN starts_user = 1 AND alternates = 1 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS valid
+         |FROM m ORDER BY conv_id""".stripMargin,
+    "q232_mojibake_audit" ->
+      (s"""WITH d AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 13 = 0 THEN '$mojiTail1' ELSE '' END ||
+         |    CASE WHEN doc_id % 29 = 0 THEN '$mojiTail2' ELSE '' END AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id, source,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.ext.TextAnalysis.mojibakePattern}')) AS BIGINT) AS hits
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN hits > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS checksum,
+         |  (CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS flagged_ppm
+         |FROM h GROUP BY source ORDER BY source""".stripMargin),
+    "q233_tokenizer_fertility" ->
+      (s"WITH ${bpeCtes(4)},\n" +
+        raw"""vocab AS (
+           |  SELECT w, CAST(len(list_filter(string_split(s, chr(1)||chr(1)),
+           |    t -> t <> '')) AS BIGINT) AS n_tok FROM s4),
+           |dtk AS (
+           |  SELECT doc_id, lang,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS w
+           |  FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tok,
+           |  (CAST(sum(length(w)) AS BIGINT) * 1000000)
+           |    // CAST(sum(n_tok) AS BIGINT) AS chars_per_tok_ppm,
+           |  (CAST(sum(n_tok) AS BIGINT) * 1000000)
+           |    // CAST(count(*) AS BIGINT) AS tok_per_word_ppm
+           |FROM dtk JOIN vocab USING (w) WHERE w <> ''
+           |GROUP BY lang ORDER BY lang""".stripMargin),
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -5422,6 +5763,24 @@ object PipelineOps {
     s"WITH ${parts.mkString(",\n")}\n" +
       s"SELECT rank, vec_id, rel, gain FROM selu$k ORDER BY rank"
   }
+
+  /** The q228 Bradley–Terry MM rounds, unrolled: each round computes the
+    * per-player denominator d (Σ over opponents of c·1e9 // (w_i + w_j)),
+    * the raw MM update wr = n_wins·1e9 // d, and the mean-normalized
+    * strengths w (Σw pinned to |players|·1e6) — the identical integer
+    * sequence [[graft.ext.Curation.bradleyTerryStrength]] runs. */
+  private def btRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS (SELECT sym.i AS p,
+         |  CAST(sum((c * 1000000000) // (wi.w + wj.w)) AS BIGINT) AS d
+         |  FROM sym JOIN w${i - 1} wi ON wi.p = sym.i
+         |    JOIN w${i - 1} wj ON wj.p = sym.j GROUP BY sym.i),
+         |r$i AS (SELECT pl.p, (pl.n_wins * 1000000000) // d$i.d AS wr
+         |  FROM pl JOIN d$i USING (p)),
+         |s$i AS (SELECT CAST(sum(wr) AS HUGEINT) AS s FROM r$i),
+         |w$i AS (SELECT p, CAST((CAST(wr AS HUGEINT) * 1000000 * np) // s
+         |  AS BIGINT) AS w FROM r$i, s$i, np)""".stripMargin
+    }.mkString(",\n")
 
   private def bpeCtes(n: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer(

@@ -2158,4 +2158,164 @@ class ExtSpec extends AnyFunSuite {
     val gotSet = got.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getLong(5))).toSet
     assert(gotSet === exp)
   }
+
+  test("constraint audit: every family detects its planted violation") {
+    import graft.ext.Quality
+    val df = Seq(
+      (1L, Some(10L), Some("O"), Some(50.0)),   // clean
+      (2L, Some(10L), Some("O"), Some(50.0)),   // dup key vs... keys unique; dup VALUE ok
+      (2L, Some(99L), Some("X"), Some(-1.0)),   // dup key + bad status + bad range + orphan fk
+      (4L, None, None, None)                    // nulls
+    ).toDF("k", "fk", "status", "price")
+    val ref = Seq(10L).toDF("rk")
+    val out = Quality.constraintAudit(df, Seq(
+      Quality.Complete("c_status", col("status"), minPpm = 900000L),
+      Quality.Unique("u_key", Seq(col("k"))),
+      Quality.InRange("r_price", col("price"), lit(0.0), lit(100.0)),
+      Quality.InSet("s_status", col("status"), Seq("O", "F")),
+      Quality.ForeignKey("f_fk", col("fk"), ref, col("rk"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // 4 rows; status null on 1 of 4 -> 750000 ppm < 900000 floor -> fail
+    assert(out("c_status") === ((4L, 4L, 1L, 750000L, 0L)))
+    // keys {1,2,2,4}: 4 checked, 3 distinct -> 1 extra copy
+    assert(out("u_key") === ((4L, 4L, 1L, 750000L, 0L)))
+    // prices {50,50,-1}: 3 checked, 1 out of range
+    assert(out("r_price") === ((4L, 3L, 1L, 666666L, 0L)))
+    // statuses {O,O,X}: 3 checked, X outside {O,F}
+    assert(out("s_status") === ((4L, 3L, 1L, 666666L, 0L)))
+    // fks {10,10,99}: 3 checked, 99 orphaned
+    assert(out("f_fk") === ((4L, 3L, 1L, 666666L, 0L)))
+  }
+
+  test("constraint audit: clean table passes everything") {
+    import graft.ext.Quality
+    val df = Seq((1L, "O"), (2L, "F")).toDF("k", "status")
+    val out = Quality.constraintAudit(df, Seq(
+      Quality.Unique("u", Seq(col("k"))),
+      Quality.InSet("s", col("status"), Seq("O", "F"))))
+      .collect()
+    assert(out.forall(r => r.getLong(3) == 0L && r.getLong(4) == 1000000L
+      && r.getLong(5) == 1L))
+  }
+
+  test("cohen kappa: hand-computed value, constant labeler, null labels") {
+    import graft.ext.Quality
+    // 10 rows: 8 agreements; marginals A: 6 x, 4 y; B: 6 x, 4 y
+    // po = 0.8 -> 800000; pe = (36+16)/100 = 0.52 -> 520000
+    // kappa = (0.8-0.52)/(1-0.52) = 0.28/0.48 -> 583333
+    val rows = Seq.fill(5)(("x", "x")) ++ Seq.fill(3)(("y", "y")) ++
+      Seq(("x", "y"), ("y", "x"))
+    val out = Quality.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((10L, 8L, 800000L, 520000L, 583333L)))
+    // constant identical labelers: pe = 1e6 -> kappa undefined (NULL)
+    val const = Quality.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(const.getLong(2) === 1000000L && const.isNullAt(4))
+    // NULL labels are a class: (null,null) agrees, (x,null) disagrees
+    val withNulls = Quality.cohenKappa(
+      Seq((Some("x"), Some("x")), (None, None), (Some("x"), None))
+        .toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(withNulls.getLong(0) === 3L && withNulls.getLong(1) === 2L)
+  }
+
+  test("cohen kappa: systematic disagreement goes negative") {
+    import graft.ext.Quality
+    // perfect anti-correlation on balanced marginals: po=0, pe=0.5,
+    // kappa = -0.5/0.5 = -1
+    val rows = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))
+    val out = Quality.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(out.getLong(4) === -1000000L)
+  }
+
+  test("bm25: tf saturation ranks, rare term outweighs common term") {
+    val docs = Seq(
+      (1L, "rare word filler filler filler"),
+      (2L, "common word filler filler filler"),
+      (3L, "common common word filler filler"),
+      (4L, "common filler other other other"),
+      (5L, "other other other other other")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare common")).toDF("q_id", "q_text")
+    val out = Curation.bm25TopK(docs, col("doc_id"), col("text"),
+        qs, col("q_id"), col("q_text"), k = 5)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // doc 1 holds the rarest term (df=1) -> highest idf -> top rank;
+    // doc 3 has tf=2 of 'common' and must beat the tf=1 docs 2 and 4
+    assert(out.head._1 === 1L)
+    val byDoc = out.toMap
+    assert(byDoc(3L) > byDoc(2L) && byDoc(2L) === byDoc(4L))
+    // absent docs don't appear (doc 5 matches no query term)
+    assert(!byDoc.contains(5L))
+  }
+
+  test("bradley-terry: dominance ordering, zero-win floor, conservation") {
+    val outcomes = (Seq.fill(3)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(1)(("A", "C"))).toDF("w", "l")
+    val out = Curation.bradleyTerryStrength(outcomes, col("w"), col("l"),
+        iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // A: 4 wins / 4 games, B: 2/5, C: 0/3
+    assert(out("A")._1 === 4L && out("A")._2 === 4L)
+    assert(out("B")._1 === 5L && out("B")._2 === 2L)
+    assert(out("C")._1 === 3L && out("C")._2 === 0L)
+    // undefeated A outranks B outranks winless C; C converges toward 0
+    assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3)
+    assert(out("C")._3 < 100000L)
+    // mean-normalization: Sum(w) = 3e6 within integer truncation
+    val tot = out.values.map(_._3).sum
+    assert(tot > 3000000L - 10L && tot <= 3000000L)
+  }
+
+  test("conversation audit: alternation contract and loss-mask splits") {
+    import graft.ext.EventsOps
+    val log = Seq(
+      // conv 1: valid u/a/u/a
+      (1L, 10L, 1L, true, 3L), (1L, 20L, 2L, false, 5L),
+      (1L, 30L, 3L, true, 2L), (1L, 40L, 4L, false, 7L),
+      // conv 2: starts with assistant
+      (2L, 10L, 1L, false, 4L), (2L, 20L, 2L, true, 1L),
+      // conv 3: double user turn
+      (3L, 10L, 1L, true, 1L), (3L, 20L, 2L, true, 1L),
+      (3L, 30L, 3L, false, 9L),
+      // conv 4: single user turn (vacuously alternating, valid)
+      (4L, 10L, 1L, true, 6L)
+    ).toDF("conv", "ts", "eid", "is_user", "tok")
+    val out = EventsOps.conversationAudit(log, col("conv"), col("ts"),
+        col("eid"), col("is_user"), col("tok"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))
+    }
+    assert(row(1L) === ((4L, 2L, 2L, 12L, 5L, 1L, 1L, 1L)))
+    assert(row(2L) === ((2L, 1L, 1L, 4L, 1L, 0L, 1L, 0L)))
+    assert(row(3L) === ((3L, 2L, 1L, 9L, 2L, 1L, 0L, 0L)))
+    assert(row(4L) === ((1L, 1L, 0L, 0L, 6L, 1L, 1L, 1L)))
+  }
+
+  test("mojibake count: planted artifacts hit, clean text does not") {
+    def cp(c: Int) = new String(Character.toChars(c))
+    val eAcuteMoji = cp(0xC3) + cp(0xA9)
+    val quoteMoji = cp(0xE2) + cp(0x20AC) + cp(0x2122)
+    val df = Seq(
+      (1L, s"caf$eAcuteMoji and don${quoteMoji}t"),
+      (2L, "perfectly clean ascii text"),
+      (3L, s"lost${cp(0xFFFD)}byte"),
+      // the PROPERLY-encoded chars must NOT fire (that's the whole point)
+      (4L, "caf" + cp(0xE9) + " don" + cp(0x2019) + "t")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.mojibakeCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
 }

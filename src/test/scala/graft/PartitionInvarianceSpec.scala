@@ -86,7 +86,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q217_freshness_decay", "q218_rate_anomaly", "q219_stream_cm_sketch",
     "q220_quantile_normalize", "q221_exact_split", "q222_preference_pairs",
     "q223_novelty_score", "q224_mixed_language", "q225_term_associations",
-    "q226_k_anonymity")
+    "q226_k_anonymity",
+    // session 5: BM25 postings scoring, iterative BT fit, one-pass
+    // constraint audit, confusion-matrix kappa, ordered conversation
+    // reassembly (collect_list + struct sort), regex corruption scan,
+    // BPE-vocab fertility rollup
+    "q227_bm25_search", "q228_bradley_terry", "q229_constraint_audit",
+    "q230_annotator_agreement", "q231_sft_turns", "q232_mojibake_audit",
+    "q233_tokenizer_fertility")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
