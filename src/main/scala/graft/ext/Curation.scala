@@ -1454,6 +1454,112 @@ object Curation {
     * aggregation on that table, localCheckpoint'd (the q95/PageRank
     * lineage rule) — |players| is arena-sized (models, sources, domains),
     * so rounds are broadcast-cheap. */
+  /** Exact-integer nDCG discount table: d(r) = ⌊10⁹ / log₂(r+1)⌋ for ranks
+    * 1..k. The doubles are evaluated ONCE here (plan time, driver JVM) and
+    * the resulting Long constants are what both engines consume — the
+    * oracle SQL interpolates this very sequence into a VALUES table, so the
+    * logarithm never runs inside either engine and last-ulp libm drift
+    * can't touch the metric (the q61/q227 integer-idf discipline applied to
+    * the Järvelin & Kekäläinen discount). */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => (1e9 * math.log(2.0) / math.log(r + 1.0)).toLong)
+
+  /** Ranking-quality audit: nDCG@k (Järvelin & Kekäläinen 2002) of a ranked
+    * result list against graded relevance labels — the measure-before-trust
+    * number for any retrieval stack (BM25, ANN, fused). Input is one row
+    * per (query, retrieved doc) carrying the system's rank and the doc's
+    * graded relevance; the ideal ordering is the retrieved set re-sorted by
+    * (relevance DESC, system rank) — nDCG@k over the judged pool, the
+    * standard offline form when unjudged docs carry no labels.
+    * dcg_n = Σ rel·d(rank) in 10⁻⁹ units ([[ndcgDiscounts]]);
+    * ndcg_ppm = 10⁶·dcg // idcg (NULL when idcg = 0: an all-zero-relevance
+    * list has no defined normalization, and 0 would fake a worst-case).
+    *
+    * 100 TB shape: the input is already top-k-per-query (query-count ×
+    * k rows); one window for the ideal ranks and one query-keyed
+    * aggregation — never corpus-sized. */
+  def ndcgAtK(ranked: DataFrame, qId: Column, rank: Column, rel: Column,
+      k: Int): DataFrame = {
+    val disc = ndcgDiscounts(k)
+    def discOf(r: Column): Column =
+      element_at(array(disc.map(lit): _*), r.cast("int"))
+    val base = ranked.select(qId.as("q_id"), rank.cast("long").as("rnk"),
+        rel.cast("long").as("rel"))
+      .filter(col("rnk") <= k)
+    val wI = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("rnk"))
+    base.withColumn("irnk", row_number().over(wI).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("rel") * discOf(col("rnk"))).as("dcg_n"),
+        sum(col("rel") * discOf(col("irnk"))).as("idcg_n"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_n") === 0, lit(null).cast("long"))
+          .otherwise(org.apache.spark.sql.graft.Bridge.idiv(
+            col("dcg_n") * 1000000L, col("idcg_n"))))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N ranked
+    * lists: score(d) = Σ_lists ⌊10⁶ / (kRrf + rank)⌋, the standard hybrid-
+    * retrieval combiner (lexical BM25 + vector ANN, or any ranker mix) —
+    * exact-integer, so the fused order is cross-engine reproducible. Docs
+    * missing from a list simply contribute nothing (the RRF convention);
+    * ties break (rrf_ppm DESC, doc_id). Each input carries
+    * (q_id, doc_id, rnk).
+    *
+    * 100 TB shape: inputs are top-k-per-query lists (never corpus-sized);
+    * the union groups on (q_id, doc_id) — ≤ N·k rows per query — and one
+    * per-query window cuts the fused top-k. */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int,
+      kRrf: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val u = rankings
+      .map(_.select(col("q_id"), col("doc_id"), col("rnk").cast("long")
+        .as("rnk")))
+      .reduce(_ unionAll _)
+    val fused = u.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_rankers"),
+        sum(org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L), lit(kRrf) + col("rnk"))).as("rrf_ppm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
+  /** Weighted sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis (2006) one-pass bottom-k shape with a
+    * deterministic integer surrogate for the random key: u comes from the
+    * seeded md5 fold (uniform over [0, 16¹⁵), reproducible in any engine)
+    * and the selection key is ⌊u / w⌋ instead of u^(1/w) — monotone the
+    * same way (heavier rows draw stochastically smaller keys, w·E[rows
+    * selected] proportionality approximately preserved) but engine-exact,
+    * which u^(1/w)'s float pow is not. Zero/negative weights are excluded
+    * (they'd win every sample or divide by zero — callers gate upstream).
+    * Different seeds give independent samples, so per-epoch redraws are a
+    * seed change (the [[shuffleKey]] discipline).
+    *
+    * 100 TB shape: the key is a per-row map at scan speed; selection is one
+    * bounded per-stratum window (bottom-k heap per partition, k rows out) —
+    * the exact shape of [[kmvStratumSketch]]. */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, k: Int, seed: String): DataFrame = {
+    val hv = conv(substring(
+      md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val base = df.select(stratum.as("stratum"), id.as("id"),
+        weight.cast("long").as("w"), hv.as("hv"))
+      .filter(col("w") > 0)
+      .withColumn("priority",
+        org.apache.spark.sql.graft.Bridge.idiv(col("hv"), col("w")))
+    val win = Window.partitionBy(col("stratum"))
+      .orderBy(col("priority"), col("id"))
+    base.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("stratum"), col("id"), col("w"), col("priority"),
+        col("rnk"))
+  }
+
   def bradleyTerryStrength(outcomes: DataFrame, winner: Column,
       loser: Column, iters: Int = 3): DataFrame = {
     val wl = outcomes.select(winner.as("wi"), loser.as("lo"))

@@ -273,6 +273,73 @@ object Similarity {
         (col("own_label") === col("voted_label")).as("agree"))
   }
 
+  /** Classifier-calibration audit: expected calibration error (ECE —
+    * Naeini et al. 2015; Guo et al. 2017) of a centroid classifier over the
+    * embedding corpus. The classifier is k-means-trained ([[lloydCentroidsQ]],
+    * deterministic low-id seeds); each vector's prediction is its nearest
+    * cell's majority label, and its confidence is the integer distance
+    * margin conf_ppm = 10⁶·d₂ / (d₁+d₂) ∈ [5·10⁵, 10⁶] (d₁/d₂ = squared-L2
+    * to the best/second cell; ties on a centroid → ½). Rows bucket by
+    * confidence into `buckets` equal bins over [½, 1]; per bin the audit
+    * reports accuracy vs mean confidence and their gap, plus the corpus
+    * ECE_ppm = Σ n_b·gap_b / N — the "is the model's confidence honest"
+    * number every auto-labeling / filtering pipeline needs before using
+    * scores as sampling weights. NULL labels are excluded (no ground
+    * truth). All arithmetic integer; the d₂·10⁶ product is
+    * DECIMAL(38,0)-guarded (quantized squared distances reach 2.6·10¹⁴ at
+    * unit-norm 64-dim, ×10⁶ passes Long by construction).
+    *
+    * 100 TB shape: training is the k-bounded Lloyd loop (one corpus
+    * aggregation per round); assignment + margin is a per-row map over
+    * centroid literals (zero shuffle); majority labels are a k·|labels|
+    * aggregation broadcast back; the report is `buckets` rows. */
+  def calibrationProfile(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      buckets: Int = 10): DataFrame = {
+    require(k >= 2, "calibrationProfile: need k >= 2 for a margin")
+    require(500000 % buckets == 0, "calibrationProfile: buckets must divide 500000")
+    import org.apache.spark.sql.graft.Bridge.idiv
+    val q = quantized(emb.select(col("vec_id"), col("embedding")), 1e6)
+    val cents = lloydCentroidsQ(q, k, iters)
+    val top2 = q.select(col("vec_id"),
+        slice(array_sort(array(cents.indices.map(i =>
+          struct(sqDist(col("qv"), cents(i)).as("d"),
+            lit(i.toLong).as("c"))): _*)), 1, 2).as("t2"))
+      .select(col("vec_id"),
+        col("t2").getItem(0).getField("c").as("cell"),
+        col("t2").getItem(0).getField("d").as("d1"),
+        col("t2").getItem(1).getField("d").as("d2"))
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .filter(col("label").isNotNull)
+    val asg = top2.join(lab, Seq("vec_id"))
+    val mjW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("n").desc, col("label"))
+    val mj = asg.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(mjW)).filter(col("rn") === 1)
+      .select(col("cell"), col("label").as("pred_label"))
+    val binW = lit(500000L / buckets)
+    val scored = asg.join(broadcast(mj), Seq("cell"))
+      .withColumn("conf_ppm", when(col("d1") + col("d2") === 0, lit(500000L))
+        .otherwise(expr(
+          "CAST((CAST(d2 AS DECIMAL(38,0)) * 1000000) DIV (d1 + d2) AS BIGINT)")))
+      .withColumn("bucket", least(
+        idiv(col("conf_ppm") - 500000L, binW), lit(buckets - 1L)))
+      .withColumn("correct",
+        (col("label") === col("pred_label")).cast("long"))
+    val byB = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"),
+        sum(col("conf_ppm")).as("sum_conf"))
+      .withColumn("acc_ppm", idiv(col("n_correct") * 1000000L, col("n")))
+      .withColumn("conf_avg_ppm", idiv(col("sum_conf"), col("n")))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_avg_ppm")))
+    val tot = byB.agg(sum(col("n")).as("tn"),
+      sum(col("gap_ppm") * col("n")).as("gw"))
+    byB.crossJoin(broadcast(tot))
+      .withColumn("ece_ppm", idiv(col("gw"), col("tn")))
+      .select(col("bucket"), col("n"), col("n_correct"), col("acc_ppm"),
+        col("conf_avg_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
   /** Two-stage truncated-prefix ANN (the Matryoshka/MRL serving shape,
     * Kusupati et al. 2022: prefix dims of an MRL-trained embedding are
     * themselves a valid embedding): stage 1 scores the corpus by cosine

@@ -780,6 +780,66 @@ object PipelineOps {
             col("n_bpe_tok") * 1000000L, col("n_words")))
         .orderBy(col("lang"))
     }),
+    "q234_ndcg_audit" -> ((s, dir) => {
+      // Ranking-quality audit: nDCG@10 of the q227 BM25 ranking, graded by
+      // query-term coverage (n_terms) — the offline retrieval metric
+      // computed with plan-time integer discounts so neither engine runs a
+      // logarithm.
+      val s2 = s; import s2.implicits._
+      val probes = Seq((1L, "slow merge table"), (2L, "hash join fast"),
+        (3L, "window sort batch")).toDF("q_id", "q_text")
+      val ranked = Curation.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+        col("text"), probes, col("q_id"), col("q_text"), k = 10)
+      Curation.ndcgAtK(ranked, col("q_id"), col("rnk"), col("n_terms"),
+          k = 10)
+        .orderBy(col("q_id"))
+    }),
+    "q235_rrf_fusion" -> ((s, dir) => {
+      // Hybrid-retrieval fusion: reciprocal-rank fusion of two rankers over
+      // the same probes — BM25 (idf + length norm) and raw term-frequency
+      // coverage. RRF needs only the RANKS, which is why it's the fusion
+      // rule that survives heterogeneous score scales.
+      val s2 = s; import s2.implicits._
+      val probes = Seq((1L, "slow merge table"), (2L, "hash join fast"),
+        (3L, "window sort batch")).toDF("q_id", "q_text")
+      val docs = t(s, dir, "documents")
+      val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
+          probes, col("q_id"), col("q_text"), k = 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val dt = docs.select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val qt = probes.select(col("q_id"),
+        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      val tfW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
+      val tfRank = dt.join(broadcast(qt), Seq("t"))
+        .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
+        .withColumn("rnk", row_number().over(tfW).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Curation.rrfFuse(Seq(bm25, tfRank), topK = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+    "q236_ece_calibration" -> ((s, dir) => {
+      // Calibration audit: is the centroid classifier's distance-margin
+      // confidence honest? Per-confidence-bucket accuracy vs mean
+      // confidence and the corpus ECE, over the labeled embeddings.
+      graft.ext.Similarity.calibrationProfile(
+          t(s, dir, "embeddings"), k = 8, iters = 2, buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+    "q237_weighted_sample" -> ((s, dir) => {
+      // Weighted sampling without replacement: 5 docs per language,
+      // selection pressure proportional to n_chars — the
+      // Efraimidis-Spirakis bottom-k shape with the deterministic integer
+      // key ⌊h/w⌋ (seeded md5 fold), engine-exact and epoch-reseedable.
+      Curation.weightedSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), col("n_chars"), k = 5, seed = "ws1")
+        .withColumnRenamed("stratum", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("lang"), col("rnk"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -2757,42 +2817,9 @@ object PipelineOps {
       (s"WITH $ivfTopKCtes\n" +
         "SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"),
     "q227_bm25_search" ->
-      raw"""WITH dt AS (
-         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-         |    FROM documents)
-         |  GROUP BY doc_id, t),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(dl) AS BIGINT) AS tt FROM dl),
-         |q AS (SELECT * FROM (VALUES (1, 'slow merge table'),
-         |  (2, 'hash join fast'), (3, 'window sort batch')) AS x(q_id, q_text)),
-         |qt AS (SELECT DISTINCT q_id,
-         |  unnest(string_split_regex(trim(q_text), '\s+')) AS t FROM q),
-         |qterms AS (SELECT DISTINCT t FROM qt),
-         |p AS (SELECT dt.* FROM dt JOIN qterms USING (t)),
-         |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM p GROUP BY t),
-         |sc AS (
-         |  SELECT qt.q_id, p.doc_id,
-         |    CAST(((tot.n_docs - dft.df_t + 1) * 1000000) // (dft.df_t + 1)
-         |      AS BIGINT) AS idf_ppm,
-         |    CAST((CAST(p.tf AS HUGEINT) * 1000000000 * 2200 * tot.tt) //
-         |      (CAST(p.tf AS HUGEINT) * 1000000 * tot.tt
-         |       + CAST(300000 AS HUGEINT) * tot.tt
-         |       + CAST(900000 AS HUGEINT) * dl.dl * tot.n_docs)
-         |      AS BIGINT) AS sat_ppm
-         |  FROM p JOIN dft USING (t) JOIN dl USING (doc_id)
-         |    JOIN qt USING (t), tot),
-         |agg AS (
-         |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |    CAST(sum((CAST(idf_ppm AS HUGEINT) * sat_ppm) // 1000000)
-         |      AS BIGINT) AS score_ppm
-         |  FROM sc GROUP BY q_id, doc_id),
-         |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
-         |  CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)
-         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_terms, score_ppm, rnk
-         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+      (s"WITH $bm25SearchCtes\n" +
+        """SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_terms, score_ppm, rnk
+          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
     "q228_bradley_terry" ->
       (raw"""WITH tok AS (
           |  SELECT doc_id, source,
@@ -2956,6 +2983,97 @@ object PipelineOps {
            |    // CAST(count(*) AS BIGINT) AS tok_per_word_ppm
            |FROM dtk JOIN vocab USING (w) WHERE w <> ''
            |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q234_ndcg_audit" ->
+      (s"WITH $bm25SearchCtes,\n" +
+        s"""dsc AS (SELECT rr, CAST(dv AS BIGINT) AS dv FROM (VALUES
+           |  ${graft.ext.Curation.ndcgDiscounts(10).zipWithIndex
+                .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")})
+           |  AS d(rr, dv)),
+           |""".stripMargin +
+        """base AS (SELECT q_id, n_terms AS rel, rnk FROM r WHERE rnk <= 10),
+          |i AS (SELECT q_id, rel, rnk,
+          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, rnk)
+          |    AS BIGINT) AS irnk FROM base),
+          |a AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ranked,
+          |    CAST(sum(rel * d1.dv) AS BIGINT) AS dcg_n,
+          |    CAST(sum(rel * d2.dv) AS BIGINT) AS idcg_n
+          |  FROM i JOIN dsc d1 ON d1.rr = i.rnk JOIN dsc d2 ON d2.rr = i.irnk
+          |  GROUP BY q_id)
+          |SELECT CAST(q_id AS BIGINT) AS q_id, n_ranked, dcg_n, idcg_n,
+          |  CAST(CASE WHEN idcg_n = 0 THEN NULL
+          |    ELSE (dcg_n * 1000000) // idcg_n END AS BIGINT) AS ndcg_ppm
+          |FROM a ORDER BY q_id""".stripMargin),
+    "q235_rrf_fusion" ->
+      (s"WITH $bm25SearchCtes,\n" +
+        """tfr AS (SELECT qt.q_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS s2
+          |  FROM p JOIN qt USING (t) GROUP BY qt.q_id, p.doc_id),
+          |tr2 AS (SELECT q_id, doc_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY s2 DESC, doc_id)
+          |    AS BIGINT) AS rnk FROM tfr),
+          |u AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10
+          |  UNION ALL SELECT q_id, doc_id, rnk FROM tr2 WHERE rnk <= 10),
+          |f AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+          |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+          |  FROM u GROUP BY q_id, doc_id),
+          |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rnk2 FROM f)
+          |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_rankers, rrf_ppm,
+          |  rnk2 AS rnk
+          |FROM rr WHERE rnk2 <= 10 ORDER BY q_id, rnk2""".stripMargin),
+    "q236_ece_calibration" ->
+      (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+        """dd AS (
+          |  SELECT q.vec_id, c.cell,
+          |    CAST(list_sum(list_transform(generate_series(1, 64),
+          |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+          |  FROM qe q CROSS JOIN c2 c),
+          |rk AS (SELECT vec_id, cell, dist,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+          |  FROM dd),
+          |asg AS (SELECT a.vec_id, a.cell AS cell, a.dist AS d1, b.dist AS d2
+          |  FROM rk a JOIN rk b USING (vec_id) WHERE a.rn = 1 AND b.rn = 2),
+          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+          |  FROM embeddings WHERE label IS NOT NULL),
+          |aj AS (SELECT asg.*, lab.label FROM asg JOIN lab USING (vec_id)),
+          |mj AS (SELECT cell, label AS pred_label FROM (
+          |    SELECT cell, label,
+          |      row_number() OVER (PARTITION BY cell ORDER BY count(*) DESC, label) AS rn
+          |    FROM aj GROUP BY cell, label) WHERE rn = 1),
+          |cf AS (SELECT aj.vec_id, aj.label, mj.pred_label,
+          |    CAST(CASE WHEN d1 + d2 = 0 THEN 500000
+          |      ELSE (CAST(d2 AS HUGEINT) * 1000000) // (d1 + d2) END AS BIGINT)
+          |      AS conf_ppm
+          |  FROM aj JOIN mj USING (cell)),
+          |bk AS (SELECT least((conf_ppm - 500000) // 50000, CAST(9 AS BIGINT)) AS bucket,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_correct,
+          |    CAST(sum(conf_ppm) AS BIGINT) AS sum_conf
+          |  FROM cf GROUP BY bucket),
+          |m AS (SELECT bucket, n, n_correct,
+          |    CAST((n_correct * 1000000) // n AS BIGINT) AS acc_ppm,
+          |    CAST(sum_conf // n AS BIGINT) AS conf_avg_ppm
+          |  FROM bk),
+          |g AS (SELECT *, abs(acc_ppm - conf_avg_ppm) AS gap_ppm FROM m),
+          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+          |  CAST(sum(gap_ppm * n) AS BIGINT) AS gw FROM g)
+          |SELECT bucket, n, n_correct, acc_ppm, conf_avg_ppm, gap_ppm,
+          |  CAST(gw // tn AS BIGINT) AS ece_ppm
+          |FROM g, tt ORDER BY bucket""".stripMargin),
+    "q237_weighted_sample" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         |    list_reduce(
+         |      list_transform(string_split(md5('ws1:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) AS hv
+         |  FROM documents WHERE n_chars > 0),
+         |p AS (SELECT doc_id, lang, w, hv // w AS priority FROM h),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
+         |SELECT lang, doc_id, w, CAST(priority AS BIGINT) AS priority, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -5769,6 +5887,46 @@ object PipelineOps {
     * the raw MM update wr = n_wins·1e9 // d, and the mean-normalized
     * strengths w (Σw pinned to |players|·1e6) — the identical integer
     * sequence [[graft.ext.Curation.bradleyTerryStrength]] runs. */
+  /** The q227 BM25 scoring chain (probes → postings slice → integer Okapi →
+    * per-query ranking CTE `r`), shared by the retrieval-metric oracles:
+    * q234's nDCG audits this ranking, q235 fuses it with the TF ranker
+    * (whose CTEs build on the same `p`/`qt` postings). */
+  private def bm25SearchCtes: String =
+    raw"""dt AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+       |    FROM documents)
+       |  GROUP BY doc_id, t),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |q AS (SELECT * FROM (VALUES (1, 'slow merge table'),
+       |  (2, 'hash join fast'), (3, 'window sort batch')) AS x(q_id, q_text)),
+       |qt AS (SELECT DISTINCT q_id,
+       |  unnest(string_split_regex(trim(q_text), '\s+')) AS t FROM q),
+       |qterms AS (SELECT DISTINCT t FROM qt),
+       |p AS (SELECT dt.* FROM dt JOIN qterms USING (t)),
+       |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM p GROUP BY t),
+       |sc AS (
+       |  SELECT qt.q_id, p.doc_id,
+       |    CAST(((tot.n_docs - dft.df_t + 1) * 1000000) // (dft.df_t + 1)
+       |      AS BIGINT) AS idf_ppm,
+       |    CAST((CAST(p.tf AS HUGEINT) * 1000000000 * 2200 * tot.tt) //
+       |      (CAST(p.tf AS HUGEINT) * 1000000 * tot.tt
+       |       + CAST(300000 AS HUGEINT) * tot.tt
+       |       + CAST(900000 AS HUGEINT) * dl.dl * tot.n_docs)
+       |      AS BIGINT) AS sat_ppm
+       |  FROM p JOIN dft USING (t) JOIN dl USING (doc_id)
+       |    JOIN qt USING (t), tot),
+       |agg AS (
+       |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum((CAST(idf_ppm AS HUGEINT) * sat_ppm) // 1000000)
+       |      AS BIGINT) AS score_ppm
+       |  FROM sc GROUP BY q_id, doc_id),
+       |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)""".stripMargin
+
   private def btRoundCtes(rounds: Int): String =
     (1 to rounds).map { i =>
       s"""d$i AS (SELECT sym.i AS p,

@@ -2318,4 +2318,95 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("ndcgAtK: perfect ranking scores exactly 1e6, inversion scores less, exact integer replay") {
+    val d = Curation.ndcgDiscounts(3)
+    assert(d.head === 1000000000L)
+    assert(d === d.sorted.reverse && d.distinct === d) // strictly decreasing
+    // perfect: relevance already descending with rank
+    val perfect = Seq((1L, 1L, 3L), (1L, 2L, 2L), (1L, 3L, 1L))
+      .toDF("q_id", "rnk", "rel")
+    val p = Curation.ndcgAtK(perfect, col("q_id"), col("rnk"), col("rel"), 3)
+      .collect().head
+    assert(p.getLong(4) === 1000000L)
+    // inverted: best doc last; exact integer value from the same constants
+    val inv = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("q_id", "rnk", "rel")
+    val r = Curation.ndcgAtK(inv, col("q_id"), col("rnk"), col("rel"), 3)
+      .collect().head
+    val dcg = 1L * d(0) + 2L * d(1) + 3L * d(2)
+    val idcg = 3L * d(0) + 2L * d(1) + 1L * d(2)
+    assert((r.getLong(2), r.getLong(3)) === ((dcg, idcg)))
+    assert(r.getLong(4) === dcg * 1000000L / idcg)
+    assert(r.getLong(4) < 1000000L)
+    // all-zero relevance: normalization undefined -> NULL, not 0
+    val zero = Seq((1L, 1L, 0L), (1L, 2L, 0L)).toDF("q_id", "rnk", "rel")
+    assert(Curation.ndcgAtK(zero, col("q_id"), col("rnk"), col("rel"), 3)
+      .collect().head.isNullAt(4))
+  }
+
+  test("rrfFuse: cross-list sums, missing docs contribute nothing, doc-id tie-break") {
+    val r1 = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val r2 = Seq((1L, 2L, 1L), (1L, 1L, 2L), (1L, 4L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val out = Curation.rrfFuse(Seq(r1, r2), topK = 10)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val s12 = 1000000L / 61 + 1000000L / 62
+    val s3 = 1000000L / 63
+    // docs 1 and 2 tie exactly (rank 1+2 in opposite lists) -> doc_id order;
+    // docs 3 and 4 tie at the single rank-3 score -> doc_id order again
+    assert(out.toSeq === Seq(
+      (1L, 2L, s12, 1L), (2L, 2L, s12, 2L), (3L, 1L, s3, 3L), (4L, 1L, s3, 4L)))
+  }
+
+  test("weightedSample: heavy rows win, nonpositive weights excluded, seed changes the draw order deterministically") {
+    val rows = (1L to 40L).map(i => (i, "s", if (i == 7L) 1000000000L else 3L)) :+
+      ((41L, "s", 0L)) :+ ((42L, "s", -5L))
+    val df = rows.toDF("id", "st", "w")
+    val got = Curation.weightedSample(df, col("st"), col("id"), col("w"),
+      k = 5, seed = "t1").collect()
+    // the 1e9-weight row's priority is h/1e9 <= ~1.15e9, far below any h/3
+    // draw except vanishing-h flukes — with this fixed seed it must lead
+    assert(got.head.getLong(1) === 7L)
+    assert(!got.map(_.getLong(1)).contains(41L))
+    assert(!got.map(_.getLong(1)).contains(42L))
+    // reproducible: same seed -> identical sample; the draw is a pure
+    // function of (seed, id, w)
+    val again = Curation.weightedSample(df, col("st"), col("id"), col("w"),
+      k = 5, seed = "t1").collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // k past the stratum size returns every positive-weight row
+    val all = Curation.weightedSample(df, col("st"), col("id"), col("w"),
+      k = 100, seed = "t1")
+    assert(all.count() === 40L)
+  }
+
+  test("calibrationProfile: clean clusters are confident and correct; a planted mislabel dents its bucket's accuracy") {
+    // two tight clusters in 4-d; vec 0/1 seed the two cells
+    def v(a: Float): Array[Float] = Array(a, a, a, a)
+    val emb = (Seq((0L, v(0.0f), Some(0)), (1L, v(1.0f), Some(1))) ++
+      (2L to 9L).map(i => (i, v(0.01f * i), Some(0))) ++
+      (10L to 17L).map(i => (i, v(1.0f - 0.01f * (i - 10L)), Some(1))) :+
+      ((18L, v(0.02f), Some(1))) :+ // mislabeled: sits in cluster 0, labeled 1
+      ((19L, v(0.5f), Option.empty[Int])) // unlabeled: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.calibrationProfile(emb, k = 2, iters = 2,
+      buckets = 10).collect()
+    // unlabeled row dropped: bucket populations sum to 19
+    assert(out.map(_.getLong(1)).sum === 19L)
+    // every row reports the same corpus ECE, and it equals the bucket
+    // recomputation Σ n·gap // N
+    val ece = out.map(_.getLong(6)).distinct
+    assert(ece.length === 1)
+    val expected = out.map(r => r.getLong(1) * r.getLong(5)).sum / 19L
+    assert(ece.head === expected)
+    // the mislabeled point makes exactly one bucket imperfect
+    val dented = out.filter(r => r.getLong(2) < r.getLong(1))
+    assert(dented.length === 1)
+    assert(dented.head.getLong(1) - dented.head.getLong(2) === 1L)
+    // and overall accuracy is 18/19
+    assert(out.map(_.getLong(2)).sum === 18L)
+  }
 }

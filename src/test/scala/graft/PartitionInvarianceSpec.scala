@@ -93,7 +93,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // BPE-vocab fertility rollup
     "q227_bm25_search", "q228_bradley_terry", "q229_constraint_audit",
     "q230_annotator_agreement", "q231_sft_turns", "q232_mojibake_audit",
-    "q233_tokenizer_fertility")
+    "q233_tokenizer_fertility",
+    // retrieval metrics (window-ranked fusion/ideal orders), calibration
+    // (Lloyd + margin buckets), weighted bottom-k sampling
+    "q234_ndcg_audit", "q235_rrf_fusion", "q236_ece_calibration",
+    "q237_weighted_sample")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
