@@ -1560,6 +1560,47 @@ object Curation {
         col("rnk"))
   }
 
+  /** Ranker-agreement audit: Kendall's τ (tau-a) between two ranked lists
+    * per query, over the documents BOTH rankers retrieved (the standard
+    * truncated-list convention — a doc one ranker never saw has no pair
+    * order to compare). τ = (concordant − discordant) / pairs, reported in
+    * ppm with the sign split out of the division (Spark's DIV truncates
+    * toward zero, DuckDB's // floors — the q230 kappa rule), NULL when
+    * fewer than two common docs. The q234/q235 companion: nDCG says how
+    * good each ranker is, τ says whether they disagree enough for fusion
+    * to buy anything (τ → 1 means RRF adds nothing).
+    *
+    * 100 TB shape: inputs are top-k-per-query lists; the pair join is the
+    * k²-bounded self-join of the common slice WITHIN a query key — never
+    * corpus-sized, never cross-query. */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("ra"))
+      .join(b.select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("rb")), Seq("q_id", "doc_id"))
+    val p = j.as("x").join(j.as("y"),
+      col("x.q_id") === col("y.q_id") && col("x.doc_id") < col("y.doc_id"))
+    val sgn = (col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))
+    val per = p.groupBy(col("x.q_id").as("q_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((sgn > 0).cast("long")).as("n_conc"),
+        sum((sgn < 0).cast("long")).as("n_disc"))
+    val nCommon = j.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    val d = col("n_conc") - col("n_disc")
+    nCommon.join(per, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_common"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"))
+      .withColumn("tau_ppm", when(col("n_pairs") === 0,
+          lit(null).cast("long"))
+        .otherwise(when(d >= 0,
+          org.apache.spark.sql.graft.Bridge.idiv(d * 1000000L,
+            col("n_pairs")))
+          .otherwise(-org.apache.spark.sql.graft.Bridge.idiv(
+            -d * 1000000L, col("n_pairs")))))
+  }
+
   def bradleyTerryStrength(outcomes: DataFrame, winner: Column,
       loser: Column, iters: Int = 3): DataFrame = {
     val wl = outcomes.select(winner.as("wi"), loser.as("lo"))

@@ -50,6 +50,59 @@ object GraphOps {
     * join+aggregate+crossjoin rounds otherwise stack into one plan whose
     * analysis cost grows quadratically (the q95 connected-components
     * lesson applied at the iteration cap). Returns (node, rank). */
+  /** HITS hubs & authorities (Kleinberg 1999) — the complement of
+    * [[pageRank]] for BIPARTITE-flavored curation graphs (users ↔ content
+    * types, crawl hosts ↔ resources): a good hub points at good
+    * authorities and vice versa. Kleinberg's update order, integer-scaled:
+    * each round a(d) = Σ_(s,d,w) w·h(s) then h(s) = Σ w·a(d), each vector
+    * sum-normalized to |side|·10⁶ by floor division (the Bradley-Terry
+    * normalization — HITS' L2 norm needs a square root; sum-normalization
+    * preserves the induced ranking, which is the operator's product, and
+    * keeps every round cross-engine exact). Products accumulate in
+    * DECIMAL(38,0) (w·h reaches edge-weight·|side|·10⁶ — past Long on a
+    * heavy graph by construction). Zero/negative-weight edges are dropped
+    * (they'd contribute nothing / invert the mutual-reinforcement).
+    * Returns (node, role ∈ hub|authority, score_ppm), node cast to string
+    * (the two sides may carry different key types).
+    *
+    * Scale shape per round: two edge-keyed join+aggregates (map-side
+    * combine) and two one-row normalization broadcasts; score tables are
+    * node-sized and localCheckpoint per round (the q95/pageRank lineage
+    * rule). */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1, 10]")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("w") > 0).localCheckpoint()
+    val hubs = e.select(col("src")).distinct().localCheckpoint()
+    val auths = e.select(col("dst")).distinct().localCheckpoint()
+    val nH = hubs.count() // node-sized scalars (the pageRank n discipline)
+    val nA = auths.count()
+    var h = hubs.withColumn("h", lit(1000000L))
+    var a: DataFrame = auths.withColumn("a", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val ar = e.join(h, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * h")).as("raw"))
+      val at = ar.agg(sum(col("raw")).as("t"))
+      a = ar.crossJoin(broadcast(at))
+        .select(col("dst"),
+          expr(s"CAST((raw * $nA * 1000000) DIV t AS BIGINT)").as("a"))
+        .localCheckpoint()
+      val hr = e.join(a, "dst")
+        .groupBy(col("src"))
+        .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * a")).as("raw"))
+      val ht = hr.agg(sum(col("raw")).as("t"))
+      h = hr.crossJoin(broadcast(ht))
+        .select(col("src"),
+          expr(s"CAST((raw * $nH * 1000000) DIV t AS BIGINT)").as("h"))
+        .localCheckpoint()
+    }
+    h.select(col("src").cast("string").as("node"), lit("hub").as("role"),
+        col("h").as("score_ppm"))
+      .unionByName(a.select(col("dst").cast("string").as("node"),
+        lit("authority").as("role"), col("a").as("score_ppm")))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")

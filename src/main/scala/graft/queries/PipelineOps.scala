@@ -840,6 +840,41 @@ object PipelineOps {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("lang"), col("rnk"))
     }),
+    "q238_kendall_tau" -> ((s, dir) => {
+      // Ranker-agreement audit: Kendall's tau between the BM25 and raw-TF
+      // rankings per probe query — the "is fusion worth it" companion to
+      // q235 (tau near 1e6 means the rankers are redundant).
+      val s2 = s; import s2.implicits._
+      val probes = Seq((1L, "slow merge table"), (2L, "hash join fast"),
+        (3L, "window sort batch")).toDF("q_id", "q_text")
+      val docs = t(s, dir, "documents")
+      val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
+          probes, col("q_id"), col("q_text"), k = 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val dt = docs.select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val qt = probes.select(col("q_id"),
+        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      val tfW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
+      val tfRank = dt.join(broadcast(qt), Seq("t"))
+        .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
+        .withColumn("rnk", row_number().over(tfW).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Curation.kendallTau(bm25, tfRank).orderBy(col("q_id"))
+    }),
+    "q239_hits" -> ((s, dir) => {
+      // HITS over the user -> event-type engagement bipartite graph: hub
+      // users (broad heavy engagers) and authority event types, two
+      // Kleinberg rounds of exact-integer mutual reinforcement.
+      val e = t(s, dir, "events")
+        .groupBy(col("user_id").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.GraphOps.hits(e, iters = 2)
+        .orderBy(col("role"), col("node"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3074,6 +3109,54 @@ object PipelineOps {
          |    ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
          |SELECT lang, doc_id, w, CAST(priority AS BIGINT) AS priority, rnk
          |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "q238_kendall_tau" ->
+      (s"WITH $bm25SearchCtes,\n" +
+        """tfr AS (SELECT qt.q_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS s2
+          |  FROM p JOIN qt USING (t) GROUP BY qt.q_id, p.doc_id),
+          |tr2 AS (SELECT q_id, doc_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY s2 DESC, doc_id)
+          |    AS BIGINT) AS rnk FROM tfr),
+          |ja AS (SELECT r.q_id, r.doc_id, r.rnk AS ra, tr2.rnk AS rb
+          |  FROM r JOIN tr2 USING (q_id, doc_id)
+          |  WHERE r.rnk <= 10 AND tr2.rnk <= 10),
+          |pr AS (SELECT x.q_id, (x.ra - y.ra) * (x.rb - y.rb) AS sg
+          |  FROM ja x JOIN ja y ON x.q_id = y.q_id AND x.doc_id < y.doc_id),
+          |per AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+          |    CAST(sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+          |  FROM pr GROUP BY q_id),
+          |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM ja GROUP BY q_id),
+          |fin AS (SELECT nc.q_id, nc.n_common,
+          |    coalesce(per.n_pairs, 0) AS n_pairs,
+          |    coalesce(per.n_conc, 0) AS n_conc,
+          |    coalesce(per.n_disc, 0) AS n_disc
+          |  FROM nc LEFT JOIN per USING (q_id))
+          |SELECT CAST(q_id AS BIGINT) AS q_id, n_common, n_pairs, n_conc,
+          |  n_disc,
+          |  CAST(CASE WHEN n_pairs = 0 THEN NULL
+          |    WHEN n_conc >= n_disc
+          |      THEN ((n_conc - n_disc) * 1000000) // n_pairs
+          |    ELSE -(((n_disc - n_conc) * 1000000) // n_pairs)
+          |  END AS BIGINT) AS tau_ppm
+          |FROM fin ORDER BY q_id""".stripMargin),
+    "q239_hits" ->
+      ("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS src, event_type AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM events GROUP BY 1, 2),
+         |hn AS (SELECT DISTINCT src FROM e),
+         |an AS (SELECT DISTINCT dst FROM e),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hn),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM an),
+         |h0 AS (SELECT src, CAST(1000000 AS BIGINT) AS h FROM hn),
+         |""".stripMargin +
+        hitsRoundCtes(2) +
+        """
+          |SELECT node, role, score_ppm FROM (
+          |  SELECT src AS node, 'hub' AS role, h AS score_ppm FROM h2
+          |  UNION ALL
+          |  SELECT dst AS node, 'authority' AS role, a AS score_ppm FROM a2)
+          |ORDER BY role, node""".stripMargin),
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -5926,6 +6009,23 @@ object PipelineOps {
        |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
        |  CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)""".stripMargin
+
+  /** Unrolled HITS rounds ([[graft.ext.GraphOps.hits]]): each round is the
+    * authority update off h{i-1}, sum-normalize, then the hub update off
+    * a{i}, sum-normalize — Kleinberg's order, exact-integer. */
+  private def hitsRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""ar$i AS (SELECT dst, sum(CAST(w AS HUGEINT) * h) AS raw
+         |  FROM e JOIN h${i - 1} USING (src) GROUP BY dst),
+         |at$i AS (SELECT sum(raw) AS t FROM ar$i),
+         |a$i AS (SELECT dst, CAST((raw * na.n * 1000000) // at$i.t AS BIGINT) AS a
+         |  FROM ar$i, at$i, na),
+         |hr$i AS (SELECT src, sum(CAST(w AS HUGEINT) * a) AS raw
+         |  FROM e JOIN a$i USING (dst) GROUP BY src),
+         |ht$i AS (SELECT sum(raw) AS t FROM hr$i),
+         |h$i AS (SELECT src, CAST((raw * nh.n * 1000000) // ht$i.t AS BIGINT) AS h
+         |  FROM hr$i, ht$i, nh)""".stripMargin
+    }.mkString(",\n")
 
   private def btRoundCtes(rounds: Int): String =
     (1 to rounds).map { i =>

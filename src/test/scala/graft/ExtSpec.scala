@@ -2383,6 +2383,44 @@ class ExtSpec extends AnyFunSuite {
     assert(all.count() === 40L)
   }
 
+  test("kendallTau: identical lists +1e6, inversion -1e6, common-doc restriction, degenerate NULL") {
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("q_id", "doc_id", "rnk")
+    val a = df(Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L),
+      (3L, 1L, 1L), (3L, 2L, 2L), (4L, 9L, 1L)))
+    val b = df(Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), // identical
+      (2L, 1L, 3L), (2L, 2L, 2L), (2L, 3L, 1L), // inverted
+      (3L, 1L, 5L), (3L, 7L, 1L), // only doc 1 common -> no pairs
+      (4L, 9L, 4L)))
+    val out = graft.ext.Curation.kendallTau(a, b).orderBy(col("q_id"))
+      .collect()
+    assert(out(0).getLong(5) === 1000000L)
+    assert(out(0).getLong(2) === 3L) // 3 pairs over 3 common docs
+    assert(out(1).getLong(5) === -1000000L)
+    assert((out(2).getLong(1), out(2).getLong(2)) === ((1L, 0L)))
+    assert(out(2).isNullAt(5)) // one common doc: tau undefined, not 0
+    assert(out(3).isNullAt(5))
+  }
+
+  test("hits: one Kleinberg round replayed exactly; normalization conserves within truncation") {
+    val e = Seq(("u1", "x", 3L), ("u1", "y", 1L), ("u2", "x", 1L),
+      ("u3", "zzz", 0L)) // zero-weight edge must be ignored entirely
+      .toDF("src", "dst", "w")
+    val out = graft.ext.GraphOps.hits(e, iters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // a1: x = (4e6·2·1e6)//5e6, y = (1e6·2·1e6)//5e6
+    assert(out(("x", "authority")) === 1600000L)
+    assert(out(("y", "authority")) === 400000L)
+    // h1: u1 = (5.2e6·2·1e6)//6.8e6, u2 = (1.6e6·2·1e6)//6.8e6
+    assert(out(("u1", "hub")) === 1529411L)
+    assert(out(("u2", "hub")) === 470588L)
+    assert(!out.contains(("u3", "hub")) && !out.contains(("zzz", "authority")))
+    // sum-normalization: each side totals |side|·1e6 within floor residue
+    val hubSum = out.collect { case (("u1" | "u2", "hub"), v) => v }.sum
+    assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
+  }
+
   test("calibrationProfile: clean clusters are confident and correct; a planted mislabel dents its bucket's accuracy") {
     // two tight clusters in 4-d; vec 0/1 seed the two cells
     def v(a: Float): Array[Float] = Array(a, a, a, a)

@@ -97,7 +97,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // retrieval metrics (window-ranked fusion/ideal orders), calibration
     // (Lloyd + margin buckets), weighted bottom-k sampling
     "q234_ndcg_audit", "q235_rrf_fusion", "q236_ece_calibration",
-    "q237_weighted_sample")
+    "q237_weighted_sample",
+    // ranker agreement (k²-bounded pair join) and bipartite HITS rounds
+    "q238_kendall_tau", "q239_hits")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
