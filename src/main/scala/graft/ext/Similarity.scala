@@ -340,6 +340,77 @@ object Similarity {
         col("conf_avg_ppm"), col("gap_ppm"), col("ece_ppm"))
   }
 
+  /** Embedding-geometry audit: top principal direction and anisotropy of
+    * the corpus embedding cloud (Mu & Viswanath 2018's "all-but-the-top"
+    * diagnostic; Ethayarajh 2019): an embedding column whose variance
+    * concentrates in one direction ("rogue dimension") makes cosine
+    * similarity degenerate, so this is the measure-before-trust number for
+    * every ANN/SemDedup/clustering stage upstream. Exact-integer
+    * construction: vectors quantize at 10³ (coarser than ANN's 10⁶ — the
+    * covariance accumulates n·(10³·x)² per cell and must stay in Long to
+    * ~5·10¹¹ rows), the mean is the floor-div of dimension sums, the
+    * UNNORMALIZED covariance C = Σ c·cᵀ aggregates in ONE pass (posexplode
+    * by dimension, d map-side-combined groups of d-long partials), and the
+    * driver runs `iters` BigInt power-iteration rounds on the d×d matrix —
+    * ∞-norm renormalized to 10⁶ with sign-split truncating division (the
+    * q230 rule), so every round is bit-identical in the SQL replay.
+    * Reports λ_top (integer Rayleigh quotient), trace(C), anisotropy_ppm =
+    * 10⁶·λ/trace (the explained-variance fraction of the top direction),
+    * and the 1-based dimension carrying the largest |component|.
+    *
+    * 100 TB shape: ONE corpus aggregation (the d² covariance, map-side
+    * combine to d rows of d longs); everything after is d²-bounded driver
+    * arithmetic — the lloydCentroidsQ collect discipline. */
+  def spectralProfile(emb: DataFrame, iters: Int = 3,
+      quant: Double = 1e3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1, 10]")
+    val q = quantized(emb.select(col("vec_id"), col("embedding")), quant)
+      .localCheckpoint() // feeds two aggregations (mean, then covariance)
+    val head = q.agg(count(lit(1)).as("n"),
+      graft.functions.VecSumAggregator.sum(col("qv")).as("s")).collect().head
+    val n = head.getLong(0)
+    require(n > 0, "spectralProfile: empty corpus")
+    val mean: Seq[Long] = head.getSeq[Long](1).map(Math.floorDiv(_, n))
+    val centered = q.select(
+      zip_with(col("qv"), typedlit(mean), (a, b) => a - b).as("c"))
+    val covRows = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .groupBy(col("i"))
+      .agg(graft.functions.VecSumAggregator.sum(
+        transform(col("c"), x => x * col("ci"))).as("row"))
+      .collect() // d rows of d longs: the whole reduction to the driver
+    val d = mean.length
+    val cov = Array.ofDim[Long](d, d)
+    covRows.foreach { r =>
+      val i = r.getInt(0); val row = r.getSeq[Long](1)
+      var j = 0; while (j < d) { cov(i)(j) = row(j); j += 1 }
+    }
+    val trace = (0 until d).map(j => cov(j)(j)).sum
+    // BigInt power iteration, ∞-norm renormalized to 1e6 each round;
+    // division truncates toward zero (BigInt /), sign-split in the oracle
+    var v: Array[BigInt] = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val u = (0 until d).map(j =>
+        (0 until d).map(i => BigInt(cov(j)(i)) * v(i)).sum).toArray
+      val mx = u.map(_.abs).max
+      v = if (mx == 0) u else u.map(x => x * 1000000 / mx)
+    }
+    val vtv = v.map(x => x * x).sum
+    val vtcv = (0 until d).map(j => (0 until d).map(i =>
+      v(j) * BigInt(cov(j)(i)) * v(i)).sum).sum
+    val lambda = if (vtv == 0) 0L else (vtcv / vtv).toLong
+    val anis: Option[Long] =
+      if (trace == 0) None else Some(lambda * 1000000L / trace)
+    val principal: Option[Long] =
+      if (trace == 0) None
+      else Some((0 until d).minBy(j => (-v(j).abs, j)).toLong + 1L)
+    val spark2 = emb.sparkSession
+    import spark2.implicits._
+    Seq((n, d.toLong, trace, lambda, anis, principal))
+      .toDF("n", "dim", "trace", "lambda_top", "anisotropy_ppm",
+        "principal_dim")
+  }
+
   /** Two-stage truncated-prefix ANN (the Matryoshka/MRL serving shape,
     * Kusupati et al. 2022: prefix dims of an MRL-trained embedding are
     * themselves a valid embedding): stage 1 scores the corpus by cosine

@@ -875,6 +875,13 @@ object PipelineOps {
       graft.ext.GraphOps.hits(e, iters = 2)
         .orderBy(col("role"), col("node"))
     }),
+    "q240_embedding_spectrum" -> ((s, dir) => {
+      // Embedding-geometry audit: variance concentration of the corpus
+      // embedding cloud — one covariance aggregation, then d²-bounded
+      // integer power iteration on the driver.
+      graft.ext.Similarity.spectralProfile(t(s, dir, "embeddings"),
+        iters = 3)
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3157,6 +3164,38 @@ object PipelineOps {
           |  UNION ALL
           |  SELECT dst AS node, 'authority' AS role, a AS score_ppm FROM a2)
           |ORDER BY role, node""".stripMargin),
+    "q240_embedding_spectrum" ->
+      ("""WITH qe AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qe),
+         |su AS (SELECT ii.i AS j, CAST(sum(qv[ii.i]) AS BIGINT) AS s
+         |  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY ii.i),
+         |mn AS (SELECT j, CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS m
+         |  FROM su, nn),
+         |cvl AS (SELECT qe.vec_id, mn.j, qe.qv[mn.j] - mn.m AS c
+         |  FROM qe CROSS JOIN mn),
+         |cov AS (SELECT a.j AS i, b.j AS j, CAST(sum(a.c * b.c) AS BIGINT) AS cij
+         |  FROM cvl a JOIN cvl b USING (vec_id) GROUP BY a.j, b.j),
+         |v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+         |  CAST(1000000 AS HUGEINT) AS v),
+         |""".stripMargin +
+        spectralRoundCtes(3) +
+        """,
+          |num AS (SELECT sum(a.v * CAST(cij AS HUGEINT) * b.v) AS nm
+          |  FROM cov JOIN v3 a ON a.j = cov.i JOIN v3 b ON b.j = cov.j),
+          |den AS (SELECT sum(v * v) AS dn FROM v3),
+          |tr AS (SELECT CAST(sum(cij) AS BIGINT) AS trace FROM cov WHERE i = j),
+          |lam AS (SELECT CAST(nm // dn AS BIGINT) AS lambda_top FROM num, den),
+          |pd AS (SELECT CAST(j AS BIGINT) AS principal_dim FROM v3
+          |  ORDER BY abs(v) DESC, j LIMIT 1)
+          |SELECT nn.n, CAST(64 AS BIGINT) AS dim, tr.trace, lam.lambda_top,
+          |  CAST((CAST(lam.lambda_top AS HUGEINT) * 1000000) // tr.trace
+          |    AS BIGINT) AS anisotropy_ppm,
+          |  pd.principal_dim
+          |FROM nn, tr, lam, pd""".stripMargin),
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -6009,6 +6048,22 @@ object PipelineOps {
        |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
        |  CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)""".stripMargin
+
+  /** Unrolled power-iteration rounds ([[graft.ext.Similarity
+    * .spectralProfile]]): matvec off v{i-1} over the covariance relation,
+    * then ∞-norm renormalize to 10⁶ with sign-split truncating division
+    * (BigInt `/` truncates toward zero; DuckDB `//` floors — the split
+    * makes them agree on negatives). */
+  private def spectralRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""u$i AS (SELECT cov.i AS j, sum(CAST(cij AS HUGEINT) * v${i - 1}.v) AS u
+         |  FROM cov JOIN v${i - 1} ON v${i - 1}.j = cov.j GROUP BY cov.i),
+         |m$i AS (SELECT max(abs(u)) AS mx FROM u$i),
+         |v$i AS (SELECT j, CASE WHEN mx = 0 THEN u
+         |    WHEN u >= 0 THEN (u * 1000000) // mx
+         |    ELSE -((-u * 1000000) // mx) END AS v
+         |  FROM u$i, m$i)""".stripMargin
+    }.mkString(",\n")
 
   /** Unrolled HITS rounds ([[graft.ext.GraphOps.hits]]): each round is the
     * authority update off h{i-1}, sum-normalize, then the hub update off

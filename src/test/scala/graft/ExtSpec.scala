@@ -2421,6 +2421,31 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("spectralProfile: rank-1 cloud is fully anisotropic, isotropic cloud splits evenly, exact integer replay") {
+    // all variance on axis 1: C = [[1e7, 0], [0, 0]]
+    val r1 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(-2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.spectralProfile(r1, iters = 3).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) === ((4L, 2L, 10000000L)))
+    assert(a.getLong(3) === 10000000L) // lambda = trace: rank one
+    assert(a.getLong(4) === 1000000L)
+    assert(a.getLong(5) === 1L)
+    // perfectly isotropic 2-d cloud: lambda = trace/2
+    val iso = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(-1.0f, -1.0f)),
+      (2L, Array(1.0f, -1.0f)), (3L, Array(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.spectralProfile(iso, iters = 3).collect().head
+    assert(b.getLong(2) === 8000000L)
+    assert(b.getLong(3) === 4000000L)
+    assert(b.getLong(4) === 500000L)
+    // degenerate constant cloud: trace 0 -> NULL anisotropy, not a throw
+    val const = Seq((0L, Array(3.0f, 3.0f)), (1L, Array(3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.spectralProfile(const, iters = 2).collect().head
+    assert(c.getLong(2) === 0L && c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("calibrationProfile: clean clusters are confident and correct; a planted mislabel dents its bucket's accuracy") {
     // two tight clusters in 4-d; vec 0/1 seed the two cells
     def v(a: Float): Array[Float] = Array(a, a, a, a)

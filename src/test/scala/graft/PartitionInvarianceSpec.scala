@@ -99,7 +99,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q234_ndcg_audit", "q235_rrf_fusion", "q236_ece_calibration",
     "q237_weighted_sample",
     // ranker agreement (k²-bounded pair join) and bipartite HITS rounds
-    "q238_kendall_tau", "q239_hits")
+    "q238_kendall_tau", "q239_hits",
+    // covariance aggregation must be layout-blind (integer sums)
+    "q240_embedding_spectrum")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
