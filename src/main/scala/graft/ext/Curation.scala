@@ -1560,6 +1560,111 @@ object Curation {
         col("rnk"))
   }
 
+  /** Distinct-n diversity profile (the distinct-1/2/3 metric of Li et al.
+    * 2016, the standard generated-corpus diversity check): per stratum and
+    * n-gram width, total grams vs distinct grams and their ratio. A
+    * synthetic or mode-collapsed source shows up as a distinct_ppm cliff
+    * at n=2/3 long before eyeballing does. Complements [[q199's]] gini
+    * (WITHIN-doc concentration) and q223's novelty (cross-doc df=1 rate):
+    * this one is the within-SOURCE type/token profile.
+    *
+    * 100 TB shape: one explode + aggregation per n (each a two-phase
+    * count-distinct on (stratum, gram) with map-side combine); grams ride
+    * as strings because the count must be exact and engine-portable
+    * (xxhash64 isn't) — the [[q45]] hashed-gram shortcut trades exactness,
+    * which a diversity AUDIT can't. */
+  def ngramDiversityProfile(docs: DataFrame, stratum: Column, text: Column,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, "ngramDiversityProfile: maxN in [1, 5]")
+    val perN = (1 to maxN).map { n =>
+      docs.select(stratum.as("stratum"),
+          explode(graft.functions.TextExpressions.wordNgrams(text, n))
+            .as("g"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("n", lit(n.toLong))
+    }
+    perN.reduce(_ unionByName _)
+      .withColumn("distinct_ppm", org.apache.spark.sql.graft.Bridge.idiv(
+        col("n_distinct") * 1000000L, col("n_grams")))
+      .select(col("stratum"), col("n"), col("n_grams"), col("n_distinct"),
+        col("distinct_ppm"))
+  }
+
+  /** Vocabulary-concentration audit: the Zipf-head/tail numbers a corpus
+    * report leads with — type/token ratio, hapax (frequency-1) fraction of
+    * the vocabulary, and the token mass covered by the top-k types. A
+    * boilerplate-heavy corpus shows abnormal head coverage; an
+    * OCR/mojibake-damaged one shows a hapax explosion. Empty tokens are
+    * excluded. Ties in the top-k cut break (count DESC, token ASC) — the
+    * [[oovRatePpm]] vocabulary rule.
+    *
+    * 100 TB shape: one vocabulary aggregation; the head is a bounded
+    * TakeOrdered (orderBy+limit never global-sorts), and the three totals
+    * are one pass over the vocabulary relation. */
+  def vocabularyConcentration(docs: DataFrame, text: Column,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, "vocabularyConcentration: topK must be >= 1")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val vocab = docs.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"))
+    val head = vocab.orderBy(col("c").desc, col("w")).limit(topK)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("head_mass"))
+    totals.crossJoin(head)
+      .select(col("n_tokens"), col("n_types"), col("hapax_types"),
+        idiv(col("hapax_types") * 1000000L, col("n_types")).as("hapax_ppm"),
+        idiv(col("n_types") * 1000000L, col("n_tokens"))
+          .as("type_token_ppm"),
+        idiv(col("head_mass") * 1000000L, col("n_tokens"))
+          .as(s"top${topK}_coverage_ppm"))
+  }
+
+  /** Poisson-bootstrap uncertainty for a corpus mean (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — the bootstrap
+    * that works in one distributed pass): each of B replicates reweights
+    * every row by a Poisson(1) draw, here a DETERMINISTIC surrogate — the
+    * seeded md5 fold mod 10⁶ cut against the quantized Poisson CDF
+    * thresholds (367879, 735759, 919699, 981012, 996340, 999406 ppm for
+    * w = 0..5, else 6; the e⁻¹ series constants, identical literals in
+    * both engines) — so the replicate set is reproducible and
+    * cross-engine exact. Returns per replicate (b, n_eff, sum, mean_ppm);
+    * the caller reads the spread (e.g. replicate-mean quantiles) as the
+    * CI. The metric must already be integer (the corpus discipline).
+    *
+    * 100 TB shape: ONE scan with a B-fold explode feeding a B-keyed
+    * aggregation (map-side combine reduces each partition to B partial
+    * rows); B is bounded (≤ 64) by contract — the B× pre-combine row
+    * expansion is the entire cost. */
+  def poissonBootstrap(df: DataFrame, id: Column, metric: Column,
+      b: Int = 32, seed: String = "pb"): DataFrame = {
+    require(b >= 2 && b <= 64, "poissonBootstrap: b in [2, 64]")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    val base = df.select(id.as("id"), metric.cast("long").as("m"))
+      .select(col("id"), col("m"),
+        explode(sequence(lit(1), lit(b))).as("b"))
+    val h = pmod(conv(substring(md5(concat_ws(":", lit(seed),
+      col("b").cast("string"), col("id").cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(1000000L))
+    val w = cdf.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, i), rest) => when(h < t, lit(i.toLong)).otherwise(rest)
+    }
+    base.withColumn("w", w)
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("m")).as("sum_m"))
+      .withColumn("mean_ppm", when(col("n_eff") === 0,
+          lit(null).cast("long"))
+        .otherwise(when(col("sum_m") >= 0,
+          idiv(col("sum_m") * 1000000L, col("n_eff")))
+          .otherwise(-idiv(-col("sum_m") * 1000000L, col("n_eff")))))
+  }
+
   /** Ranker-agreement audit: Kendall's τ (tau-a) between two ranked lists
     * per query, over the documents BOTH rankers retrieved (the standard
     * truncated-list convention — a doc one ranker never saw has no pair

@@ -201,6 +201,61 @@ object EventsOps {
       .select(col("user_id"), col("h"), col("filled"))
   }
 
+  /** Winsorized robust statistics per group (Tukey; the metric-pipeline
+    * standard for "mean without the outlier lie"): values clamp to the
+    * [pLow, pHigh] rank-based percentile bounds of their own group before
+    * averaging, so a handful of broken-instrumentation rows can't drag the
+    * per-type mean. Values quantize to milli units (⌊10³·v⌋ — the
+    * embedding-quantization discipline: floor of a double product is the
+    * same IEEE op in every engine); bounds are EXACT rank statistics
+    * (value at rank ⌈p·n⌉, no interpolation), found via the q220 tier
+    * trick: per-(group, value) counts with a cumulative offset locate the
+    * covering tier — no per-row sort window, so a group's rows never
+    * serialize through one partition. Mean division is sign-split (the
+    * q230 truncate-vs-floor rule). Returns (g, n, lo_milli, hi_milli,
+    * raw_mean_milli, win_mean_milli).
+    *
+    * 100 TB shape: one (group, value-tier) aggregation (tier relation ≤
+    * distinct quantized values — bounded far below row count), a
+    * tier-sized window per group, and one group-keyed clamp+sum pass with
+    * the bounds broadcast back. */
+  def winsorizedStats(events: DataFrame, group: Column, value: Column,
+      pLowPpm: Long = 50000L, pHighPpm: Long = 950000L): DataFrame = {
+    require(pLowPpm >= 0 && pLowPpm < pHighPpm && pHighPpm <= 1000000L,
+      "winsorizedStats: need 0 <= pLow < pHigh <= 1e6")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    def meanOf(s: Column, n: Column): Column =
+      when(s >= 0, idiv(s * 1000L, n)).otherwise(-idiv(-s * 1000L, n))
+    val base = events.select(group.as("g"),
+      floor(value * 1000).cast("long").as("v"))
+    val tiers = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wo = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tiers
+      .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("rlo", greatest(lit(1L),
+        idiv(col("n") * pLowPpm + 999999L, lit(1000000L))))
+      .withColumn("rhi", greatest(lit(1L),
+        idiv(col("n") * pHighPpm + 999999L, lit(1000000L))))
+    def boundAt(rank: Column, name: String): DataFrame =
+      ns.join(offs, Seq("g"))
+        .filter(rank > col("off") && rank <= col("off") + col("cnt"))
+        .select(col("g"), col("v").as(name))
+    val lo = boundAt(col("rlo"), "lo_milli")
+    val hi = boundAt(col("rhi"), "hi_milli")
+    base.join(broadcast(lo), Seq("g")).join(broadcast(hi), Seq("g"))
+      .withColumn("vw",
+        least(greatest(col("v"), col("lo_milli")), col("hi_milli")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("lo_milli")).as("lo_milli"),
+        min(col("hi_milli")).as("hi_milli"),
+        sum(col("v")).as("raw_sum"), sum(col("vw")).as("win_sum"))
+      .select(col("g"), col("n"), col("lo_milli"), col("hi_milli"),
+        meanOf(col("raw_sum"), col("n")).as("raw_mean_micro"),
+        meanOf(col("win_sum"), col("n")).as("win_mean_micro"))
+  }
+
   /** Conversation-structure audit for instruction-tuning data: given an
     * interaction log mapped to (conversation, turn-order, role, token
     * count), validate per conversation the structural contract SFT

@@ -882,6 +882,37 @@ object PipelineOps {
       graft.ext.Similarity.spectralProfile(t(s, dir, "embeddings"),
         iters = 3)
     }),
+    "q241_ngram_diversity" -> ((s, dir) => {
+      // Distinct-1/2/3 diversity per source: the mode-collapse /
+      // synthetic-data cliff detector.
+      Curation.ngramDiversityProfile(t(s, dir, "documents"), col("source"),
+          col("text"), maxN = 3)
+        .withColumnRenamed("stratum", "source")
+        .orderBy(col("source"), col("n"))
+    }),
+    "q242_vocab_concentration" -> ((s, dir) => {
+      // Corpus vocabulary concentration: type/token ratio, hapax fraction,
+      // top-100 head coverage — the Zipf-shape sanity row of a corpus
+      // report.
+      Curation.vocabularyConcentration(t(s, dir, "documents"), col("text"),
+        topK = 100)
+    }),
+    "q243_winsorized_stats" -> ((s, dir) => {
+      // Robust per-event-type value stats: means after clamping to the
+      // [5%, 95%] exact rank bounds — tier-located, no per-row sort
+      // window.
+      graft.ext.EventsOps.winsorizedStats(t(s, dir, "events"),
+          col("event_type"), col("value"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
+    "q244_poisson_bootstrap" -> ((s, dir) => {
+      // Metric uncertainty in one pass: 32 deterministic Poisson-bootstrap
+      // replicates of the mean document length — the spread IS the CI.
+      Curation.poissonBootstrap(t(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), b = 32, seed = "pb1")
+        .orderBy(col("b"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3196,6 +3227,98 @@ object PipelineOps {
           |    AS BIGINT) AS anisotropy_ppm,
           |  pd.principal_dim
           |FROM nn, tr, lam, pd""".stripMargin),
+    "q241_ngram_diversity" ->
+      raw"""WITH tw AS (
+         |  SELECT source, string_split_regex(trim(text), '\s+') AS w
+         |  FROM documents),
+         |g1 AS (SELECT source, CAST(1 AS BIGINT) AS n, unnest(w) AS g FROM tw),
+         |g2 AS (SELECT source, CAST(2 AS BIGINT) AS n,
+         |  unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1]) ELSE [] END) AS g FROM tw),
+         |g3 AS (SELECT source, CAST(3 AS BIGINT) AS n,
+         |  unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS g
+         |  FROM tw),
+         |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |  UNION ALL SELECT * FROM g3),
+         |a AS (SELECT source, n, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |  FROM u GROUP BY source, n)
+         |SELECT source, n, n_grams, n_distinct,
+         |  (n_distinct * 1000000) // n_grams AS distinct_ppm
+         |FROM a ORDER BY source, n""".stripMargin,
+    "q242_vocab_concentration" ->
+      raw"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  WHERE w <> '' GROUP BY w),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hapax_types FROM v),
+         |h AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS head_mass
+         |  FROM (SELECT c FROM v ORDER BY c DESC, w LIMIT 100))
+         |SELECT n_tokens, n_types, hapax_types,
+         |  (hapax_types * 1000000) // n_types AS hapax_ppm,
+         |  (n_types * 1000000) // n_tokens AS type_token_ppm,
+         |  (head_mass * 1000000) // n_tokens AS top100_coverage_ppm
+         |FROM t, h""".stripMargin,
+    "q243_winsorized_stats" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |tiers AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY g, v),
+        |offs AS (SELECT g, v, cnt, coalesce(sum(cnt) OVER (PARTITION BY g
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS off FROM tiers),
+        |ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+        |rk AS (SELECT g, n,
+        |    greatest(1, (n * 50000 + 999999) // 1000000) AS rlo,
+        |    greatest(1, (n * 950000 + 999999) // 1000000) AS rhi FROM ns),
+        |lo AS (SELECT rk.g, offs.v AS lo_milli FROM rk JOIN offs
+        |  ON offs.g = rk.g AND rk.rlo > offs.off
+        |    AND rk.rlo <= offs.off + offs.cnt),
+        |hi AS (SELECT rk.g, offs.v AS hi_milli FROM rk JOIN offs
+        |  ON offs.g = rk.g AND rk.rhi > offs.off
+        |    AND rk.rhi <= offs.off + offs.cnt),
+        |cl AS (SELECT b.g, b.v,
+        |    least(greatest(b.v, lo.lo_milli), hi.hi_milli) AS vw,
+        |    lo.lo_milli, hi.hi_milli
+        |  FROM b JOIN lo USING (g) JOIN hi USING (g)),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    min(lo_milli) AS lo_milli, min(hi_milli) AS hi_milli,
+        |    CAST(sum(v) AS BIGINT) AS rs, CAST(sum(vw) AS BIGINT) AS ws
+        |  FROM cl GROUP BY g)
+        |SELECT g AS event_type, n, lo_milli, hi_milli,
+        |  CAST(CASE WHEN rs >= 0 THEN (rs * 1000) // n
+        |    ELSE -((-rs * 1000) // n) END AS BIGINT) AS raw_mean_micro,
+        |  CAST(CASE WHEN ws >= 0 THEN (ws * 1000) // n
+        |    ELSE -((-ws * 1000) // n) END AS BIGINT) AS win_mean_micro
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q244_poisson_bootstrap" ->
+      """WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS m
+        |  FROM documents),
+        |e AS (SELECT id, m, unnest(generate_series(1, 32)) AS b FROM base),
+        |h AS (SELECT b, m, list_reduce(
+        |    list_transform(string_split(md5('pb1:' || CAST(b AS VARCHAR)
+        |        || ':' || CAST(id AS VARCHAR)), '')[1:15],
+        |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v) % 1000000 AS hv FROM e),
+        |w AS (SELECT b, m, CASE WHEN hv < 367879 THEN 0
+        |    WHEN hv < 735759 THEN 1 WHEN hv < 919699 THEN 2
+        |    WHEN hv < 981012 THEN 3 WHEN hv < 996340 THEN 4
+        |    WHEN hv < 999406 THEN 5 ELSE 6 END AS w FROM h),
+        |a AS (SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |    CAST(sum(w * m) AS BIGINT) AS sum_m FROM w GROUP BY b)
+        |SELECT b, n_eff, sum_m,
+        |  CAST(CASE WHEN n_eff = 0 THEN NULL
+        |    WHEN sum_m >= 0 THEN (sum_m * 1000000) // n_eff
+        |    ELSE -((-sum_m * 1000000) // n_eff) END AS BIGINT) AS mean_ppm
+        |FROM a ORDER BY b""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

@@ -2421,6 +2421,74 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("ngramDiversityProfile: repetition floors distinct_ppm, all-distinct source hits 1e6 at every n") {
+    val docs = Seq((1L, "a a a a", "A"), (2L, "a b c", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.ngramDiversityProfile(docs, col("source"),
+        col("text"), maxN = 3)
+      .orderBy(col("stratum"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 1L, 4L, 1L, 250000L), ("A", 2L, 3L, 1L, 333333L),
+      ("A", 3L, 2L, 1L, 500000L),
+      ("B", 1L, 3L, 3L, 1000000L), ("B", 2L, 2L, 2L, 1000000L),
+      ("B", 3L, 1L, 1L, 1000000L)))
+  }
+
+  test("vocabularyConcentration: hand-counted head mass, hapax fraction, deterministic top-k ties") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = Curation.vocabularyConcentration(docs, col("text"), topK = 2)
+      .collect().head
+    // vocab: a=2, b=1, c=1; top-2 cut ties (1) break by token: a, b
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 2L)))
+    assert(r.getLong(3) === 666666L) // hapax 2/3
+    assert(r.getLong(4) === 750000L) // types 3/4
+    assert(r.getLong(5) === 750000L) // head mass 3/4
+  }
+
+  test("winsorizedStats: exact rank bounds clamp the tails, means replayed by hand") {
+    import graft.ext.EventsOps
+    val df = (1 to 20).map(i => ("t", i.toDouble)).toDF("et", "value")
+    val r = EventsOps.winsorizedStats(df, col("et"), col("value"))
+      .collect().head
+    // n=20: rlo = ceil(1.0) = 1 -> lo = 1000; rhi = ceil(19.0) = 19 -> 19000
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((20L, 1000L, 19000L)))
+    assert(r.getLong(4) === 10500000L) // raw mean: 10.5 in micro
+    assert(r.getLong(5) === 10450000L) // 20 clamps to 19: (190+19)/20
+    // asymmetric clamp: [25%, 75%] of {1, 2, 3, 100}
+    val df2 = Seq(1.0, 2.0, 3.0, 100.0).map(("u", _)).toDF("et", "value")
+    val r2 = EventsOps.winsorizedStats(df2, col("et"), col("value"),
+      pLowPpm = 250000L, pHighPpm = 750000L).collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((1000L, 3000L)))
+    assert(r2.getLong(5) === 2250000L) // (1+2+3+3)/4 = 2.25
+  }
+
+  test("poissonBootstrap: replicate weights replay the md5 fold exactly; draws are seed-deterministic") {
+    val docs = (1L to 50L).map(i => (i, i * 10L)).toDF("id", "m")
+    val out = Curation.poissonBootstrap(docs, col("id"), col("m"),
+      b = 4, seed = "tb").orderBy(col("b")).collect()
+    assert(out.length === 4)
+    // replay replicate 1 in plain JVM arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def wOf(b: Long, id: Long): Long = {
+      val hex = md.digest(s"tb:$b:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val hv = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+      cdf.indexWhere(hv < _) match { case -1 => 6L; case i => i.toLong }
+    }
+    val exp = (1L to 50L).map(id => (wOf(1L, id), wOf(1L, id) * id * 10L))
+    val (expN, expS) = (exp.map(_._1).sum, exp.map(_._2).sum)
+    assert((out.head.getLong(1), out.head.getLong(2)) === ((expN, expS)))
+    assert(out.head.getLong(3) === expS * 1000000L / expN)
+    // a different seed draws a different replicate set
+    val other = Curation.poissonBootstrap(docs, col("id"), col("m"),
+      b = 4, seed = "tb2").orderBy(col("b")).collect()
+    assert(other.map(_.getLong(2)).toSeq !== out.map(_.getLong(2)).toSeq)
+  }
+
   test("spectralProfile: rank-1 cloud is fully anisotropic, isotropic cloud splits evenly, exact integer replay") {
     // all variance on axis 1: C = [[1e7, 0], [0, 0]]
     val r1 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),

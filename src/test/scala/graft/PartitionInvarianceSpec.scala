@@ -101,7 +101,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // ranker agreement (k²-bounded pair join) and bipartite HITS rounds
     "q238_kendall_tau", "q239_hits",
     // covariance aggregation must be layout-blind (integer sums)
-    "q240_embedding_spectrum")
+    "q240_embedding_spectrum",
+    // diversity count-distincts, TakeOrdered head, tier-located winsorize,
+    // replicated bootstrap aggregation
+    "q241_ngram_diversity", "q242_vocab_concentration",
+    "q243_winsorized_stats", "q244_poisson_bootstrap")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
