@@ -1665,6 +1665,34 @@ object Curation {
           .otherwise(-idiv(-col("sum_m") * 1000000L, col("n_eff")))))
   }
 
+  /** Length-bias audit for preference data (the RLHF hygiene check made
+    * standard by length-controlled AlpacaEval, Dubois et al. 2024): in
+    * what fraction of preference pairs is the CHOSEN side simply the
+    * LONGER one? A reward model trained on pairs with high length bias
+    * learns verbosity, not quality. `pairs` carries (strat, chosen_id,
+    * rejected_id) ([[preferencePairs]] output); `lengths` maps doc_id to
+    * an integer length. bias_ppm is computed over non-tie pairs and NULL
+    * when every pair ties (no signal, not 0). ~500000 ppm = unbiased.
+    *
+    * 100 TB shape: two id-keyed joins of the pair list (pairs ≤ half the
+    * corpus) onto the length relation, one stratum aggregation. */
+  def lengthBiasAudit(pairs: DataFrame, lengths: DataFrame): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val l = lengths.select(col("doc_id"), col("len").cast("long").as("len"))
+    pairs.select(col("strat"), col("chosen_id"), col("rejected_id"))
+      .join(l.toDF("chosen_id", "c_len"), Seq("chosen_id"))
+      .join(l.toDF("rejected_id", "r_len"), Seq("rejected_id"))
+      .groupBy(col("strat"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("c_len") > col("r_len")).cast("long"))
+          .as("n_chosen_longer"),
+        sum((col("c_len") === col("r_len")).cast("long")).as("n_ties"))
+      .withColumn("length_bias_ppm",
+        when(col("n_pairs") === col("n_ties"), lit(null).cast("long"))
+          .otherwise(idiv(col("n_chosen_longer") * 1000000L,
+            col("n_pairs") - col("n_ties"))))
+  }
+
   /** Ranker-agreement audit: Kendall's τ (tau-a) between two ranked lists
     * per query, over the documents BOTH rankers retrieved (the standard
     * truncated-list convention — a doc one ranker never saw has no pair

@@ -896,4 +896,34 @@ object Dedup {
         (lit(65535L) - pmod(col("key"), lit(65536L))).as("pos"),
         shiftright(col("key"), 16).as("h"))
   }
+
+  /** Quality-aware canonical selection within duplicate clusters — the
+    * "keep one per cluster" step done right: lowest-id keeps (the
+    * [[exactDedup]] default) discard the BEST copy whenever a cleaner
+    * near-duplicate arrived later, so production dedup keeps the
+    * max-quality member instead (tie → lowest id). `clusters` is a
+    * (node, comp) labeling ([[connectedComponents]] /
+    * [[connectedComponentsStar]] output); docs absent from it (no
+    * duplicate edges) are their own singleton cluster — they MUST surface
+    * here, or the keeper list silently drops every unique document.
+    * Returns (comp, n_docs, keep_id, keep_q).
+    *
+    * 100 TB shape: one left join of the corpus onto the pair-bounded
+    * cluster table (broadcast when near-dup pairs are sparse — the q140
+    * wiring), then one comp-keyed struct-max argmax aggregation (the q119
+    * double-argmax discipline: no window, no sort). */
+  def canonicalByQuality(docs: DataFrame, id: Column, quality: Column,
+      clusters: DataFrame): DataFrame = {
+    val d = docs.select(id.as("doc_id"), quality.cast("long").as("q"))
+    d.join(clusters.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+        "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("keep_id"))).as("b"))
+      .select(col("comp"), col("n_docs"),
+        col("b").getField("keep_id").as("keep_id"),
+        col("b").getField("q").as("keep_q"))
+  }
 }

@@ -913,6 +913,30 @@ object PipelineOps {
           col("n_chars"), b = 32, seed = "pb1")
         .orderBy(col("b"))
     }),
+    "q245_canonical_select" -> ((s, dir) => {
+      // Keep-the-best dedup: q95's duplicate clusters, but the keeper is
+      // the max-gini member (tie -> lowest id), and unique docs surface as
+      // their own singleton clusters.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        lit(1), n = 3, minJaccard = 0.2)
+      Dedup.canonicalByQuality(docs, col("doc_id"),
+          TA.giniDiversityPpm(col("text")), Dedup.connectedComponents(pairs))
+        .orderBy(col("comp"))
+    }),
+    "q246_length_bias" -> ((s, dir) => {
+      // RLHF hygiene: in what fraction of q222's preference pairs is the
+      // chosen side simply the longer document?
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.giniDiversityPpm(col("text")).as("g"))
+      val pairs = Curation.preferencePairs(docs, col("doc_id"), col("lang"),
+        col("g"), minGap = 100000L)
+      Curation.lengthBiasAudit(pairs,
+          t(s, dir, "documents").select(col("doc_id"),
+            col("n_chars").as("len")))
+        .orderBy(col("strat"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3319,6 +3343,47 @@ object PipelineOps {
         |    WHEN sum_m >= 0 THEN (sum_m * 1000000) // n_eff
         |    ELSE -((-sum_m * 1000000) // n_eff) END AS BIGINT) AS mean_ppm
         |FROM a ORDER BY b""".stripMargin,
+    "q246_length_bias" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang AS strat,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS x
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, strat, x,
+         |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x DESC, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) // 2 AS h
+         |  FROM g),
+         |top AS (SELECT strat, doc_id AS chosen_id, x AS cs, r + h AS pr FROM r WHERE r <= h),
+         |bot AS (SELECT strat, doc_id AS rejected_id, x AS rs, r AS pr FROM r),
+         |p AS (
+         |  SELECT top.strat, chosen_id, rejected_id
+         |  FROM top JOIN bot USING (strat, pr)
+         |  WHERE cs - rs >= 100000),
+         |len AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc FROM documents),
+         |pl AS (SELECT p.strat, lc.nc AS c_len, lr.nc AS r_len
+         |  FROM p JOIN len lc ON lc.doc_id = p.chosen_id
+         |    JOIN len lr ON lr.doc_id = p.rejected_id),
+         |a AS (SELECT strat, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN c_len > r_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_chosen_longer,
+         |    CAST(sum(CASE WHEN c_len = r_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ties
+         |  FROM pl GROUP BY strat)
+         |SELECT strat, n_pairs, n_chosen_longer, n_ties,
+         |  CAST(CASE WHEN n_pairs = n_ties THEN NULL
+         |    ELSE (n_chosen_longer * 1000000) // (n_pairs - n_ties)
+         |  END AS BIGINT) AS length_bias_ppm
+         |FROM a ORDER BY strat""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -3917,35 +3982,29 @@ object PipelineOps {
         |FROM documents WHERE lang = 'en'""".stripMargin,
     // components of the same pair graph via recursive transitive closure
     "q95_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, unnest(
-        |    CASE WHEN len(tk) >= 3
-        |      THEN list_transform(generate_series(1, len(tk) - 2),
-        |             i -> array_to_string(tk[i:i+2], ' '))
-        |      ELSE [] END) AS ng
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN sizes sa ON sa.doc_id = d1
-        |  JOIN sizes sb ON sb.doc_id = d2
-        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (
-        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
-        |SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(node) AS BIGINT) AS checksum
-        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
+      (s"WITH RECURSIVE $ccJaccardCtes\n" +
+        """SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(node) AS BIGINT) AS checksum
+          |FROM comp GROUP BY comp ORDER BY comp""".stripMargin),
+    "q245_canonical_select" ->
+      (s"WITH RECURSIVE $ccJaccardCtes,\n" +
+        raw"""gt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+           |  FROM documents),
+           |gc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           |  FROM gt GROUP BY doc_id, w),
+           |gd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+           |  CAST(sum(c * c) AS BIGINT) AS sumsq FROM gc GROUP BY doc_id),
+           |gg AS (SELECT doc_id,
+           |  1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS q FROM gd),
+           |lab AS (SELECT gg.doc_id, coalesce(c.comp, gg.doc_id) AS comp, gg.q
+           |  FROM gg LEFT JOIN comp c ON c.node = gg.doc_id),
+           |rk AS (SELECT comp, doc_id, q,
+           |    row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY comp) AS nd
+           |  FROM lab)
+           |SELECT CAST(comp AS BIGINT) AS comp, CAST(nd AS BIGINT) AS n_docs,
+           |  doc_id AS keep_id, CAST(q AS BIGINT) AS keep_q
+           |FROM rk WHERE rn = 1 ORDER BY comp""".stripMargin),
     // same chain graph, components via recursive transitive closure
     "q111_cc_star_chains" ->
       """WITH RECURSIVE pairs AS (
@@ -6171,6 +6230,37 @@ object PipelineOps {
        |r AS (SELECT q_id, doc_id, n_terms, score_ppm,
        |  CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rnk FROM agg)""".stripMargin
+
+  /** The q95 duplicate-cluster chain (3-gram Jaccard pairs → symmetric
+    * edges → recursive transitive closure → min-label `comp`), shared with
+    * the canonical-selection oracle. Usage: `WITH RECURSIVE $ccJaccardCtes`. */
+  private def ccJaccardCtes: String =
+    raw"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_transform(generate_series(1, len(tk) - 2),
+       |             i -> array_to_string(tk[i:i+2], ' '))
+       |      ELSE [] END) AS ng
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes sa ON sa.doc_id = d1
+       |  JOIN sizes sb ON sb.doc_id = d2
+       |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)""".stripMargin
 
   /** Unrolled power-iteration rounds ([[graft.ext.Similarity
     * .spectralProfile]]): matvec off v{i-1} over the covariance relation,

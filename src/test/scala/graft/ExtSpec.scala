@@ -2421,6 +2421,35 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("canonicalByQuality: best-quality keeper with lowest-id ties; singletons surface") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 30L), (4L, 30L), (5L, 7L))
+      .toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("node", "comp")
+    val out = Dedup.canonicalByQuality(docs, col("doc_id"), col("q"),
+        clusters)
+      .orderBy(col("comp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 50L), // quality beats the lowest-id default
+      (3L, 2L, 3L, 30L), // quality tie -> lowest id
+      (5L, 1L, 5L, 7L))) // no edges -> own singleton cluster
+  }
+
+  test("lengthBiasAudit: ties excluded from the denominator, all-tie stratum is NULL") {
+    val pairs = Seq(("x", 1L, 2L), ("x", 3L, 4L), ("x", 5L, 6L),
+      ("y", 7L, 8L)).toDF("strat", "chosen_id", "rejected_id")
+    val lengths = Seq((1L, 100L), (2L, 50L), (3L, 10L), (4L, 20L),
+      (5L, 5L), (6L, 5L), (7L, 9L), (8L, 9L)).toDF("doc_id", "len")
+    val out = Curation.lengthBiasAudit(pairs, lengths)
+      .orderBy(col("strat")).collect()
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) ===
+      ((3L, 1L, 1L)))
+    assert(out(0).getLong(4) === 500000L) // 1 longer of 2 non-tie pairs
+    assert(out(1).isNullAt(4)) // every pair ties: no signal, not 0
+  }
+
   test("ngramDiversityProfile: repetition floors distinct_ppm, all-distinct source hits 1e6 at every n") {
     val docs = Seq((1L, "a a a a", "A"), (2L, "a b c", "B"))
       .toDF("doc_id", "text", "source")

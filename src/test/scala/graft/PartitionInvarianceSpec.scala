@@ -105,7 +105,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // diversity count-distincts, TakeOrdered head, tier-located winsorize,
     // replicated bootstrap aggregation
     "q241_ngram_diversity", "q242_vocab_concentration",
-    "q243_winsorized_stats", "q244_poisson_bootstrap")
+    "q243_winsorized_stats", "q244_poisson_bootstrap",
+    // struct-max keeper argmax over CC labels; pair join length audit
+    "q245_canonical_select", "q246_length_bias")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
