@@ -897,6 +897,45 @@ object Dedup {
         shiftright(col("key"), 16).as("h"))
   }
 
+  /** Band-recall audit: the measure-before-trust number for BANDED
+    * near-dup blocking ([[simhash60Md5Pairs]]' 4×15-bit scheme) — ground
+    * truth is the EXACT n-gram-Jaccard pair set ([[ngramJaccardPairs]]),
+    * and for each true pair the question is purely structural: do the two
+    * fingerprints agree on at least one band (⇔ the pair enters the
+    * candidate set)? Pairs bucket by SimHash Hamming distance, so the
+    * report is the banding's recall CURVE: ~10⁶ at Hamming ≤ 3 (4 bands
+    * over 60 bits guarantee a clean band up to 3 flipped bits — the
+    * pigeonhole bound), decaying where near-dups drift apart — exactly
+    * the evidence needed before trusting banding at a new similarity
+    * threshold. Returns (ham_bucket, n_pairs, n_caught, catch_ppm),
+    * bucket = hamming div bucketWidth.
+    *
+    * 100 TB shape: band-catch is evaluated per TRUE pair straight from
+    * the two fingerprints (one bit-twiddling expression) — the candidate
+    * join itself is never materialized here; cost = the exact-pair
+    * inventory (which a recall audit needs by definition, run it on a
+    * bounded sample stratum at full scale) + one fingerprint map. */
+  def bandRecallAudit(docs: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double, bucketWidth: Int = 4): DataFrame = {
+    require(bucketWidth >= 1, "bandRecallAudit: bucketWidth >= 1")
+    val truth = ngramJaccardPairs(docs, id, text, lit(1), n, minJaccard)
+    val f = docs.select(id.as("doc_id"), simhash60Md5(text).as("fp"))
+    def band(c: Column, i: Int): Column =
+      shiftright(c, 15 * i).bitwiseAND(lit(32767L))
+    val caught = (0 until 4).map(i =>
+      band(col("fp1"), i) === band(col("fp2"), i)).reduce(_ || _)
+    truth
+      .join(f.select(col("doc_id").as("d1"), col("fp").as("fp1")), "d1")
+      .join(f.select(col("doc_id").as("d2"), col("fp").as("fp2")), "d2")
+      .select(bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long")
+        .as("hamming"), caught.cast("long").as("caught"))
+      .groupBy(org.apache.spark.sql.graft.Bridge.idiv(col("hamming"),
+        lit(bucketWidth.toLong)).as("ham_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .withColumn("catch_ppm", org.apache.spark.sql.graft.Bridge.idiv(
+        col("n_caught") * 1000000L, col("n_pairs")))
+  }
+
   /** Quality-aware canonical selection within duplicate clusters — the
     * "keep one per cluster" step done right: lowest-id keeps (the
     * [[exactDedup]] default) discard the BEST copy whenever a cleaner

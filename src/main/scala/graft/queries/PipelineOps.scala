@@ -937,6 +937,15 @@ object PipelineOps {
             col("n_chars").as("len")))
         .orderBy(col("strat"))
     }),
+    "q247_lsh_recall_audit" -> ((s, dir) => {
+      // Banding recall curve: exact 3-gram-Jaccard pairs (>= 0.2) bucketed
+      // by simhash Hamming distance; per bucket, the fraction the 4x15-bit
+      // banding catches as candidates — the evidence behind q102's
+      // blocking.
+      Dedup.bandRecallAudit(t(s, dir, "documents"), col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.2, bucketWidth = 4)
+        .orderBy(col("ham_bucket"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3384,6 +3393,58 @@ object PipelineOps {
          |    ELSE (n_chosen_longer * 1000000) // (n_pairs - n_ties)
          |  END AS BIGINT) AS length_bias_ppm
          |FROM a ORDER BY strat""".stripMargin,
+    "q247_lsh_recall_audit" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(tk) >= 3
+         |      THEN list_transform(generate_series(1, len(tk) - 2),
+         |             i -> array_to_string(tk[i:i+2], ' '))
+         |      ELSE [] END) AS ng
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |p AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.2),
+         |gh AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split_regex(trim(text), '\s+'),
+         |      t -> list_reduce(
+         |             list_transform(string_split(md5(t), '')[1:15],
+         |               c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                         ELSE unicode(c) - 48 END AS BIGINT)),
+         |             (a, v) -> a * 16 + v)) AS gs
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |      CASE WHEN list_sum(list_transform(gs, g -> ((g >> b) & 1) * 2 - 1)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+         |  FROM gh),
+         |pf AS (SELECT p.d1, p.d2, s1.fp AS fp1, s2.fp AS fp2
+         |  FROM p JOIN sig s1 ON s1.doc_id = p.d1
+         |    JOIN sig s2 ON s2.doc_id = p.d2),
+         |x AS (SELECT CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming,
+         |    CASE WHEN ((fp1 >> 0) & 32767) = ((fp2 >> 0) & 32767)
+         |          OR ((fp1 >> 15) & 32767) = ((fp2 >> 15) & 32767)
+         |          OR ((fp1 >> 30) & 32767) = ((fp2 >> 30) & 32767)
+         |          OR ((fp1 >> 45) & 32767) = ((fp2 >> 45) & 32767)
+         |      THEN 1 ELSE 0 END AS caught
+         |  FROM pf),
+         |a AS (SELECT hamming // 4 AS ham_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(caught) AS BIGINT) AS n_caught
+         |  FROM x GROUP BY 1)
+         |SELECT CAST(ham_bucket AS BIGINT) AS ham_bucket, n_pairs, n_caught,
+         |  (n_caught * 1000000) // n_pairs AS catch_ppm
+         |FROM a ORDER BY ham_bucket""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

@@ -2421,6 +2421,26 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("bandRecallAudit: identical pair lands in bucket 0 caught; the Hamming<=3 pigeonhole bound holds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical: hamming 0, must be caught
+      (3L, base.replace("mu", "nu")), // near-dup of 1/2 by 3-gram jaccard
+      (4L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bandRecallAudit(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.2)
+      .orderBy(col("ham_bucket")).collect()
+    // every true pair at hamming <= 3 (bucket 0) is guaranteed caught:
+    // 4 bands over 60 bits can't all be hit by 3 flipped bits
+    val b0 = out.find(_.getLong(0) === 0L).get
+    assert(b0.getLong(3) === 1000000L)
+    assert(b0.getLong(1) >= 1L) // the identical pair is in there
+    // the audit sees only TRUE pairs: doc 4 shares no grams, so pair
+    // counts across buckets total the exact-pair inventory of docs 1-3
+    assert(out.map(_.getLong(1)).sum === 3L)
+  }
+
   test("canonicalByQuality: best-quality keeper with lowest-id ties; singletons surface") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 30L), (4L, 30L), (5L, 7L))
       .toDF("doc_id", "q")

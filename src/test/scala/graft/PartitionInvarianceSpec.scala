@@ -107,7 +107,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q241_ngram_diversity", "q242_vocab_concentration",
     "q243_winsorized_stats", "q244_poisson_bootstrap",
     // struct-max keeper argmax over CC labels; pair join length audit
-    "q245_canonical_select", "q246_length_bias")
+    "q245_canonical_select", "q246_length_bias",
+    // exact-pair truth join + fingerprint band-catch rollup
+    "q247_lsh_recall_audit")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
