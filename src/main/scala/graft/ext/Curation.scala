@@ -1665,6 +1665,66 @@ object Curation {
           .otherwise(-idiv(-col("sum_m") * 1000000L, col("n_eff")))))
   }
 
+  /** Context-window utilization audit of [[sequencePack]]: per stratum,
+    * how full the packs actually are — n_packs, packed tokens vs n_packs ×
+    * capTokens capacity (utilization_ppm), and the packs a single
+    * over-long document busts past the cap (util can exceed 10⁶ when
+    * overflow packs exist: the doc still ships, truncation is the
+    * trainer's call, but the audit must SHOW it). The feedback number that
+    * decides whether capTokens / shardSize fit the corpus's length
+    * distribution before a 100 TB shard-write pays for the wrong choice.
+    *
+    * 100 TB shape: = [[sequencePack]] (sharded window cumsum) + two
+    * bounded aggregations (packs, then strata). */
+  def packUtilization(docs: DataFrame, id: Column, text: Column,
+      stratum: Column, capTokens: Int, shardSize: Int = 1000): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val packs = sequencePack(docs, id, text, stratum, capTokens, shardSize)
+      .groupBy(col("stratum"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tok"))
+    packs.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tok")).as("sum_tok"),
+        sum(when(col("pack_tok") > capTokens, 1L).otherwise(0L))
+          .as("n_over_packs"))
+      .withColumn("util_ppm", idiv(col("sum_tok") * 1000000L,
+        col("n_packs") * capTokens.toLong))
+  }
+
+  /** Mixture-feasibility planner: given per-source available token counts
+    * and target mixture proportions (ppm), the largest total corpus T*
+    * servable WITHOUT upsampling is min_s ⌊avail_s·10⁶ / target_s⌋ (the
+    * binding source runs dry first); every source then contributes
+    * alloc_s = ⌊T*·target_s / 10⁶⌋ and the rest is headroom. This is the
+    * planning step BEFORE [[temperatureMixture]]/[[tokenBudgetPerSource]]:
+    * it says whether the recipe is achievable at all and which source to
+    * go collect more of. Sources with target 0 pass through with zero
+    * allocation; Σ targets ≤ 10⁶ is the caller's contract.
+    *
+    * 100 TB shape: the corpus reduces to one source-keyed aggregation
+    * upstream; this operator runs on the |sources|-sized relation with a
+    * one-row broadcast min. */
+  def mixtureFeasibility(tokens: DataFrame, targets: DataFrame): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val j = targets.select(col("source"),
+        col("target_ppm").cast("long").as("target_ppm"))
+      .join(tokens.select(col("source"),
+        col("avail_tok").cast("long").as("avail_tok")), Seq("source"), "left")
+      .withColumn("avail_tok", coalesce(col("avail_tok"), lit(0L)))
+    val cap = j.filter(col("target_ppm") > 0)
+      .select(idiv(col("avail_tok") * 1000000L, col("target_ppm")).as("c"))
+      .agg(min(col("c")).as("t_star"))
+    j.crossJoin(broadcast(cap))
+      .withColumn("alloc_tok", when(col("target_ppm") === 0, lit(0L))
+        .otherwise(idiv(col("t_star") * col("target_ppm"), lit(1000000L))))
+      .withColumn("headroom_tok", col("avail_tok") - col("alloc_tok"))
+      .withColumn("binding", (col("target_ppm") > 0 &&
+        idiv(col("avail_tok") * 1000000L, col("target_ppm"))
+          === col("t_star")).cast("long"))
+      .select(col("source"), col("avail_tok"), col("target_ppm"),
+        col("t_star"), col("alloc_tok"), col("headroom_tok"), col("binding"))
+  }
+
   /** Length-bias audit for preference data (the RLHF hygiene check made
     * standard by length-controlled AlpacaEval, Dubois et al. 2024): in
     * what fraction of preference pairs is the CHOSEN side simply the

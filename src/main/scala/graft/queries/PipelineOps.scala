@@ -946,6 +946,28 @@ object PipelineOps {
           col("text"), n = 3, minJaccard = 0.2, bucketWidth = 4)
         .orderBy(col("ham_bucket"))
     }),
+    "q248_pack_utilization" -> ((s, dir) => {
+      // How full are q67's 512-token packs per language — utilization and
+      // overflow-pack counts, the feedback number before a shard write.
+      Curation.packUtilization(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"), capTokens = 512)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"))
+    }),
+    "q249_mixture_feasibility" -> ((s, dir) => {
+      // Can the corpus serve an equal mix across sources without
+      // upsampling? The binding source caps T*; everyone else reports
+      // headroom.
+      val toks = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TA.tokenCount(col("text"))).as("avail_tok"))
+      val ns = toks.agg(count(lit(1)).as("n_src"))
+      val targets = toks.select(col("source")).crossJoin(broadcast(ns))
+        .select(col("source"), org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L), col("n_src")).as("target_ppm"))
+      Curation.mixtureFeasibility(toks, targets)
+        .orderBy(col("source"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3445,6 +3467,49 @@ object PipelineOps {
          |SELECT CAST(ham_bucket AS BIGINT) AS ham_bucket, n_pairs, n_caught,
          |  (n_caught * 1000000) // n_pairs AS catch_ppm
          |FROM a ORDER BY ham_bucket""".stripMargin,
+    "q248_pack_utilization" ->
+      raw"""WITH b AS (
+         |  SELECT lang AS stratum, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    doc_id // 1000 AS shard
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tok) OVER (
+         |    PARTITION BY stratum, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+         |p AS (SELECT stratum, shard, (cum - n_tok) // 512 AS pack_id, n_tok FROM c),
+         |pk AS (SELECT stratum, shard, pack_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tok
+         |  FROM p GROUP BY stratum, shard, pack_id),
+         |a AS (SELECT stratum AS lang, CAST(count(*) AS BIGINT) AS n_packs,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(pack_tok) AS BIGINT) AS sum_tok,
+         |    CAST(sum(CASE WHEN pack_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_over_packs
+         |  FROM pk GROUP BY stratum)
+         |SELECT lang, n_packs, n_docs, sum_tok, n_over_packs,
+         |  (sum_tok * 1000000) // (n_packs * 512) AS util_ppm
+         |FROM a ORDER BY lang""".stripMargin,
+    "q249_mixture_feasibility" ->
+      raw"""WITH toks AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         |      AS avail_tok
+         |  FROM documents GROUP BY source),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM toks),
+         |tg AS (SELECT source, avail_tok,
+         |  CAST(1000000 // ns.n_src AS BIGINT) AS target_ppm FROM toks, ns),
+         |cap AS (SELECT CAST(min((avail_tok * 1000000) // target_ppm) AS BIGINT)
+         |  AS t_star FROM tg WHERE target_ppm > 0)
+         |SELECT source, avail_tok, target_ppm, cap.t_star,
+         |  CAST(CASE WHEN target_ppm = 0 THEN 0
+         |    ELSE (cap.t_star * target_ppm) // 1000000 END AS BIGINT) AS alloc_tok,
+         |  avail_tok - CAST(CASE WHEN target_ppm = 0 THEN 0
+         |    ELSE (cap.t_star * target_ppm) // 1000000 END AS BIGINT)
+         |    AS headroom_tok,
+         |  CAST(CASE WHEN target_ppm > 0
+         |    AND (avail_tok * 1000000) // target_ppm = cap.t_star
+         |    THEN 1 ELSE 0 END AS BIGINT) AS binding
+         |FROM tg, cap ORDER BY source""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

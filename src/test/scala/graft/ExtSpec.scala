@@ -2421,6 +2421,42 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("packUtilization: exact fill arithmetic; an over-long doc surfaces as an overflow pack") {
+    // cap 10: docs of 6+6 -> two packs in one shard; a 25-token doc busts
+    val docs = Seq(
+      (1L, Seq.fill(6)("w").mkString(" "), "a"),
+      (2L, Seq.fill(6)("w").mkString(" "), "a"),
+      (3L, Seq.fill(25)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.packUtilization(docs, col("doc_id"), col("text"),
+        col("lang"), capTokens = 10)
+      .orderBy(col("stratum")).collect()
+    // stratum a: cum 6, 12 -> pack_ids 0, 0? (12-6)//10=0 -> both pack 0
+    // pack_tok 12 > 10: overflow; util = 12/10
+    assert((out(0).getLong(1), out(0).getLong(3), out(0).getLong(4)) ===
+      ((1L, 12L, 1L)))
+    assert(out(0).getLong(5) === 1200000L)
+    assert((out(1).getLong(1), out(1).getLong(3), out(1).getLong(4)) ===
+      ((1L, 25L, 1L)))
+  }
+
+  test("mixtureFeasibility: binding source caps T*, allocations and headroom exact, zero-target passthrough") {
+    val toks = Seq(("a", 1000L), ("b", 5000L), ("c", 100L))
+      .toDF("source", "avail_tok")
+    val targets = Seq(("a", 500000L), ("b", 500000L), ("c", 0L))
+      .toDF("source", "target_ppm")
+    val out = Curation.mixtureFeasibility(toks, targets)
+      .orderBy(col("source")).collect()
+    // T* = min(1000/0.5, 5000/0.5) = 2000; a binds
+    assert(out.forall(_.getLong(3) === 2000L))
+    assert((out(0).getLong(4), out(0).getLong(5), out(0).getLong(6)) ===
+      ((1000L, 0L, 1L)))
+    assert((out(1).getLong(4), out(1).getLong(5), out(1).getLong(6)) ===
+      ((1000L, 4000L, 0L)))
+    assert((out(2).getLong(4), out(2).getLong(5), out(2).getLong(6)) ===
+      ((0L, 100L, 0L)))
+  }
+
   test("bandRecallAudit: identical pair lands in bucket 0 caught; the Hamming<=3 pigeonhole bound holds") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(

@@ -109,7 +109,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // struct-max keeper argmax over CC labels; pair join length audit
     "q245_canonical_select", "q246_length_bias",
     // exact-pair truth join + fingerprint band-catch rollup
-    "q247_lsh_recall_audit")
+    "q247_lsh_recall_audit",
+    // sharded pack cumsum rollup; broadcast-min feasibility
+    "q248_pack_utilization", "q249_mixture_feasibility")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
