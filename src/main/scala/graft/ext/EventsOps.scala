@@ -201,6 +201,48 @@ object EventsOps {
       .select(col("user_id"), col("h"), col("filled"))
   }
 
+  /** Per-group activity trend: the exact ordinary-least-squares slope of
+    * hourly event counts over time — the "is this source/type growing or
+    * dying" number a crawl scheduler reads. x = whole hours since the
+    * corpus's first hour (a one-row broadcast min keeps x small so the
+    * closed-form products stay bounded), y = events in that hour, and the
+    * slope is the OLS closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * reported in micro-events/hour with sign-split integer division (the
+    * q230 rule) and DECIMAL(38,0) on both products (span·count products
+    * pass Long on a year of hours × 10¹⁰ events by construction). NULL
+    * when a group has fewer than two distinct hours (no line through one
+    * point). Only OBSERVED hours enter — an idle hour is absent, not a
+    * zero; compose with [[gapFill]] upstream when zeros should count.
+    *
+    * 100 TB shape: one (group, hour) aggregation, then a group-keyed
+    * reduction of the five OLS sums — both two-phase with map-side
+    * combine; nothing is ordered, nothing windows. */
+  def trendSlope(events: DataFrame, group: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val hr = Bridge.idiv(unix_micros(ts), lit(3600000000L))
+    val base = events.select(group.as("g"), hr.as("h"))
+    val h0 = base.agg(min(col("h")).as("h0"))
+    val cells = base.crossJoin(broadcast(h0))
+      .select(col("g"), (col("h") - col("h0")).as("x"))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("y"))
+    cells.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n_hours AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n_hours AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_micro", when(col("den") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          """CAST(CASE WHEN num >= 0 THEN (num * 1000000) DIV den
+            |ELSE -((-num * 1000000) DIV den) END AS BIGINT)""".stripMargin)))
+      .select(col("g"), col("n_hours"), col("sy").as("n_events"),
+        col("slope_micro"))
+  }
+
   /** Winsorized robust statistics per group (Tukey; the metric-pipeline
     * standard for "mean without the outlier lie"): values clamp to the
     * [pLow, pHigh] rank-based percentile bounds of their own group before

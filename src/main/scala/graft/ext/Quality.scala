@@ -138,6 +138,42 @@ object Quality {
       .orderBy(col("constraint"))
   }
 
+  /** Functional-dependency audit (the profiling step behind schema
+    * discovery and key/dimension validation, Papenbrock et al. VLDB'15
+    * territory at exact-check granularity): does lhs → rhs hold? A
+    * violating group is an lhs value whose rows carry ≥ 2 distinct rhs
+    * values; the audit reports group and row blast radius per candidate
+    * FD. NULLs participate as distinct values via a U+0002 sentinel on
+    * BOTH sides (a NULL next to a real value IS a dependency violation —
+    * dropping NULLs would certify a broken column, and concat_ws silently
+    * skips NULLs, the portableRowHash trap); multi-column lhs keys join
+    * on U+0001 so ("ab","c") can't collide with ("a","bc"). Each
+    * candidate costs one lhs-keyed aggregation; candidates
+    * audit independently, so the result unions |deps| scalar rows.
+    * Returns (fd, n_groups, n_violating_groups, n_rows_in_violation,
+    * holds). */
+  def fdAudit(df: DataFrame,
+      deps: Seq[(String, Seq[Column], Column)]): DataFrame = {
+    require(deps.nonEmpty, "fdAudit: need at least one candidate FD")
+    deps.map { case (name, lhs, rhs) =>
+      val g = df.select(
+          concat_ws("\u0001",
+            lhs.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*)
+            .as("__l"),
+          coalesce(rhs.cast("string"), lit("\u0002")).as("__r"))
+        .groupBy(col("__l"))
+        .agg(countDistinct(col("__r")).as("nd"), count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("nd") >= 2, col("n")).otherwise(0L))
+            .as("n_rows_in_violation"))
+        .select(lit(name).as("fd"), col("n_groups"),
+          col("n_violating_groups"), col("n_rows_in_violation"),
+          (col("n_violating_groups") === 0).cast("long").as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cohen's kappa (Cohen 1960) between two label columns, exact-integer:
     * one row (n, n_agree, po_ppm, pe_ppm, kappa_ppm). po = observed
     * agreement; pe = chance agreement from the marginals (Σ_c pA_c·pB_c);

@@ -968,6 +968,26 @@ object PipelineOps {
       Curation.mixtureFeasibility(toks, targets)
         .orderBy(col("source"))
     }),
+    "q251_fd_audit" -> ((s, dir) => {
+      // Functional-dependency discovery checks: the key FD holds, the
+      // cross-dimension ones must be REFUTED with exact blast radii —
+      // certifying a false FD corrupts every downstream dimension table.
+      graft.ext.Quality.fdAudit(t(s, dir, "documents"), Seq(
+          ("doc_id->lang", Seq(col("doc_id")), col("lang")),
+          ("lang->source", Seq(col("lang")), col("source")),
+          ("lang,source->len_band", Seq(col("lang"), col("source")),
+            org.apache.spark.sql.graft.Bridge.idiv(col("n_chars"),
+              lit(100L)))))
+        .orderBy(col("fd"))
+    }),
+    "q252_trend_slope" -> ((s, dir) => {
+      // Per-event-type activity trend: exact OLS slope of hourly counts in
+      // micro-events/hour — growing or dying, with no window and no sort.
+      graft.ext.EventsOps.trendSlope(t(s, dir, "events"),
+          col("event_type"), col("ts"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3510,6 +3530,51 @@ object PipelineOps {
          |    AND (avail_tok * 1000000) // target_ppm = cap.t_star
          |    THEN 1 ELSE 0 END AS BIGINT) AS binding
          |FROM tg, cap ORDER BY source""".stripMargin,
+    "q251_fd_audit" -> {
+      def fdCte(tag: String, lexpr: String, rexpr: String, fd: String) =
+        s"""a$tag AS (SELECT l, count(DISTINCT r) AS nd, count(*) AS n FROM (
+           |    SELECT $lexpr AS l, $rexpr AS r FROM documents) GROUP BY l),
+           |r$tag AS (SELECT '$fd' AS fd,
+           |    CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_violating_groups,
+           |    CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT)
+           |      AS n_rows_in_violation,
+           |    CAST(CASE WHEN sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) = 0
+           |      THEN 1 ELSE 0 END AS BIGINT) AS holds
+           |  FROM a$tag)""".stripMargin
+      "WITH " +
+        fdCte("1", "coalesce(CAST(doc_id AS VARCHAR), chr(2))",
+          "coalesce(lang, chr(2))", "doc_id->lang") + ",\n" +
+        fdCte("2", "coalesce(lang, chr(2))",
+          "coalesce(source, chr(2))", "lang->source") + ",\n" +
+        fdCte("3",
+          "concat_ws(chr(1), coalesce(lang, chr(2)), coalesce(source, chr(2)))",
+          "coalesce(CAST(n_chars // 100 AS VARCHAR), chr(2))",
+          "lang,source->len_band") + "\n" +
+        """SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          |UNION ALL SELECT * FROM r3 ORDER BY fd""".stripMargin
+    },
+    "q252_trend_slope" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 3600000000 AS h FROM events),
+        |h0 AS (SELECT min(h) AS h0 FROM b),
+        |c AS (SELECT g, x, CAST(count(*) AS BIGINT) AS y FROM (
+        |    SELECT g, h - h0.h0 AS x FROM b, h0) GROUP BY g, x),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM c GROUP BY g),
+        |s AS (SELECT g, n_hours, sy,
+        |    CAST(n_hours AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |  FROM a)
+        |SELECT g AS event_type, n_hours, sy AS n_events,
+        |  CAST(CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN (num * 1000000) // den
+        |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_micro
+        |FROM s ORDER BY event_type""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

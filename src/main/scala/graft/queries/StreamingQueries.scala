@@ -181,6 +181,39 @@ object StreamingQueries {
           OutputMode.Complete, needFinalBatch = false)
         .orderBy(col("h"))
     }),
+    "q250_stream_bootstrap" -> ((s, dir) => withStatePartitions(s, 4) {
+      // Streaming Poisson-bootstrap maintenance: replicate counters
+      // (n_eff, Σw·m) are ADDITIVE, so a streaming sum per replicate IS
+      // the update rule — state is B rows regardless of corpus size, and
+      // the streamed replicate table equals the batch one bit-for-bit
+      // (the q219 additivity argument applied to q244). Means compute
+      // from the final 16-row sink.
+      val cells = EventStreams.readEvents(s, dir)
+        .select(col("event_id").as("id"),
+          floor(col("value") * 1000).cast("long").as("m"))
+        .withColumn("b", explode(sequence(lit(1), lit(16))))
+        .withColumn("hv", pmod(
+          conv(substring(md5(concat_ws(":", lit("sb1"),
+            col("b").cast("string"), col("id").cast("string"))), 1, 15),
+            16, 10).cast("long"), lit(1000000L)))
+        .withColumn("w",
+          when(col("hv") < 367879L, 0L).when(col("hv") < 735759L, 1L)
+            .when(col("hv") < 919699L, 2L).when(col("hv") < 981012L, 3L)
+            .when(col("hv") < 996340L, 4L).when(col("hv") < 999406L, 5L)
+            .otherwise(6L))
+      val agg = cells.groupBy(col("b").cast("long").as("b"))
+        .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("m")).as("sum_m"))
+      EventStreams.runAvailableNow(agg, "q250_sink",
+          OutputMode.Complete, needFinalBatch = false)
+        .withColumn("mean_milli", when(col("n_eff") === 0,
+            lit(null).cast("long"))
+          .otherwise(when(col("sum_m") >= 0,
+            org.apache.spark.sql.graft.Bridge.idiv(col("sum_m"),
+              col("n_eff")))
+            .otherwise(-org.apache.spark.sql.graft.Bridge.idiv(
+              -col("sum_m"), col("n_eff")))))
+        .orderBy(col("b"))
+    }),
     "q219_stream_cm_sketch" -> ((s, dir) => withStatePartitions(s, 4) {
       // Streaming count-min maintenance: CM counters are ADDITIVE, so a
       // streaming count per (row, bucket) cell IS the sketch update rule,
@@ -344,6 +377,27 @@ object StreamingQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q250_stream_bootstrap" ->
+      """WITH base AS (SELECT event_id AS id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS m FROM events),
+        |e AS (SELECT id, m, unnest(generate_series(1, 16)) AS b FROM base),
+        |h AS (SELECT b, m, list_reduce(
+        |    list_transform(string_split(md5('sb1:' || CAST(b AS VARCHAR)
+        |        || ':' || CAST(id AS VARCHAR)), '')[1:15],
+        |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v) % 1000000 AS hv FROM e),
+        |w AS (SELECT b, m, CASE WHEN hv < 367879 THEN 0
+        |    WHEN hv < 735759 THEN 1 WHEN hv < 919699 THEN 2
+        |    WHEN hv < 981012 THEN 3 WHEN hv < 996340 THEN 4
+        |    WHEN hv < 999406 THEN 5 ELSE 6 END AS w FROM h),
+        |a AS (SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |    CAST(sum(w * m) AS BIGINT) AS sum_m FROM w GROUP BY b)
+        |SELECT b, n_eff, sum_m,
+        |  CAST(CASE WHEN n_eff = 0 THEN NULL
+        |    WHEN sum_m >= 0 THEN sum_m // n_eff
+        |    ELSE -((-sum_m) // n_eff) END AS BIGINT) AS mean_milli
+        |FROM a ORDER BY b""".stripMargin,
     "q219_stream_cm_sketch" ->
       """WITH cells AS (
         |  SELECT r, list_reduce(

@@ -2421,6 +2421,48 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("fdAudit: violations counted with NULL as a value; multi-column lhs keys can't collide") {
+    val df = Seq(
+      ("k1", "z", "a"), ("k1", "z", "a"), // clean group
+      ("k2", "z", "b"), ("k2", "z", null), // null vs value IS a violation
+      ("k3", "z", null), // all-null rhs: one distinct value, clean
+      ("ab", "c", "x"), ("a", "bc", "y") // must be two separate lhs groups
+    ).toDF("c1", "c2", "r")
+    val out = graft.ext.Quality.fdAudit(df, Seq(
+        ("c1->r", Seq(col("c1")), col("r")),
+        ("c1,c2->r", Seq(col("c1"), col("c2")), col("r"))))
+      .orderBy(col("fd")).collect()
+    val single = out.find(_.getString(0) == "c1->r").get
+    assert((single.getLong(1), single.getLong(2), single.getLong(3),
+      single.getLong(4)) === ((5L, 1L, 2L, 0L)))
+    // 5 lhs groups: (k1,z) (k2,z) (k3,z) (ab,c) (a,bc) — under a
+    // separator-free concat, "ab"+"c" == "a"+"bc" would merge into 4
+    // groups and the merged one would carry {x, y}: a faked violation
+    val multi = out.find(_.getString(0) == "c1,c2->r").get
+    assert((multi.getLong(1), multi.getLong(2), multi.getLong(3)) ===
+      ((5L, 1L, 2L)))
+  }
+
+  test("trendSlope: exact unit slope up and down, single-hour group is NULL") {
+    import graft.ext.EventsOps
+    def ts(hour: Int, i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(hour * 3600000L + i * 1000L)
+    // up: counts 1,2,3 over hours 0,1,2 -> slope exactly +1e6 micro/hour
+    val rows =
+      Seq(("up", ts(0, 0)), ("up", ts(1, 0)), ("up", ts(1, 1)),
+        ("up", ts(2, 0)), ("up", ts(2, 1)), ("up", ts(2, 2))) ++
+      Seq(("down", ts(0, 0)), ("down", ts(0, 1)), ("down", ts(0, 2)),
+        ("down", ts(1, 0)), ("down", ts(1, 1)), ("down", ts(2, 0))) ++
+      Seq(("flat1", ts(1, 0)), ("flat1", ts(1, 1))) // one hour: no line
+    val df = rows.toDF("g", "ts")
+    val out = EventsOps.trendSlope(df, col("g"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out("up") === Some(1000000L))
+    assert(out("down") === Some(-1000000L))
+    assert(out("flat1") === None)
+  }
+
   test("packUtilization: exact fill arithmetic; an over-long doc surfaces as an overflow pack") {
     // cap 10: docs of 6+6 -> two packs in one shard; a 25-token doc busts
     val docs = Seq(

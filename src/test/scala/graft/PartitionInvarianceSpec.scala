@@ -111,7 +111,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // exact-pair truth join + fingerprint band-catch rollup
     "q247_lsh_recall_audit",
     // sharded pack cumsum rollup; broadcast-min feasibility
-    "q248_pack_utilization", "q249_mixture_feasibility")
+    "q248_pack_utilization", "q249_mixture_feasibility",
+    // additive streaming bootstrap state; sentinel-keyed FD groups; OLS sums
+    "q250_stream_bootstrap", "q251_fd_audit", "q252_trend_slope")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
