@@ -201,6 +201,36 @@ object EventsOps {
       .select(col("user_id"), col("h"), col("filled"))
   }
 
+  /** Semi-structured property profiling: extract one JSON path from a
+    * string column and report its presence / numeric range per group —
+    * the look-before-you-trust audit for JSON side channels (event
+    * payloads, metadata bags) BEFORE a pipeline keys logic off them.
+    * Extraction is Spark's codegen'd per-row JSON path read; the numeric
+    * read is try_cast (a non-numeric or absent value is a MISSING row,
+    * counted in missing_ppm, never an ANSI throw — the audit's job is to
+    * report corruption, not crash on it). Returns (g, n, n_missing,
+    * missing_ppm, n_distinct, v_min, v_max, v_sum).
+    *
+    * 100 TB shape: one group-keyed aggregation; the JSON parse rides the
+    * scan. */
+  def jsonPropProfile(events: DataFrame, group: Column, json: Column,
+      path: String): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val base = events.select(group.as("g"),
+      get_json_object(json, path).as("__s"))
+    base.select(col("g"), expr("try_cast(__s AS BIGINT)").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").isNull.cast("long")).as("n_missing"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        sum(coalesce(col("v"), lit(0L))).as("v_sum"))
+      .withColumn("missing_ppm",
+        idiv(col("n_missing") * 1000000L, col("n")))
+      .select(col("g"), col("n"), col("n_missing"), col("missing_ppm"),
+        col("n_distinct"), col("v_min"), col("v_max"), col("v_sum"))
+  }
+
   /** Per-group activity trend: the exact ordinary-least-squares slope of
     * hourly event counts over time — the "is this source/type growing or
     * dying" number a crawl scheduler reads. x = whole hours since the

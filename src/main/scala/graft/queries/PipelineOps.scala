@@ -988,6 +988,26 @@ object PipelineOps {
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))
     }),
+    "q253_match_spans" -> ((s, dir) => {
+      // WHERE do the near-dups overlap: per confirmed q45 pair, the
+      // longest contiguous common token span via diagonal run chaining —
+      // boilerplate overlap vs true copies, in tokens a reviewer can read.
+      Dedup.matchSpanExplanation(t(s, dir, "documents"), col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q254_json_props" -> ((s, dir) => {
+      // JSON side-channel audit: the $.k payload per event type, with
+      // every 17th event's payload re-keyed (planted corruption) — the
+      // audit must isolate it as missing, not crash on it.
+      val ev = t(s, dir, "events").withColumn("props",
+        when(pmod(col("event_id"), lit(17L)) === 0, lit("""{"other": 1}"""))
+          .otherwise(col("props")))
+      graft.ext.EventsOps.jsonPropProfile(ev, col("event_type"),
+          col("props"), "$.k")
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3575,6 +3595,62 @@ object PipelineOps {
         |    WHEN num >= 0 THEN (num * 1000000) // den
         |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_micro
         |FROM s ORDER BY event_type""".stripMargin,
+    "q253_match_spans" ->
+      raw"""WITH tw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w) - 2),
+         |      i -> array_to_string(w[i:i+2], ' ')) ELSE [] END) AS ng
+         |  FROM tw),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pr AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.2),
+         |ps AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS p, w
+         |  FROM tw WHERE len(w) >= 3),
+         |pg AS (SELECT doc_id, p, array_to_string(w[p:p+2], ' ') AS gg FROM ps),
+         |al AS (SELECT pr.d1, pr.d2, a.p AS i, b.p AS j, a.gg
+         |  FROM pr JOIN pg a ON a.doc_id = pr.d1
+         |    JOIN pg b ON b.doc_id = pr.d2 AND b.gg = a.gg),
+         |ch AS (SELECT d1, d2, i - j AS diag, i, gg,
+         |    row_number() OVER (PARTITION BY d1, d2, i - j ORDER BY i) AS rn
+         |  FROM al),
+         |runs AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS run
+         |  FROM ch GROUP BY d1, d2, diag, i - rn),
+         |mx AS (SELECT d1, d2, CAST(max(run) AS BIGINT) AS max_run
+         |  FROM runs GROUP BY d1, d2),
+         |tot AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_aligned,
+         |    CAST(count(DISTINCT gg) AS BIGINT) AS n_shared_grams
+         |  FROM al GROUP BY d1, d2)
+         |SELECT d1, d2, n_shared_grams, n_aligned, max_run,
+         |  max_run + 2 AS span_tokens
+         |FROM mx JOIN tot USING (d1, d2) ORDER BY d1, d2""".stripMargin,
+    "q254_json_props" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CASE WHEN event_id % 17 = 0 THEN '{"other": 1}' ELSE props END
+        |      AS props
+        |  FROM events),
+        |v AS (SELECT g,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM e),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_missing,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |    CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max,
+        |    CAST(sum(coalesce(v, 0)) AS BIGINT) AS v_sum
+        |  FROM v GROUP BY g)
+        |SELECT g AS event_type, n, n_missing,
+        |  (n_missing * 1000000) // n AS missing_ppm,
+        |  n_distinct, v_min, v_max, v_sum
+        |FROM a ORDER BY event_type""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

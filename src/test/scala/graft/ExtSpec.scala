@@ -2421,6 +2421,40 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("matchSpanExplanation: longest common span recovered exactly; split overlap stays split") {
+    // docs 1/2 share the contiguous 6-token run "c d e f g h" (4 aligned
+    // 3-grams on one diagonal); docs 1/3 share two separated 3-token spans
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z w"),
+      (2L, "q r c d e f g h u v t s"),
+      (3L, "c d e m m m m f g h n n o o p p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.matchSpanExplanation(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.05) // pair (1,3) sits at J = 2/22
+      .orderBy(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    // pair (1,2): run of 4 consecutive grams -> span 6 tokens
+    assert(out((1L, 2L)) === ((4L, 6L)))
+    // pair (1,3): two 1-gram islands on different diagonals -> span 3
+    assert(out((1L, 3L)) === ((1L, 3L)))
+  }
+
+  test("jsonPropProfile: extraction stats exact; corrupt payloads count as missing, never throw") {
+    import graft.ext.EventsOps
+    val df = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""), ("a", """{"other": 1}"""),
+      ("a", """{"k": "not-a-number"}"""), ("b", "not json at all")
+    ).toDF("et", "props")
+    val out = EventsOps.jsonPropProfile(df, col("et"), col("props"), "$.k")
+      .orderBy(col("g")).collect()
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 500000L)))
+    assert((a.getLong(5), a.getLong(6), a.getLong(7)) === ((5L, 7L, 12L)))
+    val b = out(1)
+    assert((b.getLong(1), b.getLong(2)) === ((1L, 1L)))
+  }
+
   test("fdAudit: violations counted with NULL as a value; multi-column lhs keys can't collide") {
     val df = Seq(
       ("k1", "z", "a"), ("k1", "z", "a"), // clean group

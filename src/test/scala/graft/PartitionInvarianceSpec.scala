@@ -113,7 +113,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // sharded pack cumsum rollup; broadcast-min feasibility
     "q248_pack_utilization", "q249_mixture_feasibility",
     // additive streaming bootstrap state; sentinel-keyed FD groups; OLS sums
-    "q250_stream_bootstrap", "q251_fd_audit", "q252_trend_slope")
+    "q250_stream_bootstrap", "q251_fd_audit", "q252_trend_slope",
+    // diagonal run chains; JSON extraction rollup
+    "q253_match_spans", "q254_json_props")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
