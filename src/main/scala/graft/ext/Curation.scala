@@ -1753,6 +1753,57 @@ object Curation {
             col("n_pairs") - col("n_ties"))))
   }
 
+  /** [[rboAtK]]'s geometric weight table ⌊(1−p)·p^(d−1)·10⁹⌋ for d = 1..k,
+    * evaluated ONCE at plan time and interpolated into both engines'
+    * plans (the [[ndcgDiscounts]] discipline). */
+  def rboWeights(k: Int, pMilli: Long): Seq[Long] = {
+    val p = pMilli.toDouble / 1000.0
+    (1 to k).map(d => ((1 - p) * math.pow(p, d - 1) * 1e9).toLong)
+  }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010) — the
+    * ranker-agreement measure built for TRUNCATED, top-weighted lists:
+    * RBO = Σ_d w_d·|A_d ∩ B_d|/d with geometric weights w_d ∝ p^(d−1),
+    * normalized here by Σ_d w_d so identical prefixes score exactly 10⁶.
+    * Where [[kendallTau]] only sees the common-doc slice (disjoint top
+    * lists are silently "no data"), RBO scores disjointness as genuine
+    * disagreement — the right lens when two rankers barely overlap. The
+    * geometric weights are plan-time constants (the [[ndcgDiscounts]]
+    * discipline: the pow never runs inside an engine); per-term floor
+    * division (w_d·ov_d)//d is over nonnegative integers, so both engines
+    * agree term by term. Inputs carry (q_id, doc_id, rnk); queries absent
+    * from the intersection entirely report rbo_ppm = 0 with n_common = 0.
+    *
+    * 100 TB shape: the pair join is top-k-list-sized; depths explode k
+    * rows per common doc (k ≤ 100 bounded); two bounded aggregations. */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int,
+      pMilli: Long = 900L): DataFrame = {
+    require(k >= 1 && k <= 100, "rboAtK: k in [1, 100]")
+    require(pMilli >= 1 && pMilli <= 999, "rboAtK: pMilli in [1, 999]")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val w: Seq[Long] = rboWeights(k, pMilli)
+    val den = w.sum
+    val joint = a.select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("ra"))
+      .join(b.select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("rb")), Seq("q_id", "doc_id"))
+      .filter(col("ra") <= k && col("rb") <= k)
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+    val terms = joint
+      .select(col("q_id"), explode(sequence(col("m").cast("int"),
+        lit(k))).as("d"))
+      .groupBy(col("q_id"), col("d")).agg(count(lit(1)).as("ov"))
+      .withColumn("wd", element_at(array(w.map(lit): _*), col("d")))
+      .groupBy(col("q_id"))
+      .agg(sum(idiv(col("wd") * col("ov"), col("d").cast("long")))
+        .as("num"), max(col("ov")).as("n_common"))
+    val qs = a.select(col("q_id")).unionAll(b.select(col("q_id"))).distinct()
+    qs.join(terms, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+        idiv(coalesce(col("num"), lit(0L)) * 1000000L, lit(den))
+          .as("rbo_ppm"))
+  }
+
   /** Ranker-agreement audit: Kendall's τ (tau-a) between two ranked lists
     * per query, over the documents BOTH rankers retrieved (the standard
     * truncated-list convention — a doc one ranker never saw has no pair

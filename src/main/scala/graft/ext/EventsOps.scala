@@ -201,6 +201,40 @@ object EventsOps {
       .select(col("user_id"), col("h"), col("filled"))
   }
 
+  /** Churn hazard table (the discrete Kaplan–Meier life table, reported as
+    * exact per-step hazards): users' lifetimes measure in whole days from
+    * first to last activity; at each day offset t the table reports
+    * n_at_risk (users whose lifetime ≥ t — the reverse cumulative sum of
+    * the lifetime histogram) and n_churned (lifetime exactly t), and the
+    * discrete hazard h_t = 10⁶·d_t/n_t. The hazard column IS the curve —
+    * the cumulative survival product Π(1−h_t) is a float fold the caller
+    * can apply to the bounded table; keeping the operator at the hazard
+    * level keeps every reported number exact integer. The last observed
+    * week is a CENSORING boundary, not a death — still-active-at-the-end
+    * users churn at their last day here because the synthetic corpus has
+    * a hard end; pass a refTs-filtered frame to censor properly.
+    *
+    * 100 TB shape: one user-keyed min/max aggregation, a |days|-sized
+    * histogram, and a bounded reverse-cumsum window over that histogram
+    * (days, not users). */
+  def churnHazard(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val W = 86400L * 1000000L
+    val wk = Bridge.idiv(unix_micros(ts), lit(W))
+    val lt = events.select(user.as("u"), wk.as("w"))
+      .groupBy(col("u"))
+      .agg((max(col("w")) - min(col("w"))).as("lifetime"))
+    val hist = lt.groupBy(col("lifetime").as("t"))
+      .agg(count(lit(1)).as("n_churned"))
+    val wo = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist.withColumn("n_at_risk", sum(col("n_churned")).over(wo))
+      .withColumn("hazard_ppm",
+        Bridge.idiv(col("n_churned") * 1000000L, col("n_at_risk")))
+      .select(col("t"), col("n_at_risk"), col("n_churned"),
+        col("hazard_ppm"))
+  }
+
   /** Semi-structured property profiling: extract one JSON path from a
     * string column and report its presence / numeric range per group —
     * the look-before-you-trust audit for JSON side channels (event

@@ -1008,6 +1008,39 @@ object PipelineOps {
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))
     }),
+    "q255_churn_hazard" -> ((s, dir) => {
+      // Discrete life table over user lifetimes (days from first to last
+      // activity): at-risk counts by reverse cumsum, exact per-day
+      // hazards.
+      graft.ext.EventsOps.churnHazard(t(s, dir, "events"), col("user_id"),
+          col("ts"))
+        .orderBy(col("t"))
+    }),
+    "q256_rbo_agreement" -> ((s, dir) => {
+      // Rank-biased overlap between the BM25 and TF rankers: top-weighted
+      // agreement that scores disjoint prefixes as real disagreement
+      // (Kendall can't see docs only one ranker retrieved).
+      val s2 = s; import s2.implicits._
+      val probes = Seq((1L, "slow merge table"), (2L, "hash join fast"),
+        (3L, "window sort batch")).toDF("q_id", "q_text")
+      val docs = t(s, dir, "documents")
+      val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
+          probes, col("q_id"), col("q_text"), k = 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val dt = docs.select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val qt = probes.select(col("q_id"),
+        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      val tfW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
+      val tfRank = dt.join(broadcast(qt), Seq("t"))
+        .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
+        .withColumn("rnk", row_number().over(tfW).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Curation.rboAtK(bm25, tfRank, k = 10).orderBy(col("q_id"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3651,6 +3684,48 @@ object PipelineOps {
         |  (n_missing * 1000000) // n AS missing_ppm,
         |  n_distinct, v_min, v_max, v_sum
         |FROM a ORDER BY event_type""".stripMargin,
+    "q255_churn_hazard" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts) // 86400000000) - min(epoch_us(ts) // 86400000000)
+        |      AS lifetime
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT lifetime AS t, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM lt GROUP BY lifetime),
+        |r AS (SELECT t, n_churned, CAST(sum(n_churned) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS n_at_risk
+        |  FROM h)
+        |SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_churned,
+        |  (n_churned * 1000000) // n_at_risk AS hazard_ppm
+        |FROM r ORDER BY t""".stripMargin,
+    "q256_rbo_agreement" ->
+      (s"WITH $bm25SearchCtes,\n" +
+        s"""wt AS (SELECT rr, CAST(dv AS BIGINT) AS dv FROM (VALUES
+           |  ${graft.ext.Curation.rboWeights(10, 900L).zipWithIndex
+                .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")})
+           |  AS d(rr, dv)),
+           |""".stripMargin +
+        """tfr AS (SELECT qt.q_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS s2
+          |  FROM p JOIN qt USING (t) GROUP BY qt.q_id, p.doc_id),
+          |tr2 AS (SELECT q_id, doc_id,
+          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY s2 DESC, doc_id)
+          |    AS BIGINT) AS rnk FROM tfr),
+          |joint AS (SELECT r.q_id, greatest(r.rnk, tr2.rnk) AS m
+          |  FROM r JOIN tr2 USING (q_id, doc_id)
+          |  WHERE r.rnk <= 10 AND tr2.rnk <= 10),
+          |dep AS (SELECT q_id, unnest(generate_series(m, 10)) AS d FROM joint),
+          |ov AS (SELECT q_id, d, CAST(count(*) AS BIGINT) AS ov
+          |  FROM dep GROUP BY q_id, d),
+          |tm AS (SELECT q_id, CAST(sum((wt.dv * ov.ov) // ov.d) AS BIGINT)
+          |    AS num, CAST(max(ov) AS BIGINT) AS n_common
+          |  FROM ov JOIN wt ON wt.rr = ov.d GROUP BY q_id),
+          |qs AS (SELECT DISTINCT q_id FROM q)
+          |SELECT CAST(qs.q_id AS BIGINT) AS q_id,
+          |  coalesce(tm.n_common, 0) AS n_common,
+          |  CAST((coalesce(tm.num, 0) * 1000000) // """.stripMargin +
+        s"${graft.ext.Curation.rboWeights(10, 900L).sum} AS BIGINT) AS rbo_ppm\n" +
+        "FROM qs LEFT JOIN tm USING (q_id) ORDER BY q_id"),
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

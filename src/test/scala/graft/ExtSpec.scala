@@ -2421,6 +2421,38 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("churnHazard: life-table arithmetic exact on hand lifetimes") {
+    import graft.ext.EventsOps
+    def ts(day: Int, i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    val rows = Seq((1L, ts(0, 0)), (2L, ts(0, 0)), (2L, ts(0, 1)),
+      (3L, ts(0, 0)), (3L, ts(1, 0)), (4L, ts(0, 0)), (4L, ts(2, 0)))
+    val out = EventsOps.churnHazard(rows.toDF("user_id", "ts"),
+        col("user_id"), col("ts"))
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // lifetimes 0,0,1,2: at-risk 4/2/1, churned 2/1/1
+    assert(out.toSeq === Seq((0L, 4L, 2L, 500000L), (1L, 2L, 1L, 500000L),
+      (2L, 1L, 1L, 1000000L)))
+  }
+
+  test("rboAtK: identical prefixes score exactly 1e6, disjoint score 0, partial replayed from the weight table") {
+    def lists(rows: Seq[(Long, Long, Long)]) = rows.toDF("q_id", "doc_id", "rnk")
+    val a = lists(Seq((1L, 1L, 1L), (1L, 2L, 2L), // identical with b
+      (2L, 5L, 1L), (2L, 6L, 2L), // disjoint from b
+      (3L, 1L, 1L), (3L, 2L, 2L))) // partial vs b
+    val b = lists(Seq((1L, 1L, 1L), (1L, 2L, 2L),
+      (2L, 7L, 1L), (2L, 8L, 2L),
+      (3L, 2L, 1L), (3L, 3L, 2L)))
+    val out = Curation.rboAtK(a, b, k = 2).orderBy(col("q_id")).collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((2L, 1000000L)))
+    assert((out(1).getLong(1), out(1).getLong(2)) === ((0L, 0L)))
+    // q3: common doc 2 at m = max(2, 1) = 2 -> only depth 2 contributes
+    val w = Curation.rboWeights(2, 900L)
+    val expected = (w(1) * 1L / 2L) * 1000000L / w.sum
+    assert((out(2).getLong(1), out(2).getLong(2)) === ((1L, expected)))
+  }
+
   test("matchSpanExplanation: longest common span recovered exactly; split overlap stays split") {
     // docs 1/2 share the contiguous 6-token run "c d e f g h" (4 aligned
     // 3-grams on one diagonal); docs 1/3 share two separated 3-token spans

@@ -115,7 +115,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // additive streaming bootstrap state; sentinel-keyed FD groups; OLS sums
     "q250_stream_bootstrap", "q251_fd_audit", "q252_trend_slope",
     // diagonal run chains; JSON extraction rollup
-    "q253_match_spans", "q254_json_props")
+    "q253_match_spans", "q254_json_props",
+    // bounded reverse-cumsum life table; geometric-weight rank overlap
+    "q255_churn_hazard", "q256_rbo_agreement")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
