@@ -1753,6 +1753,37 @@ object Curation {
             col("n_pairs") - col("n_ties"))))
   }
 
+  /** Trending-term movers between two corpus snapshots — the "what changed
+    * in today's crawl" report that term-LEVEL drift monitoring needs where
+    * q160's TVD gives one distance number: smoothed frequency lift
+    * lift_ppm = 10⁶·(c_new+1)/(c_old+1) (add-one keeps newcomers finite
+    * and engine-exact), support-gated (rare-term lift is noise — the q225
+    * rule), global top-k risers by (lift DESC, term). Returns
+    * (term, c_old, c_new, lift_ppm, rnk).
+    *
+    * 100 TB shape: two vocabulary aggregations meet in one term-keyed
+    * full-outer join; the top-k cut is a bounded TakeOrdered (orderBy +
+    * limit never global-sorts). */
+  def termMovers(oldDocs: DataFrame, newDocs: DataFrame, text: Column,
+      k: Int, minSupport: Long = 5L): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(TextAnalysis.tokens(text)).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as(name))
+    counts(oldDocs, "c_old")
+      .join(counts(newDocs, "c_new"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .filter(col("c_new") >= minSupport)
+      .withColumn("lift_ppm",
+        idiv((col("c_new") + 1L) * 1000000L, col("c_old") + 1L))
+      .orderBy(col("lift_ppm").desc, col("term")).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift_ppm").desc, col("term"))).cast("long"))
+  }
+
   /** [[rboAtK]]'s geometric weight table ⌊(1−p)·p^(d−1)·10⁹⌋ for d = 1..k,
     * evaluated ONCE at plan time and interpolated into both engines'
     * plans (the [[ndcgDiscounts]] discipline). */

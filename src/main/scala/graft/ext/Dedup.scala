@@ -936,6 +936,81 @@ object Dedup {
         col("n_caught") * 1000000L, col("n_pairs")))
   }
 
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, the
+    * probabilistic-linkage standard): blocked candidate pairs score
+    * Σ_fields (agree ? log₂(m/u) : log₂((1−m)/(1−u))) and classify by the
+    * two-threshold rule (link / possible / non-link). The log-odds are
+    * PLAN-TIME micro-scaled integer constants (the ndcgDiscounts
+    * discipline — the caller's (m, u) parameters become literals in both
+    * engines, no log runs inside either), so scores and class counts are
+    * cross-engine exact. `fields` carries (name, expr, mMilli, uMilli);
+    * agreement is expression equality across the pair. Returns per class:
+    * (cls, n_pairs, sum_score_micro, checksum).
+    *
+    * 100 TB shape: candidates come from the caller's blocking key (the
+    * whole FS design — never all pairs); scoring is per-pair arithmetic
+    * over broadcast constants, and the report is 3 rows. Production
+    * blocks must be tight (the q198 rule: band + prefix, or an LSH
+    * bucket); a skewed block serializes its own pairs, not the corpus. */
+  /** Pair-similarity histogram — the threshold-calibration profile run
+    * BEFORE committing a dedup threshold: exact-Jaccard pairs above a low
+    * floor, bucketed by similarity decile, with pair counts and id
+    * checksums. Reading where the mass sits (a bimodal histogram =
+    * boilerplate band + true-copy band) is how minJaccard gets chosen on
+    * evidence instead of folklore. Decile = ⌊10·jaccard⌋ over the same
+    * round(·, 6) doubles both engines already hash-compare (q45).
+    *
+    * 100 TB shape: = the exact-pair inventory (inverted-index join) + one
+    * bounded bucket aggregation; run on a sample stratum at full scale,
+    * as any calibration pass would be. */
+  def pairSimilarityHistogram(docs: DataFrame, id: Column, text: Column,
+      n: Int, minJaccard: Double): DataFrame =
+    ngramJaccardPairs(docs, id, text, lit(1), n, minJaccard)
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("sim_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d1") + col("d2")).as("checksum"))
+
+  /** [[fellegiSunter]]'s plan-time integer log-odds:
+    * (⌊10⁶·log₂(m/u)⌋, ⌊10⁶·log₂((1−m)/(1−u))⌋) — public so the oracle
+    * interpolates the SAME constants. */
+  def fsWeights(mMilli: Long, uMilli: Long): (Long, Long) = {
+    require(mMilli > 0 && mMilli < 1000 && uMilli > 0 && uMilli < 1000 &&
+      mMilli > uMilli, "fsWeights: need 0 < u < m < 1000 milli")
+    val lg2 = math.log(2.0)
+    ((1e6 * math.log(mMilli.toDouble / uMilli) / lg2).toLong,
+      (1e6 * math.log((1000.0 - mMilli) / (1000 - uMilli)) / lg2).toLong)
+  }
+
+  def fellegiSunter(docs: DataFrame, id: Column, block: Seq[Column],
+      fields: Seq[(String, Column, Long, Long)],
+      linkMicro: Long, nonlinkMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: need at least one field")
+    val side = docs.select((id.as("id") +: block.zipWithIndex.map {
+      case (c, i) => c.as(s"b$i")
+    }) ++ fields.zipWithIndex.map { case ((_, c, _, _), i) =>
+      c.cast("string").as(s"f$i")
+    }: _*)
+    val bkeys = block.indices.map(i => s"b$i")
+    val a = side.toDF(side.columns.map(_ + "_1").toIndexedSeq: _*)
+    val b = side.toDF(side.columns.map(_ + "_2").toIndexedSeq: _*)
+    val joined = a.join(b,
+      bkeys.map(k => col(s"${k}_1") === col(s"${k}_2"))
+        .reduce(_ && _) && col("id_1") < col("id_2"))
+    val score = fields.zipWithIndex.map { case ((_, _, m, u), i) =>
+      val (wa, wd) = fsWeights(m, u)
+      when(col(s"f${i}_1") <=> col(s"f${i}_2"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    joined.select(score.as("score_micro"),
+        (col("id_1") + col("id_2")).as("pairsum"))
+      .withColumn("cls", when(col("score_micro") >= linkMicro, "link")
+        .when(col("score_micro") <= nonlinkMicro, "nonlink")
+        .otherwise("possible"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("score_micro")).as("sum_score_micro"),
+        sum(col("pairsum")).as("checksum"))
+  }
+
   /** Match-span explanation for confirmed near-dup pairs — the dedup-QA
     * step that answers "WHERE do these two documents overlap": for each
     * [[ngramJaccardPairs]] pair, align every shared n-gram occurrence by

@@ -1041,6 +1041,40 @@ object PipelineOps {
         .select(col("q_id"), col("doc_id"), col("rnk"))
       Curation.rboAtK(bm25, tfRank, k = 10).orderBy(col("q_id"))
     }),
+    "q257_fellegi_sunter" -> ((s, dir) => {
+      // Probabilistic record linkage: (lang, 50-char band) blocks, three
+      // field comparisons with plan-time integer log-odds, two-threshold
+      // link / possible / non-link classification.
+      val docs = t(s, dir, "documents")
+      val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+      Dedup.fellegiSunter(docs, col("doc_id"),
+          block = Seq(col("lang"), idiv(col("n_chars"), lit(50L))),
+          fields = Seq(
+            ("source", col("source"), 900L, 150L),
+            ("gini_band", idiv(TA.giniDiversityPpm(col("text")),
+              lit(50000L)), 800L, 100L),
+            ("tok_band", idiv(TA.tokenCount(col("text")), lit(10L)),
+              850L, 200L)),
+          linkMicro = 4000000L, nonlinkMicro = 0L)
+        .orderBy(col("cls"))
+    }),
+    "q258_term_movers" -> ((s, dir) => {
+      // What changed between corpus halves: smoothed term-frequency lift,
+      // support-gated, top-20 risers — term-level drift where q160 gives
+      // one distance.
+      val docs = t(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id")).as("m")).collect()(0).getLong(0) / 2
+      Curation.termMovers(docs.filter(col("doc_id") <= half),
+          docs.filter(col("doc_id") > half), col("text"), k = 20)
+        .orderBy(col("rnk"))
+    }),
+    "q259_sim_histogram" -> ((s, dir) => {
+      // Threshold calibration: where does the pair-similarity mass sit?
+      // Exact-Jaccard deciles over the q45 pair inventory.
+      Dedup.pairSimilarityHistogram(t(s, dir, "documents"), col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.1)
+        .orderBy(col("sim_decile"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3726,6 +3760,86 @@ object PipelineOps {
           |  CAST((coalesce(tm.num, 0) * 1000000) // """.stripMargin +
         s"${graft.ext.Curation.rboWeights(10, 900L).sum} AS BIGINT) AS rbo_ppm\n" +
         "FROM qs LEFT JOIN tm USING (q_id) ORDER BY q_id"),
+    "q257_fellegi_sunter" -> {
+      val (wa0, wd0) = graft.ext.Dedup.fsWeights(900L, 150L)
+      val (wa1, wd1) = graft.ext.Dedup.fsWeights(800L, 100L)
+      val (wa2, wd2) = graft.ext.Dedup.fsWeights(850L, 200L)
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, w),
+         |gd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(sum(c * c) AS BIGINT) AS sumsq FROM cnt GROUP BY doc_id),
+         |gi AS (SELECT doc_id,
+         |  1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS g, n_tok
+         |  FROM gd),
+         |f AS (SELECT d.doc_id, d.lang, d.n_chars // 50 AS band, d.source,
+         |    gi.g // 50000 AS f1, gi.n_tok // 10 AS f2
+         |  FROM documents d JOIN gi USING (doc_id)),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+         |       THEN $wa0 ELSE $wd0 END)
+         |    + (CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1
+         |       THEN $wa1 ELSE $wd1 END)
+         |    + (CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2
+         |       THEN $wa2 ELSE $wd2 END) AS score
+         |  FROM f a JOIN f b ON a.lang = b.lang AND a.band = b.band
+         |    AND a.doc_id < b.doc_id),
+         |c AS (SELECT CASE WHEN score >= 4000000 THEN 'link'
+         |    WHEN score <= 0 THEN 'nonlink' ELSE 'possible' END AS cls,
+         |    score, id1 + id2 AS ps FROM p)
+         |SELECT cls, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(score) AS BIGINT) AS sum_score_micro,
+         |  CAST(sum(ps) AS BIGINT) AS checksum
+         |FROM c GROUP BY cls ORDER BY cls""".stripMargin
+    },
+    "q258_term_movers" ->
+      raw"""WITH mx AS (SELECT max(doc_id) // 2 AS h FROM documents),
+         |o AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+         |  FROM documents, mx WHERE doc_id <= mx.h),
+         |nn AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+         |  FROM documents, mx WHERE doc_id > mx.h),
+         |co AS (SELECT term, CAST(count(*) AS BIGINT) AS c_old FROM o
+         |  WHERE term <> '' GROUP BY term),
+         |cn AS (SELECT term, CAST(count(*) AS BIGINT) AS c_new FROM nn
+         |  WHERE term <> '' GROUP BY term),
+         |j AS (SELECT coalesce(co.term, cn.term) AS term,
+         |    coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+         |  FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+         |g AS (SELECT term, c_old, c_new,
+         |    ((c_new + 1) * 1000000) // (c_old + 1) AS lift_ppm
+         |  FROM j WHERE c_new >= 5),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift_ppm DESC, term)
+         |    AS BIGINT) AS rnk FROM g)
+         |SELECT term, c_old, c_new, lift_ppm, rnk
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "q259_sim_histogram" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(tk) >= 3
+         |      THEN list_transform(generate_series(1, len(tk) - 2),
+         |             i -> array_to_string(tk[i:i+2], ' '))
+         |      ELSE [] END) AS ng
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (
+         |  SELECT d1, d2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2)
+         |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS sim_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(d1 + d2) AS BIGINT) AS checksum
+         |FROM j WHERE jaccard >= 0.1
+         |GROUP BY sim_decile ORDER BY sim_decile""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

@@ -2421,6 +2421,49 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("fellegiSunter: all-agree pairs link, all-disagree pairs nonlink, weights replayed exactly") {
+    // one block of three records: 1 and 2 agree on both fields, 3 differs
+    val df = Seq((1L, "blk", "x", 10L), (2L, "blk", "x", 10L),
+      (3L, "blk", "y", 99L)).toDF("id", "b", "f1", "f2")
+    val out = Dedup.fellegiSunter(df, col("id"), Seq(col("b")),
+        fields = Seq(("f1", col("f1"), 900L, 150L),
+          ("f2", col("f2"), 800L, 100L)),
+        linkMicro = 4000000L, nonlinkMicro = 0L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (wa0, wd0) = Dedup.fsWeights(900L, 150L)
+    val (wa1, wd1) = Dedup.fsWeights(800L, 100L)
+    assert(out("link") === ((1L, wa0 + wa1, 3L))) // pair (1,2)
+    // pairs (1,3) and (2,3) disagree on both fields: deep negative
+    assert(out("nonlink") === ((2L, 2L * (wd0 + wd1), 9L)))
+    assert(!out.contains("possible"))
+  }
+
+  test("termMovers: smoothed lift, support gate, newcomer ranking") {
+    val oldDocs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val newDocs = Seq((2L, "b b b b b c c c c c")).toDF("doc_id", "text")
+    val out = Curation.termMovers(oldDocs, newDocs, col("text"), k = 10,
+        minSupport = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 'a' fails the support gate; newcomer 'c' outranks riser 'b'
+    assert(out.toSeq === Seq(("c", 0L, 5L, 6000000L, 1L),
+      ("b", 1L, 5L, 3000000L, 2L)))
+  }
+
+  test("pairSimilarityHistogram: identical pair in decile 10, half-overlap pair in its exact decile") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // J = 1.0
+      (3L, "p q r s t u v w x"), (4L, "p q r s t u v zz yy")
+    ).toDF("doc_id", "text")
+    val out = Dedup.pairSimilarityHistogram(docs, col("doc_id"),
+        col("text"), n = 3, minJaccard = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) === ((1L, 3L)))
+    // docs 3/4: grams 7 each, 5 shared -> J = 5/9 = 0.5555 -> decile 5
+    assert(out(5L) === ((1L, 7L)))
+  }
+
   test("churnHazard: life-table arithmetic exact on hand lifetimes") {
     import graft.ext.EventsOps
     def ts(day: Int, i: Int): java.sql.Timestamp =

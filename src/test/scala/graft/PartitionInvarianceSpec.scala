@@ -117,7 +117,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // diagonal run chains; JSON extraction rollup
     "q253_match_spans", "q254_json_props",
     // bounded reverse-cumsum life table; geometric-weight rank overlap
-    "q255_churn_hazard", "q256_rbo_agreement")
+    "q255_churn_hazard", "q256_rbo_agreement",
+    // blocked pair scoring, full-outer vocab movers, decile rollup
+    "q257_fellegi_sunter", "q258_term_movers", "q259_sim_histogram")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
