@@ -340,6 +340,44 @@ object Similarity {
         col("conf_avg_ppm"), col("gap_ppm"), col("ece_ppm"))
   }
 
+  /** Embedding drift audit: per label, the squared distance between the
+    * class centroid of two corpus halves (snapshots, time slices, encoder
+    * versions — whatever `half` splits on). A moved centroid is the
+    * earliest signal that an embedding space shifted under a rebuilt
+    * encoder or a drifted corpus — BEFORE ANN recall quietly degrades
+    * (q216 then measures the damage). Exact integer: vectors quantize at
+    * 10³, per-half means are portable floor divisions of dimension sums,
+    * and shift_sq sums (mₐ−m_b)² in quantized units². Labels with a
+    * missing half are dropped (no pair to compare — callers see them in
+    * the count columns of a q160-style stratum report).
+    *
+    * 100 TB shape: ONE (label, half)-keyed aggregation with dimension-
+    * sized `vec_sum` partials (the q114 discipline); everything after
+    * runs on the 2·|labels| mean rows. */
+  def centroidShift(emb: DataFrame, label: Column, half: Column,
+      quant: Double = 1e3): DataFrame = {
+    val q = emb.select(label.as("lab"), half.cast("long").as("h"),
+      transform(toDouble(col("embedding")),
+        x => floor(x * quant).cast("long")).as("qv"))
+    val agg = q.groupBy(col("lab"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VecSumAggregator.sum(col("qv")).as("s"))
+      // portable floor division per dimension (negative sums floor the
+      // same way both engines — the kmeansCtes spelling)
+      .select(col("lab"), col("h"), col("n"),
+        transform(col("s"), x =>
+          ((x - ((x % col("n") + col("n")) % col("n"))) / col("n"))
+            .cast("long")).as("m"))
+    val a = agg.filter(col("h") === 0)
+      .select(col("lab"), col("n").as("n_a"), col("m").as("ma"))
+    val b = agg.filter(col("h") === 1)
+      .select(col("lab"), col("n").as("n_b"), col("m").as("mb"))
+    a.join(b, Seq("lab"))
+      .select(col("lab"), col("n_a"), col("n_b"),
+        aggregate(zip_with(col("ma"), col("mb"),
+          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("shift_sq"))
+  }
+
   /** Embedding-geometry audit: top principal direction and anisotropy of
     * the corpus embedding cloud (Mu & Viswanath 2018's "all-but-the-top"
     * diagnostic; Ethayarajh 2019): an embedding column whose variance

@@ -1075,6 +1075,27 @@ object PipelineOps {
           col("text"), n = 3, minJaccard = 0.1)
         .orderBy(col("sim_decile"))
     }),
+    "q260_conversion_latency" -> ((s, dir) => {
+      // How LONG does click -> purchase take: exact rank-based p50/p90 and
+      // the exact mean, tier-located (no per-row sort window).
+      graft.ext.EventsOps.conversionLatency(t(s, dir, "events"),
+        fromType = "click", toType = "purchase")
+    }),
+    "q261_benford_audit" -> ((s, dir) => {
+      // Were these values organic? First-significant-digit distribution of
+      // event values vs Benford's law, per-digit deviations + TVD verdict.
+      graft.ext.Quality.benfordAudit(t(s, dir, "events"), col("value"))
+        .orderBy(col("digit"))
+    }),
+    "q262_centroid_shift" -> ((s, dir) => {
+      // Embedding drift: per label, squared centroid distance between the
+      // two vec_id-parity halves — the encoder/corpus drift tripwire that
+      // fires before ANN recall decays.
+      graft.ext.Similarity.centroidShift(t(s, dir, "embeddings"),
+          col("label").cast("long"), pmod(col("vec_id"), lit(2L)))
+        .withColumnRenamed("lab", "label")
+        .orderBy(col("label"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3840,6 +3861,67 @@ object PipelineOps {
          |  CAST(sum(d1 + d2) AS BIGINT) AS checksum
          |FROM j WHERE jaccard >= 0.1
          |GROUP BY sim_decile ORDER BY sim_decile""".stripMargin,
+    "q260_conversion_latency" ->
+      """WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |t AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p
+        |  FROM events WHERE event_type = 'purchase'),
+        |lat AS (SELECT (min(p) - c) // 1000000 AS lat_s
+        |  FROM f JOIN t USING (user_id) WHERE p >= c GROUP BY user_id, c),
+        |tiers AS (SELECT lat_s, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lat GROUP BY lat_s),
+        |offs AS (SELECT lat_s, cnt, coalesce(sum(cnt) OVER (ORDER BY lat_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tiers),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(lat_s) AS BIGINT) AS s FROM lat),
+        |p50 AS (SELECT lat_s AS p50_s FROM tot, offs
+        |  WHERE greatest(1, (n * 500000 + 999999) // 1000000) > off
+        |    AND greatest(1, (n * 500000 + 999999) // 1000000) <= off + cnt),
+        |p90 AS (SELECT lat_s AS p90_s FROM tot, offs
+        |  WHERE greatest(1, (n * 900000 + 999999) // 1000000) > off
+        |    AND greatest(1, (n * 900000 + 999999) // 1000000) <= off + cnt)
+        |SELECT tot.n AS n_converted, p50.p50_s, p90.p90_s,
+        |  (tot.s * 1000000) // tot.n AS mean_micro_s
+        |FROM tot, p50, p90""".stripMargin,
+    "q261_benford_audit" ->
+      (s"""WITH ex AS (SELECT rr, CAST(dv AS BIGINT) AS dv FROM (VALUES
+          |  ${graft.ext.Quality.benfordExpectedPpm.zipWithIndex
+               .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")})
+          |  AS d(rr, dv)),
+          |""".stripMargin +
+        """b AS (SELECT CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT)
+          |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |  FROM events WHERE value > 0),
+          |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM b
+          |  GROUP BY digit),
+          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g),
+          |per AS (SELECT digit, n, (n * 1000000) // tn AS obs_ppm, ex.dv
+          |    AS exp_ppm
+          |  FROM g, tt JOIN ex ON ex.rr = g.digit),
+          |dv AS (SELECT *, abs(obs_ppm - exp_ppm) AS dev_ppm FROM per),
+          |tv AS (SELECT CAST(sum(dev_ppm) // 2 AS BIGINT) AS tvd_ppm FROM dv)
+          |SELECT digit, n, obs_ppm, exp_ppm, dev_ppm, tv.tvd_ppm
+          |FROM dv, tv ORDER BY digit""".stripMargin),
+    "q262_centroid_shift" ->
+      """WITH qe AS (
+        |  SELECT CAST(label AS BIGINT) AS lab, vec_id % 2 AS h,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |su AS (SELECT lab, h, ii.i AS pos, CAST(sum(qv[ii.i]) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM qe CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY lab, h, ii.i),
+        |mn AS (SELECT lab, h, pos,
+        |  CAST((s - ((s % cnt + cnt) % cnt)) / cnt AS BIGINT) AS m, cnt
+        |  FROM su)
+        |SELECT a.lab AS label, CAST(min(a.cnt) AS BIGINT) AS n_a,
+        |  CAST(min(b.cnt) AS BIGINT) AS n_b,
+        |  CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS shift_sq
+        |FROM mn a JOIN mn b ON a.lab = b.lab AND a.pos = b.pos
+        |  AND a.h = 0 AND b.h = 1
+        |GROUP BY a.lab ORDER BY label""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

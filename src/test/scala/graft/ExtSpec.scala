@@ -2421,6 +2421,54 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("conversionLatency: exact rank percentiles and mean; non-converters excluded") {
+    import graft.ext.EventsOps
+    def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      (1L, "click", ts(0)), (1L, "purchase", ts(10)),
+      (2L, "click", ts(0)), (2L, "purchase", ts(20)),
+      (3L, "click", ts(0)), (3L, "purchase", ts(30)), (3L, "purchase", ts(5000)),
+      (4L, "purchase", ts(0)), // purchase with no prior click: excluded
+      (5L, "click", ts(0))) // never purchases: excluded
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val r = EventsOps.conversionLatency(df, "click", "purchase")
+      .collect().head
+    // latencies {10, 20, 30}: p50 = rank 2 = 20, p90 = rank 3 = 30
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 20L, 30L, 20000000L)))
+  }
+
+  test("benfordAudit: string-read first digits, plan-time expected table, TVD replay") {
+    val exp = graft.ext.Quality.benfordExpectedPpm
+    assert(exp.head === 301029L && exp.sum <= 1000000L)
+    val df = Seq(1.0, 1.5, 2.0, 0.0, -3.0, 0.19, 9.9).map(Tuple1(_))
+      .toDF("value")
+    val out = graft.ext.Quality.benfordAudit(df, col("value"))
+      .orderBy(col("digit")).collect()
+    // positives only: digits 1,1,1(0.19->190),2,9
+    val byD = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byD(1L) === ((3L, 600000L)))
+    assert(byD(2L) === ((1L, 200000L)))
+    assert(byD(9L) === ((1L, 200000L)))
+    val tvd = (600000L - exp(0)).abs + (200000L - exp(1)).abs +
+      (200000L - exp(8)).abs
+    assert(out.head.getLong(5) === tvd / 2)
+  }
+
+  test("centroidShift: exact per-label squared centroid distance; one-half labels drop") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0, 0L), (1L, Array(2.0f, 0.0f), 0, 0L),
+      (2L, Array(10.0f, 0.0f), 0, 1L),
+      (3L, Array(5.0f, 5.0f), 1, 0L) // label 1 has no half-1 rows
+    ).toDF("vec_id", "embedding", "label", "h")
+    val out = Similarity.centroidShift(emb, col("label").cast("long"),
+      col("h")).collect()
+    assert(out.length === 1)
+    // half-0 mean (1000, 0) vs half-1 (10000, 0): 9000^2
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) === ((0L, 2L, 1L, 81000000L)))
+  }
+
   test("fellegiSunter: all-agree pairs link, all-disagree pairs nonlink, weights replayed exactly") {
     // one block of three records: 1 and 2 agree on both fields, 3 differs
     val df = Seq((1L, "blk", "x", 10L), (2L, "blk", "x", 10L),

@@ -119,7 +119,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // bounded reverse-cumsum life table; geometric-weight rank overlap
     "q255_churn_hazard", "q256_rbo_agreement",
     // blocked pair scoring, full-outer vocab movers, decile rollup
-    "q257_fellegi_sunter", "q258_term_movers", "q259_sim_histogram")
+    "q257_fellegi_sunter", "q258_term_movers", "q259_sim_histogram",
+    // tier-located percentiles, 9-group digit rollup, vec_sum halves
+    "q260_conversion_latency", "q261_benford_audit", "q262_centroid_shift")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
