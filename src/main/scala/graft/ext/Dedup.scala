@@ -952,6 +952,48 @@ object Dedup {
     * over broadcast constants, and the report is 3 rows. Production
     * blocks must be tight (the q198 rule: band + prefix, or an LSH
     * bucket); a skewed block serializes its own pairs, not the corpus. */
+  /** Capture–recapture estimate of the dedup universe (Lincoln–Petersen
+    * with the Chapman 1951 correction): two independent deterministic
+    * samples of the corpus (seeded md5 gates) mark n₁ and n₂ distinct
+    * fingerprints with overlap m; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates
+    * the TOTAL distinct-fingerprint count from two cheap samples — the
+    * "how big is the dedup problem" sizing number obtainable before
+    * paying for the full distinct. The audit form here also computes the
+    * exact truth and the error, because at gate scale the truth is
+    * affordable and the estimator should be measured before trusted (at
+    * 100 TB, drop the truth columns and keep the samples). Assumes docs
+    * (not duplicate-cluster members) sample independently — heavy
+    * duplication CORRELATES the marks and biases N̂ low; that bias is
+    * itself the signal the audit surfaces via err_ppm.
+    *
+    * 100 TB shape: the two sample sides are scan-speed filters feeding
+    * fingerprint distincts sized by the sample rate; the overlap is one
+    * fingerprint-keyed join of the two sample sets. */
+  def captureRecapture(df: DataFrame, id: Column, fingerprint: Column,
+      seedA: String, seedB: String, ppm: Long): DataFrame = {
+    require(ppm > 0 && ppm < 1000000L, "captureRecapture: ppm in (0, 1e6)")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    def gate(seed: String): Column = pmod(conv(substring(
+      md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(1000000L)) < ppm
+    val base = df.select(fingerprint.as("fp"), gate(seedA).as("ga"),
+      gate(seedB).as("gb"))
+    val a = base.filter(col("ga")).select(col("fp")).distinct()
+    val b = base.filter(col("gb")).select(col("fp")).distinct()
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq("fp")).agg(count(lit(1)).as("m"))
+    val truth = base.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("true_distinct"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(truth))
+      .withColumn("est", idiv((col("n1") + 1L) * (col("n2") + 1L),
+        col("m") + 1L) - 1L)
+      .withColumn("err_ppm", idiv(
+        abs(col("est") - col("true_distinct")) * 1000000L,
+        col("true_distinct")))
+  }
+
   /** Pair-similarity histogram — the threshold-calibration profile run
     * BEFORE committing a dedup threshold: exact-Jaccard pairs above a low
     * floor, bucketed by similarity decile, with pair counts and id

@@ -201,6 +201,95 @@ object EventsOps {
       .select(col("user_id"), col("h"), col("filled"))
   }
 
+  /** Incident-impact analysis: difference-in-differences of a per-event
+    * value around a MARKER predicate (an error event, an outage window, an
+    * experiment flag). All events split at the CORPUS MID-TIME (one
+    * broadcast min/max — a common period boundary keeps the two
+    * differences comparable; per-user t0 splits confound timing with
+    * treatment); treated = users with ≥ 1 marker event, control = the
+    * rest. did_micro = (post̄_t − prē_t) − (post̄_c − prē_c) in
+    * milli-value micro units — the control difference subtracts seasonal
+    * drift that a naive before/after would misread as impact. Marker
+    * events themselves are excluded from the value means (they measure
+    * the incident, not the behavior). Exact integer throughout
+    * (⌊10³·value⌋, sign-split mean division). ALWAYS one row: an empty
+    * cell (e.g. every user treated → no control) reports NULL means and a
+    * NULL did — a report, never a vanished result. Returns (n_treated,
+    * n_control, pre_t, post_t, pre_c, post_c, did_micro).
+    *
+    * 100 TB shape: one min/max broadcast, one user-keyed marker
+    * semi-join flag, then ONE conditional-sum aggregation (the q229
+    * constraint-audit shape: a cell adds a column, not a scan). */
+  def didUplift(events: DataFrame, user: Column, ts: Column, value: Column,
+      marker: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val idiv = Bridge.idiv _
+    def meanMicro(s: Column, n: Column): Column =
+      when(n === 0, lit(null).cast("long"))
+        .otherwise(when(s >= 0, idiv(s * 1000L, n))
+          .otherwise(-idiv(-s * 1000L, n)))
+    val base = events.select(user.as("u"), unix_micros(ts).as("t"),
+      floor(value * 1000).cast("long").as("v"),
+      marker.cast("long").as("is_marker"))
+    val mid = base.agg(
+      idiv(min(col("t")) + max(col("t")), lit(2L)).as("mid"))
+    val treated = base.filter(col("is_marker") === 1)
+      .select(col("u")).distinct()
+    val flagged = base.filter(col("is_marker") === 0)
+      .join(treated.withColumn("__tr", lit(1L)), Seq("u"), "left")
+      .withColumn("tr", coalesce(col("__tr"), lit(0L)))
+      .crossJoin(broadcast(mid))
+      .withColumn("post", (col("t") >= col("mid")).cast("long"))
+    def cell(tr: Int, post: Int): (Column, Column) = {
+      val c = col("tr") === tr && col("post") === post
+      (sum(when(c, col("v")).otherwise(0L)),
+        sum(when(c, 1L).otherwise(0L)))
+    }
+    val Seq((st0, nt0), (st1, nt1), (sc0, nc0), (sc1, nc1)) =
+      Seq(cell(1, 0), cell(1, 1), cell(0, 0), cell(0, 1))
+    flagged.agg(
+        countDistinct(when(col("tr") === 1, col("u"))).as("n_treated"),
+        countDistinct(when(col("tr") === 0, col("u"))).as("n_control"),
+        st0.as("s_t0"), nt0.as("n_t0"), st1.as("s_t1"), nt1.as("n_t1"),
+        sc0.as("s_c0"), nc0.as("n_c0"), sc1.as("s_c1"), nc1.as("n_c1"))
+      .select(col("n_treated"), col("n_control"),
+        meanMicro(col("s_t0"), col("n_t0")).as("pre_t"),
+        meanMicro(col("s_t1"), col("n_t1")).as("post_t"),
+        meanMicro(col("s_c0"), col("n_c0")).as("pre_c"),
+        meanMicro(col("s_c1"), col("n_c1")).as("post_c"))
+      .withColumn("did_micro", (col("post_t") - col("pre_t")) -
+        (col("post_c") - col("pre_c")))
+  }
+
+  /** Association rules over consecutive event transitions (the
+    * support/confidence form of [[eventTransitions]] — Agrawal-style rule
+    * mining at bigram granularity): confidence_ppm = 10⁶·n(a→b)/n(a→·),
+    * lift_ppm = 10⁶·confidence/P(·→b), both exact integer; rules gate on
+    * minimum support (rare antecedents make confident-looking noise — the
+    * q225 rule). Returns (from_type, to_type, n, n_from, confidence_ppm,
+    * lift_ppm) for rules with n ≥ minSupport.
+    *
+    * 100 TB shape: = [[eventTransitions]] (one user-keyed window) + two
+    * broadcasts over the |types|²-sized matrix. */
+  def transitionRules(events: DataFrame, minSupport: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val idiv = Bridge.idiv _
+    val m = eventTransitions(events).localCheckpoint()
+    val fromTot = m.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    val toTot = m.groupBy(col("to_type")).agg(sum(col("n")).as("n_to"))
+    val all = m.agg(sum(col("n")).as("n_all"))
+    m.filter(col("n") >= minSupport)
+      .join(broadcast(fromTot), Seq("from_type"))
+      .join(broadcast(toTot), Seq("to_type"))
+      .crossJoin(broadcast(all))
+      .withColumn("confidence_ppm", idiv(col("n") * 1000000L, col("n_from")))
+      // lift = confidence / P(->b): conf_ppm·n_all/n_to is already in ppm
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(confidence_ppm AS DECIMAL(38,0)) * n_all) DIV n_to AS BIGINT)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        col("confidence_ppm"), col("lift_ppm"))
+  }
+
   /** Conversion-latency profile: per user, the first `to` event at or
     * after their first `from` event; the report is the exact rank-based
     * p50/p90 of the latency distribution plus the exact mean — the funnel

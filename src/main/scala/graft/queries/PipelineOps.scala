@@ -1096,6 +1096,29 @@ object PipelineOps {
         .withColumnRenamed("lab", "label")
         .orderBy(col("label"))
     }),
+    "q263_did_uplift" -> ((s, dir) => {
+      // Incident impact: did per-event value move differently for users
+      // who hit a SEVERE error (value >= 300 -- rare enough to leave a
+      // control group), net of the control group's own drift across the
+      // same mid-time split?
+      graft.ext.EventsOps.didUplift(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("value"),
+        col("event_type") === "error" && col("value") >= 300.0)
+    }),
+    "q264_capture_recapture" -> ((s, dir) => {
+      // How big is the dedup universe, from two 30% samples? Chapman
+      // estimate + the exact truth and error the audit exists to measure.
+      Dedup.captureRecapture(t(s, dir, "documents"), col("doc_id"),
+        TA.contentFingerprint(col("text")), seedA = "cra", seedB = "crb",
+        ppm = 300000L)
+    }),
+    "q265_transition_rules" -> ((s, dir) => {
+      // Association rules over consecutive events: confidence and lift
+      // per (from -> to), support-gated.
+      graft.ext.EventsOps.transitionRules(t(s, dir, "events"),
+          minSupport = 50L)
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -3922,6 +3945,91 @@ object PipelineOps {
         |FROM mn a JOIN mn b ON a.lab = b.lab AND a.pos = b.pos
         |  AND a.h = 0 AND b.h = 1
         |GROUP BY a.lab ORDER BY label""".stripMargin,
+    "q263_did_uplift" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'error' AND value >= 300.0
+        |      THEN 1 ELSE 0 END AS im
+        |  FROM events),
+        |mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM b),
+        |tr AS (SELECT DISTINCT u FROM b WHERE im = 1),
+        |f AS (SELECT b.u,
+        |    CASE WHEN tr.u IS NULL THEN 0 ELSE 1 END AS trf,
+        |    CASE WHEN b.t >= mid.mid THEN 1 ELSE 0 END AS post, b.v
+        |  FROM b LEFT JOIN tr ON tr.u = b.u, mid WHERE b.im = 0),
+        |a AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN trf = 1 THEN u END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(count(DISTINCT CASE WHEN trf = 0 THEN u END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN trf = 1 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_t0,
+        |    CAST(sum(CASE WHEN trf = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |    CAST(sum(CASE WHEN trf = 1 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t1,
+        |    CAST(sum(CASE WHEN trf = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |    CAST(sum(CASE WHEN trf = 0 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c0,
+        |    CAST(sum(CASE WHEN trf = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |    CAST(sum(CASE WHEN trf = 0 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_c1,
+        |    CAST(sum(CASE WHEN trf = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1
+        |  FROM f),
+        |m AS (SELECT n_treated, n_control,
+        |    CAST(CASE WHEN n_t0 = 0 THEN NULL WHEN s_t0 >= 0 THEN (s_t0 * 1000) // n_t0
+        |      ELSE -((-s_t0 * 1000) // n_t0) END AS BIGINT) AS pre_t,
+        |    CAST(CASE WHEN n_t1 = 0 THEN NULL WHEN s_t1 >= 0 THEN (s_t1 * 1000) // n_t1
+        |      ELSE -((-s_t1 * 1000) // n_t1) END AS BIGINT) AS post_t,
+        |    CAST(CASE WHEN n_c0 = 0 THEN NULL WHEN s_c0 >= 0 THEN (s_c0 * 1000) // n_c0
+        |      ELSE -((-s_c0 * 1000) // n_c0) END AS BIGINT) AS pre_c,
+        |    CAST(CASE WHEN n_c1 = 0 THEN NULL WHEN s_c1 >= 0 THEN (s_c1 * 1000) // n_c1
+        |      ELSE -((-s_c1 * 1000) // n_c1) END AS BIGINT) AS post_c
+        |  FROM a)
+        |SELECT n_treated, n_control, pre_t, post_t, pre_c, post_c,
+        |  (post_t - pre_t) - (post_c - pre_c) AS did_micro
+        |FROM m""".stripMargin,
+    "q264_capture_recapture" ->
+      raw"""WITH b AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         |  FROM documents),
+         |ga AS (SELECT DISTINCT fp FROM b WHERE list_reduce(
+         |    list_transform(string_split(md5('cra:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |    (a, v) -> a * 16 + v) % 1000000 < 300000),
+         |gb AS (SELECT DISTINCT fp FROM b WHERE list_reduce(
+         |    list_transform(string_split(md5('crb:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |    (a, v) -> a * 16 + v) % 1000000 < 300000),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM ga),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM gb),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ga JOIN gb USING (fp)),
+         |tt AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS true_distinct FROM b),
+         |e AS (SELECT n1, n2, m, true_distinct,
+         |    CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS est
+         |  FROM n1, n2, mm, tt)
+         |SELECT n1, n2, m, true_distinct, est,
+         |  (abs(est - true_distinct) * 1000000) // true_distinct AS err_ppm
+         |FROM e""".stripMargin,
+    "q265_transition_rules" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |mt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM mt GROUP BY from_type),
+        |tt AS (SELECT to_type, CAST(sum(n) AS BIGINT) AS n_to
+        |  FROM mt GROUP BY to_type),
+        |al AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM mt),
+        |r AS (SELECT mt.from_type, mt.to_type, mt.n, ft.n_from,
+        |    CAST((mt.n * 1000000) // ft.n_from AS BIGINT) AS confidence_ppm,
+        |    tt.n_to, al.n_all
+        |  FROM mt JOIN ft USING (from_type) JOIN tt USING (to_type), al
+        |  WHERE mt.n >= 50)
+        |SELECT from_type, to_type, n, n_from, confidence_ppm,
+        |  CAST((CAST(confidence_ppm AS HUGEINT) * n_all) // n_to AS BIGINT)
+        |    AS lift_ppm
+        |FROM r ORDER BY from_type, to_type""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

@@ -2421,6 +2421,70 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("didUplift: hand-computed cells and did; empty control reports NULLs, never zero rows") {
+    import graft.ext.EventsOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      (1L, "view", ts(0), 10.0), (1L, "error", ts(150), 0.5),
+      (1L, "view", ts(150), 5.0),
+      (2L, "view", ts(0), 10.0), (2L, "view", ts(200), 11.0))
+    val df = rows.toDF("user_id", "event_type", "ts", "value")
+    val r = EventsOps.didUplift(df, col("user_id"), col("ts"), col("value"),
+      col("event_type") === "error").collect().head
+    // mid = 100s; treated u1: pre 10, post 5; control u2: pre 10, post 11
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 1L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((10000000L, 5000000L, 10000000L, 11000000L)))
+    assert(r.getLong(6) === -6000000L)
+    // everyone treated: one row with NULL control cells, NULL did
+    val all = df.filter(col("user_id") === 1L)
+    val r2 = EventsOps.didUplift(all, col("user_id"), col("ts"),
+      col("value"), col("event_type") === "error").collect()
+    assert(r2.length === 1)
+    assert(r2.head.getLong(1) === 0L && r2.head.isNullAt(4) &&
+      r2.head.isNullAt(6))
+  }
+
+  test("captureRecapture: sample counts replay the md5 gates; Chapman formula exact") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "dup text" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.captureRecapture(docs, col("doc_id"),
+      md5(col("text")), seedA = "ta", seedB = "tb", ppm = 500000L)
+      .collect().head
+    // replay the gates in plain JVM arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def in(seed: String, id: Long): Boolean = {
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L < 500000L
+    }
+    def fp(t: String) = t // md5 equality == text equality for counting
+    val all = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "dup text" else s"unique text $i"))
+    val fa = all.filter(x => in("ta", x._1)).map(x => fp(x._2)).toSet
+    val fb = all.filter(x => in("tb", x._1)).map(x => fp(x._2)).toSet
+    val (n1, n2, m) = (fa.size.toLong, fb.size.toLong, (fa & fb).size.toLong)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((n1, n2, m)))
+    assert(out.getLong(3) === 31L) // 30 unique + 1 shared dup text
+    assert(out.getLong(4) === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+  }
+
+  test("transitionRules: confidence and lift exact on a hand sequence") {
+    import graft.ext.EventsOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = (0 until 5).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "a" else "b", ts(i.toLong)))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.transitionRules(df, minSupport = 1L)
+      .orderBy(col("from_type"), col("to_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // a b a b a: a->b x2, b->a x2; all confidences 1e6; lift = 1e6·4/2
+    assert(out.toSeq === Seq(("a", "b", 2L, 2L, 1000000L, 2000000L),
+      ("b", "a", 2L, 2L, 1000000L, 2000000L)))
+  }
+
   test("conversionLatency: exact rank percentiles and mean; non-converters excluded") {
     import graft.ext.EventsOps
     def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)

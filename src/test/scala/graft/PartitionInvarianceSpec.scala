@@ -121,7 +121,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // blocked pair scoring, full-outer vocab movers, decile rollup
     "q257_fellegi_sunter", "q258_term_movers", "q259_sim_histogram",
     // tier-located percentiles, 9-group digit rollup, vec_sum halves
-    "q260_conversion_latency", "q261_benford_audit", "q262_centroid_shift")
+    "q260_conversion_latency", "q261_benford_audit", "q262_centroid_shift",
+    // conditional-agg DiD cells, sampled-distinct overlap, rule matrix
+    "q263_did_uplift", "q264_capture_recapture", "q265_transition_rules")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
