@@ -261,6 +261,67 @@ object EventsOps {
         (col("post_c") - col("pre_c")))
   }
 
+  /** Top opening journeys: each user's first `depth` event types in time
+    * order, concatenated into a path string, ranked by frequency — the
+    * "how do users start" product-analytics staple (and, for agent/SFT
+    * logs, the dominant conversation openings). Per-user ordering uses
+    * the sorted-struct-collect discipline (collect_list alone is
+    * partition-order-dependent — the q98 rule); per-user payloads are
+    * bounded by the user's event count (a data-model bound, the q231
+    * argument). Top-k cuts with a bounded TakeOrdered, ties (n DESC,
+    * path). Returns (path, n_users, rnk).
+    *
+    * 100 TB shape: one user-keyed aggregation + one path-keyed count +
+    * TakeOrdered. */
+  def openingPaths(events: DataFrame, user: Column, ts: Column,
+      tie: Column, etype: Column, depth: Int = 4, k: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 16, "openingPaths: depth in [1, 16]")
+    val paths = events
+      .select(user.as("u"), struct(ts.as("t"), tie.as("i"),
+        etype.as("e")).as("s"))
+      .groupBy(col("u"))
+      .agg(array_join(transform(slice(sort_array(collect_list(col("s"))),
+        1, depth), x => x.getField("e")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_users").desc, col("path"))).cast("long"))
+  }
+
+  /** Accounting reconciliation between a header table and its detail
+    * lines (orders vs lineitem totals — the cross-table VALUE-consistency
+    * audit the FK check (q229) can't see: a key can match while the money
+    * doesn't). Detail lines aggregate per key with order-independent
+    * DECIMAL sums rounded to cents (the q04/Stable.sumD discipline — raw
+    * double accumulation differs by partition order); headers LEFT-join
+    * (a header with no lines is its own finding, not a dropped row).
+    * Returns one row: n_headers, n_no_lines, n_matched (|diff| ≤
+    * tolerance), n_mismatched, max_diff, sum_diff (both rounded, the sum
+    * via decimal accumulation).
+    *
+    * 100 TB shape: one detail-keyed aggregation (map-side combine), one
+    * key join, one scalar rollup. */
+  def reconcileTotals(headers: DataFrame, hKey: Column, hTotal: Column,
+      details: DataFrame, dKey: Column, dAmount: Column,
+      tolerance: Double = 0.01): DataFrame = {
+    val lines = details.groupBy(dKey.as("k"))
+      .agg(round(graft.functions.Stable.sumD(dAmount), 2).as("l_total"))
+    headers.select(hKey.as("k"), hTotal.as("h_total"))
+      .join(lines, Seq("k"), "left")
+      .select(col("k"), col("h_total"), col("l_total"),
+        when(col("l_total").isNull, lit(null).cast("double"))
+          .otherwise(round(abs(col("l_total") - col("h_total")), 2))
+          .as("diff"))
+      .agg(count(lit(1)).as("n_headers"),
+        sum(col("l_total").isNull.cast("long")).as("n_no_lines"),
+        sum((col("diff") <= tolerance).cast("long")).as("n_matched"),
+        sum((col("diff") > tolerance).cast("long")).as("n_mismatched"),
+        round(coalesce(max(col("diff")), lit(0.0)), 2).as("max_diff"),
+        round(graft.functions.Stable.sumD(coalesce(col("diff"), lit(0.0))),
+          2).as("sum_diff"))
+  }
+
   /** Association rules over consecutive event transitions (the
     * support/confidence form of [[eventTransitions]] — Agrawal-style rule
     * mining at bigram granularity): confidence_ppm = 10⁶·n(a→b)/n(a→·),

@@ -1119,6 +1119,41 @@ object PipelineOps {
           minSupport = 50L)
         .orderBy(col("from_type"), col("to_type"))
     }),
+    "q266_opening_paths" -> ((s, dir) => {
+      // How do users start: top-10 opening 4-event journeys (sorted-struct
+      // collect, the q98 determinism rule).
+      graft.ext.EventsOps.openingPaths(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"), depth = 4, k = 10)
+        .orderBy(col("rnk"))
+    }),
+    "q267_label_noise" -> ((s, dir) => {
+      // Label-confusion hotspots: q193's kNN vote over the WHOLE corpus,
+      // rolled up to (own_label -> voted_label) pairs where a confident
+      // neighborhood (margin >= 60%) disagrees — the re-annotation
+      // worklist, prioritized.
+      val emb = t(s, dir, "embeddings")
+      val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+      Similarity.knnLabelVote(emb, emb, k = 5)
+        .filter(!col("agree"))
+        .withColumn("margin_ppm",
+          idiv(col("n_votes") * 1000000L, col("n_neighbors")))
+        .filter(col("margin_ppm") >= 600000L)
+        .groupBy(col("own_label").cast("long").as("own_label"),
+          col("voted_label").cast("long").as("voted_label"))
+        .agg(count(lit(1)).as("n_flagged"), sum(col("q_id")).as("checksum"))
+        .orderBy(col("own_label"), col("voted_label"))
+    }),
+    "q268_order_reconcile" -> ((s, dir) => {
+      // Accounting reconciliation: do lineitem totals explain
+      // o_totalprice? The value-consistency audit the FK check can't see;
+      // on this synthetic data the books do NOT balance, and the audit's
+      // job is to say exactly how much.
+      graft.ext.EventsOps.reconcileTotals(
+        t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"),
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4030,6 +4065,51 @@ object PipelineOps {
         |  CAST((CAST(confidence_ppm AS HUGEINT) * n_all) // n_to AS BIGINT)
         |    AS lift_ppm
         |FROM r ORDER BY from_type, to_type""".stripMargin,
+    "q266_opening_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:4], '>')
+        |      AS path
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM p GROUP BY path),
+        |r AS (SELECT path, n_users, CAST(row_number() OVER (
+        |    ORDER BY n_users DESC, path) AS BIGINT) AS rnk FROM g)
+        |SELECT path, n_users, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "q267_label_noise" ->
+      (s"WITH ${knnVoteCtes("")},\n" +
+        """fin AS (SELECT c1.q_id, eo.label AS own_label, c1.voted_label,
+          |    c1.n_votes, tot.n_neighbors
+          |  FROM c1 JOIN tot USING (q_id)
+          |    JOIN embeddings eo ON eo.vec_id = c1.q_id),
+          |fl AS (SELECT *, (n_votes * 1000000) // n_neighbors AS margin_ppm
+          |  FROM fin WHERE own_label != voted_label)
+          |SELECT CAST(own_label AS BIGINT) AS own_label,
+          |  CAST(voted_label AS BIGINT) AS voted_label,
+          |  CAST(count(*) AS BIGINT) AS n_flagged,
+          |  CAST(sum(q_id) AS BIGINT) AS checksum
+          |FROM fl WHERE margin_ppm >= 600000
+          |GROUP BY own_label, voted_label
+          |ORDER BY own_label, voted_label""".stripMargin),
+    "q268_order_reconcile" ->
+      """WITH l AS (SELECT l_orderkey AS k,
+        |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      AS DECIMAL(30,10))) AS DOUBLE), 2) AS l_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o.o_orderkey AS k, o.o_totalprice AS h_total, l.l_total,
+        |    CASE WHEN l.l_total IS NULL THEN NULL
+        |      ELSE round(abs(l.l_total - o.o_totalprice), 2) END AS diff
+        |  FROM orders o LEFT JOIN l ON l.k = o.o_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_headers,
+        |  CAST(sum(CASE WHEN l_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(sum(CASE WHEN diff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatched,
+        |  round(coalesce(max(diff), 0), 2) AS max_diff,
+        |  round(CAST(sum(CAST(coalesce(diff, 0) AS DECIMAL(30,10)))
+        |    AS DOUBLE), 2) AS sum_diff
+        |FROM j""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,
@@ -5324,56 +5404,11 @@ object PipelineOps {
     // q49b's deterministic IVF at k=5 feeding a per-query label vote —
     // the argmax tie rule (most votes, then lowest label) restated.
     "q193_knn_label_vote" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |      sqrt(list_sum(list_transform(embedding,
-        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
-        |  FROM embeddings WHERE vec_id < 16),
-        |scores AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
-        |  FROM embeddings e, cents c),
-        |cells AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-        |    FROM scores) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-        |    FROM scores WHERE vec_id < 20) t WHERE rn <= 4),
-        |cand AS (
-        |  SELECT p.q_id, c.vec_id AS c_id
-        |  FROM probes p JOIN cells c USING (cell)
-        |  WHERE c.vec_id != p.q_id),
-        |s AS (
-        |  SELECT q_id, c_id, round(
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
-        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
-        |r AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM s) t WHERE rnk <= 5),
-        |v AS (SELECT r.q_id, e.label AS c_label, CAST(count(*) AS BIGINT) AS n_votes
-        |      FROM r JOIN embeddings e ON e.vec_id = r.c_id
-        |      WHERE e.label IS NOT NULL GROUP BY r.q_id, e.label),
-        |tot AS (SELECT q_id, CAST(sum(n_votes) AS BIGINT) AS n_neighbors
-        |        FROM v GROUP BY q_id),
-        |c1 AS (SELECT q_id, c_label AS voted_label, n_votes FROM (
-        |   SELECT *, row_number() OVER (
-        |     PARTITION BY q_id ORDER BY n_votes DESC, c_label) AS vrnk FROM v) t
-        |   WHERE vrnk = 1)
-        |SELECT c1.q_id, eo.label AS own_label, c1.voted_label, c1.n_votes,
-        |  tot.n_neighbors, eo.label = c1.voted_label AS agree
-        |FROM c1 JOIN tot USING (q_id) JOIN embeddings eo ON eo.vec_id = c1.q_id
-        |ORDER BY c1.q_id""".stripMargin,
+      (s"WITH ${knnVoteCtes("WHERE vec_id < 20")}\n" +
+        """SELECT c1.q_id, eo.label AS own_label, c1.voted_label, c1.n_votes,
+          |  tot.n_neighbors, eo.label = c1.voted_label AS agree
+          |FROM c1 JOIN tot USING (q_id) JOIN embeddings eo ON eo.vec_id = c1.q_id
+          |ORDER BY c1.q_id""".stripMargin),
     "q192_span_decontamination" ->
       raw"""WITH tw AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -6757,6 +6792,57 @@ object PipelineOps {
   /** The q49b deterministic-IVF CTE chain (untrained lowest-16 centroids,
     * nprobe 4, queries vec_id < 10, re-ranked by round-5 cosine) ending
     * at ranked candidates `r` — shared by q49b and q216's recall audit. */
+  /** The q193 kNN-label-vote chain (normalized centroids, IVF cells,
+    * probes filtered by `probeWhere`, exact re-rank at k=5, per-query
+    * vote relations c1/tot), shared with the q267 hotspot rollup. */
+  private def knnVoteCtes(probeWhere: String): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cemb
+       |  FROM embeddings WHERE vec_id < 16),
+       |scores AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])) AS score
+       |  FROM embeddings e, cents c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+       |    FROM scores) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores $probeWhere) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS c_id
+       |  FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.vec_id != p.q_id),
+       |s AS (
+       |  SELECT q_id, c_id, round(
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+       |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+       |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+       |r AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM s) t WHERE rnk <= 5),
+       |v AS (SELECT r.q_id, e.label AS c_label, CAST(count(*) AS BIGINT) AS n_votes
+       |      FROM r JOIN embeddings e ON e.vec_id = r.c_id
+       |      WHERE e.label IS NOT NULL GROUP BY r.q_id, e.label),
+       |tot AS (SELECT q_id, CAST(sum(n_votes) AS BIGINT) AS n_neighbors
+       |        FROM v GROUP BY q_id),
+       |c1 AS (SELECT q_id, c_label AS voted_label, n_votes FROM (
+       |   SELECT *, row_number() OVER (
+       |     PARTITION BY q_id ORDER BY n_votes DESC, c_label) AS vrnk FROM v) t
+       |   WHERE vrnk = 1)""".stripMargin
+
   private def ivfTopKCtes: String =
     """cents AS (
       |  SELECT vec_id AS cid,

@@ -2421,6 +2421,36 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("openingPaths: deterministic path assembly, short journeys keep their prefix, tie-broken ranking") {
+    import graft.ext.EventsOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      (1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)), (3L, 1L, "c", ts(3)),
+      (4L, 1L, "d", ts(4)), (5L, 1L, "e", ts(5)), // 5th event ignored
+      (6L, 2L, "a", ts(1)), (7L, 2L, "b", ts(2)), (8L, 2L, "c", ts(3)),
+      (9L, 2L, "d", ts(4)),
+      (10L, 3L, "x", ts(1))) // short journey: path is just its prefix
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.openingPaths(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), depth = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a>b>c>d", 2L, 1L), ("x", 1L, 2L)))
+  }
+
+  test("reconcileTotals: matched, mismatched, and line-less headers all land in their own buckets") {
+    import graft.ext.EventsOps
+    val headers = Seq((1L, 10.0), (2L, 5.0), (3L, 7.5))
+      .toDF("k", "total")
+    val details = Seq((1L, 4.0), (1L, 6.0), (2L, 2.0))
+      .toDF("k", "amt")
+    val r = EventsOps.reconcileTotals(headers, col("k"), col("total"),
+      details, col("k"), col("amt")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) === 3.0)
+    assert(r.getDouble(5) === 3.0)
+  }
+
   test("didUplift: hand-computed cells and did; empty control reports NULLs, never zero rows") {
     import graft.ext.EventsOps
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

@@ -123,7 +123,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // tier-located percentiles, 9-group digit rollup, vec_sum halves
     "q260_conversion_latency", "q261_benford_audit", "q262_centroid_shift",
     // conditional-agg DiD cells, sampled-distinct overlap, rule matrix
-    "q263_did_uplift", "q264_capture_recapture", "q265_transition_rules")
+    "q263_did_uplift", "q264_capture_recapture", "q265_transition_rules",
+    // sorted-struct paths, full-corpus vote rollup, decimal reconciliation
+    "q266_opening_paths", "q267_label_noise", "q268_order_reconcile")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
