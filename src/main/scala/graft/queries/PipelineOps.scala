@@ -1133,6 +1133,12 @@ object PipelineOps {
       // worklist, prioritized.
       val emb = t(s, dir, "embeddings")
       val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+      // Fixed nlist=16 is the gate-scale geometry (measured 5x wall at
+      // 10x data: candidates grow with cell size). The scale path is NOT
+      // a bigger nlist on this operator (nlist=100 measured 158 s at 10x
+      // -- the literal-centroid codegen pathology from the bestCell
+      // scaladoc): it is q118's TRAINED IVF at semDedupClustersFor-auto
+      // k, whose NearestCell/pruned kernels exist precisely for large k.
       Similarity.knnLabelVote(emb, emb, k = 5)
         .filter(!col("agree"))
         .withColumn("margin_ppm",
