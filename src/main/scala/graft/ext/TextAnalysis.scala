@@ -432,6 +432,31 @@ object TextAnalysis {
     * token features) — an order-SENSITIVE sketch, cross-engine mirrorable
     * (DuckDB `list_reduce` seeds with the first element, so we fold from the
     * second over an `element_at(.,1)` seed to match bit-for-bit). */
+  /** ⌊log₂ n⌋ + 1 for positive longs — the power-of-two bucket index for
+    * log-scale histograms, computed as the LENGTH OF THE BINARY STRING
+    * (`bin(n)`), which both engines produce identically; float log2 would
+    * hand bucket boundaries at exact powers of two to libm ulps (the
+    * q261 first-digit rule applied to base 2). 0 for n ≤ 0. */
+  def log2Bucket(n: Column): Column =
+    when(n <= 0, 0L).otherwise(length(bin(n)).cast("long"))
+
+  /** Text-hygiene counters, all scan-speed codegen'd predicates: empty or
+    * whitespace-only text, leading/trailing ASCII-space padding (an
+    * explicit regex, NOT `trim` equality — DuckDB's trim strips U+00A0
+    * while Spark's strips only 0x20, a measured cross-engine divergence),
+    * runs of 2+ spaces,
+    * ASCII control characters (tab/CR/LF excluded — they are legitimate
+    * layout), and NBSP (U+00A0, the copy-paste classic). Each returns a
+    * 0/1 long for per-source rollups. */
+  def hygieneFlags(text: Column): Column = struct(
+    (trim(text) === "").cast("long").as("empty"),
+    (text rlike "^ | $").cast("long").as("untrimmed"),
+    (text rlike "  ").cast("long").as("multispace"),
+    (text rlike "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("long")
+      .as("control"),
+    (text rlike new String(Character.toChars(0xA0))).cast("long")
+      .as("nbsp"))
+
   def rollingFingerprint(text: Column): Column = {
     val vals = transform(tokens(text),
       t => pmod(ascii(t).cast("long") * 31 + length(t), lit(1000003L)))

@@ -1160,6 +1160,40 @@ object PipelineOps {
         col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           (lit(1.0) + col("l_tax")))
     }),
+    "q269_length_histogram" -> ((s, dir) => {
+      // Log-scale length distribution per source: power-of-two token
+      // buckets via binary-string length (the q261 no-float-log rule in
+      // base 2) — the length profile a packing/budget choice reads first.
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          TA.log2Bucket(TA.tokenCount(col("text"))).as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+    "q270_text_hygiene" -> ((s, dir) => {
+      // Basic text hygiene per source, with planted dirt the audit must
+      // isolate: every 11th doc gains leading double-space, every 23rd an
+      // NBSP, every 31st a BEL control char.
+      val nbsp = new String(Character.toChars(0xA0))
+      val bel = new String(Character.toChars(0x07))
+      val docs = t(s, dir, "documents").select(col("source"),
+        concat(
+          when(pmod(col("doc_id"), lit(11L)) === 0, lit("  ")).otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(23L)) === 0, lit(nbsp)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(31L)) === 0, lit(bel)).otherwise(lit("")))
+          .as("text"))
+      docs.select(col("source"), TA.hygieneFlags(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h.empty")).as("n_empty"),
+          sum(col("h.untrimmed")).as("n_untrimmed"),
+          sum(col("h.multispace")).as("n_multispace"),
+          sum(col("h.control")).as("n_control"),
+          sum(col("h.nbsp")).as("n_nbsp"))
+        .orderBy(col("source"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4116,6 +4150,32 @@ object PipelineOps {
         |  round(CAST(sum(CAST(coalesce(diff, 0) AS DECIMAL(30,10)))
         |    AS DOUBLE), 2) AS sum_diff
         |FROM j""".stripMargin,
+    "q269_length_histogram" ->
+      raw"""WITH b AS (SELECT source,
+         |    CAST(length(bin(CAST(len(string_split_regex(trim(text), '\s+'))
+         |      AS BIGINT))) AS BIGINT) AS bucket
+         |  FROM documents)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q270_text_hygiene" ->
+      """WITH d AS (SELECT source,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '  ' ELSE '' END) || text ||
+        |    (CASE WHEN doc_id % 23 = 0 THEN chr(160) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 31 = 0 THEN chr(7) ELSE '' END) AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_empty,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '^ | $') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_untrimmed,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '  ') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_multispace,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_control,
+        |  CAST(sum(CASE WHEN regexp_matches(text, chr(160)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nbsp
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

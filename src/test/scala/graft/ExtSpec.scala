@@ -2421,6 +2421,40 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("log2Bucket: binary-string length buckets exact at the power boundaries") {
+    val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
+      .toDF("n")
+    val out = df.select(TextAnalysis.log2Bucket(col("n")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 2L, 2L, 3L, 10L, 11L, 0L, 0L))
+  }
+
+  test("hygieneFlags: each planted artifact fires exactly its own flag; clean text fires none") {
+    def cp(c: Int) = new String(Character.toChars(c))
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "   "), // whitespace-only: empty AND untrimmed AND multispace
+      (3L, " leading space"),
+      (4L, "double  space inside"),
+      (5L, s"bell${cp(7)}char"),
+      (6L, s"nb${cp(0xA0)}sp"),
+      (7L, "tab\tand\nnewline are fine")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.hygieneFlags(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> {
+        val h = r.getStruct(1)
+        (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4))
+      }).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(2L) === ((1L, 1L, 1L, 0L, 0L)))
+    assert(out(3L) === ((0L, 1L, 0L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 1L, 0L, 0L)))
+    assert(out(5L) === ((0L, 0L, 0L, 1L, 0L)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, 1L)))
+    assert(out(7L) === ((0L, 0L, 0L, 0L, 0L))) // tab/LF are layout, not dirt
+  }
+
   test("openingPaths: deterministic path assembly, short journeys keep their prefix, tie-broken ranking") {
     import graft.ext.EventsOps
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

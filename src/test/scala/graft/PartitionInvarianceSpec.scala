@@ -125,7 +125,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // conditional-agg DiD cells, sampled-distinct overlap, rule matrix
     "q263_did_uplift", "q264_capture_recapture", "q265_transition_rules",
     // sorted-struct paths, full-corpus vote rollup, decimal reconciliation
-    "q266_opening_paths", "q267_label_noise", "q268_order_reconcile")
+    "q266_opening_paths", "q267_label_noise", "q268_order_reconcile",
+    // binary-length buckets; hygiene flag rollup
+    "q269_length_histogram", "q270_text_hygiene")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
