@@ -273,6 +273,56 @@ object Similarity {
         (col("own_label") === col("voted_label")).as("agree"))
   }
 
+  /** Blocked kNN label vote — the SCALE PATH for corpus-wide label-noise
+    * audits that q267 documents as `weak` under [[ivfTopK]]'s fixed
+    * geometry: cells come from a TRAINED fit at
+    * [[semDedupClustersFor]]-auto k (~targetCellSize vectors per cell, so
+    * k grows with the corpus and the assignment rides the
+    * NearestCell/pruned kernels built for large k — never the literal
+    * expression tree that measured 158 s at nlist=100), and each vector's
+    * k nearest live WITHIN its own cell (single-probe, the SemDedup
+    * blocking rule) — per-cell pair work is targetCellSize-bounded, so
+    * the whole audit is LINEAR in the corpus. Boundary pairs straddling
+    * two cells are the accepted approximation, exactly as in SemDedup.
+    * Vote semantics mirror [[knnLabelVote]]: rank by (cosine DESC, c_id),
+    * NULL-labeled neighbors excluded from the vote, consensus ties to the
+    * lowest label. A vector ALONE in its cell has no neighbors and emits
+    * no verdict (blocked-kNN semantics — at the audit's corpus scales,
+    * cells hold ~targetCellSize vectors and singletons are outliers worth
+    * their own q124 pass). */
+  def cellKnnLabelVote(emb: DataFrame, k: Int, iters: Int = 2,
+      targetCellSize: Long = 64): DataFrame = {
+    val nCells = semDedupClustersFor(emb.count(), targetCellSize)
+    val cells = kmeansFit(emb, nCells, iters)
+      .select(col("vec_id"), col("cell"))
+    val withCell = cells.join(
+      emb.select(col("vec_id"), col("label"), col("embedding")),
+      Seq("vec_id"))
+    val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
+      col("embedding").as("qe"), col("label").as("own_label"))
+    val b = withCell.select(col("cell"), col("vec_id").as("c_id"),
+      col("embedding").as("ce"), col("label").as("c_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val nn = a.join(b, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(Vectors.cosine(col("qe"), col("ce")), 5))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k && col("c_label").isNotNull)
+    val votes = nn.groupBy(col("q_id"), col("own_label"), col("c_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("c_label"))
+    votes
+      .withColumn("n_neighbors", sum(col("n_votes")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))))
+      .withColumn("vrnk", row_number().over(vw))
+      .filter(col("vrnk") === 1)
+      .select(col("q_id"), col("own_label"),
+        col("c_label").as("voted_label"), col("n_votes"),
+        col("n_neighbors"),
+        (col("own_label") <=> col("voted_label")).as("agree"))
+  }
+
   /** Classifier-calibration audit: expected calibration error (ECE —
     * Naeini et al. 2015; Guo et al. 2017) of a centroid classifier over the
     * embedding corpus. The classifier is k-means-trained ([[lloydCentroidsQ]],

@@ -1194,6 +1194,23 @@ object PipelineOps {
           sum(col("h.nbsp")).as("n_nbsp"))
         .orderBy(col("source"))
     }),
+    "q271_cell_label_noise" -> ((s, dir) => {
+      // q267's scale path made real: label-confusion hotspots via TRAINED
+      // cells at semDedupClustersFor-auto k (single-probe blocked kNN) —
+      // per-cell work is targetCellSize-bounded, so the audit is linear
+      // in the corpus where q267's fixed geometry was 5x at 10x.
+      val emb = t(s, dir, "embeddings")
+      val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+      Similarity.cellKnnLabelVote(emb, k = 5)
+        .filter(!col("agree"))
+        .withColumn("margin_ppm",
+          idiv(col("n_votes") * 1000000L, col("n_neighbors")))
+        .filter(col("margin_ppm") >= 600000L)
+        .groupBy(col("own_label").cast("long").as("own_label"),
+          col("voted_label").cast("long").as("voted_label"))
+        .agg(count(lit(1)).as("n_flagged"), sum(col("q_id")).as("checksum"))
+        .orderBy(col("own_label"), col("voted_label"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4176,6 +4193,47 @@ object PipelineOps {
         |  CAST(sum(CASE WHEN regexp_matches(text, chr(160)) THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_nbsp
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q271_cell_label_noise" ->
+      (s"WITH ${kmeansCtes(8, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
+        """lab AS (SELECT vec_id, label FROM embeddings),
+          |wc AS (SELECT a3.vec_id, a3.cell, l.label
+          |  FROM a3 JOIN lab l USING (vec_id)),
+          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+          |    x.label AS own_label, y.label AS c_label,
+          |    round(list_sum(list_transform(generate_series(1, 64),
+          |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))))), 5)
+          |      AS sim
+          |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id != y.vec_id
+          |    JOIN embeddings eq ON eq.vec_id = x.vec_id
+          |    JOIN embeddings ec ON ec.vec_id = y.vec_id),
+          |nn AS (SELECT * FROM (SELECT q_id, c_id, own_label, c_label, sim,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          |      AS rnk FROM sims) t
+          |  WHERE rnk <= 5 AND c_label IS NOT NULL),
+          |v AS (SELECT q_id, own_label, c_label,
+          |    CAST(count(*) AS BIGINT) AS n_votes
+          |  FROM nn GROUP BY q_id, own_label, c_label),
+          |tot AS (SELECT q_id, CAST(sum(n_votes) AS BIGINT) AS n_neighbors
+          |  FROM v GROUP BY q_id),
+          |cons AS (SELECT q_id, own_label, c_label AS voted_label, n_votes
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY n_votes DESC, c_label) AS vrnk FROM v) t
+          |  WHERE vrnk = 1),
+          |fl AS (SELECT cons.q_id, own_label, voted_label, n_votes,
+          |    (n_votes * 1000000) // tot.n_neighbors AS margin_ppm
+          |  FROM cons JOIN tot USING (q_id)
+          |  WHERE own_label != voted_label)
+          |SELECT CAST(own_label AS BIGINT) AS own_label,
+          |  CAST(voted_label AS BIGINT) AS voted_label,
+          |  CAST(count(*) AS BIGINT) AS n_flagged,
+          |  CAST(sum(q_id) AS BIGINT) AS checksum
+          |FROM fl WHERE margin_ppm >= 600000
+          |GROUP BY own_label, voted_label
+          |ORDER BY own_label, voted_label""".stripMargin),
     "q226_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 50 AS len_band,

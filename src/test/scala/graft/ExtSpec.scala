@@ -2421,6 +2421,24 @@ class ExtSpec extends AnyFunSuite {
     assert(hubSum <= 2000000L && hubSum > 2000000L - 2)
   }
 
+  test("cellKnnLabelVote: the planted mislabel is outvoted by its own cell; clean rows agree") {
+    def v(a: Float): Array[Float] = Array(a, a, a, a)
+    // ids 0..7 seed the (min 8) cells; two tight groups around 0 and 10
+    val emb = ((0L to 9L).map(i => (i, v(0.01f * i), Some(0))) ++
+      (10L to 18L).map(i => (i, v(10.0f + 0.01f * (i - 10)), Some(1))) :+
+      ((19L, v(10.05f), Some(0))) // mislabeled: lives in the 10-cluster
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cellKnnLabelVote(emb, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(5))).toMap
+    assert(out(19L) === ((0, 1, false))) // own 0, neighborhood votes 1
+    // a vector alone in its cell has no neighbors and no verdict —
+    // blocked-kNN semantics; every vector WITH a verdict except the
+    // mislabel agrees with its neighborhood
+    assert(out.size >= 12)
+    assert(out.removed(19L).values.forall(_._3 == true))
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

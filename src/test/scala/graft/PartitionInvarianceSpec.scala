@@ -127,7 +127,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // sorted-struct paths, full-corpus vote rollup, decimal reconciliation
     "q266_opening_paths", "q267_label_noise", "q268_order_reconcile",
     // binary-length buckets; hygiene flag rollup
-    "q269_length_histogram", "q270_text_hygiene")
+    "q269_length_histogram", "q270_text_hygiene",
+    // trained-cell blocked vote (large-k assignment kernels)
+    "q271_cell_label_noise")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
