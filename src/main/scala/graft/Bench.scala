@@ -57,9 +57,49 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val entryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(evalFully(fn(spark, sfDir)))
+    // In-suite drift instrumentation (the round-6 finding: identical
+    // entries ran 1.5x slower late in a long sweep on a noisy host, and
+    // nothing in the output could separate suite-position effects from
+    // co-tenant load). Three probes:
+    //   - a CANARY — one fixed cheap query (q44, the QueryTime lead-in)
+    //     re-timed every `groupSize` entries; a flat canary vector says
+    //     the session itself is not degrading, a ramp localizes WHERE;
+    //   - per-entry GC time + heap (stderr — the stdout contract stays
+    //     one JSON line; the driver's capture window keeps only its tail);
+    //   - session hygiene between groups: clearCache() + dropping temp
+    //     views accumulated by dialect entries, so suite position doesn't
+    //     change what an entry's plan can reuse.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
     }
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val groupSize = 50
+    val canary = SparkEntry.queries.get("q44_fingerprint")
+    val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    def groupHygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      canary.foreach(fn => canaryTimes += time(evalFully(fn(spark, sfDir))))
+    }
+
+    val gcStart = gcMillis
+    val entryResults = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i % groupSize == 0) groupHygiene()
+        val g0 = gcMillis
+        val sec = time(evalFully(fn(spark, sfDir)))
+        val gcMs = gcMillis - g0
+        val heapMb = memBean.getHeapMemoryUsage.getUsed >> 20
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %-32s %8.3fs gc=%dms heap=%dMB", name, Double.box(sec),
+          Long.box(gcMs), Long.box(heapMb)))
+        name -> sec
+      }
+    groupHygiene() // closing canary point: first-vs-last IS the drift
 
     // Reference perf suite (BASELINE.md) at machine-feasible N. Sized so the
     // kernel, not job scheduling (~0.1 s per local[32] job), dominates the
@@ -110,8 +150,13 @@ object Bench {
     // field order matters: the driver keeps only the TAIL of stdout, so the
     // headline total/value must sit at the END of the line (rounds 3-4 lost
     // it — the line's head fell outside the capture window and parsing
-    // failed; the tail now always carries micro-suite + sf + total)
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${sec3(total)}}""")
+    // failed; the tail now always carries micro-suite + drift + sf + total).
+    // "canary" = the fixed q44 re-timed every 50 entries (flat vector = no
+    // in-suite degradation; ramp = position effect, localized); "gc_sec" =
+    // total JVM GC time across the whole suite (entries + micros).
+    val canaryJson = canaryTimes.map(sec3).mkString("[", ",", "]")
+    val gcSec = sec3((gcMillis - gcStart) / 1000.0)
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"canary":$canaryJson,"gc_sec":$gcSec,"sf":"$sfDir","value":${sec3(total)}}""")
     spark.stop()
   }
 }

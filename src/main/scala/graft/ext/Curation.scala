@@ -704,20 +704,6 @@ object Curation {
         round(col("distinct_tri").cast("double") / col("n_tri"), 6).as("tri_diversity"))
   }
 
-  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
-    * estimate — "how big is the dedup yield" answered from k tiny values
-    * BEFORE paying for the dedup: hash every key to a 60-bit integer (the
-    * first 15 md5 nibbles — md5, not an engine-internal hash, so an
-    * external oracle replays it bit-for-bit), keep the k smallest distinct
-    * values, and estimate n̂ = (k−1)·2⁶⁰ / h_k. With fewer than k distinct
-    * values the estimate IS the exact count (the sketch saw everything).
-    * Returns one row: (k, h_k, n_est).
-    *
-    * Scale shape: a bounded top-k (TakeOrdered after a distinct on hash
-    * values — the only shuffle, and it carries 8-byte longs); DECIMAL
-    * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
-    * accuracy against the k-row collect, and sketches from shards can be
-    * merged by union + re-top-k (the same mergeability as q130's). */
   /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
     * al. 2007) over a release candidate: rows group by their
     * quasi-identifier combination; a group smaller than `k` re-identifies
@@ -1134,6 +1120,20 @@ object Curation {
           s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) DIV h_k AS BIGINT)"))
           .as("n_est"))
 
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    * estimate — "how big is the dedup yield" answered from k tiny values
+    * BEFORE paying for the dedup: hash every key to a 60-bit integer (the
+    * first 15 md5 nibbles — md5, not an engine-internal hash, so an
+    * external oracle replays it bit-for-bit), keep the k smallest distinct
+    * values, and estimate n̂ = (k−1)·2⁶⁰ / h_k. With fewer than k distinct
+    * values the estimate IS the exact count (the sketch saw everything).
+    * Returns one row: (k, h_k, n_est).
+    *
+    * Scale shape: a bounded top-k (TakeOrdered after a distinct on hash
+    * values — the only shuffle, and it carries 8-byte longs); DECIMAL
+    * guards (k−1)·2⁶⁰ past Long. Standard error ~ 1/√(k−2): k tunes
+    * accuracy against the k-row collect, and sketches from shards can be
+    * merged by union + re-top-k (the same mergeability as q130's). */
   def kmvDistinctEstimate(docs: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2, "kmvDistinctEstimate: k must be >= 2")
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
@@ -1262,6 +1262,17 @@ object Curation {
     df.select(col("k"), col("r"), col("w").as("share_ppm"))
   }
 
+  /** Shared priority construction for the samplers: w > 0 rows with the
+    * deterministic hash-uniform priority w·10⁶/(h+1) rounded to 6 — THE
+    * cross-engine contract both oracles replay; change it in one place or
+    * the global and stratified samplers de-synchronize. */
+  private def priorityBase(docs: DataFrame, cols: Seq[Column],
+      weight: Column): DataFrame =
+    docs.select(cols :+ weight.cast("long").as("w"): _*)
+      .filter(col("w") > 0)
+      .withColumn("priority", round(
+        col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
+
   /** Weight-proportional sample without replacement — PRIORITY SAMPLING
     * (Duffield, Lund & Thorup, JACM 2007): each row draws a deterministic
     * hash-uniform u_i and gets priority w_i/u_i; the sample is the top-k
@@ -1278,17 +1289,6 @@ object Curation {
     * bounded top-(k+1) (TakeOrdered — no global sort), everything else is
     * a per-row map; emits (id, w, priority, est_w) for the k sampled
     * rows. */
-  /** Shared priority construction for the samplers: w > 0 rows with the
-    * deterministic hash-uniform priority w·10⁶/(h+1) rounded to 6 — THE
-    * cross-engine contract both oracles replay; change it in one place or
-    * the global and stratified samplers de-synchronize. */
-  private def priorityBase(docs: DataFrame, cols: Seq[Column],
-      weight: Column): DataFrame =
-    docs.select(cols :+ weight.cast("long").as("w"): _*)
-      .filter(col("w") > 0)
-      .withColumn("priority", round(
-        col("w") * lit(1000000.0) / (sampleKey(col("s_id"), 1000000) + lit(1.0)), 6))
-
   def prioritySample(docs: DataFrame, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, "prioritySample: k must be >= 1")
@@ -1433,27 +1433,6 @@ object Curation {
         col("rnk"))
   }
 
-  /** Bradley–Terry strength fitting (Bradley & Terry 1952; Zermelo's MM
-    * iteration as given in Hunter 2004, "MM algorithms for generalized
-    * Bradley-Terry models") over pairwise preference outcomes — the
-    * reward-model / arena-ranking primitive that turns preference PAIRS
-    * (q222's output shape) into per-player STRENGTHS. Exact-integer
-    * iteration in ppm: each round
-    *   d_i  = Σ_j (c_ij · 1e9) // (w_i + w_j)      (c_ij = games vs j)
-    *   w_i' = (W_i · 1e9) // d_i                   (W_i = wins of i)
-    * then mean-normalizes to Σw = |players|·1e6 (the MM update is
-    * scale-free; pinning the mean makes every round — and the final
-    * strengths — cross-engine exact integers). Players with zero
-    * comparisons never appear; a player with zero WINS converges to
-    * strength 0 (the true MLE boundary). Integer truncation makes this a
-    * quantized MM step, not IEEE Zermelo — the fixed point differs from
-    * the float iteration by O(1e-6), which is the price of exactness.
-    *
-    * 100 TB shape: outcomes aggregate ONCE to the |players|²-bounded pair
-    * table (the only corpus-sized shuffle); every round is two joins + an
-    * aggregation on that table, localCheckpoint'd (the q95/PageRank
-    * lineage rule) — |players| is arena-sized (models, sources, domains),
-    * so rounds are broadcast-cheap. */
   /** Exact-integer nDCG discount table: d(r) = ⌊10⁹ / log₂(r+1)⌋ for ranks
     * 1..k. The doubles are evaluated ONCE here (plan time, driver JVM) and
     * the resulting Long constants are what both engines consume — the
@@ -1876,6 +1855,27 @@ object Curation {
             -d * 1000000L, col("n_pairs")))))
   }
 
+  /** Bradley–Terry strength fitting (Bradley & Terry 1952; Zermelo's MM
+    * iteration as given in Hunter 2004, "MM algorithms for generalized
+    * Bradley-Terry models") over pairwise preference outcomes — the
+    * reward-model / arena-ranking primitive that turns preference PAIRS
+    * (q222's output shape) into per-player STRENGTHS. Exact-integer
+    * iteration in ppm: each round
+    *   d_i  = Σ_j (c_ij · 1e9) // (w_i + w_j)      (c_ij = games vs j)
+    *   w_i' = (W_i · 1e9) // d_i                   (W_i = wins of i)
+    * then mean-normalizes to Σw = |players|·1e6 (the MM update is
+    * scale-free; pinning the mean makes every round — and the final
+    * strengths — cross-engine exact integers). Players with zero
+    * comparisons never appear; a player with zero WINS converges to
+    * strength 0 (the true MLE boundary). Integer truncation makes this a
+    * quantized MM step, not IEEE Zermelo — the fixed point differs from
+    * the float iteration by O(1e-6), which is the price of exactness.
+    *
+    * 100 TB shape: outcomes aggregate ONCE to the |players|²-bounded pair
+    * table (the only corpus-sized shuffle); every round is two joins + an
+    * aggregation on that table, localCheckpoint'd (the q95/PageRank
+    * lineage rule) — |players| is arena-sized (models, sources, domains),
+    * so rounds are broadcast-cheap. */
   def bradleyTerryStrength(outcomes: DataFrame, winner: Column,
       loser: Column, iters: Int = 3): DataFrame = {
     val wl = outcomes.select(winner.as("wi"), loser.as("lo"))

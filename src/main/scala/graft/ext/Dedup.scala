@@ -724,30 +724,6 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
-  // ---------- winnowing (MOSS) fingerprints -------------------------------
-
-  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    * SIGMOD'03 — the MOSS algorithm): in every window of `w` consecutive
-    * word-`n`-gram hashes, select the minimal hash — ties broken to the
-    * RIGHTMOST position (the paper's basic-winnowing tie rule) — then
-    * dedupe selections. The guarantee: any shared token run of length
-    * ≥ w + n − 1 between two documents shares at least one selected
-    * fingerprint, with ~2/(w+1) of grams expected selected — the local,
-    * position-aware fingerprint family that MinHash (global,
-    * position-blind) is not.
-    *
-    * Hashes are md5-derived 44-bit integers (portable: the oracle replays
-    * them bit-for-bit), and the tie rule is packed INTO the comparison key:
-    * `key = h·2¹⁶ + (2¹⁶−1 − pos)`, so one `array_min` per window gives
-    * "smallest hash, rightmost position" in a single comparison. Fits a
-    * long for positions < 65536 (token index — split longer docs into
-    * chunks first, [[graft.ext.Curation]] `chunkDocs`).
-    *
-    * Pure per-row HOF expressions over the gram array — ZERO shuffle, scan
-    * speed at any corpus size (each doc's O(n·w) work is local); composes
-    * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
-    * shape) for cross-doc match detection. Returns per-doc
-    * (doc_id, n_grams, n_fp, fp_sum). */
   // ---------- corpus novelty scoring --------------------------------------
 
   /** Per-document novelty against the REST of the corpus: the fraction
@@ -849,6 +825,8 @@ object Dedup {
         col("lev").cast("long").as("lev"))
   }
 
+  // ---------- winnowing (MOSS) fingerprints -------------------------------
+
   /** The selected-key array for one document (packed `h·2¹⁶ + (65535−pos)`
     * longs, distinct). Empty array for a gramless doc. */
   private def winnowKeys(text: Column, n: Int, w: Int): Column = {
@@ -871,6 +849,28 @@ object Dedup {
     }), 1)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): in every window of `w` consecutive
+    * word-`n`-gram hashes, select the minimal hash — ties broken to the
+    * RIGHTMOST position (the paper's basic-winnowing tie rule) — then
+    * dedupe selections. The guarantee: any shared token run of length
+    * ≥ w + n − 1 between two documents shares at least one selected
+    * fingerprint, with ~2/(w+1) of grams expected selected — the local,
+    * position-aware fingerprint family that MinHash (global,
+    * position-blind) is not.
+    *
+    * Hashes are md5-derived 44-bit integers (portable: the oracle replays
+    * them bit-for-bit), and the tie rule is packed INTO the comparison key:
+    * `key = h·2¹⁶ + (2¹⁶−1 − pos)`, so one `array_min` per window gives
+    * "smallest hash, rightmost position" in a single comparison. Fits a
+    * long for positions < 65536 (token index — split longer docs into
+    * chunks first, [[graft.ext.Curation]] `chunkDocs`).
+    *
+    * Pure per-row HOF expressions over the gram array — ZERO shuffle, scan
+    * speed at any corpus size (each doc's O(n·w) work is local); composes
+    * with an inverted-index join on the fingerprint hash ([[ngramJaccard]]
+    * shape) for cross-doc match detection. Returns per-doc
+    * (doc_id, n_grams, n_fp, fp_sum). */
   def winnowingProfile(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, w: Int = 4): DataFrame = {
     require(n >= 1 && w >= 1, "winnowingProfile: n and w must be >= 1")
@@ -936,22 +936,6 @@ object Dedup {
         col("n_caught") * 1000000L, col("n_pairs")))
   }
 
-  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, the
-    * probabilistic-linkage standard): blocked candidate pairs score
-    * Σ_fields (agree ? log₂(m/u) : log₂((1−m)/(1−u))) and classify by the
-    * two-threshold rule (link / possible / non-link). The log-odds are
-    * PLAN-TIME micro-scaled integer constants (the ndcgDiscounts
-    * discipline — the caller's (m, u) parameters become literals in both
-    * engines, no log runs inside either), so scores and class counts are
-    * cross-engine exact. `fields` carries (name, expr, mMilli, uMilli);
-    * agreement is expression equality across the pair. Returns per class:
-    * (cls, n_pairs, sum_score_micro, checksum).
-    *
-    * 100 TB shape: candidates come from the caller's blocking key (the
-    * whole FS design — never all pairs); scoring is per-pair arithmetic
-    * over broadcast constants, and the report is 3 rows. Production
-    * blocks must be tight (the q198 rule: band + prefix, or an LSH
-    * bucket); a skewed block serializes its own pairs, not the corpus. */
   /** Capture–recapture estimate of the dedup universe (Lincoln–Petersen
     * with the Chapman 1951 correction): two independent deterministic
     * samples of the corpus (seeded md5 gates) mark n₁ and n₂ distinct
@@ -1023,6 +1007,22 @@ object Dedup {
       (1e6 * math.log((1000.0 - mMilli) / (1000 - uMilli)) / lg2).toLong)
   }
 
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, the
+    * probabilistic-linkage standard): blocked candidate pairs score
+    * Σ_fields (agree ? log₂(m/u) : log₂((1−m)/(1−u))) and classify by the
+    * two-threshold rule (link / possible / non-link). The log-odds are
+    * PLAN-TIME micro-scaled integer constants (the ndcgDiscounts
+    * discipline — the caller's (m, u) parameters become literals in both
+    * engines, no log runs inside either), so scores and class counts are
+    * cross-engine exact. `fields` carries (name, expr, mMilli, uMilli);
+    * agreement is expression equality across the pair. Returns per class:
+    * (cls, n_pairs, sum_score_micro, checksum).
+    *
+    * 100 TB shape: candidates come from the caller's blocking key (the
+    * whole FS design — never all pairs); scoring is per-pair arithmetic
+    * over broadcast constants, and the report is 3 rows. Production
+    * blocks must be tight (the q198 rule: band + prefix, or an LSH
+    * bucket); a skewed block serializes its own pairs, not the corpus. */
   def fellegiSunter(docs: DataFrame, id: Column, block: Seq[Column],
       fields: Seq[(String, Column, Long, Long)],
       linkMicro: Long, nonlinkMicro: Long): DataFrame = {

@@ -46,7 +46,12 @@ object EventsOps {
     import org.apache.spark.sql.graft.Bridge
     val ageH = Bridge.idiv(unix_micros(refTs), lit(3600000000L)) -
       Bridge.idiv(unix_micros(ts), lit(3600000000L))
-    val n = least(Bridge.idiv(ageH, lit(halfLifeHours)), lit(20L)).cast("int")
+    // Clamp below at 0: a ts AFTER refTs (clock skew, future-dated rows)
+    // would make the halving count negative, and shiftleft(1L, -1) is
+    // Long.MIN_VALUE under Java shift semantics — the row would silently
+    // score fully stale. Negative age reads as age 0 (full weight).
+    val n = least(greatest(Bridge.idiv(ageH, lit(halfLifeHours)), lit(0L)),
+      lit(20L)).cast("int")
     val pow2 = Bridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
       Bridge.expression(lit(1L)), Bridge.expression(n)))
     Bridge.idiv(lit(1000000L), pow2)

@@ -85,10 +85,19 @@ object Quality {
         sum(when(viol, 1L).otherwise(0L)).as(s"__v_$n"),
         sum(when(checked, 1L).otherwise(0L)).as(s"__c_$n"))
       } ++
-      uniques.flatMap { u => Seq(
-        count_distinct(struct(u.cols: _*)).as(s"__d_${u.name}"),
-        sum(when(u.cols.map(_.isNotNull).reduce(_ && _), 1L).otherwise(0L))
-          .as(s"__k_${u.name}"))
+      uniques.flatMap { u =>
+        // Distinct only over FULLY non-null key tuples: a bare
+        // struct(cols) is never null, so count_distinct would count
+        // null-containing tuples while __k (the row denominator)
+        // excludes them — {1,1,NULL} would hide a duplicate and
+        // {1,2,NULL} would report -1 violations. Gating the struct with
+        // when(...) turns partially-null keys into NULL, which
+        // count_distinct skips, keeping both sides on the same rows.
+        val allSet = u.cols.map(_.isNotNull).reduce(_ && _)
+        Seq(
+          count_distinct(when(allSet, struct(u.cols: _*)))
+            .as(s"__d_${u.name}"),
+          sum(when(allSet, 1L).otherwise(0L)).as(s"__k_${u.name}"))
       }
     val base = df.agg(aggCols.head, aggCols.tail: _*)
 
@@ -114,11 +123,9 @@ object Quality {
     }
     val uniqResults = uniques.map { u =>
       // Violations = key rows minus distinct keys (the count of EXTRA
-      // copies). count_distinct skips all-null tuples; __k counts rows
-      // where every key column is non-null, so for single-column keys the
-      // two sides agree exactly (a multi-column key with a partially-null
-      // tuple is counted distinct but not in __k — such keys are a
-      // Complete constraint's job first).
+      // copies). Both __d and __k are computed over the same rows — the
+      // fully-non-null key tuples — so the difference is exact; rows
+      // with any null key column are a Complete constraint's job.
       resultRow(base, u.name, col(s"__k_${u.name}"),
         col(s"__k_${u.name}") - col(s"__d_${u.name}"))
     }

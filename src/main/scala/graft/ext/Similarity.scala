@@ -323,6 +323,27 @@ object Similarity {
         (col("own_label") <=> col("voted_label")).as("agree"))
   }
 
+  /** Corpus-wide label-noise vote with the geometry chosen BY the corpus —
+    * the [[neardupPlanesFor]] pattern applied to the q267 audit. At or
+    * below `smallCorpusMax` rows the fixed-geometry IVF vote
+    * ([[knnLabelVote]] at nlist=16/nprobe=4 — cheapest at gate scale,
+    * where trained cells would be all floor) answers; above it the
+    * TRAINED-cell blocked vote ([[cellKnnLabelVote]] at
+    * [[semDedupClustersFor]]-auto k) takes over, whose per-cell work is
+    * targetCellSize-bounded and therefore LINEAR in the corpus — the
+    * fixed geometry measured 5× wall at 10× data (candidate lists grow
+    * with cell population), the trained path 8.8× at 100×. The switch
+    * costs one count (footer-stats on parquet). Neighbor sets differ
+    * between the two geometries by construction (multi-probe IVF vs
+    * single-probe trained cells — both documented recall trades), so the
+    * paths agree on SEMANTICS (who votes, how ties break), not on the
+    * exact flagged set; the oracle pins whichever path its scale
+    * selects. */
+  def labelVoteAuto(emb: DataFrame, k: Int,
+      smallCorpusMax: Long = 4096): DataFrame =
+    if (emb.count() <= smallCorpusMax) knnLabelVote(emb, emb, k)
+    else cellKnnLabelVote(emb, k)
+
   /** Classifier-calibration audit: expected calibration error (ECE —
     * Naeini et al. 2015; Guo et al. 2017) of a centroid classifier over the
     * embedding corpus. The classifier is k-means-trained ([[lloydCentroidsQ]],

@@ -126,18 +126,21 @@ object PipelineOps {
         .orderBy(col("d1"), col("d2"))
     }),
     "q47_simhash" -> ((s, dir) => {
-      // SimHash64 (custom Catalyst expression) near-dup pairs, Hamming ≤ 16,
-      // 4×16-bit band blocking, each surviving pair verified with its exact
-      // n-gram Jaccard. The pair set is hash-dependent BY NATURE (rows-only
-      // driver check): band blocking only guarantees collision for Hamming
-      // ≤ 3 (pigeonhole), and measured planted dups reach h = 12 — at
-      // sf0.001, pair (56,157) has J = 0.981, h = 4 and misses all four
-      // bands, so no J-threshold filter can make the set oracle-equal (the
-      // blocking needed to guarantee h ≤ 12 is quadratic at scale — see
-      // COVERAGE.md). Recall loss at wider Hamming is simhash's standard
-      // trade; ExtSpec pins that byte-identical dups (h = 0) all surface.
+      // Production default (since round 7): the DETERMINISTIC md5-SimHash
+      // kernel — simhash60Md5's 60-bit signature folds the first 15 md5
+      // nibbles of each token, so the oracle restates it bit-for-bit —
+      // banded 4×15, Hamming ≤ 8 (a wider gate than q102's ≤ 5), each
+      // surviving pair verified with its exact trigram Jaccard. Band
+      // blocking guarantees collision only for Hamming ≤ 3 (pigeonhole);
+      // pairs at 4..8 surface when a band happens to agree — the standard
+      // recall trade, identical in BOTH engines, so the emitted SET
+      // hash-matches the full DuckDB restatement. The engine-internal
+      // SimHash64 Catalyst kernel stays the spec-covered alternate
+      // (Dedup.simhashPairs; ExtSpec pins its h = 0 floor) — its hash is
+      // engine-private, which is why the driver entry no longer ships it.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16)
+      val pairs = Dedup.simhash60Md5Pairs(docs, col("doc_id"), col("text"),
+        maxHamming = 8)
       // 100 TB shape: the full n-gram table outgrows a broadcast — reduce it
       // FIRST to docs that appear in a candidate pair (semi-join against the
       // band-blocked candidate set), then broadcast the reduction under both
@@ -164,14 +167,20 @@ object PipelineOps {
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed multiprobe ANN (random hyperplanes, seed-deterministic)
-      // — the production plan, LSH only: no brute-force rider in the benched
-      // query (an O(|Q|·|corpus|) exact join inside the "approximate" path
-      // would BE the cost at any real query volume). Rows-only driver check;
-      // recall vs brute force is measured and floor-asserted in ExtSpec, and
-      // `sim` is the exact cosine of each emitted pair.
+      // Production default (since round 7): the DETERMINISTIC-plane
+      // multi-table LSH kernel — formula-derived integer hyperplanes over
+      // floor(1e6·x) quantized embeddings, so candidates, ranks and sims
+      // restate verbatim in DuckDB — at k = 5 over the second query decade
+      // (a different working set than q103's k = 3 / vec_id < 10 twin).
+      // Still LSH only: no brute-force rider in the benched query (an
+      // O(|Q|·|corpus|) exact join inside the "approximate" path would BE
+      // the cost at any real query volume). The seeded-hyperplane
+      // margin-directed kernel (lshTopK) stays the spec-covered alternate
+      // with its recall floor in ExtSpec; the driver entry no longer
+      // ships it because its buckets are engine-private.
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+      Similarity.lshTopKDeterministic(
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), emb, k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q49b_ann_ivf" -> ((s, dir) => {
@@ -1133,13 +1142,13 @@ object PipelineOps {
       // worklist, prioritized.
       val emb = t(s, dir, "embeddings")
       val idiv = org.apache.spark.sql.graft.Bridge.idiv _
-      // Fixed nlist=16 is the gate-scale geometry (measured 5x wall at
-      // 10x data: candidates grow with cell size). The scale path is NOT
-      // a bigger nlist on this operator (nlist=100 measured 158 s at 10x
-      // -- the literal-centroid codegen pathology from the bestCell
-      // scaladoc): it is q118's TRAINED IVF at semDedupClustersFor-auto
-      // k, whose NearestCell/pruned kernels exist precisely for large k.
-      Similarity.knnLabelVote(emb, emb, k = 5)
+      // Geometry follows the corpus (labelVoteAuto): fixed nlist=16 IVF
+      // at gate scale, TRAINED cells at semDedupClustersFor-auto k above
+      // 4096 rows — the fixed geometry measured 5x wall at 10x data
+      // (candidates grow with cell size) and a bigger nlist is NOT the
+      // fix (nlist=100 measured 158 s at 10x, the literal-centroid
+      // codegen pathology); the trained path is q271's, measured linear.
+      Similarity.labelVoteAuto(emb, k = 5)
         .filter(!col("agree"))
         .withColumn("margin_ppm",
           idiv(col("n_votes") * 1000000L, col("n_neighbors")))
@@ -4442,6 +4451,59 @@ object PipelineOps {
     // Full restatement of the deterministic SimHash twin: md5-token-hash →
     // per-bit votes → 60-bit signature → 4×15-bit bands → banded pairs at
     // Hamming ≤ 5. Same integer op sequence as the Spark side.
+    // q47 = the md5-SimHash signature/banding CTEs at Hamming <= 8, with
+    // each surviving pair's exact trigram Jaccard joined on (the q45 gram
+    // CTEs). Min doc length is 10 tokens, so every doc has grams and the
+    // Jaccard denominator is never zero.
+    "q47_simhash" ->
+      raw"""WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> list_reduce(
+        |             list_transform(string_split(md5(t), '')[1:15],
+        |               c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                         ELSE unicode(c) - 48 END AS BIGINT)),
+        |             (a, v) -> a * 16 + v)) AS gs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        |      CASE WHEN list_sum(list_transform(gs, g -> ((g >> b) & 1) * 2 - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM g),
+        |bands AS (
+        |  SELECT doc_id, fp, bb.bidx AS bidx, (fp >> (15 * bb.bidx)) & 32767 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bidx) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.fp AS fp1, y.fp AS fp2
+        |  FROM bands x JOIN bands y
+        |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id),
+        |hp AS (
+        |  SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+        |  FROM cand WHERE bit_count(xor(fp1, fp2)) <= 8),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS gr
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (
+        |  SELECT hp.d1, hp.d2, count(*) AS i
+        |  FROM hp JOIN ng a ON a.doc_id = hp.d1
+        |          JOIN ng b ON b.doc_id = hp.d2 AND a.gr = b.gr
+        |  GROUP BY hp.d1, hp.d2)
+        |SELECT hp.d1, hp.d2, hp.hamming,
+        |  round(coalesce(i.i, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.i, 0)), 6)
+        |    AS jaccard
+        |FROM hp
+        |JOIN sizes sa ON sa.doc_id = hp.d1
+        |JOIN sizes sb ON sb.doc_id = hp.d2
+        |LEFT JOIN inter i ON i.d1 = hp.d1 AND i.d2 = hp.d2
+        |ORDER BY hp.d1, hp.d2""".stripMargin,
     "q102_simhash_oracle" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -4467,6 +4529,45 @@ object PipelineOps {
         |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id)
         |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 5 ORDER BY d1, d2""".stripMargin,
+    // q49 = the deterministic LSH-ANN restatement (q103's CTEs) at k = 5
+    // over the second query decade.
+    "q49_ann_lsh" ->
+      """WITH qe AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |bt AS (
+        |  SELECT vec_id, tt.t AS t,
+        |    CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071 - 65535))) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM qe CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS t) tt),
+        |ckeys AS (SELECT vec_id AS c_id, (t << 20) | bucket AS bkt FROM bt),
+        |qkeys AS (
+        |  SELECT vec_id AS q_id, (t << 20) | bucket AS bkt FROM bt
+        |  WHERE vec_id >= 10 AND vec_id < 20
+        |  UNION
+        |  SELECT vec_id, (t << 20) | xor(bucket, CAST(1 AS BIGINT) << p)
+        |  FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) pp
+        |  WHERE vec_id >= 10 AND vec_id < 20),
+        |cand AS (
+        |  SELECT DISTINCT q_id, c_id FROM qkeys JOIN ckeys USING (bkt)
+        |  WHERE c_id != q_id),
+        |s AS (
+        |  SELECT q_id, c_id, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |            JOIN embeddings c2 ON c2.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Full restatement of the deterministic LSH-ANN twin: integer plane
     // weights from the public formula, exact integer projections over
     // quantized embeddings, packed (table << 20) | bucket keys, radius-1

@@ -90,21 +90,24 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("driver ANN queries q49/q49b: recall vs brute force clears the floor") {
-    // The driver's check on these is rows-only and the benched queries carry
-    // no brute-force rider — so the recall measurement lives HERE, against
-    // the same parameters the driver queries use (10 queries, k = 3).
+    // The benched queries carry no brute-force rider — so the recall
+    // measurement lives HERE, against the same parameters each driver
+    // query uses (q49 since round 7: deterministic planes, queries
+    // 10 <= vec_id < 20, k = 5; q49b: 10 queries, k = 3).
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
-    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
-      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recall(name: String): Double = {
+    def recall(name: String, qPred: org.apache.spark.sql.Column,
+        k: Int): Double = {
+      val brute = Similarity.bruteForceTopK(emb.filter(qPred), emb, k)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val got = graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
         .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val r = (got & brute).size.toDouble / brute.size
       info(f"$name recall = $r%.3f")
       r
     }
-    assert(recall("q49_ann_lsh") >= 0.6)
-    assert(recall("q49b_ann_ivf") >= 0.5)
+    assert(recall("q49_ann_lsh",
+      col("vec_id") >= 10 && col("vec_id") < 20, k = 5) >= 0.6)
+    assert(recall("q49b_ann_ivf", col("vec_id") < 10, k = 3) >= 0.5)
   }
 
   test("contrastive triplets: positive is the brute-force NN, negative sub-ceiling") {
@@ -1488,6 +1491,15 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) === 250000L)            // two half-lives
     assert(got(1L) === 1000000L / 2L)      // age 100h -> 1 halving
     assert(got(5L) === 1000000L / (1L << 20)) // capped
+    // a ts AFTER refTs (clock skew / future-dated row) clamps to age 0 and
+    // scores FULL weight — without the clamp, shiftleft(1L, -1) is
+    // Long.MIN_VALUE and the row silently scored 0 (fully stale)
+    val future = Seq((6L, at(101)), (7L, at(100 + 72 * 5))).toDF("id", "ts")
+      .crossJoin(Seq(Tuple1(at(100))).toDF("ref_ts"))
+      .select(col("id"),
+        EventsOps.freshnessWeightPpm(col("ts"), col("ref_ts"), 72L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(future(6L) === 1000000L && future(7L) === 1000000L)
   }
 
   test("annRecallAudit: exhaustive probing recovers brute gold at rank 1; misses report 0") {
@@ -2189,6 +2201,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out("f_fk") === ((4L, 3L, 1L, 666666L, 0L)))
   }
 
+  test("constraint audit: unique with NULL keys — null rows drop from BOTH sides") {
+    import graft.ext.Quality
+    // keys {1, 1, NULL}: the null row is excluded from n_checked AND from
+    // the distinct count, so the real duplicate is still caught (a bare
+    // count_distinct(struct(k)) would count the null tuple and hide it)
+    val dup = Seq(Some(1L), Some(1L), None).toDF("k")
+    val d = Quality.constraintAudit(dup, Seq(Quality.Unique("u", Seq(col("k")))))
+      .collect()(0)
+    assert((d.getLong(1), d.getLong(2), d.getLong(3), d.getLong(5)) ===
+      ((3L, 2L, 1L, 0L)))
+    // keys {1, 2, NULL}: unique — must NOT report n_violations = -1 /
+    // a false FAIL from the null tuple inflating the distinct count
+    val ok = Seq(Some(1L), Some(2L), None).toDF("k")
+    val o = Quality.constraintAudit(ok, Seq(Quality.Unique("u", Seq(col("k")))))
+      .collect()(0)
+    assert((o.getLong(1), o.getLong(2), o.getLong(3), o.getLong(4),
+      o.getLong(5)) === ((3L, 2L, 0L, 1000000L, 1L)))
+    // multi-column key with a PARTIALLY-null tuple behaves the same way
+    val multi = Seq((Some(1L), Some("a")), (Some(1L), Some("a")),
+      (Some(1L), None)).toDF("k1", "k2")
+    val m = Quality.constraintAudit(multi,
+      Seq(Quality.Unique("u", Seq(col("k1"), col("k2"))))).collect()(0)
+    assert((m.getLong(2), m.getLong(3), m.getLong(5)) === ((2L, 1L, 0L)))
+  }
+
   test("constraint audit: clean table passes everything") {
     import graft.ext.Quality
     val df = Seq((1L, "O"), (2L, "F")).toDF("k", "status")
@@ -2437,6 +2474,24 @@ class ExtSpec extends AnyFunSuite {
     // mislabel agrees with its neighborhood
     assert(out.size >= 12)
     assert(out.removed(19L).values.forall(_._3 == true))
+  }
+
+  test("labelVoteAuto: picks the fixed IVF vote at gate scale, the trained-cell vote above the threshold") {
+    // no zero vector: the IVF path's cosine needs a nonzero norm
+    def v(a: Float): Array[Float] = Array(a, a, a, a)
+    val emb = ((0L to 9L).map(i => (i, v(1.0f + 0.01f * i), Some(0))) ++
+      (10L to 18L).map(i => (i, v(10.0f + 0.01f * (i - 10)), Some(1))) :+
+      ((19L, v(10.05f), Some(0)))
+    ).toDF("vec_id", "embedding", "label")
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sorted
+    // 20 rows <= default threshold: MUST be the fixed-geometry IVF vote
+    assert(key(Similarity.labelVoteAuto(emb, k = 5)) ===
+      key(Similarity.knnLabelVote(emb, emb, k = 5)))
+    // forcing the threshold to 0 selects the trained-cell path
+    assert(key(Similarity.labelVoteAuto(emb, k = 5, smallCorpusMax = 0)) ===
+      key(Similarity.cellKnnLabelVote(emb, k = 5)))
   }
 
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
