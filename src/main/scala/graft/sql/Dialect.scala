@@ -158,7 +158,7 @@ object Dialect {
       NumbersRe.replaceAllIn(_, m => s"(SELECT id AS number FROM range(${m.group(1)}))"))
 
   // ---- system.x → system_x ------------------------------------------------
-  private val SystemRe = """(?i)\bsystem\.(one|databases|tables|settings|functions|contributors|clusters|processes)\b""".r
+  private val SystemRe = """(?i)\bsystem\.(one|databases|tables|settings|functions|contributors|clusters|processes|tracing)\b""".r
   private def rewriteSystemTables(s: String): String =
     mapOutsideStrings(s, SystemRe.replaceAllIn(_, m => s"system_${m.group(1).toLowerCase}"))
 

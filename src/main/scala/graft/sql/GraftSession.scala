@@ -27,6 +27,7 @@ import graft.tables.SystemTables
 class GraftSession(val spark: SparkSession) {
 
   SystemTables.registerAll(spark)
+  SystemTables.installTraceListener(spark)
   GraftSession.registerFunctions(spark)
   graft.plans.CountFromStats.install(spark)
   graft.plans.TopKStrategy.install(spark)
@@ -225,9 +226,28 @@ class GraftSession(val spark: SparkSession) {
     Seq(sb.toString).toDF("explain")
   }
 
-  private val SysViewRe = """(?i)system_(tables|databases|functions|settings)""".r
+  private val SysViewRe = """(?i)system_(tables|databases|functions|settings|tracing)""".r
 
-  def sql(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
+  /** Front door with statement tracing: every statement lands one
+    * `system.tracing` row carrying its text and plan-time cost (execution
+    * cost arrives separately via the action listener). The trace appends
+    * AFTER the dispatched statement plans, so a query over system.tracing
+    * reads the snapshot taken at view refresh and never contains itself. */
+  def sql(text: String): DataFrame = {
+    val t0 = System.nanoTime()
+    try {
+      val out = sqlDispatch(text)
+      SystemTables.trace(spark, s"statement: ${text.trim.take(256)}, " +
+        s"plan cost ${(System.nanoTime() - t0) / 1000000} ms")
+      out
+    } catch { case e: Throwable =>
+      SystemTables.trace(spark,
+        s"statement FAILED: ${text.trim.take(256)}: ${e.getMessage}", 50)
+      throw e
+    }
+  }
+
+  private def sqlDispatch(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
     case SetRe(key, value) if !key.contains(".") =>
       settings(key.toLowerCase) = value
       if (key.equalsIgnoreCase("max_threads"))

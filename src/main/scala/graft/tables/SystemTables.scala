@@ -72,8 +72,83 @@ object SystemTables {
       .toSeq.toDF("id")
   }
 
+  // ---- system.tracing -----------------------------------------------------
+
+  /** `system.tracing` analogue (tracing_table.rs:32-44): the reference
+    * tails its own JSON tracing log — one row per engine event, schema
+    * (v, name, msg, level, hostname, pid, time). The Spark-native
+    * restatement keeps a bounded per-session ring of engine events: one
+    * per front-door statement ([[graft.sql.GraftSession]].sql) and one per
+    * action completion (QueryExecutionListener), with `msg` carrying the
+    * statement/action text plus duration and row count — the same
+    * free-text cost-message style as the reference's log lines. Driver-
+    * side metadata by design, never data-scale: the ring caps at 1024. */
+  private val traceBufs =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.ArrayDeque[(String, Int, java.time.Instant)]]
+
+  private def traceBuf(spark: SparkSession) = traceBufs.synchronized {
+    var b = traceBufs.get(spark)
+    if (b == null) {
+      b = new java.util.ArrayDeque[(String, Int, java.time.Instant)]()
+      traceBufs.put(spark, b)
+    }
+    b
+  }
+
+  /** Append one trace event (level follows the reference's numeric log
+    * levels — 20 info, 50 error). */
+  def trace(spark: SparkSession, msg: String, level: Int = 20): Unit = {
+    val b = traceBuf(spark)
+    b.synchronized {
+      b.addLast((msg, level, java.time.Instant.now()))
+      if (b.size > 1024) b.removeFirst()
+    }
+  }
+
+  /** Install the action-completion listener once per session (idempotent).
+    * QueryExecutionListener events arrive asynchronously on the listener
+    * bus; readers of `system.tracing` see completed actions on the next
+    * scan, exactly as the reference sees flushed log lines. */
+  private val listenerInstalled = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def installTraceListener(spark: SparkSession): Unit =
+    if (listenerInstalled.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val rows = qe.executedPlan.metrics.get("numOutputRows")
+              .map(_.value).getOrElse(-1L)
+            trace(spark,
+              s"action $funcName: $rows rows, cost ${durationNs / 1000000} ms")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              ex: Exception): Unit =
+            trace(spark, s"action $funcName FAILED: ${ex.getMessage}", 50)
+        })
+
+  def tracing(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val b = traceBuf(spark)
+    val snap = b.synchronized {
+      val it = b.iterator(); val out = Seq.newBuilder[(String, Int, java.time.Instant)]
+      while (it.hasNext) out += it.next()
+      out.result()
+    }
+    val pid = ProcessHandle.current().pid()
+    snap.map { case (msg, level, t) =>
+      (0L, "graft", msg, level.toByte, "localhost", pid,
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+          t.atOffset(java.time.ZoneOffset.UTC)))
+    }.toDF("v", "name", "msg", "level", "hostname", "pid", "time")
+  }
+
   val all: Seq[String] = Seq("one", "databases", "tables", "settings",
-    "functions", "contributors", "clusters", "processes")
+    "functions", "contributors", "clusters", "processes", "tracing")
 
   /** Register every system table as `system_<name>` temp view. */
   def registerAll(spark: SparkSession): Unit = {
@@ -85,5 +160,6 @@ object SystemTables {
     contributors(spark).createOrReplaceTempView("system_contributors")
     clusters(spark).createOrReplaceTempView("system_clusters")
     processes(spark).createOrReplaceTempView("system_processes")
+    tracing(spark).createOrReplaceTempView("system_tracing")
   }
 }

@@ -72,6 +72,36 @@ class DialectSpec extends AnyFunSuite {
     assert(r.getString(0) === "Int8") // reference type names (§1.2 reversed)
   }
 
+  test("system.tracing records statements and action completions (tracing_table.rs)") {
+    // a marker statement lands one trace row with its text + plan cost
+    g.sql("SELECT 41 + 1 AS tracing_marker").collect()
+    val rows = g.sql(
+      "SELECT * FROM system.tracing WHERE msg LIKE '%tracing_marker%'").collect()
+    assert(rows.nonEmpty)
+    // reference schema parity: (v, name, msg, level, hostname, pid, time)
+    val schema = rows.head.schema
+    assert(schema.fieldNames.toSeq ===
+      Seq("v", "name", "msg", "level", "hostname", "pid", "time"))
+    assert(schema("level").dataType ===
+      org.apache.spark.sql.types.ByteType) // Int8, tracing_table.rs:39
+    assert(rows.head.getAs[String]("name") === "graft")
+    assert(rows.head.getAs[String]("msg").contains("plan cost"))
+    // action completions arrive via the async listener bus: poll, as a log
+    // tail would
+    val deadline = System.currentTimeMillis() + 10000
+    var sawAction = false
+    while (!sawAction && System.currentTimeMillis() < deadline) {
+      sawAction = g.sql(
+        "SELECT * FROM system.tracing WHERE msg LIKE 'action %'").count() > 0
+      if (!sawAction) Thread.sleep(100)
+    }
+    assert(sawAction, "no action completion traced within 10 s")
+    // the tracing table lists itself in system.tables under db `system`
+    assert(g.sql("SELECT engine FROM system.tables " +
+      "WHERE database = 'system' AND name = 'tracing'")
+      .head().getString(0) === "SystemTracing")
+  }
+
   test("named casts toInt8/16/32/64, toUInt widening, toFloat (suite 02)") {
     val r = g.sql(
       """SELECT toInt8(200 % 100) AS a, toInt16(40000 % 30000) AS b,

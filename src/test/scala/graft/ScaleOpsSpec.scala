@@ -750,6 +750,91 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned table torture: 8 writers x 20 commits serialize with no lost updates; readers never see a partial version") {
+    import spark.implicits._
+    import graft.tables.VersionedTable
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-occ-torture").toString + "/table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val writers = 8
+    val commitsPer = 20
+    try {
+      VersionedTable.init(spark, root, Seq((-1L, -1L)).toDF("writer", "seq"))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var writersDone = false
+
+      // concurrent reader: the CURRENT version must always be a complete
+      // committed snapshot — with every commit appending exactly one row,
+      // version v holds exactly v rows (init's sentinel + v-1 appends); a
+      // torn read (marker before data, partial data dir) breaks the count
+      val reader = new Thread(() => {
+        while (!writersDone) {
+          try {
+            VersionedTable.currentVersion(spark, root).foreach { v =>
+              val n = VersionedTable.readVersion(spark, root, v).count()
+              if (n != v) failures.add(s"reader: version $v had $n rows")
+            }
+          } catch { case e: Throwable =>
+            failures.add(s"reader threw: ${e.getMessage}")
+          }
+          Thread.sleep(50)
+        }
+      })
+      reader.start()
+
+      val pool = (0 until writers).map { w =>
+        new Thread(() => {
+          try {
+            (0 until commitsPer).foreach { i =>
+              VersionedTable.commitContended(spark, root,
+                maxAttempts = 5000, waitMs = 10) { cur =>
+                cur.unionByName(Seq((w.toLong, i.toLong)).toDF("writer", "seq"))
+              }
+            }
+          } catch { case e: Throwable =>
+            failures.add(s"writer $w threw: ${e.getMessage}")
+          }
+        })
+      }
+      pool.foreach(_.start())
+      pool.foreach(_.join(600000))
+      writersDone = true
+      reader.join(30000)
+      assert(pool.forall(!_.isAlive), "a writer wedged past the 10 min cap")
+      assert(failures.isEmpty, s"torture violations: ${failures}")
+
+      // serializable history: versions dense 1..161, each exactly one row
+      // longer than its predecessor (every commit rebased on the version it
+      // actually replaced — no clobbered or skipped numbers)
+      val vs = VersionedTable.versions(spark, root)
+      assert(vs === (1L to (writers * commitsPer + 1).toLong))
+      val counts = vs.map(v =>
+        v -> VersionedTable.readVersion(spark, root, v).count())
+      counts.foreach { case (v, n) =>
+        assert(n === v, s"version $v has $n rows — non-serial history") }
+
+      // no lost updates: the final snapshot carries every (writer, seq)
+      // exactly once
+      val tags = VersionedTable.read(spark, root)
+        .filter(col("writer") >= 0)
+        .as[(Long, Long)].collect().sorted
+      assert(tags.length === writers * commitsPer)
+      assert(tags.toSeq === (for {
+        w <- 0L until writers.toLong
+        i <- 0L until commitsPer.toLong
+      } yield (w, i)).sorted)
+
+      // happy path leaves no claims behind
+      val leftover = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_commits"))
+        .map(_.getPath.getName).filter(_.endsWith(".claim"))
+      assert(leftover.isEmpty, s"lingering claims: ${leftover.mkString(",")}")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true): Unit
+    }
+  }
+
   test("snapshot upsert replaces by key, inserts new keys; diff sees removals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/snap"
