@@ -36,6 +36,7 @@ object Dialect {
       s = quoteBareUser(s)
       s = descNullsFirst(s)
       s = rewriteNumbers(s)
+      s = rewriteCountEmpty(s)
       s = rewriteSystemTables(s)
       s = rewriteCombinators(s)
       s = rewriteLimitBy(s)
@@ -156,6 +157,14 @@ object Dialect {
   private def rewriteNumbers(s: String): String =
     mapOutsideStrings(s,
       NumbersRe.replaceAllIn(_, m => s"(SELECT id AS number FROM range(${m.group(1)}))"))
+
+  // ---- COUNT() → count(*) --------------------------------------------------
+  // zero-arg COUNT() is the reference/ClickHouse spelling of count(*)
+  // (clickhouse_handler_test.rs:28); Spark's legacy allowParameterlessCount
+  // flag parses it but counts an EMPTY tuple (always 0), so rewrite instead
+  private val CountEmptyRe = """(?i)\bcount\s*\(\s*\)""".r
+  private def rewriteCountEmpty(s: String): String =
+    mapOutsideStrings(s, CountEmptyRe.replaceAllIn(_, "count(*)"))
 
   // ---- system.x → system_x ------------------------------------------------
   private val SystemRe = """(?i)\bsystem\.(one|databases|tables|settings|functions|contributors|clusters|processes|tracing)\b""".r

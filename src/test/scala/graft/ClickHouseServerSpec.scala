@@ -1,0 +1,307 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.ClickHouseServer
+
+/** End-to-end native-protocol coverage: a from-scratch ClickHouse TCP
+  * client (varint framing, Hello/Query/Data packets, typed native column
+  * decode incl. Nullable — written against the public protocol, sharing
+  * no code with the server) drives a real connection, covers the
+  * reference's own handler-test shape (clickhouse_handler_test.rs:28:
+  * `SELECT COUNT() AS c FROM numbers(1000)` → one row, 1000), and
+  * replays the golden stateless subset over the socket. */
+class ClickHouseServerSpec extends AnyFunSuite {
+
+  private lazy val session = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.groupByOrdinal", "false")
+    s.conf.set("spark.sql.legacy.parser.havingWithoutGroupByAsWhere", "true")
+    Seq("system", "local", "for_test").foreach(d =>
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $d"))
+    s
+  }
+  private lazy val server = new ClickHouseServer(session)
+  private lazy val port = server.start()
+
+  // ---- minimal native client ------------------------------------------------
+
+  private final class Client(port: Int, compression: Long = 0L) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new BufferedInputStream(sock.getInputStream)
+    private val out = new BufferedOutputStream(sock.getOutputStream)
+
+    private def readN(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); var off = 0
+      while (off < n) {
+        val r = in.read(b, off, n - off)
+        if (r < 0) throw new EOFException(); off += r
+      }
+      b
+    }
+    private def varint(): Long = {
+      var v = 0L; var shift = 0
+      while (true) {
+        val b = in.read(); if (b < 0) throw new EOFException()
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    private def str(): String = {
+      val n = varint().toInt
+      if (n == 0) "" else new String(readN(n), UTF_8)
+    }
+    private def wVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def wStr(s: String): Unit = {
+      val a = s.getBytes(UTF_8); wVarint(a.length.toLong); out.write(a)
+    }
+    private def fixedLE(bytes: Int): Long = {
+      val a = readN(bytes); var v = 0L
+      (0 until bytes).foreach(i => v |= (a(i) & 0xffL) << (8 * i))
+      v
+    }
+
+    // handshake
+    val (serverName, serverRev): (String, Long) = {
+      wVarint(0L) // Hello
+      wStr("graft-test-client")
+      wVarint(21L); wVarint(8L); wVarint(54372L)
+      wStr("default"); wStr("tester"); wStr("")
+      out.flush()
+      assert(varint() == 0L, "server Hello expected")
+      val name = str()
+      varint(); varint() // version
+      val rev = varint()
+      if (rev >= 54058L) str() // timezone
+      if (rev >= 54372L) str() // display name
+      (name, rev)
+    }
+
+    def ping(): Boolean = {
+      wVarint(4L); out.flush()
+      varint() == 4L
+    }
+
+    private def sendQuery(sql: String): Unit = {
+      wVarint(1L) // Query
+      wStr("") // query id
+      // ClientInfo (classic layout at rev 54372)
+      out.write(1) // initial query
+      wStr(""); wStr(""); wStr("") // initial user/id/address
+      out.write(1) // TCP interface
+      wStr("tester"); wStr("testhost"); wStr("graft-test-client")
+      wVarint(21L); wVarint(8L); wVarint(54372L)
+      wStr("") // quota key (rev >= 54060)
+      wStr("") // settings terminator
+      wVarint(2L) // stage: complete
+      wVarint(compression)
+      wStr(sql)
+      // external-tables terminator: empty client Data block
+      wVarint(2L) // client Data
+      wStr("") // table name
+      wVarint(1L); out.write(0) // BlockInfo is_overflows
+      wVarint(2L); out.write(Array[Byte](-1, -1, -1, -1)) // bucket_num -1
+      wVarint(0L) // BlockInfo end
+      wVarint(0L); wVarint(0L) // 0 columns, 0 rows
+      out.flush()
+    }
+
+    /** Decode one server block; returns (names, types, rows as rendered
+      * strings with null → null). */
+    private def readBlock(): (Seq[String], Seq[String], Seq[Seq[String]]) = {
+      str() // temporary table name
+      var field = varint()
+      while (field != 0L) {
+        field match {
+          case 1L => in.read()
+          case 2L => readN(4)
+          case other => fail(s"unknown BlockInfo field $other")
+        }
+        field = varint()
+      }
+      val nCols = varint().toInt
+      val nRows = varint().toInt
+      val names = Seq.newBuilder[String]; val types = Seq.newBuilder[String]
+      val cols = (0 until nCols).map { _ =>
+        val name = str(); val tpe = str()
+        names += name; types += tpe
+        val (base, nullable) =
+          if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
+          else (tpe, false)
+        val nulls: Array[Boolean] =
+          if (nullable) Array.fill(nRows)(in.read() == 1)
+          else Array.fill(nRows)(false)
+        (0 until nRows).map { r =>
+          val v: String = base match {
+            case "Int8" => fixedLE(1).toByte.toString
+            case "Int16" => fixedLE(2).toShort.toString
+            case "Int32" => fixedLE(4).toInt.toString
+            case "Int64" => fixedLE(8).toString
+            case "UInt8" => graft.sql.Render.value(fixedLE(1) == 1L)
+            case "Float32" => graft.sql.Render.value(
+              java.lang.Float.intBitsToFloat(fixedLE(4).toInt).toDouble)
+            case "Float64" => graft.sql.Render.value(
+              java.lang.Double.longBitsToDouble(fixedLE(8)))
+            case "Date" => java.time.LocalDate.ofEpochDay(fixedLE(2)).toString
+            case "DateTime" =>
+              new java.sql.Timestamp(fixedLE(4) * 1000L).toString
+            case "String" => str()
+            case other => fail(s"client cannot decode type $other")
+          }
+          if (nulls(r)) null else v
+        }
+      }
+      (names.result(), types.result(),
+        (0 until nRows).map(r => cols.map(c => c(r))))
+    }
+
+    /** Left(exception message) or Right((names, types, rows)). */
+    def query(sql: String):
+        Either[String, (Seq[String], Seq[String], Seq[Seq[String]])] = {
+      sendQuery(sql)
+      var names = Seq.empty[String]; var types = Seq.empty[String]
+      val rows = Seq.newBuilder[Seq[String]]
+      while (true) {
+        varint() match {
+          case 1L => // Data
+            val (n, t, r) = readBlock()
+            if (n.nonEmpty) { names = n; types = t }
+            rows ++= r
+          case 2L => // Exception
+            readN(4) // code
+            str() // name
+            val msg = str()
+            str(); in.read() // stack, nested
+            return Left(msg)
+          case 5L => return Right((names, types, rows.result()))
+          case 3L | 6L | 7L | 8L => // progress/profile/totals/extremes unused
+            fail("server sent a packet this test does not expect")
+          case other => fail(s"unexpected server packet $other")
+        }
+      }
+      sys.error("unreachable")
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  test("hello, ping, the reference handler-test query, typed columns, NULLs") {
+    val c = new Client(port)
+    try {
+      assert(c.serverName == "Graft")
+      assert(c.ping())
+      // clickhouse_handler_test.rs:28 — the reference's own e2e assertion
+      val Right((names, types, rows)) =
+        c.query("SELECT COUNT() AS c FROM numbers(1000)"): @unchecked
+      assert(names == Seq("c"))
+      assert(types.head.contains("Int64"))
+      assert(rows == Seq(Seq("1000")))
+      // typed lanes: Int64, Float64, UInt8 bool, String, NULL flag
+      val Right((_, ts, vs)) = c.query(
+        "SELECT 7 AS i, 1.5 AS f, 1 > 100 AS b, 'héllo' AS s, NULL AS n"
+      ): @unchecked
+      assert(vs.head(0) == "7" && vs.head(1) == "1.5" &&
+        vs.head(2) == "false" && vs.head(3) == "héllo" && vs.head(4) == null)
+      assert(ts(2).contains("UInt8") && ts(3).contains("String"))
+      // multi-block streaming: more rows than one 8192-row block
+      val Right((_, _, many)) =
+        c.query("SELECT number FROM numbers(20000) ORDER BY number"): @unchecked
+      assert(many.length == 20000 && many.head.head == "0" &&
+        many.last.head == "19999")
+      // an error arrives as an Exception packet and the connection survives
+      assert(c.query("SELECT FROM nonsense !!").isLeft)
+      assert(c.query("SELECT 7").exists(_._3.head.head == "7"))
+    } finally c.close()
+  }
+
+  test("a compressed-protocol request is rejected with advice, not corrupted") {
+    val c = new Client(port, compression = 1L)
+    try {
+      val r = c.query("SELECT 1")
+      assert(r.isLeft && r.swap.exists(_.contains("--compression 0")))
+    } finally c.close()
+  }
+
+  // ---- golden suites over the native wire -----------------------------------
+
+  private val suiteDir = "/root/reference/tests/suites/0_stateless"
+  private val wireSuites = Seq(
+    "01_0000_system_numbers", "02_0000_function_arithmetic",
+    "02_0005_function_compare", "03_0003_select_group_by",
+    "03_0004_select_order_by", "03_0005_select_filter",
+    "03_0006_select_having")
+
+  private case class Stmt(sql: String, expectError: Boolean)
+
+  private def parseSuite(path: String): Seq[Stmt] = {
+    val out = scala.collection.mutable.ArrayBuffer[Stmt]()
+    val buf = new StringBuilder
+    var expectError = false
+    Files.readAllLines(Paths.get(path)).asScala.foreach { line =>
+      if (line.contains("-- {ErrorCode")) expectError = true
+      val code = line.indexOf("--") match {
+        case -1 => line
+        case i => line.substring(0, i)
+      }
+      buf.append(code).append('\n')
+      if (code.trim.endsWith(";")) {
+        val sql = buf.toString.trim.stripSuffix(";").trim
+        if (sql.nonEmpty) out += Stmt(sql, expectError)
+        buf.clear(); expectError = false
+      }
+    }
+    out.toSeq
+  }
+
+  wireSuites.foreach { name =>
+    test(s"golden suite over the native wire: $name") {
+      assume(Files.exists(Paths.get(s"$suiteDir/$name.sql")),
+        "reference checkout not present")
+      val c = new Client(port)
+      try {
+        val expected =
+          Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector
+        var pos = 0
+        parseSuite(s"$suiteDir/$name.sql").zipWithIndex.foreach {
+          case (stmt, idx) if stmt.sql.toUpperCase.startsWith("EXPLAIN") =>
+            assert(c.query(stmt.sql).isRight, s"[$name #$idx] ${stmt.sql}")
+            pos += 1
+          case (stmt, idx) =>
+            c.query(stmt.sql) match {
+              case Left(err) =>
+                assert(stmt.expectError,
+                  s"[$name #$idx] unexpected exception for ${stmt.sql}: $err")
+              case Right((_, _, rows)) =>
+                assert(!stmt.expectError,
+                  s"[$name #$idx] expected an error: ${stmt.sql}")
+                val lines = rows.map(_.map(v =>
+                  if (v == null) "NULL" else v).mkString("\t"))
+                lines.zipWithIndex.foreach { case (got, li) =>
+                  assert(pos + li < expected.length,
+                    s"[$name #$idx] more lines than golden: ${stmt.sql}")
+                  assert(got == expected(pos + li),
+                    s"[$name #$idx] line ${li + 1} of ${stmt.sql}\n" +
+                      s"  got:    $got\n  golden: ${expected(pos + li)}")
+                }
+                pos += lines.length
+            }
+        }
+        assert(pos == expected.length,
+          s"[$name] consumed $pos of ${expected.length} golden lines")
+      } finally c.close()
+    }
+  }
+}
