@@ -84,6 +84,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "probe keys must broadcast against the corpus buckets:\n" + p)
   }
 
+  test("q47 production simhash: band join is an equi-join, no cartesian") {
+    val p = plan("q47_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join must be key-based:\n" + p)
+  }
+
+  test("q49 production LSH: bucket equi-join with the query side broadcast") {
+    val p = plan("q49_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe keys must broadcast against the corpus buckets:\n" + p)
+  }
+
   test("codegen'd kernels stay inside whole-stage codegen (dot product)") {
     import graft.ext.Vectors
     val df = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
