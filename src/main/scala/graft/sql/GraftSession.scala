@@ -26,7 +26,11 @@ import graft.tables.SystemTables
   */
 class GraftSession(val spark: SparkSession) {
 
-  SystemTables.registerAll(spark)
+  // system views register ON USE (sql() below): they are catalog snapshots
+  // whose eager construction cost 2-3 s of front-door latency per session
+  // and was refreshed wholesale on every system query — the round-7 q38
+  // profiling finding. Reference semantics are unchanged: a scan reads
+  // live metadata, because the view re-registers right before each use.
   SystemTables.installTraceListener(spark)
   GraftSession.registerFunctions(spark)
   graft.plans.CountFromStats.install(spark)
@@ -226,7 +230,7 @@ class GraftSession(val spark: SparkSession) {
     Seq(sb.toString).toDF("explain")
   }
 
-  private val SysViewRe = """(?i)system_(tables|databases|functions|settings|tracing)""".r
+  private val SysViewRe = """(?i)system_(one|databases|tables|settings|functions|contributors|clusters|processes|tracing)""".r
 
   /** Front door with statement tracing: every statement lands one
     * `system.tracing` row carrying its text and plan-time cost (execution
@@ -260,10 +264,13 @@ class GraftSession(val spark: SparkSession) {
         Option(subquery).getOrElse(s"SELECT * FROM $table"), key)
     case t =>
       val rewritten = rewriteCreate(t).getOrElse(Dialect.rewrite(t))
-      // system views are catalog snapshots — refresh when queried so DDL
-      // executed since registration is visible (system_database.rs reads
-      // live metadata on every scan)
-      if (SysViewRe.findFirstIn(rewritten).isDefined) SystemTables.registerAll(spark)
+      // system views are catalog snapshots — (re-)register exactly the
+      // ones this statement references, right before use, so DDL executed
+      // since the last registration is visible (system_database.rs reads
+      // live metadata on every scan) and statements touching none pay
+      // nothing
+      SysViewRe.findAllMatchIn(rewritten).map(_.group(1).toLowerCase)
+        .toSet[String].foreach(SystemTables.register(spark, _))
       spark.sql(rewritten)
   }
 }
@@ -272,9 +279,9 @@ object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
 
   /** One dialect session per SparkSession (weakly held): construction
-    * registers system-table views + the function registry and installs the
-    * planner strategies — idempotent but not free (catalog enumeration,
-    * ~2-3 s of driver work per call in the bench). Driver queries that
+    * registers the function registry and installs the planner strategies
+    * (system views register lazily on use — the catalog enumeration that
+    * once cost ~2-3 s per construction is gone). Driver queries that
     * enter through the SQL front door share the cached instance the way a
     * real application holds one session. */
   private val sessions = new java.util.WeakHashMap[SparkSession, GraftSession]

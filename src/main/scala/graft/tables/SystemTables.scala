@@ -150,16 +150,27 @@ object SystemTables {
   val all: Seq[String] = Seq("one", "databases", "tables", "settings",
     "functions", "contributors", "clusters", "processes", "tracing")
 
+  /** (Re-)register ONE system table as its `system_<name>` temp view —
+    * the on-use form: these views are CATALOG SNAPSHOTS (listDatabases ×
+    * listTables for `tables`, listFunctions for `functions` — hundreds of
+    * metastore round trips), so building all nine eagerly per session, or
+    * refreshing all nine because a query touched one, is measurable
+    * front-door latency paid for nothing. The SQL layer registers exactly
+    * the views a statement references, at reference semantics (live
+    * metadata on every scan — system_database.rs). */
+  def register(spark: SparkSession, name: String): Unit = (name match {
+    case "one" => one(spark)
+    case "databases" => databases(spark)
+    case "tables" => tables(spark)
+    case "settings" => settings(spark)
+    case "functions" => functions(spark)
+    case "contributors" => contributors(spark)
+    case "clusters" => clusters(spark)
+    case "processes" => processes(spark)
+    case "tracing" => tracing(spark)
+    case other => throw new IllegalArgumentException(s"no system table $other")
+  }).createOrReplaceTempView(s"system_$name")
+
   /** Register every system table as `system_<name>` temp view. */
-  def registerAll(spark: SparkSession): Unit = {
-    one(spark).createOrReplaceTempView("system_one")
-    databases(spark).createOrReplaceTempView("system_databases")
-    tables(spark).createOrReplaceTempView("system_tables")
-    settings(spark).createOrReplaceTempView("system_settings")
-    functions(spark).createOrReplaceTempView("system_functions")
-    contributors(spark).createOrReplaceTempView("system_contributors")
-    clusters(spark).createOrReplaceTempView("system_clusters")
-    processes(spark).createOrReplaceTempView("system_processes")
-    tracing(spark).createOrReplaceTempView("system_tracing")
-  }
+  def registerAll(spark: SparkSession): Unit = all.foreach(register(spark, _))
 }
