@@ -919,6 +919,74 @@ object Curation {
         sum(when(col("n_splits") >= 2, col("n_rows")).otherwise(0L))
           .as("n_docs_at_risk"))
 
+  /** Cluster-aware train/eval split — the FIX [[splitLeakageAudit]] checks
+    * for: every document inherits its near-dup CLUSTER's split (component
+    * from `pairs`; a pairless document is its own singleton cluster), and
+    * the split gate hashes the cluster id, so near-copies can never
+    * straddle train/eval — by construction, not by audit. Returns one row
+    * per document: (doc_id, comp, split). The gate is [[sampleKey]] on the
+    * component id (integer arithmetic, no RNG — the split is reproducible
+    * and oracle-restatable).
+    *
+    * 100 TB shape: the pair graph is the caller's blocked dedup output
+    * (never all-pairs); components are the q95/q111 propagation; the
+    * split itself is a per-row map over the component column. */
+  def clusterAwareSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+      trainPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      "clusterAwareSplit: trainPermille in [0, 1000]")
+    val comp = graft.ext.Dedup.connectedComponents(pairs)
+      .toDF("doc_id", "comp")
+    docs.select(id.as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        when(sampleKey(col("comp")) < trainPermille, "train")
+          .otherwise("eval"))
+  }
+
+  /** Zipf rank-frequency slope of the token distribution, exact-integer —
+    * the corpus-health number that separates natural text (slope ≈ −1 on
+    * log-log axes, Zipf 1949) from template spam (flat head) and
+    * near-random token soup (steep, thin tail). The top-`topK` tokens rank
+    * by (count DESC, token); both axes quantize through [[TextAnalysis
+    * .log2Bucket]] (binary-string length — no libm anywhere), and the OLS
+    * slope over the (⌊log₂ rank⌋, ⌊log₂ count⌋) points is the exact
+    * rational micro-slope (the q252 trendSlope arithmetic: DECIMAL
+    * moments, sign-split floor division). One row:
+    * (n_points, checksum = Σy, slope_micro).
+    *
+    * 100 TB shape: one token-keyed count (the only corpus-sized shuffle),
+    * a bounded TakeOrdered head of `topK` rows, then constant-size moment
+    * arithmetic. */
+  def zipfSlope(docs: DataFrame, text: Column, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, "zipfSlope: topK must be >= 2")
+    val counts = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val pts = ranked.select(
+      graft.ext.TextAnalysis.log2Bucket(col("rank")).as("x"),
+      graft.ext.TextAnalysis.log2Bucket(col("c")).as("y"))
+    pts.agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_micro", when(col("den") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          """CAST(CASE WHEN num >= 0 THEN (num * 1000000) DIV den
+            |ELSE -((-num * 1000000) DIV den) END AS BIGINT)""".stripMargin)))
+      .select(col("n_points"), col("sy").as("checksum"), col("slope_micro"))
+  }
+
   /** Balanced output-shard assignment by snake (boustrophedon) ordering:
     * rows rank globally by (weight desc, id), round g = ⌊(rank−1)/N⌋ deals
     * one row to each of the N shards, and odd rounds reverse direction —

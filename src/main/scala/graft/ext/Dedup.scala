@@ -437,6 +437,37 @@ object Dedup {
       .select(col("d1"), col("d2"), col("c_fwd"), col("c_bwd"))
   }
 
+  // ---------- template families (shared-prefix detection) -----------------
+
+  /** Documents grouped by their first-`k`-token prefix — TEMPLATE FAMILY
+    * detection, the boilerplate mode neither pair dedup nor line-level
+    * stripping names: form letters, ToS pages, and generated reports share
+    * an opening stanza while their bodies diverge (so Jaccard stays below
+    * any pair threshold), yet training on ten thousand of them teaches the
+    * template. One row per family with ≥ `minDocs` members:
+    * (family_fp, prefix, n_docs, checksum) — family_fp is the md5 of the
+    * prefix (portable; an external system joins on it), checksum the
+    * member-id sum. Documents shorter than `k` tokens group by their full
+    * text, which is exactly the right degeneracy (identical short docs ARE
+    * a family — and a q40 exact-dedup candidate first).
+    *
+    * 100 TB shape: one prefix-keyed aggregation — the prefix is a bounded
+    * string (k tokens), so the shuffle carries k-token keys, never
+    * documents; families are read out smallest-first by the caller's
+    * LIMIT. */
+  def templateFamilies(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 1, "templateFamilies: k and minDocs >= 1")
+    val prefix = concat_ws(" ", slice(TextAnalysis.tokens(text), 1, k))
+    docs.select(id.as("doc_id"), prefix.as("prefix"))
+      .filter(col("prefix") =!= "")
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("prefix")).as("family_fp"), col("prefix"),
+        col("n_docs"), col("checksum"))
+  }
+
   // ---------- span-level (cross-document substring) dedup -----------------
 
   /** Fixed-width token spans of a text column: non-overlapping windows of

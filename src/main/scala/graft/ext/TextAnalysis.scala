@@ -457,6 +457,47 @@ object TextAnalysis {
     (text rlike new String(Character.toChars(0xA0))).cast("long")
       .as("nbsp"))
 
+  /** Per-script codepoint counts + the dominant FOREIGN (non-Latin)
+    * script — the script-consistency audit a multilingual corpus needs
+    * before trusting its `lang` labels: a document labeled `en` carrying
+    * a Cyrillic run is mislabeled, mojibake, or an injection artifact
+    * (each its own remediation). Counts are codepoint-range deletions
+    * (`length(x) − length(regexp_replace(x, [range], ''))`), BMP ranges
+    * only, so Spark's and RE2's class semantics agree exactly; five
+    * regex passes per row, scan speed, zero shuffle. `foreign` ties
+    * break in fixed order (cyrillic, greek, arabic, cjk); 'none' when
+    * the text is pure Latin/ASCII. */
+  def scriptProfile(text: Column): Column = {
+    def range(lo: Int, hi: Int): String =
+      "[" + new String(Character.toChars(lo)) + "-" +
+        new String(Character.toChars(hi)) + "]"
+    def cnt(re: String): Column =
+      (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt(range(0x0400, 0x04ff))
+    val greek = cnt(range(0x0370, 0x03ff))
+    val arabic = cnt(range(0x0600, 0x06ff))
+    val cjk = cnt(range(0x4e00, 0x9fff))
+    val top = greatest(cyr, greek, arabic, cjk)
+    val foreign = when(top === 0, "none")
+      .when(cyr === top, "cyrillic")
+      .when(greek === top, "greek")
+      .when(arabic === top, "arabic")
+      .otherwise("cjk")
+    struct(latin.as("latin"), cyr.as("cyrillic"), greek.as("greek"),
+      arabic.as("arabic"), cjk.as("cjk"), foreign.as("foreign"))
+  }
+
+  /** Truncation / mid-sentence-ending flag: text whose last non-space
+    * character is not terminal punctuation (.!?…。！？) — the cheap
+    * "this document was cut off" signal a chunking or extraction bug
+    * leaves behind. Empty text is NOT flagged (it is q270's `empty`
+    * hygiene bucket, a different defect). */
+  def truncatedFlag(text: Column): Column = {
+    val terminal = "[.!?…。！？]"
+    (trim(text) =!= "" && !(trim(text) rlike (terminal + "$"))).cast("long")
+  }
+
   def rollingFingerprint(text: Column): Column = {
     val vals = transform(tokens(text),
       t => pmod(ascii(t).cast("long") * 31 + length(t), lit(1000003L)))

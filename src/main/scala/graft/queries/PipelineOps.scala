@@ -1220,6 +1220,82 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_flagged"), sum(col("q_id")).as("checksum"))
         .orderBy(col("own_label"), col("voted_label"))
     }),
+    "q272_script_audit" -> ((s, dir) => {
+      // Script-consistency audit with planted dirt: every 13th doc gains a
+      // Cyrillic tail, every 29th a CJK one, every 37th Greek (a Latin
+      // corpus with lang labels — the mismatch IS the signal: mislabel,
+      // mojibake, or injection). Five codepoint-range deletions per row,
+      // scan speed; rollup by (lang, detected foreign script).
+      val docs = t(s, dir, "documents").select(col("lang"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(13L)) === 0, lit(" привет мир"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(29L)) === 0, lit(" 你好世界"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(37L)) === 0, lit(" αβγδ"))
+            .otherwise(lit(""))).as("text"))
+      docs.select(col("lang"), TA.scriptProfile(col("text")).as("p"))
+        .groupBy(col("lang"), col("p.foreign").as("foreign_script"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.cyrillic") + col("p.greek") + col("p.arabic") +
+            col("p.cjk")).as("n_foreign_chars"))
+        .orderBy(col("lang"), col("foreign_script"))
+    }),
+    "q273_template_families" -> ((s, dir) => {
+      // Template-family detection: every 9th doc opens with a planted ToS
+      // stanza — shared first-8-token prefixes group into families the
+      // pair dedup never fires on (bodies diverge; Jaccard stays low).
+      val tpl = "terms of service acme corp all rights reserved :: "
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9L)) === 0, concat(lit(tpl), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.templateFamilies(docs, col("doc_id"), col("text"),
+          k = 8, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("family_fp"))
+    }),
+    "q274_cluster_split" -> ((s, dir) => {
+      // Leakage-PROOF train/eval split: documents inherit their near-dup
+      // cluster's split (q95's components over the exact-Jaccard pairs),
+      // so no pair can straddle the boundary — the fix whose absence
+      // q209's audit detects. Rollup per split plus the proof column:
+      // n_leaky_pairs computed over the very pair graph, 0 by construction.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        lit(1), n = 3, minJaccard = 0.2)
+      val split = Curation.clusterAwareSplit(docs, col("doc_id"),
+        pairs.select(col("d1"), col("d2")), trainPermille = 800)
+      val leaks = pairs
+        .join(split.select(col("doc_id").as("d1"), col("split").as("s1")),
+          Seq("d1"))
+        .join(split.select(col("doc_id").as("d2"), col("split").as("s2")),
+          Seq("d2"))
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)),
+          lit(0L)).as("n_leaky_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"),
+          sum(col("doc_id")).as("checksum"))
+        .crossJoin(broadcast(leaks))
+        .orderBy(col("split"))
+    }),
+    "q275_zipf_slope" -> ((s, dir) =>
+      // Zipf rank-frequency slope over the top-1000 tokens, exact-integer
+      // (log2 buckets via binary-string length, DECIMAL OLS moments) —
+      // natural text reads ~ -1; template spam flattens the head.
+      Curation.zipfSlope(t(s, dir, "documents"), col("text"), topK = 1000)),
+    "q276_truncation_audit" -> ((s, dir) => {
+      // Truncation audit: the synthetic corpus carries no terminal
+      // punctuation, so every 7th doc gains a planted period — the audit
+      // must count exactly the unplanted rows as cut-off (an extraction /
+      // chunking bug signature when it clusters by source).
+      val docs = t(s, dir, "documents").select(col("source"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(col("text"), lit("."))).otherwise(col("text")).as("text"))
+      docs.select(col("source"), TA.truncatedFlag(col("text")).as("tr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tr")).as("n_truncated"))
+        .orderBy(col("source"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4176,6 +4252,99 @@ object PipelineOps {
         |  round(CAST(sum(CAST(coalesce(diff, 0) AS DECIMAL(30,10)))
         |    AS DOUBLE), 2) AS sum_diff
         |FROM j""".stripMargin,
+    "q272_script_audit" ->
+      raw"""WITH d AS (SELECT lang, text ||
+         |    (CASE WHEN doc_id % 13 = 0 THEN ' привет мир' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 29 = 0 THEN ' 你好世界' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 37 = 0 THEN ' αβγδ' ELSE '' END) AS text
+         |  FROM documents),
+         |p AS (SELECT lang,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyr,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS grk,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS ara,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS cjk
+         |  FROM d),
+         |f AS (SELECT lang, cyr, grk, ara, cjk,
+         |    CASE WHEN greatest(cyr, grk, ara, cjk) = 0 THEN 'none'
+         |         WHEN cyr = greatest(cyr, grk, ara, cjk) THEN 'cyrillic'
+         |         WHEN grk = greatest(cyr, grk, ara, cjk) THEN 'greek'
+         |         WHEN ara = greatest(cyr, grk, ara, cjk) THEN 'arabic'
+         |         ELSE 'cjk' END AS foreign_script
+         |  FROM p)
+         |SELECT lang, foreign_script, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(cyr + grk + ara + cjk) AS BIGINT) AS n_foreign_chars
+         |FROM f GROUP BY lang, foreign_script
+         |ORDER BY lang, foreign_script""".stripMargin,
+    "q273_template_families" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN 'terms of service acme corp all rights reserved :: ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, array_to_string(
+         |    string_split_regex(trim(text), '\s+')[1:8], ' ') AS prefix
+         |  FROM d),
+         |g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS checksum
+         |  FROM t WHERE prefix != '' GROUP BY prefix)
+         |SELECT md5(prefix) AS family_fp, prefix, n_docs, checksum
+         |FROM g WHERE n_docs >= 2 ORDER BY n_docs DESC, family_fp""".stripMargin,
+    "q274_cluster_split" ->
+      (s"WITH RECURSIVE $ccJaccardCtes,\n" +
+        """lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+          |sp AS (SELECT doc_id, comp,
+          |    CASE WHEN ((comp % 1000003) * 2654435761) % 1000 < 800
+          |      THEN 'train' ELSE 'eval' END AS split
+          |  FROM lab),
+          |lk AS (SELECT CAST(coalesce(sum(CASE WHEN a.split != b.split
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
+          |  FROM pairs p JOIN sp a ON a.doc_id = p.d1
+          |               JOIN sp b ON b.doc_id = p.d2)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters,
+          |  CAST(sum(doc_id) AS BIGINT) AS checksum, lk.n_leaky_pairs
+          |FROM sp CROSS JOIN lk
+          |GROUP BY split, lk.n_leaky_pairs ORDER BY split""".stripMargin),
+    "q275_zipf_slope" ->
+      raw"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w
+         |  WHERE len(w) > 0 GROUP BY w),
+         |r AS (SELECT * FROM (SELECT w, c, CAST(row_number() OVER (
+         |    ORDER BY c DESC, w) AS BIGINT) AS rank FROM cnt)
+         |  WHERE rank <= 1000),
+         |p AS (SELECT CAST(length(bin(rank)) AS BIGINT) AS x,
+         |    CAST(length(bin(c)) AS BIGINT) AS y FROM r),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+         |  FROM p),
+         |s AS (SELECT n_points, sy,
+         |    CAST(CAST(n_points AS DECIMAL(38,0)) * sxy
+         |      - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT) AS num,
+         |    CAST(CAST(n_points AS DECIMAL(38,0)) * sxx
+         |      - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS den
+         |  FROM m)
+         |SELECT n_points, sy AS checksum,
+         |  CAST(CASE WHEN den = 0 THEN NULL
+         |    WHEN num >= 0 THEN (num * 1000000) // den
+         |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_micro
+         |FROM s""".stripMargin,
+    "q276_truncation_audit" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || '.' ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) != '' AND NOT regexp_matches(
+        |    trim(text), '[.!?…。！？]$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q269_length_histogram" ->
       raw"""WITH b AS (SELECT source,
          |    CAST(length(bin(CAST(len(string_split_regex(trim(text), '\s+'))

@@ -2494,6 +2494,95 @@ class ExtSpec extends AnyFunSuite {
       key(Similarity.cellKnnLabelVote(emb, k = 5)))
   }
 
+  test("scriptProfile: per-range counts, foreign argmax with fixed tie order, none for pure ASCII") {
+    val df = Seq(
+      (1L, "plain ascii text only"),
+      (2L, "latin with привет tail"),          // 6 cyrillic chars
+      (3L, "both αβ and мир present"),          // greek 2, cyrillic 3
+      (4L, "汉字 only here"),                    // cjk 2
+      (5L, "ties αβ vs пр equal")               // greek 2, cyrillic 2 -> cyrillic wins (fixed order)
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.scriptProfile(col("text")).as("p"))
+      .select(col("id"), col("p.cyrillic"), col("p.greek"), col("p.cjk"),
+        col("p.foreign")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, "none")))
+    assert(out(2L) === ((6L, 0L, 0L, "cyrillic")))
+    assert(out(3L) === ((3L, 2L, 0L, "cyrillic")))
+    assert(out(4L) === ((0L, 0L, 2L, "cjk")))
+    assert(out(5L) === ((2L, 2L, 0L, "cyrillic")))
+  }
+
+  test("truncatedFlag: flags text not ending in terminal punctuation; empty is NOT truncated") {
+    val df = Seq((1L, "a full sentence."), (2L, "cut off mid"),
+      (3L, "question?"), (4L, "bang!"), (5L, "   "), (6L, "trailing space. "),
+      (7L, "cjk stop。")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.truncatedFlag(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L))
+  }
+
+  test("templateFamilies: shared prefixes group; unique prefixes and empty text drop; short docs group by full text") {
+    import graft.ext.Dedup
+    val tpl = "terms of service acme corp all rights reserved"
+    val df = Seq(
+      (1L, s"$tpl :: body one differs"),
+      (2L, s"$tpl :: completely other body"),
+      (3L, s"$tpl :: third member"),
+      (4L, "a unique document body here with enough tokens to pass"),
+      (5L, "tiny doc"), (6L, "tiny doc"),  // short: group by full text
+      (7L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.templateFamilies(df, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 2)
+    assert(out(tpl) === ((3L, 6L)))       // first 8 tokens = the stanza
+    assert(out("tiny doc") === ((2L, 11L)))
+  }
+
+  test("clusterAwareSplit: cluster members share a split; no pair straddles; singletons split independently") {
+    import graft.ext.Curation
+    val docs = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    // two clusters: {1,2,3} (chain) and {10,11}; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = Curation.clusterAwareSplit(docs, col("doc_id"), pairs, 800)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size === 40)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1) // same comp+split
+    assert(out(1L)._1 === 1L)
+    assert(Set(out(10L), out(11L)).size === 1)
+    // both splits occur across the singleton mass at 800 permille
+    val splits = out.values.map(_._2).toSet
+    assert(splits === Set("train", "eval"))
+    // determinism: a second run is identical
+    val again = Curation.clusterAwareSplit(docs, col("doc_id"), pairs, 800)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(again === out)
+    // trainPermille = 1000 puts everything in train
+    assert(Curation.clusterAwareSplit(docs, col("doc_id"), pairs, 1000)
+      .filter(col("split") =!= "train").count() === 0L)
+  }
+
+  test("zipfSlope: hand-computed slope on a synthetic rank-frequency corpus") {
+    import graft.ext.Curation
+    // tokens: "a" x8, "b" x4, "c" x2, "d" x1 -> ranks 1..4
+    // x = len(bin(rank)) = 1,2,2,3 ; y = len(bin(cnt)) = 4,3,2,1
+    // n=4 sx=8 sy=10 sxy=(1*4+2*3+2*2+3*1)=17 sxx=(1+4+4+9)=18
+    // num = 4*17-8*10 = -12; den = 4*18-64 = 8; slope = -(12e6 // 8) = -1500000
+    val docs = Seq(Tuple1(("a " * 8) + ("b " * 4) + ("c " * 2) + "d"))
+      .toDF("text")
+    val r = Curation.zipfSlope(docs, col("text")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((4L, 10L, -1500000L)))
+    // a flat distribution (all counts equal) has slope 0
+    val flat = Seq(Tuple1("x y z w")).toDF("text")
+    assert(Curation.zipfSlope(flat, col("text")).collect()(0).getLong(2) === 0L)
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

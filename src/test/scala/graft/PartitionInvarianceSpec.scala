@@ -129,7 +129,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // binary-length buckets; hygiene flag rollup
     "q269_length_histogram", "q270_text_hygiene",
     // trained-cell blocked vote (large-k assignment kernels)
-    "q271_cell_label_noise")
+    "q271_cell_label_noise",
+    // round 7: script-range counts, prefix-keyed families, CC-inherited
+    // split + pair-leak join, bounded-head OLS on log2 buckets
+    "q272_script_audit", "q273_template_families", "q274_cluster_split",
+    "q275_zipf_slope", "q276_truncation_audit")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
