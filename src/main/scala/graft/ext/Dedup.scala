@@ -468,6 +468,37 @@ object Dedup {
         col("n_docs"), col("checksum"))
   }
 
+  /** Alpha-rename-invariant clone fingerprint — TYPE-2 clone detection
+    * (Roy & Cordy's taxonomy; the MOSS use case for code): identifier-ish
+    * tokens (`[A-Za-z_][A-Za-z0-9_]*`) are replaced by their
+    * first-occurrence rank (`v1 v2 v1 …`), so two documents that differ
+    * only by a consistent renaming — variables in code, entity names in
+    * templated text — hash identically, while structure changes break the
+    * match. Non-identifier tokens (numbers, operators, punctuation) pass
+    * through literally. Returns the md5 of the normalized token stream.
+    *
+    * Per-row construction, zero shuffle: the first-occurrence identifier
+    * list is an index-aware filter (token kept iff absent from its own
+    * prefix — O(n²) array scans per doc, local work), BOUND as a lambda
+    * variable before the rewrite pass (the q197 winnowing rule: a raw
+    * multi-use alias inlines into the lambda body and re-evaluates per
+    * element). Dedup on the fingerprint is then q40's exact machinery. */
+  def alphaCloneFingerprint(text: Column): Column = {
+    val identRe = "^[A-Za-z_][A-Za-z0-9_]*$"
+    // both the token array and the first-occurrence list are BOUND as
+    // lambda variables (nested array-of-one transforms) so each evaluates
+    // once per row, not once per element
+    md5(element_at(transform(array(TextAnalysis.tokens(text)), tk => {
+      val firstIds = filter(tk, (t, i) =>
+        t.rlike(identRe) && array_position(slice(tk, lit(1), i), t) === 0)
+      element_at(transform(array(firstIds), ids =>
+        concat_ws(" ", transform(tk, t =>
+          when(t.rlike(identRe),
+            concat(lit("v"), array_position(ids, t).cast("string")))
+            .otherwise(t)))), 1)
+    }), 1))
+  }
+
   // ---------- span-level (cross-document substring) dedup -----------------
 
   /** Fixed-width token spans of a text column: non-overlapping windows of

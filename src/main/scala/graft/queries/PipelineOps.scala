@@ -1296,6 +1296,27 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("tr")).as("n_truncated"))
         .orderBy(col("source"))
     }),
+    "q277_clone_families" -> ((s, dir) => {
+      // Type-2 (alpha-renamed) clone detection: every 11th doc gains a
+      // copy (+1e6 id) with three vocabulary words consistently renamed
+      // to fresh tokens — invisible to exact dedup and diluted for
+      // Jaccard, but the alpha-normal fingerprint pairs copy with
+      // original exactly. Families of structurally-identical docs roll
+      // up on the fingerprint (q40's exact machinery on the normal form).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val renamed = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            "\\bspark\\b", "zzalpha"), "\\btable\\b", "zzbeta"),
+            "\\bmerge\\b", "zzgamma").as("text"))
+      docs.unionByName(renamed)
+        .select(col("doc_id"), Dedup.alphaCloneFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_id"),
+          sum(col("doc_id")).as("checksum"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("fp"))
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4336,6 +4357,32 @@ object PipelineOps {
          |    WHEN num >= 0 THEN (num * 1000000) // den
          |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_micro
          |FROM s""".stripMargin,
+    "q277_clone_families" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '\bspark\b', 'zzalpha', 'g'), '\btable\b', 'zzbeta', 'g'),
+         |      '\bmerge\b', 'zzgamma', 'g')
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |tk AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS toks FROM base),
+         |ids AS (SELECT doc_id, toks,
+         |    list_filter(toks, (t, i) ->
+         |      regexp_matches(t, '^[A-Za-z_][A-Za-z0-9_]*$$')
+         |      AND list_position(toks[1:i-1], t) = 0) AS fid
+         |  FROM tk),
+         |nf AS (SELECT doc_id, md5(array_to_string(
+         |    list_transform(toks, t ->
+         |      CASE WHEN regexp_matches(t, '^[A-Za-z_][A-Za-z0-9_]*$$')
+         |        THEN 'v' || CAST(list_position(fid, t) AS VARCHAR)
+         |        ELSE t END), ' ')) AS fp
+         |  FROM ids)
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS rep_id,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM nf GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     "q276_truncation_audit" ->
       """WITH d AS (SELECT source,
         |    CASE WHEN doc_id % 7 = 0 THEN text || '.' ELSE text END AS text

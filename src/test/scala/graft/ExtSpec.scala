@@ -2583,6 +2583,24 @@ class ExtSpec extends AnyFunSuite {
     assert(Curation.zipfSlope(flat, col("text")).collect()(0).getLong(2) === 0L)
   }
 
+  test("alphaCloneFingerprint: rename-invariant, structure-sensitive, literals pass through") {
+    import graft.ext.Dedup
+    val df = Seq(
+      (1L, "foo bar foo 123 baz"),
+      (2L, "qux nop qux 123 zed"),   // consistent rename of 1 -> same fp
+      (3L, "foo bar baz 123 foo"),   // different structure -> different fp
+      (4L, "foo bar foo 124 baz"),   // literal differs -> different fp
+      (5L, "x y x ! y")
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      Dedup.alphaCloneFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp(1L) !== fp(4L))
+    assert(fp(1L) !== fp(5L))
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

@@ -133,7 +133,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7: script-range counts, prefix-keyed families, CC-inherited
     // split + pair-leak join, bounded-head OLS on log2 buckets
     "q272_script_audit", "q273_template_families", "q274_cluster_split",
-    "q275_zipf_slope", "q276_truncation_audit")
+    "q275_zipf_slope", "q276_truncation_audit", "q277_clone_families")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
