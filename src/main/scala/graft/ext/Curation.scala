@@ -1687,11 +1687,17 @@ object Curation {
     * aggregation (map-side combine reduces each partition to B partial
     * rows); B is bounded (≤ 64) by contract — the B× pre-combine row
     * expansion is the entire cost. */
+  /** Quantized Poisson(1) CDF thresholds in ppm for w = 0..5 (else 6) —
+    * the e⁻¹ series constants both engines consume as identical literals
+    * (shared by [[poissonBootstrap]] and [[approxGroupMeans]]). */
+  private[ext] val poissonCdfPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+
   def poissonBootstrap(df: DataFrame, id: Column, metric: Column,
       b: Int = 32, seed: String = "pb"): DataFrame = {
     require(b >= 2 && b <= 64, "poissonBootstrap: b in [2, 64]")
     val idiv = org.apache.spark.sql.graft.Bridge.idiv _
-    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    val cdf = poissonCdfPpm
     val base = df.select(id.as("id"), metric.cast("long").as("m"))
       .select(col("id"), col("m"),
         explode(sequence(lit(1), lit(b))).as("b"))
@@ -1710,6 +1716,111 @@ object Curation {
         .otherwise(when(col("sum_m") >= 0,
           idiv(col("sum_m") * 1000000L, col("n_eff")))
           .otherwise(-idiv(-col("sum_m") * 1000000L, col("n_eff")))))
+  }
+
+  /** Approximate GROUP BY with honest error bars — the AQP / online-
+    * aggregation shape (BlinkDB, Agarwal et al. 2013): answer a per-group
+    * mean from a deterministic `ratePermille` sample (md5 gate on the row
+    * key — reproducible, pushes to the scan as a filter) and attach a
+    * per-group Poisson-bootstrap replicate ENVELOPE (min/max of `b`
+    * replicate means over the sample — the [[poissonBootstrap]] one-pass
+    * construction at group granularity). The audit form also carries the
+    * exact truth and an `inside` flag, because an error bar should be
+    * measured before it is trusted. Metric must be integer (milli-
+    * quantize upstream); all arithmetic exact. Returns per group:
+    * (g, n_rows, n_sampled, true_mean_milli, est_mean_milli,
+    * ci_lo_milli, ci_hi_milli, inside).
+    *
+    * 100 TB shape: the sample gate is a scan-level filter (1/rate of the
+    * data reaches anything downstream); replicates explode the SAMPLE
+    * b-fold into a (g, b)-keyed aggregation with map-side combine; truth
+    * is one group-keyed pass (drop it in production — it is the audit's
+    * point, not the estimator's cost). */
+  def approxGroupMeans(df: DataFrame, group: Column, key: Column,
+      metricMilli: Column, ratePermille: Int, b: Int = 16,
+      seed: String = "aq"): DataFrame = {
+    require(ratePermille >= 1 && ratePermille <= 1000,
+      "approxGroupMeans: ratePermille in [1, 1000]")
+    require(b >= 2 && b <= 64, "approxGroupMeans: b in [2, 64]")
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    def mdMod(parts: Column*): Column = pmod(conv(substring(
+      md5(concat_ws(":", parts: _*)), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val base = df.select(group.as("g"), key.cast("string").as("k"),
+      metricMilli.cast("long").as("m"))
+    val sample = base
+      .filter(mdMod(lit(seed), col("k")) < ratePermille * 1000L)
+    val est = sample.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("m")).as("s_m"))
+      .withColumn("est_mean_milli", when(col("s_m") >= 0,
+          idiv(col("s_m"), col("n_sampled")))
+        .otherwise(-idiv(-col("s_m"), col("n_sampled"))))
+    val reps = sample
+      .withColumn("b", explode(sequence(lit(1), lit(b))))
+      .withColumn("h", mdMod(lit(seed + "b"), col("b").cast("string"),
+        col("k")))
+      .withColumn("w", poissonCdfPpm.zipWithIndex.foldRight(
+        lit(6L): Column) { case ((t, i), rest) =>
+          when(col("h") < t, lit(i.toLong)).otherwise(rest) })
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("m")).as("wm"))
+      .filter(col("n_eff") > 0)
+      .withColumn("mean_b", when(col("wm") >= 0,
+          idiv(col("wm"), col("n_eff")))
+        .otherwise(-idiv(-col("wm"), col("n_eff"))))
+      .groupBy(col("g"))
+      .agg(min(col("mean_b")).as("ci_lo_milli"),
+        max(col("mean_b")).as("ci_hi_milli"))
+    val truth = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("m")).as("t_m"))
+      .withColumn("true_mean_milli", when(col("t_m") >= 0,
+          idiv(col("t_m"), col("n_rows")))
+        .otherwise(-idiv(-col("t_m"), col("n_rows"))))
+    truth.join(est, Seq("g"), "left").join(reps, Seq("g"), "left")
+      .select(col("g"), col("n_rows"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("true_mean_milli"), col("est_mean_milli"),
+        col("ci_lo_milli"), col("ci_hi_milli"),
+        (col("true_mean_milli") >= col("ci_lo_milli") &&
+          col("true_mean_milli") <= col("ci_hi_milli")).cast("long")
+          .as("inside"))
+  }
+
+  /** Join-size estimation from two CM sketches — the AGMS/CM inner-
+    * product identity (Alon, Gibbons, Matias & Szegedy 1999; Cormode &
+    * Muthukrishnan 2005): |A ⋈ B| on a key equals Σ_v fA(v)·fB(v), and
+    * each sketch row's Σ_b cntA[r,b]·cntB[r,b] only OVERcounts it (hash
+    * collisions add non-negative cross terms), so the minimum over rows
+    * estimates from above. The optimizer-shaped audit: size a join from
+    * two depth×width relations BEFORE paying its shuffle; the audit form
+    * carries the exact truth and err_ppm, measure-before-trust. Returns
+    * one row: (est_join_rows, true_join_rows, err_ppm).
+    *
+    * 100 TB shape: each sketch is one (r,b)-keyed count of its side
+    * (map-side combined); the estimate joins two ≤ depth·width tables;
+    * truth is one key-keyed count join — drop it in production, it IS
+    * the join being avoided. */
+  def cmJoinSizeEstimate(a: DataFrame, aKey: Column,
+      bSide: DataFrame, bKey: Column,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val sa = cmSketch(a, aKey, depth, width).toDF("r", "b", "ca")
+    val sb = cmSketch(bSide, bKey, depth, width).toDF("r", "b", "cb")
+    val est = sa.join(sb, Seq("r", "b"))
+      .groupBy(col("r"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_join_rows"))
+    val ca = a.select(aKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("na"))
+    val cb = bSide.select(bKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("nb"))
+    val truth = ca.join(cb, Seq("k"))
+      .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
+        .cast("long").as("true_join_rows"))
+    est.crossJoin(broadcast(truth))
+      .withColumn("err_ppm", idiv(
+        abs(col("est_join_rows") - col("true_join_rows")) * 1000000L,
+        greatest(col("true_join_rows"), lit(1L))))
   }
 
   /** Context-window utilization audit of [[sequencePack]]: per stratum,

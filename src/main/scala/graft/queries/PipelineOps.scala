@@ -1317,6 +1317,27 @@ object PipelineOps {
         .filter(col("n_docs") >= 2)
         .orderBy(col("fp"))
     }),
+    "q278_approx_groupby" -> ((s, dir) => {
+      // Approximate GROUP BY with error bars (the AQP shape): per-flag
+      // mean quantity from a deterministic 10% sample with a 16-replicate
+      // Poisson-bootstrap envelope, audited against the exact truth —
+      // the estimator a dashboard uses when the full scan is the cost.
+      Curation.approxGroupMeans(t(s, dir, "lineitem"),
+          group = col("l_returnflag"),
+          key = concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+          metricMilli = floor(col("l_quantity") * 1000).cast("long"),
+          ratePermille = 100, b = 16)
+        .orderBy(col("g"))
+    }),
+    "q279_join_size_estimate" -> ((s, dir) => {
+      // Optimizer-shaped audit: |orders ⋈ lineitem| estimated from two
+      // CM sketches via the AGMS inner-product identity (min over rows of
+      // Σ_b cntA·cntB — collisions only overcount), vs the exact truth.
+      Curation.cmJoinSizeEstimate(
+        t(s, dir, "orders"), col("o_orderkey"),
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        depth = 4, width = 256)
+    }),
     "q226_k_anonymity" -> ((s, dir) => {
       // Privacy-release audit: quasi-identifiers (lang, source,
       // 50-char length band) against a synthetic categorical secret
@@ -4383,6 +4404,84 @@ object PipelineOps {
          |  CAST(min(doc_id) AS BIGINT) AS rep_id,
          |  CAST(sum(doc_id) AS BIGINT) AS checksum
          |FROM nf GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+    "q278_approx_groupby" ->
+      (s"""WITH base AS (SELECT l_returnflag AS g,
+          |    CAST(l_orderkey AS VARCHAR) || '_' ||
+          |      CAST(l_linenumber AS VARCHAR) AS k,
+          |    CAST(floor(l_quantity * 1000) AS BIGINT) AS m FROM lineitem),
+          |samp AS (SELECT * FROM base
+          |  WHERE ${md5ModSql("'aq:' || k")} < 100000),
+          |est AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sampled,
+          |    CAST(sum(m) AS BIGINT) AS s_m FROM samp GROUP BY g),
+          |rep0 AS (SELECT g, m, bb.b AS b,
+          |    ${md5ModSql("'aqb:' || CAST(bb.b AS VARCHAR) || ':' || k")} AS h
+          |  FROM samp CROSS JOIN
+          |    (SELECT unnest(generate_series(1, 16)) AS b) bb),
+          |rep1 AS (SELECT g, b, m,
+          |    CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+          |         WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+          |         WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+          |         ELSE 6 END AS w
+          |  FROM rep0),
+          |rep2 AS (SELECT g, b, CAST(sum(w) AS BIGINT) AS n_eff,
+          |    CAST(sum(w * m) AS BIGINT) AS wm FROM rep1 GROUP BY g, b),
+          |rep3 AS (SELECT g, b,
+          |    CASE WHEN wm >= 0 THEN wm // n_eff
+          |      ELSE -((-wm) // n_eff) END AS mean_b
+          |  FROM rep2 WHERE n_eff > 0),
+          |ci AS (SELECT g, CAST(min(mean_b) AS BIGINT) AS ci_lo_milli,
+          |    CAST(max(mean_b) AS BIGINT) AS ci_hi_milli FROM rep3 GROUP BY g),
+          |tr AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(m) AS BIGINT) AS t_m FROM base GROUP BY g)
+          |SELECT tr.g, tr.n_rows,
+          |  coalesce(est.n_sampled, 0) AS n_sampled,
+          |  CAST(CASE WHEN t_m >= 0 THEN t_m // n_rows
+          |    ELSE -((-t_m) // n_rows) END AS BIGINT) AS true_mean_milli,
+          |  CAST(CASE WHEN s_m IS NULL THEN NULL
+          |    WHEN s_m >= 0 THEN s_m // n_sampled
+          |    ELSE -((-s_m) // n_sampled) END AS BIGINT) AS est_mean_milli,
+          |  ci.ci_lo_milli, ci.ci_hi_milli,
+          |  CAST(CASE WHEN t_m >= 0 THEN t_m // n_rows
+          |      ELSE -((-t_m) // n_rows) END
+          |    BETWEEN ci.ci_lo_milli AND ci.ci_hi_milli AS BIGINT) AS inside
+          |FROM tr LEFT JOIN est ON est.g = tr.g
+          |        LEFT JOIN ci ON ci.g = tr.g
+          |ORDER BY tr.g""".stripMargin),
+    "q279_join_size_estimate" ->
+      """WITH sa AS (SELECT r, b, CAST(count(*) AS BIGINT) AS ca FROM (
+        |    SELECT rr.r AS r, (list_reduce(list_transform(
+        |        string_split(md5(CAST(rr.r AS VARCHAR) || ':' ||
+        |          CAST(o_orderkey AS VARCHAR)), '')[1:11],
+        |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                  ELSE unicode(c) - 48 END AS BIGINT)),
+        |      (a, v) -> a * 16 + v) % 256) AS b
+        |    FROM orders CROSS JOIN
+        |      (SELECT unnest(generate_series(0, 3)) AS r) rr)
+        |  GROUP BY r, b),
+        |sb AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cb FROM (
+        |    SELECT rr.r AS r, (list_reduce(list_transform(
+        |        string_split(md5(CAST(rr.r AS VARCHAR) || ':' ||
+        |          CAST(l_orderkey AS VARCHAR)), '')[1:11],
+        |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                  ELSE unicode(c) - 48 END AS BIGINT)),
+        |      (a, v) -> a * 16 + v) % 256) AS b
+        |    FROM lineitem CROSS JOIN
+        |      (SELECT unnest(generate_series(0, 3)) AS r) rr)
+        |  GROUP BY r, b),
+        |ip AS (SELECT sa.r, sum(CAST(ca AS HUGEINT) * cb) AS ip
+        |  FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+        |ca2 AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+        |  FROM orders GROUP BY o_orderkey),
+        |cb2 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+        |  FROM lineitem GROUP BY l_orderkey),
+        |tr AS (SELECT CAST(coalesce(sum(CAST(na AS HUGEINT) * nb), 0)
+        |    AS BIGINT) AS true_join_rows
+        |  FROM ca2 JOIN cb2 ON ca2.k = cb2.k)
+        |SELECT est_join_rows, true_join_rows,
+        |  CAST((abs(est_join_rows - true_join_rows) * 1000000)
+        |    // greatest(true_join_rows, 1) AS BIGINT) AS err_ppm
+        |FROM est CROSS JOIN tr""".stripMargin,
     "q276_truncation_audit" ->
       """WITH d AS (SELECT source,
         |    CASE WHEN doc_id % 7 = 0 THEN text || '.' ELSE text END AS text
@@ -7407,6 +7506,15 @@ object PipelineOps {
   /** The q95 duplicate-cluster chain (3-gram Jaccard pairs → symmetric
     * edges → recursive transitive closure → min-label `comp`), shared with
     * the canonical-selection oracle. Usage: `WITH RECURSIVE $ccJaccardCtes`. */
+  /** DuckDB restatement of the engine's md5-fold-mod-1e6 gate:
+    * `pmod(conv(substring(md5(e),1,15),16,10), 1e6)` — the first 15 hex
+    * nibbles folded base-16, exact in both engines. */
+  private def md5ModSql(e: String): String =
+    s"""(list_reduce(list_transform(string_split(md5($e), '')[1:15],
+       |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+       |                ELSE unicode(c) - 48 END AS BIGINT)),
+       |      (a, v) -> a * 16 + v) % 1000000)""".stripMargin
+
   private def ccJaccardCtes: String =
     raw"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

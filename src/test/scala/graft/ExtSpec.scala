@@ -2601,6 +2601,55 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) !== fp(5L))
   }
 
+  test("approxGroupMeans: full-rate sample equals truth; envelope honest; negative metrics sign-safe") {
+    import graft.ext.Curation
+    val df = (1L to 200L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i, (i % 7) * 1000L - 3000L))
+      .toDF("g", "k", "m")
+    // rate 1000 permille: the sample IS the table -> est == truth, and the
+    // replicate envelope must contain it (inside = 1 for every group)
+    val full = Curation.approxGroupMeans(df, col("g"), col("k"), col("m"),
+      ratePermille = 1000).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(7)))).toMap
+    full.foreach { case (g, (nRows, nSampled, tru, est, inside)) =>
+      assert(nRows === nSampled, g)
+      assert(tru === est, g)
+      assert(inside === 1L, g)
+    }
+    // 10% sample: fewer rows reach the estimator, truth column unchanged
+    val part = Curation.approxGroupMeans(df, col("g"), col("k"), col("m"),
+      ratePermille = 100).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    part.foreach { case (g, (nRows, nSampled)) =>
+      assert(nSampled < nRows && nSampled >= 0, g) }
+    // determinism
+    val again = Curation.approxGroupMeans(df, col("g"), col("k"), col("m"),
+      ratePermille = 100).collect().map(_.toString).sorted
+    val first = Curation.approxGroupMeans(df, col("g"), col("k"), col("m"),
+      ratePermille = 100).collect().map(_.toString).sorted
+    assert(again === first)
+  }
+
+  test("cmJoinSizeEstimate: never underestimates; exact truth column; disjoint keys read zero") {
+    import graft.ext.Curation
+    val a = (1L to 50L).map(i => Tuple1(i % 10)).toDF("k")   // 5 rows/key
+    val b = (1L to 30L).map(i => Tuple1(i % 10)).toDF("k")   // 3 rows/key
+    val r = Curation.cmJoinSizeEstimate(a, col("k"), b, col("k"),
+      depth = 4, width = 128).collect()(0)
+    val (est, tru, err) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tru === 150L) // 10 keys x 5 x 3
+    assert(est >= tru, "CM inner product must overestimate, never under")
+    assert(err === (est - tru) * 1000000L / tru)
+    // disjoint key spaces: truth 0; the estimate stays a small collision
+    // artifact bounded by the sketch geometry
+    val c = (100L to 109L).map(Tuple1(_)).toDF("k")
+    val r2 = Curation.cmJoinSizeEstimate(a, col("k"), c, col("k"),
+      depth = 4, width = 128).collect()(0)
+    assert(r2.getLong(1) === 0L)
+    assert(r2.getLong(0) >= 0L)
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

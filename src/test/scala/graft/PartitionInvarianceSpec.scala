@@ -133,7 +133,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7: script-range counts, prefix-keyed families, CC-inherited
     // split + pair-leak join, bounded-head OLS on log2 buckets
     "q272_script_audit", "q273_template_families", "q274_cluster_split",
-    "q275_zipf_slope", "q276_truncation_audit", "q277_clone_families")
+    "q275_zipf_slope", "q276_truncation_audit", "q277_clone_families",
+    // sampled-group bootstrap envelope; CM inner-product min over rows
+    "q278_approx_groupby", "q279_join_size_estimate")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
