@@ -1317,6 +1317,24 @@ object PipelineOps {
         .filter(col("n_docs") >= 2)
         .orderBy(col("fp"))
     }),
+    "q280_communities" -> ((s, dir) => {
+      // Source-community detection: synchronous LPA (4 rounds, weight-
+      // majority labels, min tie-break) over the q156 gram-overlap graph
+      // — the mixture-design view that groups sources publishing the same
+      // boilerplate before per-source caps treat them as independent.
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("source"),
+          explode(array_distinct(Dedup.wordNgrams(col("text"), 5))).as("ng"))
+        .distinct()
+      val shared = g.as("a").join(g.as("b"),
+          col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("w"))
+      val edges = graft.ext.GraphOps.symmetricEdges(
+        shared, col("sa"), col("sb"), col("w"))
+      graft.ext.GraphOps.labelPropagation(edges, iters = 4)
+        .orderBy(col("node"))
+    }),
     "q278_approx_groupby" -> ((s, dir) => {
       // Approximate GROUP BY with error bars (the AQP shape): per-flag
       // mean quantity from a deterministic 10% sample with a 16-replicate
@@ -6906,6 +6924,7 @@ object PipelineOps {
     "q155_ann_pq_index" ->
       pqSql(m = 4, ksub = 8, iters = 2, subDim = 16, nq = 10, kCand = 20, k = 3),
     "q156_domain_pagerank" -> pageRankSql(3),
+    "q280_communities" -> lpaSql(4),
     "q157_ann_ivfpq" -> ivfpqSql(nlist = 8, nprobe = 4, m = 4, subDim = 16,
       ksub = 8, iters = 2, nq = 10, kCand = 20, k = 3),
     "q161_stratum_topk_sample" ->
@@ -7060,6 +7079,42 @@ object PipelineOps {
   /** Unrolled-SQL restatement of [[graft.ext.GraphOps.pageRank]] over the
     * source gram-overlap graph: q139's edge derivation, then `iters` rounds
     * of (contrib join-sum, damped floor-division update). */
+  /** Unrolled synchronous-LPA rounds over the q156 gram-overlap graph:
+    * per round, incident label weights per dst, argmax with min-label
+    * tie-break. All nodes have in-edges on a symmetric graph, so the
+    * keep-previous-label fallback never fires and the unroll is exact. */
+  private def lpaSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY sum(e.w) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON l.node = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH g AS (
+         |  SELECT DISTINCT source, ng FROM (
+         |    SELECT source, unnest(list_distinct(
+         |      CASE WHEN len(tk) >= 5
+         |        THEN list_transform(generate_series(1, len(tk) - 4),
+         |               i -> array_to_string(tk[i:i+4], ' '))
+         |        ELSE [] END)) AS ng
+         |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+         |          FROM documents))),
+         |shared AS (
+         |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS w
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |e AS (SELECT sa AS src, sb AS dst, w FROM shared
+         |      UNION ALL SELECT sb, sa, w FROM shared),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |$rounds
+         |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   private def pageRankSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""c$i AS (

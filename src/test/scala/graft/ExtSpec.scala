@@ -2650,6 +2650,30 @@ class ExtSpec extends AnyFunSuite {
     assert(r2.getLong(0) >= 0L)
   }
 
+  test("labelPropagation: two dense cliques bridged by one weak edge resolve to two communities") {
+    import graft.ext.GraphOps
+    // cliques {1,2,3,4} and {10,11,12,13} at weight 5, one weight-1 bridge
+    def clique(ids: Seq[Long], w: Long) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b, w)
+    val pairs = (clique(Seq(1L, 2L, 3L, 4L), 5L) ++
+      clique(Seq(10L, 11L, 12L, 13L), 5L) :+ ((4L, 10L, 1L)))
+      .toDF("a", "b", "w")
+    val edges = GraphOps.symmetricEdges(pairs, col("a"), col("b"), col("w"))
+    val out = GraphOps.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 8)
+    assert(Set(out(1L), out(2L), out(3L), out(4L)).size === 1)
+    assert(Set(out(10L), out(11L), out(12L), out(13L)).size === 1)
+    assert(out(1L) !== out(10L), "the weak bridge must not merge the cliques")
+    // min tie-break seeds communities at their lowest member id
+    assert(out(1L) === 1L && out(10L) === 10L)
+    // determinism across runs
+    val again = GraphOps.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

@@ -135,7 +135,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q272_script_audit", "q273_template_families", "q274_cluster_split",
     "q275_zipf_slope", "q276_truncation_audit", "q277_clone_families",
     // sampled-group bootstrap envelope; CM inner-product min over rows
-    "q278_approx_groupby", "q279_join_size_estimate")
+    "q278_approx_groupby", "q279_join_size_estimate",
+    // synchronous LPA rounds (argmax windows must be layout-blind)
+    "q280_communities")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
