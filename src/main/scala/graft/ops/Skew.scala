@@ -38,6 +38,26 @@ object Skew {
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Post-shuffle partition-load forecast under hash partitioning into
+    * `parts`: every row lands in bucket md5(key) mod parts — a PORTABLE
+    * surrogate for the engine's partitioner (skew structure is
+    * hash-invariant: a hot key concentrates its rows under any hash, and
+    * what the audit measures is the key distribution, not the hash).
+    * Returns one row per occupied bucket (bucket, n_rows, n_keys): a
+    * bucket at many-× the mean is the task that will straggle, BEFORE the
+    * join runs — the decision input for [[saltedJoin]]/[[autoSaltFactor]]
+    * and for sizing spark.sql.shuffle.partitions. One key-hashed
+    * aggregation, map-side combined. */
+  def shuffleSkewForecast(df: DataFrame, key: Column, parts: Int): DataFrame = {
+    require(parts >= 1, "shuffleSkewForecast: parts must be >= 1")
+    df.select(key.cast("string").as("k"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long"),
+        lit(parts.toLong)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+  }
+
   /** Per-key row counts — the diagnostic used to decide when to salt. */
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))

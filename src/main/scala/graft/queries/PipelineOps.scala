@@ -1335,6 +1335,52 @@ object PipelineOps {
       graft.ext.GraphOps.labelPropagation(edges, iters = 4)
         .orderBy(col("node"))
     }),
+    "q281_skew_forecast" -> ((s, dir) => {
+      // Shuffle-skew forecast with a planted hot key: every 10th user's
+      // events remap to user 1, and the per-bucket load table (md5
+      // partitioner surrogate at parts=16) must surface that bucket at
+      // many-x the even share — the pre-join decision input for salting
+      // and partition sizing. load_ppm = 1e6 means perfectly even.
+      val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+      val ev = t(s, dir, "events").select(
+        when(pmod(col("user_id"), lit(10L)) === 0, lit(1L))
+          .otherwise(col("user_id")).as("user_id"))
+      val buckets = graft.ops.Skew.shuffleSkewForecast(ev, col("user_id"),
+        parts = 16)
+      val tot = buckets.agg(sum(col("n_rows")).as("t"),
+        count(lit(1)).as("nb"))
+      buckets.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_rows"), col("n_keys"),
+          idiv(col("n_rows") * col("nb") * 1000000L, col("t"))
+            .as("load_ppm"))
+        .orderBy(col("bucket"))
+    }),
+    "q282_lineage_chain" -> ((s, dir) => {
+      // Tamper-evident commit lineage: a three-version table (init,
+      // append, delete) emits its Merkle chain — per version the content
+      // checksum and md5(version:n:checksum:prev) link; the oracle
+      // recomputes the contents from the base table and chains the same
+      // md5, so a single final hash verifies the whole history.
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-q282")
+      val root = "file://" + tmpRoot.toString + "/table"
+      try {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        graft.tables.VersionedTable.init(s, root,
+          docs.filter(col("doc_id") < 400))
+        graft.tables.VersionedTable.commit(s, root)(cur =>
+          cur.unionByName(docs.filter(col("doc_id") >= 400)))
+        graft.tables.VersionedTable.commit(s, root)(cur =>
+          cur.filter(col("doc_id") % 7 =!= 0))
+        val out = graft.tables.VersionedTable.lineage(s, root,
+          col("doc_id") * 1000003L + col("n_chars"))
+        materialize(s, out.orderBy(col("version")))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmpRoot.toFile)
+      }
+    }),
     "q278_approx_groupby" -> ((s, dir) => {
       // Approximate GROUP BY with error bars (the AQP shape): per-flag
       // mean quantity from a deterministic 10% sample with a 16-replicate
@@ -4422,6 +4468,48 @@ object PipelineOps {
          |  CAST(min(doc_id) AS BIGINT) AS rep_id,
          |  CAST(sum(doc_id) AS BIGINT) AS checksum
          |FROM nf GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+    "q281_skew_forecast" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 10 = 0 THEN 1
+        |    ELSE user_id END AS user_id FROM events),
+        |b AS (SELECT user_id, (list_reduce(list_transform(
+        |    string_split(md5(CAST(user_id AS VARCHAR)), '')[1:15],
+        |    c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |              ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v) % 16) AS bucket FROM ev),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS nb FROM g)
+        |SELECT bucket, n_rows, n_keys,
+        |  CAST((n_rows * nb * 1000000) // t AS BIGINT) AS load_ppm
+        |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q282_lineage_chain" ->
+      """WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        |v2 AS (SELECT * FROM v1 UNION ALL
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id >= 400),
+        |v3 AS (SELECT * FROM v2 WHERE doc_id % 7 != 0),
+        |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(doc_id AS HUGEINT) * 1000003 + n_chars) AS VARCHAR)
+        |    AS cs FROM v1),
+        |m2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(doc_id AS HUGEINT) * 1000003 + n_chars) AS VARCHAR)
+        |    AS cs FROM v2),
+        |m3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(doc_id AS HUGEINT) * 1000003 + n_chars) AS VARCHAR)
+        |    AS cs FROM v3),
+        |c1 AS (SELECT CAST(1 AS BIGINT) AS version, n, cs,
+        |  md5('1:' || CAST(n AS VARCHAR) || ':' || cs || ':genesis') AS h
+        |  FROM m1),
+        |c2 AS (SELECT CAST(2 AS BIGINT) AS version, m2.n, m2.cs,
+        |  md5('2:' || CAST(m2.n AS VARCHAR) || ':' || m2.cs || ':' || c1.h)
+        |    AS h FROM m2, c1),
+        |c3 AS (SELECT CAST(3 AS BIGINT) AS version, m3.n, m3.cs,
+        |  md5('3:' || CAST(m3.n AS VARCHAR) || ':' || m3.cs || ':' || c2.h)
+        |    AS h FROM m3, c2)
+        |SELECT version, n AS n_rows, cs AS checksum, h AS chain_hash
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3) ORDER BY version""".stripMargin,
     "q278_approx_groupby" ->
       (s"""WITH base AS (SELECT l_returnflag AS g,
           |    CAST(l_orderkey AS VARCHAR) || '_' ||

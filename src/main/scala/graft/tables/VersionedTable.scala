@@ -247,6 +247,45 @@ object VersionedTable {
     fs.delete(new Path(commitsDir(p), s"v$v.claim"), false): Unit
   }
 
+  /** Tamper-evident lineage manifest — a Merkle-style hash CHAIN over the
+    * commit history: per committed version,
+    * `chain = md5("v:" + n_rows + ":" + checksum + ":" + prev_chain)`
+    * seeded at `"genesis"`, where `checksum` is the order- and partition-
+    * invariant content sum of the caller's `rowHash` expression
+    * (DECIMAL-accumulated; pick an integer row digest — a key-folded
+    * hash, never a float). Rewriting ANY historical version breaks every
+    * later link, so two sites comparing one final chain hash verify the
+    * whole history — the audit [[commit]]'s immutability contract makes
+    * cheap and an object store's mutability makes necessary. Returns
+    * (version, n_rows, checksum, chain_hash), checksum as its decimal
+    * string.
+    *
+    * Cost shape: one count+sum aggregation PER retained version (each a
+    * full scan of that version — run it as an audit, not a hot path);
+    * the chain itself folds driver-side over the version list, which is
+    * commit-log metadata by design. */
+  def lineage(spark: SparkSession, root: String,
+      rowHash: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var prev = "genesis"
+    val rows = versions(spark, root).map { v =>
+      val agg = readVersion(spark, root, v)
+        .agg(count(lit(1)).as("n"),
+          sum(rowHash.cast("decimal(38,0)")).as("cs")).head()
+      val n = agg.getLong(0)
+      val cs = Option(agg.getDecimal(1))
+        .map(_.toBigInteger.toString).getOrElse("0")
+      val chain = md5hex(s"$v:$n:$cs:$prev")
+      prev = chain
+      (v, n, cs, chain)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_rows", "checksum", "chain_hash")
+  }
+
   /** Time travel: read a specific committed (and not-yet-vacuumed)
     * version — the reproducibility primitive ("train against the exact
     * corpus of run N") and the input to version diffs. */

@@ -2674,6 +2674,62 @@ class ExtSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("shuffleSkewForecast: planted hot key dominates its bucket; totals conserve") {
+    import graft.ops.Skew
+    // 900 rows across keys 1..90 (10 each) + 1100 rows on hot key 7
+    val rows = (1L to 90L).flatMap(k => Seq.fill(10)(k)) ++
+      Seq.fill(1100)(7L)
+    val df = rows.map(Tuple1(_)).toDF("k")
+    val out = Skew.shuffleSkewForecast(df, col("k"), parts = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.values.map(_._1).sum === 2000L)
+    assert(out.values.map(_._2).sum === 90L) // every key in exactly one bucket
+    // the hot key's bucket carries >= its 1100 rows — a >4x mean straggler
+    assert(out.values.map(_._1).max >= 1100L)
+  }
+
+  test("versioned lineage: chain is reproducible, history-stable, and tamper-evident") {
+    import graft.tables.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-lineage").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      VersionedTable.init(spark, root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+      VersionedTable.commit(spark, root)(cur =>
+        cur.unionByName(Seq((3L, 30L)).toDF("k", "v")))
+      val h = col("k") * 1000003L + col("v")
+      val l1 = VersionedTable.lineage(spark, root, h).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(l1.map(_._1).toSeq === Seq(1L, 2L))
+      // reproducible
+      val l1b = VersionedTable.lineage(spark, root, h).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(l1b.toSeq === l1.toSeq)
+      // appending a version leaves earlier links untouched
+      VersionedTable.commit(spark, root)(cur => cur.filter(col("k") =!= 2L))
+      val l2 = VersionedTable.lineage(spark, root, h).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(l2.take(2).toSeq === l1.toSeq)
+      assert(l2.length === 3)
+      // tampering with a HISTORICAL version breaks its link and every
+      // later one (rewrite v1's data dir behind the protocol's back)
+      val v1 = new org.apache.hadoop.fs.Path(root, "v1")
+      fs.delete(v1, true)
+      Seq((1L, 99L), (2L, 20L)).toDF("k", "v")
+        .write.parquet(v1.toString)
+      val l3 = VersionedTable.lineage(spark, root, h).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(l3(0)._2 !== l2(0)._2, "v1 tamper must break link 1")
+      assert(l3(2)._2 !== l2(2)._2, "v1 tamper must break the final link")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true): Unit
+    }
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

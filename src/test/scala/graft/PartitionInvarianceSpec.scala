@@ -137,7 +137,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // sampled-group bootstrap envelope; CM inner-product min over rows
     "q278_approx_groupby", "q279_join_size_estimate",
     // synchronous LPA rounds (argmax windows must be layout-blind)
-    "q280_communities")
+    "q280_communities",
+    // md5 bucket loads; decimal content sums under any partitioning
+    "q281_skew_forecast", "q282_lineage_chain")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
