@@ -987,6 +987,28 @@ object Curation {
       .select(col("n_points"), col("sy").as("checksum"), col("slope_micro"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998, the consistent-routing primitive: each key goes to
+    * the node maximizing md5(node:key), so when a node joins or leaves
+    * ONLY the keys whose argmax changes move (expected 1/(n+1) of them on
+    * a join — minimal disruption, no ring metadata, pure per-row
+    * arithmetic). Ties break to the larger node name (the max-struct
+    * order), deterministically. `nodes` is the cluster membership — a
+    * literal list, so assignment is |nodes| md5s per row inside one
+    * codegen'd expression: zero shuffle, scan speed, restatable by any
+    * engine with md5. Returns df plus the `node` column. */
+  def rendezvousAssign(df: DataFrame, key: Column,
+      nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "rendezvousAssign: nodes must be non-empty and distinct")
+    val weighted = array(nodes.map(n => struct(
+      conv(substring(md5(concat_ws(":", lit(n), key.cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"),
+      lit(n).as("node"))): _*)
+    df.withColumn("node",
+      element_at(array_sort(weighted), nodes.size).getField("node"))
+  }
+
   /** Balanced output-shard assignment by snake (boustrophedon) ordering:
     * rows rank globally by (weight desc, id), round g = ⌊(rank−1)/N⌋ deals
     * one row to each of the N shards, and odd rounds reverse direction —

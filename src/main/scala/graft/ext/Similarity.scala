@@ -344,6 +344,43 @@ object Similarity {
     if (emb.count() <= smallCorpusMax) knnLabelVote(emb, emb, k)
     else cellKnnLabelVote(emb, k)
 
+  /** Pairwise cosine similarity between GROUP CENTROIDS (per-source mean
+    * embeddings) — "which sources say the same things", the semantic
+    * complement of the gram-overlap matrix (q139/q156's graph measures
+    * shared SURFACE text; this measures shared direction even with
+    * disjoint vocabulary). Cosine is scale-invariant, so the centroid
+    * never divides: cos(Σa/na, Σb/nb) = cos(Σa, Σb), and the per-group
+    * SUM vector (exact integer, floor-quantized inputs) is the whole
+    * state. Moments accumulate in DECIMAL (sum-vector components reach
+    * quant · rows; their products pass Long by construction), the final
+    * cosine is one IEEE sqrt+divide rounded to 5 — the engine's standard
+    * cross-engine float discipline. Returns (ga, gb, cos) for ga < gb.
+    *
+    * 100 TB shape: one (group, dim) aggregation (map-side combined — the
+    * shuffle carries |groups|·dim longs, never vectors), then a
+    * dim-keyed self-join of the |groups|·dim sum table: everything after
+    * the first pass is groups²-bounded. */
+  def groupCentroidSimilarity(df: DataFrame, group: Column,
+      embedding: Column, quant: Double = 1e6): DataFrame = {
+    val sums = df.select(group.as("g"),
+        posexplode(transform(toDouble(embedding),
+          x => floor(x * quant).cast("long"))).as(Seq("d", "v")))
+      .groupBy(col("g"), col("d")).agg(sum(col("v")).as("sv"))
+    val pairs = sums.as("a").join(sums.as("b"),
+        col("a.d") === col("b.d") && col("a.g") <= col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(sum(expr("CAST(a.sv AS DECIMAL(38,0)) * b.sv")).as("dot"))
+    val norms = pairs.filter(col("ga") === col("gb"))
+      .select(col("ga").as("g"), col("dot").as("nsq"))
+    pairs.filter(col("ga") =!= col("gb"))
+      .join(norms.toDF("ga", "na"), Seq("ga"))
+      .join(norms.toDF("gb", "nb"), Seq("gb"))
+      .select(col("ga"), col("gb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          5).as("cos"))
+  }
+
   /** Classifier-calibration audit: expected calibration error (ECE —
     * Naeini et al. 2015; Guo et al. 2017) of a centroid classifier over the
     * embedding corpus. The classifier is k-means-trained ([[lloydCentroidsQ]],

@@ -1381,6 +1381,34 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q283_rendezvous_shards" -> ((s, dir) => {
+      // Consistent shard routing: HRW assignment of documents to 8 nodes,
+      // re-assigned under 9 — per node, how many keys it holds and how
+      // many MOVE when the cluster grows (expected ~1/9: rendezvous
+      // hashing's minimal-disruption property, measured not assumed).
+      val n8 = (0 until 8).map(i => s"n$i")
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val a8 = Curation.rendezvousAssign(docs, col("doc_id"), n8)
+        .withColumnRenamed("node", "node8")
+      val a9 = Curation.rendezvousAssign(docs, col("doc_id"), n8 :+ "n8")
+        .withColumnRenamed("node", "node9")
+      a8.join(a9, Seq("doc_id"))
+        .groupBy(col("node8").as("node"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("node9") =!= col("node8"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("node"))
+    }),
+    "q284_source_centroids" -> ((s, dir) => {
+      // Semantic source-similarity matrix: cosine between per-label mean
+      // embeddings (centroid never divides — cosine is scale-invariant,
+      // so the integer SUM vectors are the whole state). The complement
+      // of the q139 surface-overlap matrix for mixture design.
+      Similarity.groupCentroidSimilarity(t(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .orderBy(col("ga"), col("gb"))
+    }),
     "q278_approx_groupby" -> ((s, dir) => {
       // Approximate GROUP BY with error bars (the AQP shape): per-flag
       // mean quantity from a deterministic 10% sample with a 16-replicate
@@ -4510,6 +4538,52 @@ object PipelineOps {
         |SELECT version, n AS n_rows, cs AS checksum, h AS chain_hash
         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
         |      UNION ALL SELECT * FROM c3) ORDER BY version""".stripMargin,
+    "q283_rendezvous_shards" ->
+      """WITH n8 AS (SELECT unnest(['n0','n1','n2','n3','n4','n5','n6','n7'])
+        |    AS node),
+        |n9 AS (SELECT node FROM n8 UNION ALL SELECT 'n8'),
+        |w8 AS (SELECT d.doc_id, n.node, (list_reduce(list_transform(
+        |    string_split(md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)),
+        |      '')[1:15],
+        |    c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |              ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v)) AS h
+        |  FROM documents d CROSS JOIN n8 n),
+        |a8 AS (SELECT doc_id, node FROM (SELECT doc_id, node,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC)
+        |      AS rn FROM w8) WHERE rn = 1),
+        |w9 AS (SELECT d.doc_id, n.node, (list_reduce(list_transform(
+        |    string_split(md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)),
+        |      '')[1:15],
+        |    c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |              ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v)) AS h
+        |  FROM documents d CROSS JOIN n9 n),
+        |a9 AS (SELECT doc_id, node FROM (SELECT doc_id, node,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC)
+        |      AS rn FROM w9) WHERE rn = 1)
+        |SELECT a8.node, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a9.node != a8.node THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  CAST(sum(a8.doc_id) AS BIGINT) AS checksum
+        |FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+        |GROUP BY a8.node ORDER BY a8.node""".stripMargin,
+    "q284_source_centroids" ->
+      """WITH q AS (SELECT label AS g, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT g, dd.i AS d, CAST(sum(qv[dd.i]) AS BIGINT) AS sv
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dd
+        |  GROUP BY g, dd.i),
+        |p AS (SELECT a.g AS ga, b.g AS gb,
+        |    sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot
+        |  FROM s a JOIN s b ON a.d = b.d AND a.g <= b.g GROUP BY 1, 2),
+        |nrm AS (SELECT ga AS g, dot AS nsq FROM p WHERE ga = gb)
+        |SELECT p.ga, p.gb, round(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),
+        |  5) AS cos
+        |FROM p JOIN nrm na ON na.g = p.ga JOIN nrm nb ON nb.g = p.gb
+        |WHERE p.ga != p.gb ORDER BY p.ga, p.gb""".stripMargin,
     "q278_approx_groupby" ->
       (s"""WITH base AS (SELECT l_returnflag AS g,
           |    CAST(l_orderkey AS VARCHAR) || '_' ||

@@ -2730,6 +2730,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvousAssign: adding a node moves keys ONLY to the new node, ~1/(n+1) of them") {
+    import graft.ext.Curation
+    val keys = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val n8 = (0 until 8).map(i => s"n$i")
+    val a8 = Curation.rendezvousAssign(keys, col("k"), n8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a9 = Curation.rendezvousAssign(keys, col("k"), n8 :+ "n8")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // HRW's defining property: a key's argmax changes only if the NEW
+    // node wins it — no key ever moves between surviving nodes
+    val moved = (1L to 2000L).filter(k => a8(k) != a9(k))
+    assert(moved.forall(k => a9(k) == "n8"),
+      "a key moved between surviving nodes — not rendezvous hashing")
+    // expected 1/9 of keys move; allow generous hash-noise tolerance
+    assert(moved.size > 2000 / 9 / 2 && moved.size < 2000 * 2 / 9,
+      s"moved ${moved.size} of 2000 — expected ~${2000 / 9}")
+    // every original node keeps a nonempty share (8 nodes, 2000 keys)
+    assert(a8.values.toSet.size === 8)
+  }
+
+  test("groupCentroidSimilarity: parallel groups read 1, orthogonal 0, scale-invariant") {
+    import graft.ext.Similarity
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("a", Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      ("b", Array(10.0f, 0.0f, 0.0f, 0.0f)),  // parallel to a, 10x scale
+      ("c", Array(0.0f, 3.0f, 0.0f, 0.0f)),   // orthogonal
+      ("d", Array(1.0f, 1.0f, 0.0f, 0.0f))    // 45 degrees off a
+    ).toDF("g", "embedding")
+    val out = Similarity.groupCentroidSimilarity(df, col("g"), col("embedding"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("a", "b")) === 1.0)
+    assert(out(("a", "c")) === 0.0)
+    assert(math.abs(out(("a", "d")) - math.sqrt(0.5)) < 1e-4)
+    assert(out.size === 6) // all unordered pairs of the 4 groups
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

@@ -139,7 +139,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // synchronous LPA rounds (argmax windows must be layout-blind)
     "q280_communities",
     // md5 bucket loads; decimal content sums under any partitioning
-    "q281_skew_forecast", "q282_lineage_chain")
+    "q281_skew_forecast", "q282_lineage_chain",
+    // per-row argmax routing; (group, dim) decimal sum vectors
+    "q283_rendezvous_shards", "q284_source_centroids")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
