@@ -987,6 +987,39 @@ object Curation {
       .select(col("n_points"), col("sy").as("checksum"), col("slope_micro"))
   }
 
+  /** Leave-one-out source influence — the cheap end of the data-valuation
+    * spectrum (the leave-one-out baseline Shapley methods are measured
+    * against, Ghorbani & Zou 2019 framing): per source, how far the
+    * corpus mean of a metric MOVES if that source were dropped,
+    * influence = mean(all) − mean(all∖s) = (sum_s·N − S·n_s)/(N·(N−n_s))
+    * — a CLOSED FORM over per-source sums: one aggregation pass values
+    * every source simultaneously, no re-scan per source. Positive =
+    * the source pulls the corpus mean UP (dropping it would hurt).
+    * Exact integer micro-units (metric must be integer micro upstream);
+    * a source that IS the whole corpus reads NULL (undefined). Returns
+    * (source, n_docs, mean_micro, influence_micro). */
+  def sourceInfluence(docs: DataFrame, source: Column,
+      metricMicro: Column): DataFrame = {
+    val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    val per = docs.select(source.as("source"),
+        metricMicro.cast("long").as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("m")).as("s_s"))
+    val tot = per.agg(sum(col("n_s")).as("N"), sum(col("s_s")).as("S"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("num", expr(
+        "CAST(s_s AS DECIMAL(38,0)) * N - CAST(S AS DECIMAL(38,0)) * n_s"))
+      .withColumn("den", expr("CAST(N AS DECIMAL(38,0)) * (N - n_s)"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        when(col("s_s") >= 0, idiv(col("s_s"), col("n_s")))
+          .otherwise(-idiv(-col("s_s"), col("n_s"))).as("mean_micro"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CASE WHEN num >= 0 THEN num DIV den
+              |ELSE -((-num) DIV den) END AS BIGINT)""".stripMargin))
+          .as("influence_micro"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — Thaler &
     * Ravishankar 1998, the consistent-routing primitive: each key goes to
     * the node maximizing md5(node:key), so when a node joins or leaves

@@ -1381,6 +1381,17 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q285_source_influence" -> ((s, dir) => {
+      // Data valuation, leave-one-out form: per source, how far the
+      // corpus quality mean moves if the source were dropped — a closed
+      // form over per-source sums (one pass values every source; no
+      // per-source re-scan), the prioritization number for pruning or
+      // up-weighting sources before a mixture re-design.
+      val docs = t(s, dir, "documents")
+      Curation.sourceInfluence(docs, col("source"),
+          floor(TA.qualityScore(col("text")) * 1000000).cast("long"))
+        .orderBy(col("source"))
+    }),
     "q283_rendezvous_shards" -> ((s, dir) => {
       // Consistent shard routing: HRW assignment of documents to 8 nodes,
       // re-assigned under 9 — per node, how many keys it holds and how
@@ -4538,6 +4549,36 @@ object PipelineOps {
         |SELECT version, n AS n_rows, cs AS checksum, h AS chain_hash
         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
         |      UNION ALL SELECT * FROM c3) ORDER BY version""".stripMargin,
+    "q285_source_influence" ->
+      (s"""WITH b AS (SELECT source,
+          |    CAST(floor(round(
+          |      0.5 * round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+          |        'g')) AS DOUBLE) / greatest(length(text), 1), 6)
+          |      + 0.3 * least(round(CAST(len(list_filter(
+          |          string_split_regex(trim(text), '\\s+'),
+          |          t -> list_contains($stopList, t))) AS DOUBLE)
+          |        / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+          |        6) * 3, 1.0)
+          |      + 0.2 * least(round(CAST(length(regexp_replace(text, '\\s+',
+          |          '', 'g')) AS DOUBLE)
+          |        / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+          |        6) / 8, 1.0), 6) * 1000000) AS BIGINT) AS m
+          |  FROM documents),
+          |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+          |    CAST(sum(m) AS BIGINT) AS s_s FROM b GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS N,
+          |    CAST(sum(s_s) AS BIGINT) AS S FROM per)
+          |SELECT source, n_s AS n_docs,
+          |  CAST(CASE WHEN s_s >= 0 THEN s_s // n_s
+          |    ELSE -((-s_s) // n_s) END AS BIGINT) AS mean_micro,
+          |  CAST(CASE WHEN N = n_s THEN NULL
+          |    WHEN (CAST(s_s AS HUGEINT) * N - CAST(S AS HUGEINT) * n_s) >= 0
+          |      THEN (CAST(s_s AS HUGEINT) * N - CAST(S AS HUGEINT) * n_s)
+          |        // (CAST(N AS HUGEINT) * (N - n_s))
+          |    ELSE -((CAST(S AS HUGEINT) * n_s - CAST(s_s AS HUGEINT) * N)
+          |        // (CAST(N AS HUGEINT) * (N - n_s)))
+          |    END AS BIGINT) AS influence_micro
+          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
     "q283_rendezvous_shards" ->
       """WITH n8 AS (SELECT unnest(['n0','n1','n2','n3','n4','n5','n6','n7'])
         |    AS node),

@@ -2768,6 +2768,34 @@ class ExtSpec extends AnyFunSuite {
     assert(out.size === 6) // all unordered pairs of the 4 groups
   }
 
+  test("sourceInfluence: closed form equals a literal leave-one-out recompute; signs and NULL edge hold") {
+    import graft.ext.Curation
+    // sources: a = {10, 20}, b = {40}, c = {30, 60, 80}
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L), ("c", 30L),
+      ("c", 60L), ("c", 80L)).toDF("source", "m")
+    val out = Curation.sourceInfluence(df, col("source"), col("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // literal recompute: influence = floor-div((sum_s*N - S*n_s), N*(N-n_s))
+    val data = Map("a" -> Seq(10L, 20L), "b" -> Seq(40L),
+      "c" -> Seq(30L, 60L, 80L))
+    val N = 6L; val S = data.values.flatten.sum
+    data.foreach { case (src, vs) =>
+      val num = vs.sum * N - S * vs.length
+      val den = N * (N - vs.length)
+      val expect = if (num >= 0) num / den else -((-num) / den)
+      assert(out(src)._3 === expect, src)
+      assert(out(src)._2 === vs.sum / vs.length, src)
+    }
+    // below-average sources pull DOWN (negative), above-average UP
+    assert(out("a")._3 < 0 && out("c")._3 > 0)
+    // a source that IS the corpus has undefined influence
+    val solo = Curation.sourceInfluence(
+      Seq(("only", 5L)).toDF("source", "m"), col("source"), col("m"))
+      .collect()(0)
+    assert(solo.isNullAt(3))
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

@@ -141,7 +141,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // md5 bucket loads; decimal content sums under any partitioning
     "q281_skew_forecast", "q282_lineage_chain",
     // per-row argmax routing; (group, dim) decimal sum vectors
-    "q283_rendezvous_shards", "q284_source_centroids")
+    "q283_rendezvous_shards", "q284_source_centroids",
+    // closed-form leave-one-out deltas over per-source sums
+    "q285_source_influence")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
