@@ -1381,6 +1381,28 @@ object PipelineOps {
         rm(tmpRoot.toFile)
       }
     }),
+    "q286_column_diff" -> ((s, dir) => {
+      // Column-level change attribution: a simulated migration drops
+      // every 17th doc, adds 20 new ones, rewrites text for every 5th
+      // and lang for every 9th — the audit must charge each column
+      // exactly its own churn (the "one-field migration rewrote three"
+      // detector).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val migrated = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 9 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"),
+          col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("lang"), col("n_chars")))
+      graft.tables.Snapshots.columnDiff(docs, migrated, "doc_id",
+          Seq("text", "lang", "n_chars"))
+        .orderBy(col("column"))
+    }),
     "q285_source_influence" -> ((s, dir) => {
       // Data valuation, leave-one-out form: per source, how far the
       // corpus quality mean moves if the source were dropped — a closed
@@ -4549,6 +4571,45 @@ object PipelineOps {
         |SELECT version, n AS n_rows, cs AS checksum, h AS chain_hash
         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
         |      UNION ALL SELECT * FROM c3) ORDER BY version""".stripMargin,
+    "q286_column_diff" ->
+      """WITH o AS (SELECT doc_id, text, lang, n_chars FROM documents),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, n_chars FROM documents
+        |  WHERE doc_id < 20),
+        |j AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+        |    o.text AS ot, n.text AS nt, o.lang AS ol, n.lang AS nl,
+        |    o.n_chars AS oc, n.n_chars AS nc
+        |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |    AND NOT (ot IS NOT DISTINCT FROM nt) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS chg_text,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |    AND NOT (ol IS NOT DISTINCT FROM nl) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS chg_lang,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |    AND NOT (oc IS NOT DISTINCT FROM nc) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS chg_n_chars
+        |  FROM j)
+        |SELECT * FROM (
+        |  SELECT 'text' AS column, chg_text AS n_changed, n_added,
+        |    n_removed, n_common FROM a
+        |  UNION ALL SELECT 'lang', chg_lang, n_added, n_removed, n_common
+        |    FROM a
+        |  UNION ALL SELECT 'n_chars', chg_n_chars, n_added, n_removed,
+        |    n_common FROM a)
+        |ORDER BY "column"""".stripMargin,
     "q285_source_influence" ->
       (s"""WITH b AS (SELECT source,
           |    CAST(floor(round(

@@ -129,6 +129,38 @@ object Snapshots {
     * either side, `status` ∈ added | removed | changed | unchanged. The
     * "what moved since the last run" report that decides an incremental
     * re-train; one full-outer shuffle on the key. */
+  /** Column-level change attribution between two snapshots sharing a key
+    * — the question row-status diffs can't answer: WHICH columns drive
+    * the churn (a migration that was supposed to touch one field but
+    * rewrote three shows up here, not in a row count). One NULL-safe
+    * full-outer join, then |columns| conditional sums over the common
+    * keys; returns one row per compared column
+    * (column, n_changed, n_added, n_removed, n_common) with the row
+    * ledger repeated on each row so a single result reads complete. */
+  def columnDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnDiff: no columns to compare")
+    val o = oldSnap.select(
+      (col(key).as("k") +: (lit(1L).as("o_in") +:
+        cols.map(c => col(c).as(s"o_$c")))): _*)
+    val n = newSnap.select(
+      (col(key).as("k") +: (lit(1L).as("n_in") +:
+        cols.map(c => col(c).as(s"n_$c")))): _*)
+    val j = o.join(n, Seq("k"), "full_outer")
+    val common = col("o_in").isNotNull && col("n_in").isNotNull
+    val aggs =
+      Seq(sum(when(col("o_in").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("n_in").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(common, 1L).otherwise(0L)).as("n_common")) ++
+      cols.map(c => sum(when(common && !(col(s"o_$c") <=> col(s"n_$c")),
+        1L).otherwise(0L)).as(s"chg_$c"))
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    cols.map(c => one.select(lit(c).as("column"),
+        col(s"chg_$c").as("n_changed"), col("n_added"), col("n_removed"),
+        col("n_common")))
+      .reduce(_ unionByName _)
+  }
+
   def diffByFingerprint(oldSnap: DataFrame, newSnap: DataFrame,
       key: String, fp: Column): DataFrame = {
     val o = oldSnap.select(col(key).as("k"), fp.as("old_fp"))

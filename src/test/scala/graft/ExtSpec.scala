@@ -2796,6 +2796,22 @@ class ExtSpec extends AnyFunSuite {
     assert(solo.isNullAt(3))
   }
 
+  test("columnDiff: each column charged exactly its own churn; NULL-safe; add/remove ledger") {
+    import graft.tables.Snapshots
+    val oldS = Seq((1L, "a", Some(10L)), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L))).toDF("k", "t", "v")
+    val newS = Seq((1L, "a", Some(10L)),        // unchanged
+      (2L, "b", Some(99L)),                      // v: NULL -> 99 (changed)
+      (3L, "C", Some(30L)),                      // t changed
+      (5L, "e", None)                            // added; 4 removed
+    ).toDF("k", "t", "v")
+    val out = Snapshots.columnDiff(oldS, newS, "k", Seq("t", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("t") === ((1L, 1L, 1L, 3L)))
+    assert(out("v") === ((1L, 1L, 1L, 3L)))
+  }
+
   test("log2Bucket: binary-string length buckets exact at the power boundaries") {
     val df = Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 0L, -5L).map(Tuple1(_))
       .toDF("n")

@@ -143,7 +143,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // per-row argmax routing; (group, dim) decimal sum vectors
     "q283_rendezvous_shards", "q284_source_centroids",
     // closed-form leave-one-out deltas over per-source sums
-    "q285_source_influence")
+    "q285_source_influence",
+    // full-outer column attribution sums
+    "q286_column_diff")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
