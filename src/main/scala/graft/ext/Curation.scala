@@ -40,23 +40,34 @@ object Curation {
   }
 
   /** Per-stratum percentile gate — "keep each language's top (1−p)
-    * quality quantile": compute the p-quantile of `score` per stratum, keep
-    * rows at or above their stratum's threshold. The threshold table is
-    * stratum-sized → broadcast back; the gate itself is a scan-speed
-    * filter, so the only data-sized work is ONE aggregation. Exact
-    * `percentile` buffers a group's values (the oracle-exact choice — its
-    * linear interpolation matches DuckDB `quantile_cont` bit-for-bit on
-    * round(6) scores, proven by q55); at 100 TB swap `approx_percentile`
-    * (t-digest, mergeable partials) into the same shape. Output = input
-    * columns + `q` (the rounded score). */
+    * quality quantile": keep exactly the rows whose `cume_dist` within
+    * their stratum reaches p — the ANSI `percentile_disc` gate (every row
+    * at or above the smallest value whose cumulative fraction ≥ p),
+    * spelled as one window so both engines compute it identically.
+    *
+    * Why not interpolated `percentile`/`quantile_cont` thresholds (the
+    * pre-round-8 form): interpolation is float arithmetic BETWEEN data
+    * values, and the two engines' algebraically-equal-but-differently-
+    * associated formulas (`lo + (hi−lo)·f` vs `lo·(1−f) + hi·f`) disagree
+    * by ulps — at sf0.1 one boundary row of q124 landed on opposite sides.
+    * `cume_dist ≥ p` never manufactures a value: the comparison is
+    * (#rows ≤ v)/n against p, and correctly-rounded division makes the
+    * k/n = p boundary exact in any IEEE engine. Semantics: admits ties at
+    * the cut value, so the kept fraction is ≥ (1−p) by up to the tie mass
+    * (same as the threshold form).
+    *
+    * Cost shape: one per-stratum sort (the exact-percentile agg buffered
+    * and sorted the same values per group); at 100 TB swap an
+    * `approx_percentile` threshold + broadcast gate into this signature.
+    * Output = input columns + `q` (the rounded score). */
   def percentileGate(df: DataFrame, stratum: Column, score: Column,
       p: Double): DataFrame = {
-    val scored = df.withColumn("__s", stratum).withColumn("q", round(score, 6))
-    val thr = scored.groupBy(col("__s"))
-      .agg(round(expr(s"percentile(q, $p)"), 6).as("__thr"))
-    scored.join(broadcast(thr), "__s")
-      .filter(col("q") >= col("__thr"))
-      .drop("__s", "__thr")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("q"))
+    df.withColumn("__s", stratum).withColumn("q", round(score, 6))
+      .withColumn("__cd", cume_dist().over(w))
+      .filter(col("__cd") >= p)
+      .drop("__s", "__cd")
   }
 
   /** Document frequency per token: how many documents contain each distinct

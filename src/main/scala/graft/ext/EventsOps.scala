@@ -311,7 +311,7 @@ object EventsOps {
       details: DataFrame, dKey: Column, dAmount: Column,
       tolerance: Double = 0.01): DataFrame = {
     val lines = details.groupBy(dKey.as("k"))
-      .agg(round(graft.functions.Stable.sumD(dAmount), 2).as("l_total"))
+      .agg(graft.functions.Stable.sumDR(dAmount, 2).as("l_total"))
     headers.select(hKey.as("k"), hTotal.as("h_total"))
       .join(lines, Seq("k"), "left")
       .select(col("k"), col("h_total"), col("l_total"),
@@ -323,8 +323,8 @@ object EventsOps {
         sum((col("diff") <= tolerance).cast("long")).as("n_matched"),
         sum((col("diff") > tolerance).cast("long")).as("n_mismatched"),
         round(coalesce(max(col("diff")), lit(0.0)), 2).as("max_diff"),
-        round(graft.functions.Stable.sumD(coalesce(col("diff"), lit(0.0))),
-          2).as("sum_diff"))
+        graft.functions.Stable.sumDR(coalesce(col("diff"), lit(0.0)), 2)
+          .as("sum_diff"))
   }
 
   /** Association rules over consecutive event transitions (the

@@ -637,8 +637,10 @@ object Similarity {
 
   /** Deterministic-plane multi-table LSH ANN — the oracle-expressible twin
     * of [[lshTopK]] (q49, whose seeded hyperplanes are engine-internal).
-    * Plane weights come from a public integer formula,
-    * `w(t,p,d) = (((t·P+p)·dim + d) · 2654435761) % 131071 − 65535`, and
+    * Plane weights come from a public integer formula
+    * (`s = (((t·P+p)·dim + d) · 2654435761) % 131071; w = s² % 131071 −
+    * 65535` — see [[graft.functions.LshKeysDeterministic]] for why the
+    * square is load-bearing), and
     * projections run in exact integer arithmetic over `floor(1e6·x)`
     * quantized embeddings — bucket assignment, and therefore the candidate
     * set, re-rank and output, is bit-identical in any engine (q103's DuckDB
@@ -1561,6 +1563,51 @@ object Similarity {
     cand
       .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
       .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+      .filter(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
+
+  /** Deterministic-plane near-dup pairs — the oracle-expressible twin of
+    * [[embeddingNearDupPairs]], the same relationship
+    * [[lshTopKDeterministic]] has to [[lshTopK]]: plane weights from the
+    * public integer formula, projections in exact integer arithmetic over
+    * `floor(1e6·x)` quantized embeddings, so the candidate set — and with
+    * it the emitted pair set — is bit-identical in ANY engine at ANY
+    * corpus size (q50's DuckDB oracle restates the whole operator; the
+    * pre-round-8 exact-all-pairs oracle was only valid while measured
+    * recall stayed 1.0, which held at sf0.01 and broke at sf0.1).
+    *
+    * Same asymmetric shape as production: base keys on one side, base +
+    * radius-1 flips on the other, (v1 < v2) candidates meet in one packed
+    * bucket equi-join carrying only id/bucket longs, embeddings rejoin
+    * once on the deduplicated pairs, exact cosine decides. Measured recall
+    * vs the exact twin at threshold 0.45: 1.000 at every test scale
+    * (sf0.001/0.01/0.1 — DetPlaneSim grid; ExtSpec pins a 0.95 floor).
+    * planes=6 is deliberately LOOSER than production's auto rule: 0.45
+    * cosine is a wide net (a plane splits such a pair with p≈0.35), so
+    * radius-1 blind flips need coarse buckets where the production
+    * kernel's margin-directed probes can afford tight ones. Fixed default
+    * geometry (the oracle is a static string); at production scale this
+    * twin's pair volume grows superlinearly — hand the job to
+    * [[embeddingNearDupPairs]] (auto-scaled planes, margin probes). */
+  def neardupPairsDeterministic(emb: DataFrame, threshold: Double,
+      planes: Int = 6, tables: Int = 16, dim: Int = 64): DataFrame = {
+    import graft.functions.LshExpressions.lshKeysDeterministic
+    val probe = emb.select(col("vec_id"),
+      explode(lshKeysDeterministic(col("embedding"), planes, tables, dim,
+        flips = true)).as("bkt"))
+    val base = emb.select(col("vec_id"),
+      explode(lshKeysDeterministic(col("embedding"), planes, tables, dim,
+        flips = false)).as("bkt"))
+    val cand = probe.alias("a").join(base.alias("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .dropDuplicates("v1", "v2")
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
       .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
       .filter(col("sim") >= threshold)
       .select(col("v1"), col("v2"), col("sim"))

@@ -219,9 +219,18 @@ object LshKernel {
 /** Deterministic-integer LSH keys — the oracle-expressible twin of
   * [[LshKeys]] (q103; see [[graft.ext.Similarity.lshTopKDeterministic]]).
   * Plane weights come from the public integer formula
-  * `w(t,p,d) = (((t·planes+p)·dim + d) · 2654435761) % 131071 − 65535` and
-  * projections run in exact integer arithmetic over `floor(1e6·x)` quantized
-  * components, so bucket assignment is bit-identical in any engine. Keys
+  * `s(i) = (i · 2654435761) % 131071; w(i) = s(i)² % 131071 − 65535` over
+  * the flattened index `i = (t·planes+p)·dim + d`, and projections run in
+  * exact integer arithmetic over `floor(1e6·x)` quantized components, so
+  * bucket assignment is bit-identical in any engine. The SQUARE matters:
+  * the round-7 formula stopped at the linear `s(i)`, making corresponding
+  * weights of any two tables differ by one constant (mod the prime) — the
+  * tables were affinely related, so multi-table recall barely improved on
+  * one table (q50's deterministic twin measured 0.14 where independent
+  * tables predict ~0.9). Squaring mod the prime breaks the affine relation
+  * (quadratic residues), and measured recall matches the independence
+  * prediction (DetPlaneSim: near-dup recall 1.000 at planes=6/tables=16 at
+  * every test scale, vs 0.43–0.67 linear). Keys
   * pack as `(table << 20) | bucket`. `flips = false` emits one key per
   * table (corpus side); `flips = true` adds every radius-1 bit flip
   * (query side, `planes + 1` keys per table — blind flips, not
@@ -254,7 +263,11 @@ case class LshKeysDeterministic(child: Expression, planes: Int, tables: Int,
   @transient private lazy val flat: Array[Long] = {
     val a = new Array[Long](tables * planes * dim)
     var i = 0
-    while (i < a.length) { a(i) = (i * 2654435761L) % 131071L - 65535L; i += 1 }
+    while (i < a.length) {
+      val s = (i * 2654435761L) % 131071L
+      a(i) = (s * s) % 131071L - 65535L // s² < 1.8e10 — no overflow
+      i += 1
+    }
     a
   }
 

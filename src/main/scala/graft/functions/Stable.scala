@@ -28,4 +28,16 @@ object Stable {
 
   /** Order-independent average (null-skipping, like `avg`). */
   def avgD(c: Column): Column = sumD(c) / count(c)
+
+  /** Order-independent sum ROUNDED WHILE STILL DECIMAL, then cast to
+    * double. `round(sumD(x), n)` re-rounds on a double, and a sum landing
+    * on a half-at-scale-n boundary (…xx5 exactly, in decimal) rounds
+    * differently once the binary cast nudges it a ulp below — one sf0.1
+    * order total crossed engines that way (q268). Rounding the exact
+    * decimal sum first makes the boundary case exact in both engines;
+    * the final double carries an already-rounded value, which every IEEE
+    * engine renders identically. Oracle form:
+    * `CAST(round(sum(CAST(x AS DECIMAL(30,10))), n) AS DOUBLE)`. */
+  def sumDR(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(30,10)")), scale).cast("double")
 }

@@ -219,15 +219,18 @@ object PipelineOps {
         .orderBy(col("q_id"), col("rnk"))
     }),
     "q50_embedding_neardup" -> ((s, dir) => {
-      // Embedding near-dup pairs via multi-table multiprobe hyperplane-LSH
-      // blocking, exact-cosine verified. At the driver's oracle scales the
-      // emitted set EQUALS the exact all-pairs answer (measured recall
-      // 1.000 at sf0.001 and sf0.01, a constant under the seeded
-      // hyperplanes; ExtSpec asserts the equality) — so q51's exact oracle
-      // applies verbatim. At sf0.1 recall is 0.993 (one pair at sim 0.456;
-      // documented in PERFNOTES.md): the operator stays approximate by
-      // nature, the oracle claim is scoped to the verify scale.
-      Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+      // Embedding near-dup pairs via deterministic-plane LSH blocking
+      // (public integer formula, radius-1 multiprobe), exact-cosine
+      // verified — the oracle restates the ENTIRE operator (buckets,
+      // probes, candidates, cosines), so engine and oracle agree
+      // bit-for-bit at every verify scale. The pre-round-8 entry used the
+      // seeded-hyperplane production kernel with q51's exact oracle — a
+      // claim valid only while recall measured 1.0, which broke at sf0.1
+      // (one pair at sim 0.456). The margin-directed production kernel
+      // (embeddingNearDupPairs, auto-scaled planes) remains the 100 TB
+      // path, spec-covered with a recall floor in ExtSpec.
+      Similarity.neardupPairsDeterministic(t(s, dir, "embeddings"),
+          threshold = 0.45)
         .orderBy(col("v1"), col("v2"))
     }),
     "q51_embedding_neardup_exact" -> ((s, dir) => {
@@ -2973,9 +2976,9 @@ object PipelineOps {
       // cluster. Per-cell rollup of survivors; the oracle replays the
       // Lloyd chain, the in-cell pair cosines, and the keep rule.
       // nClusters = 0 → semDedupClustersFor scales k with the corpus
-      // (k = ceil(n/64) floored at 8); at the sf0.01 gate (500 vectors)
-      // the rule returns exactly 8, which is what the oracle's kmeansCtes
-      // replay bakes — the formula and the oracle agree for any n ≤ 512.
+      // (k = ceil(n/64) floored at 8), and the oracle recomputes the SAME
+      // rule from count(*) (semDedupK scalar subquery) — one static SQL
+      // string, correct at every verify scale.
       Similarity.semDedup(t(s, dir, "embeddings"), nClusters = 0,
           iters = 2, minCos = 0.45)
         .groupBy(col("cell"))
@@ -3245,7 +3248,20 @@ object PipelineOps {
     * centroid CTE `c{iters}`. `(s - ((s % cnt + cnt) % cnt)) / cnt` is floor
     * division spelled portably (nonneg mod works under both truncating and
     * flooring `%`). */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  /** [[kmeansCtes]] with the cluster count as a SQL EXPRESSION instead of
+    * a literal — the oracle-side mirror of [[graft.ext.Similarity
+    * .semDedupClustersFor]]-auto geometry. k appears in exactly one place
+    * (the c0 seed cut), so a scalar subquery recomputing the rule from
+    * `count(*)` makes one static oracle string correct at EVERY verify
+    * scale (a baked `8` was right at sf0.01's 500 vectors and wrong at
+    * sf0.1's 2000 — the round-8 finding). */
+  private def semDedupK: String =
+    "(SELECT least(65536, greatest(8, (count(*) + 63) // 64)) FROM embeddings)"
+
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansCtesE(k.toString, iters, dim)
+
+  private def kmeansCtesE(k: String, iters: Int, dim: Int): String = {
     def update(i: Int, cPrev: String): String =
       s"""s$i AS (
          |  SELECT cell, ii.i AS pos, sum(qv[ii.i]) AS s, count(*) AS cnt
@@ -3319,13 +3335,14 @@ object PipelineOps {
     "q124_embedding_outliers" ->
       s"""WITH ${kmeansCtes(8, 2, 64)},
          |${kmeansAssign(3, "c2", 64)},
-         |thr AS (SELECT cell, round(quantile_cont(dist, 0.95), 6) AS t
-         |        FROM a3 GROUP BY cell)
-         |SELECT s.cell, CAST(count(*) AS BIGINT) AS n_out,
-         |  CAST(min(s.dist) AS BIGINT) AS min_dist,
-         |  CAST(sum(s.vec_id) AS BIGINT) AS checksum
-         |FROM a3 s JOIN thr ON s.cell = thr.cell AND s.dist >= thr.t
-         |GROUP BY s.cell ORDER BY s.cell""".stripMargin,
+         |cd AS (SELECT vec_id, cell, dist,
+         |    cume_dist() OVER (PARTITION BY cell ORDER BY dist) AS cd
+         |  FROM a3)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_out,
+         |  CAST(min(dist) AS BIGINT) AS min_dist,
+         |  CAST(sum(vec_id) AS BIGINT) AS checksum
+         |FROM cd WHERE cd >= 0.95
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_rows,
@@ -4401,8 +4418,8 @@ object PipelineOps {
           |ORDER BY own_label, voted_label""".stripMargin),
     "q268_order_reconcile" ->
       """WITH l AS (SELECT l_orderkey AS k,
-        |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |      AS DECIMAL(30,10))) AS DOUBLE), 2) AS l_total
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      AS DECIMAL(30,10))), 2) AS DOUBLE) AS l_total
         |  FROM lineitem GROUP BY l_orderkey),
         |j AS (SELECT o.o_orderkey AS k, o.o_totalprice AS h_total, l.l_total,
         |    CASE WHEN l.l_total IS NULL THEN NULL
@@ -4416,8 +4433,8 @@ object PipelineOps {
         |  CAST(sum(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_mismatched,
         |  round(coalesce(max(diff), 0), 2) AS max_diff,
-        |  round(CAST(sum(CAST(coalesce(diff, 0) AS DECIMAL(30,10)))
-        |    AS DOUBLE), 2) AS sum_diff
+        |  CAST(round(sum(CAST(coalesce(diff, 0) AS DECIMAL(30,10))), 2)
+        |    AS DOUBLE) AS sum_diff
         |FROM j""".stripMargin,
     "q272_script_audit" ->
       raw"""WITH d AS (SELECT lang, text ||
@@ -4800,7 +4817,7 @@ object PipelineOps {
         |    AS BIGINT) AS n_nbsp
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q271_cell_label_noise" ->
-      (s"WITH ${kmeansCtes(8, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
+      (s"WITH ${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
         """lab AS (SELECT vec_id, label FROM embeddings),
           |wc AS (SELECT a3.vec_id, a3.cell, l.label
           |  FROM a3 JOIN lab l USING (vec_id)),
@@ -5138,7 +5155,8 @@ object PipelineOps {
         |  SELECT vec_id, tt.t AS t,
         |    CAST(list_sum(list_transform(generate_series(0, 5), p ->
         |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
-        |        i -> qv[i] * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071 - 65535))) > 0
+        |        i -> qv[i] * (((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071)
+        |          * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071) % 131071 - 65535))) > 0
         |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM qe CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS t) tt),
         |ckeys AS (SELECT vec_id AS c_id, (t << 20) | bucket AS bkt FROM bt),
@@ -5179,7 +5197,8 @@ object PipelineOps {
         |  SELECT vec_id, tt.t AS t,
         |    CAST(list_sum(list_transform(generate_series(0, 5), p ->
         |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
-        |        i -> qv[i] * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071 - 65535))) > 0
+        |        i -> qv[i] * (((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071)
+        |          * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071) % 131071 - 65535))) > 0
         |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM qe CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS t) tt),
         |ckeys AS (SELECT vec_id AS c_id, (t << 20) | bucket AS bkt FROM bt),
@@ -5205,21 +5224,45 @@ object PipelineOps {
         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
         |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rnk FROM s)
         |SELECT q_id, c_id, sim, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
-    // LSH-blocked q50 equals the exact all-pairs answer at oracle scale
-    // (recall 1.000 at sf0.001/sf0.01, deterministic under seeded
-    // hyperplanes; ExtSpec pins the equality) — q51's oracle, verbatim.
+    // Full restatement of the deterministic near-dup twin (q49's pattern
+    // at planes=6/tables=16): integer plane weights from the public
+    // squared-mix formula, exact integer projections over quantized embeddings,
+    // packed (table << 20) | bucket keys, base keys vs base+radius-1
+    // probes with v1 < v2, exact-cosine verify — the oracle computes the
+    // same candidate set the engine does, at any corpus size.
     "q50_embedding_neardup" ->
-      """WITH a AS (SELECT vec_id AS v1, embedding AS e1 FROM embeddings),
-        |b AS (SELECT vec_id AS v2, embedding AS e2 FROM embeddings),
+      """WITH qe AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |bt AS (
+        |  SELECT vec_id, tt.t AS t,
+        |    CAST(list_sum(list_transform(generate_series(0, 5), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * (((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071)
+        |          * ((((tt.t * 6 + p) * 64 + i - 1) * 2654435761) % 131071) % 131071 - 65535))) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM qe CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS t) tt),
+        |base AS (SELECT vec_id, (t << 20) | bucket AS bkt FROM bt),
+        |probe AS (
+        |  SELECT vec_id, bkt FROM base
+        |  UNION
+        |  SELECT vec_id, (t << 20) | xor(bucket, CAST(1 AS BIGINT) << p)
+        |  FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) pp),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM probe a JOIN base b USING (bkt) WHERE a.vec_id < b.vec_id),
         |s AS (
         |  SELECT v1, v2, round(
         |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(e1[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE)))
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(e1[i] AS DOUBLE) * CAST(e1[i] AS DOUBLE))))
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(generate_series(1, 64),
-        |         i -> CAST(e2[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE))))), 5) AS sim
-        |  FROM a JOIN b ON v1 < v2)
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.v1
+        |            JOIN embeddings c2 ON c2.vec_id = cand.v2)
         |SELECT v1, v2, sim FROM s WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin,
     "q51_embedding_neardup_exact" ->
       """WITH a AS (SELECT vec_id AS v1, embedding AS e1 FROM embeddings),
@@ -6786,13 +6829,14 @@ object PipelineOps {
          |    + 0.2 * least(round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
          |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) / 8, 1.0), 6) AS q
          |  FROM documents),
-         |thr AS (SELECT lang, round(quantile_cont(q, 0.8), 6) AS t
-         |        FROM scored GROUP BY lang)
-         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_kept,
-         |  round(min(s.q), 6) AS min_q,
-         |  CAST(sum(s.doc_id) AS BIGINT) AS checksum
-         |FROM scored s JOIN thr ON s.lang = thr.lang AND s.q >= thr.t
-         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+         |cd AS (SELECT doc_id, lang, q,
+         |    cume_dist() OVER (PARTITION BY lang ORDER BY q) AS cd
+         |  FROM scored)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  round(min(q), 6) AS min_q,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM cd WHERE cd >= 0.8
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // earliest-first chain restated stepwise: t0 = first view, t1 = first
     // click >= t0, t2 = first purchase >= t1; window on integer micros
     "q127_funnel" ->
@@ -7262,7 +7306,7 @@ object PipelineOps {
          |GROUP BY j.lang ORDER BY j.lang""".stripMargin,
     "q158_semdedup" -> {
       val fin = 3 // iters=2 → final assignment round
-      s"""WITH ${kmeansCtes(8, 2, 64)},
+      s"""WITH ${kmeansCtesE(semDedupK, 2, 64)},
          |${kmeansAssign(fin, "c2", 64)},
          |sides AS (
          |  SELECT a.vec_id, a.cell, e.embedding,

@@ -97,6 +97,16 @@ object VersionedTable {
     writeAndMark(spark, root, transform(curDf), expectedNext = cur + 1)
   }
 
+  /** Thrown (only) when a commit loses because the target version number is
+    * already fully committed by another writer. [[commitContended]] catches
+    * this TYPE to classify the loss as contention-and-rebase; a dedicated
+    * class keeps that control flow decoupled from message wording (matching
+    * on message text also matched the pre-write marker check and would break
+    * silently on any future rewording). Extends IllegalStateException so
+    * single-writer callers that treated the old form as fatal still do. */
+  final class AlreadyCommittedException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Atomic PUT-if-absent — the primitive every claim and marker rides on.
     * Returns true iff THIS caller created the file; false iff it already
     * existed (someone else won); throws on real I/O failure. Hadoop's
@@ -137,7 +147,7 @@ object VersionedTable {
     // vacuum) is dead weight readers already skip — clear it and proceed.
     if (fs.exists(marker)) {
       if (fs.exists(new Path(data, "_SUCCESS")))
-        throw new IllegalStateException(
+        throw new AlreadyCommittedException(
           s"versioned commit: v$expectedNext at $root is already committed")
       fs.delete(marker, false)
     }
@@ -150,7 +160,7 @@ object VersionedTable {
     // atomic PUT-if-absent: a concurrent writer of the same version loses
     // here, AFTER its data write, never corrupting the log
     if (!atomicCreate(fs, marker))
-      throw new IllegalStateException(
+      throw new AlreadyCommittedException(
         s"versioned commit: v$expectedNext at $root is already committed")
     expectedNext
   }
@@ -218,8 +228,7 @@ object VersionedTable {
               // (a store whose create-if-absent is not honest), losing at
               // the marker is CONTENTION — release the claim and rebase,
               // never propagate a half-done state to the caller
-              case e: IllegalStateException
-                  if e.getMessage.contains("already committed") => ()
+              case _: AlreadyCommittedException => ()
             }
           }
           // v{next} was fully committed while we stalled before claiming:
