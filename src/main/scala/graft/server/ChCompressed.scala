@@ -105,7 +105,13 @@ object ChCompressed {
     private var pos = 0
 
     private def refill(): Boolean = {
-      val hdr = readN(in, 16)
+      // clean EOF is only legal BETWEEN frames: peek one byte first, so a
+      // drained stream yields -1 while a truncated frame stays an error
+      val first = in.read()
+      if (first < 0) return false
+      val hdr = new Array[Byte](16)
+      hdr(0) = first.toByte
+      System.arraycopy(readN(in, 15), 0, hdr, 1, 15)
       val head = readN(in, 9)
       val method = head(0) & 0xff
       val cLen = getIntLE(head, 1)
@@ -132,7 +138,7 @@ object ChCompressed {
             f"unsupported compression method 0x$other%02x (ZSTD not offered)")
       }
       pos = 0
-      buf.length > 0 || refill() // tolerate (unusual) empty frames
+      if (buf.length > 0) true else refill() // tolerate (unusual) empty frames
     }
 
     override def read(): Int = {

@@ -26,10 +26,18 @@ import graft.sql.{GraftSession, Render}
   *     is consumed;
   *   - Ping → Pong; Cancel closes; errors → Exception packet (code,
   *     name, message, stack, nested flag), connection survives;
-  *   - compression is NOT negotiated away silently: a client requesting
-  *     LZ4 gets a descriptive Exception (run clickhouse-client with
-  *     --compression 0), because half-implementing the checksummed frame
-  *     format would corrupt streams at the first large block.
+  *   - compression IS spoken: a Query packet with compression=1 gets its
+  *     result blocks in checksummed LZ4 frames ([[ChCompressed]] — the
+  *     public CityHash128-checksummed frame layout), and client Data
+  *     blocks (external-tables terminator, INSERT payloads) are read
+  *     through the same frame decoder — a stock `clickhouse-client` with
+  *     default flags works;
+  *   - Query-packet settings are decoded in the classic per-type binary
+  *     layout for the known setting names (varint-valued numerics/bools,
+  *     string-valued enums/floats); an UNKNOWN setting name cannot be
+  *     skipped safely (its value's width is unknowable), so it draws a
+  *     descriptive Exception and a clean close instead of a desynced
+  *     parse;
   *
   * Column encodings are the REAL native ones for the common types —
   * fixed-width little-endian Int8/16/32/64, Float32/64, UInt8 bools,
@@ -122,6 +130,14 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
   private val CliHello = 0L; private val CliQuery = 1L; private val CliData = 2L
   private val CliCancel = 3L; private val CliPing = 4L
 
+  /** A protocol state the parser cannot recover from mid-stream (unknown
+    * setting name, undecodable client column type): the only honest moves
+    * are a descriptive Exception packet and a CLOSE — continuing to parse
+    * at a guessed offset silently corrupts every later packet (the round-7
+    * stray-Data bug ADVICE flagged). */
+  private final class ProtocolReject(msg: String)
+    extends java.io.IOException(msg)
+
   /** Highest revision this server speaks; the classic pre-54429 layouts. */
   private val ServerRevision = 54372L
 
@@ -151,27 +167,37 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
         GraftSession.cached(spark).sql(s"USE $db")
 
       var open = true
+      // compression is negotiated per QUERY (the Query packet carries the
+      // flag); client Data blocks that follow a query use its setting
+      var compress = false
       while (open) {
-        readVarint(in) match {
+        try readVarint(in) match {
           case CliPing =>
             writeVarint(out, SrvPong); out.flush()
           case CliCancel => open = false
           case CliHello => // protocol error — one hello per connection
             open = false
           case CliQuery =>
-            val query = readQueryPacket(in, rev)
+            val (qCompress, text) = readQueryPacket(in, rev)
+            compress = qCompress
             // external-tables terminator: an empty client Data block
-            consumeClientData(in, rev)
-            query match {
-              case Left(reject) => sendException(out, reject); out.flush()
-              case Right(text) => runQuery(out, text)
-            }
+            consumeClientData(in, rev, compress)
+            runQuery(out, text, compress)
           case CliData =>
-            // stray data block (e.g. INSERT payload form) — consume, ignore
-            ()
+            // stray data block (a native-protocol INSERT payload): consume
+            // the WHOLE body — table name, BlockInfo, typed columns — so
+            // the stream stays in sync (ignoring just the packet id left
+            // the body to be misparsed as packet ids; round-7 ADVICE)
+            consumeClientDataBody(in, rev, compress)
           case other =>
             sendException(out, s"unsupported client packet $other")
             out.flush()
+        } catch {
+          case e: ProtocolReject =>
+            // parser cannot resync — say why, then close
+            sendException(out, e.getMessage)
+            out.flush()
+            open = false
         }
       }
     } catch {
@@ -181,9 +207,41 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     } finally sock.close()
   }
 
-  /** Parse a Query packet at `rev`; Left(reason) when it must be rejected
-    * (compression), Right(queryText) otherwise. */
-  private def readQueryPacket(in: InputStream, rev: Long): Either[String, String] = {
+  /** Setting names whose classic (pre-54429) binary value layout is a
+    * varint (UInt64 / bool / seconds / milliseconds settings — the common
+    * tuning knobs a client passes). String/enum/float settings serialize
+    * as strings — the short list below. A name in NEITHER set cannot be
+    * skipped (its value's width is unknowable) → [[ProtocolReject]]. */
+  private val varintSettings: Set[String] = Set(
+    "max_threads", "max_block_size", "max_insert_block_size",
+    "min_insert_block_size_rows", "min_insert_block_size_bytes",
+    "max_read_buffer_size", "max_query_size", "interactive_delay",
+    "connect_timeout", "receive_timeout", "send_timeout",
+    "max_execution_time", "max_rows_to_read", "max_bytes_to_read",
+    "max_rows_to_group_by", "max_rows_to_sort", "max_bytes_to_sort",
+    "max_result_rows", "max_result_bytes", "max_memory_usage",
+    "max_memory_usage_for_user", "min_compress_block_size",
+    "max_compress_block_size", "priority", "log_queries",
+    "log_queries_cut_to_length", "readonly", "max_rows_in_set",
+    "max_bytes_in_set", "max_rows_in_join", "max_bytes_in_join",
+    "max_rows_in_distinct", "max_bytes_in_distinct", "max_subquery_depth",
+    "max_ast_depth", "max_ast_elements", "use_uncompressed_cache",
+    "replace_running_query", "insert_deduplicate", "insert_quorum",
+    "select_sequential_consistency", "extremes", "skip_unavailable_shards",
+    "max_network_bandwidth", "max_network_bytes", "poll_interval",
+    "optimize_throw_if_noop", "max_columns_to_read",
+    "max_temporary_columns", "max_temporary_non_const_columns")
+  private val stringSettings: Set[String] = Set(
+    "load_balancing", "totals_mode", "totals_auto_threshold",
+    "default_format", "count_distinct_implementation",
+    "network_compression_method", "send_logs_level",
+    "max_streams_to_max_threads_ratio", "memory_tracker_fault_probability",
+    "force_index_by_date", "force_primary_key", "compile")
+
+  /** Parse a Query packet at `rev`: returns (compressionRequested, text).
+    * Throws [[ProtocolReject]] when an unknown setting makes the stream
+    * position unknowable. */
+  private def readQueryPacket(in: InputStream, rev: Long): (Boolean, String) = {
     readString(in) // query id
     if (rev >= 54032L) { // ClientInfo
       val kind = in.read()
@@ -200,45 +258,81 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
         if (rev >= 54401L) readVarint(in) // version patch
       }
     }
-    // settings: (name, value) pairs, empty name terminates. At the pinned
-    // classic revisions values are strings for custom settings from our own
-    // client; a full typed-settings decode is out of scope — any settings
-    // present are skipped as string pairs.
+    // settings: (name, typed value) pairs, empty name terminates — the
+    // classic per-type binary layout (the strings-serialized layout only
+    // exists from revision 54429, above our pinned 54372)
     var name = readString(in)
-    while (name.nonEmpty) { readString(in); name = readString(in) }
+    while (name.nonEmpty) {
+      if (varintSettings(name)) readVarint(in)
+      else if (stringSettings(name)) readString(in)
+      else throw new ProtocolReject(
+        s"setting '$name' is not recognized; its classic binary layout is " +
+          "unknown to this server, so the query packet cannot be parsed " +
+          "past it — retry without the setting")
+      name = readString(in)
+    }
     readVarint(in) // processing stage (2 = complete)
     val compression = readVarint(in)
     val text = readString(in)
-    if (compression != 0L)
-      Left("compression is not supported by this server; " +
-        "reconnect with --compression 0 (network_compression_method=none)")
-    else Right(text)
+    (compression != 0L, text)
   }
 
-  /** Consume one client Data packet (external-tables terminator / INSERT
-    * payload): table name + block header + columns (all-String assumed for
-    * nonzero payloads from our scope). */
-  private def consumeClientData(in: InputStream, rev: Long): Unit = {
+  /** Consume one client Data packet including its leading packet id
+    * (external-tables terminator after a query). */
+  private def consumeClientData(in: InputStream, rev: Long,
+      compress: Boolean): Unit = {
     val id = readVarint(in)
     require(id == CliData, s"expected client Data terminator, got packet $id")
+    consumeClientDataBody(in, rev, compress)
+  }
+
+  /** Consume a client Data packet BODY (the id already read): table name
+    * (always plain), then — through the LZ4 frame decoder when the active
+    * query negotiated compression — BlockInfo, column/row counts, and
+    * every column's typed payload. Unknown column types cannot be skipped
+    * (width unknown) → [[ProtocolReject]]. */
+  private def consumeClientDataBody(in: InputStream, rev: Long,
+      compress: Boolean): Unit = {
     if (rev >= 50264L) readString(in) // temporary table name
+    val bin: InputStream =
+      if (compress) new ChCompressed.FrameInputStream(in) else in
     // BlockInfo
-    var field = readVarint(in)
+    var field = readVarint(bin)
     while (field != 0L) {
       field match {
-        case 1L => in.read() // is_overflows
-        case 2L => readN(in, 4) // bucket_num i32
-        case _ => throw new java.io.IOException(s"unknown BlockInfo field $field")
+        case 1L => bin.read() // is_overflows
+        case 2L => readN(bin, 4) // bucket_num i32
+        case _ => throw new ProtocolReject(s"unknown BlockInfo field $field")
       }
-      field = readVarint(in)
+      field = readVarint(bin)
     }
-    val nCols = readVarint(in).toInt
-    val nRows = readVarint(in).toInt
+    val nCols = readVarint(bin).toInt
+    val nRows = readVarint(bin).toInt
     (0 until nCols).foreach { _ =>
-      readString(in); readString(in) // name, type (String assumed)
-      (0 until nRows).foreach(_ => readString(in))
+      readString(bin) // column name
+      val chType = readString(bin)
+      skipColumn(bin, chType, nRows)
     }
   }
+
+  /** Skip one column's payload by declared ClickHouse type. */
+  private def skipColumn(bin: InputStream, chType: String, nRows: Int): Unit =
+    chType match {
+      case t if t.startsWith("Nullable(") && t.endsWith(")") =>
+        if (nRows > 0) readN(bin, nRows) // null-flag bytes
+        skipColumn(bin, t.substring(9, t.length - 1), nRows)
+      case "String" => (0 until nRows).foreach(_ => readString(bin))
+      case "Int8" | "UInt8" => if (nRows > 0) readN(bin, nRows)
+      case "Int16" | "UInt16" | "Date" => if (nRows > 0) readN(bin, 2 * nRows)
+      case "Int32" | "UInt32" | "DateTime" | "Float32" =>
+        if (nRows > 0) readN(bin, 4 * nRows)
+      case "Int64" | "UInt64" | "Float64" =>
+        if (nRows > 0) readN(bin, 8 * nRows)
+      case other =>
+        throw new ProtocolReject(
+          s"cannot consume client column of type $other; native-protocol " +
+            "INSERT is limited to the fixed-width/String column set")
+    }
 
   private def sendException(out: OutputStream, msg: String): Unit = {
     writeVarint(out, SrvException)
@@ -279,15 +373,25 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
       v => java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL)
     case DoubleType => new FixedEnc("Float64", 8,
       v => java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
-    case DateType => new FixedEnc("Date", 2,
-      v => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
-    case _: TimestampType => new FixedEnc("DateTime", 4,
-      v => v.asInstanceOf[java.sql.Timestamp].getTime / 1000L)
+    // Date/DateTime clamp to the wire type's unsigned range (Date: UInt16
+    // days 1970..2149-06-06; DateTime: UInt32 seconds 1970..2106): an
+    // out-of-range value saturates to the boundary instead of silently
+    // bit-truncating into a wrong-but-plausible date (round-7 ADVICE)
+    case DateType => new FixedEnc("Date", 2, v => {
+      val d = v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      math.max(0L, math.min(65535L, d))
+    })
+    case _: TimestampType => new FixedEnc("DateTime", 4, v => {
+      val sec = java.lang.Math.floorDiv(
+        v.asInstanceOf[java.sql.Timestamp].getTime, 1000L)
+      math.max(0L, math.min(4294967295L, sec))
+    })
     case StringType => new StrEnc(v => v.asInstanceOf[String])
     case _ => new StrEnc(Render.value) // decimals/arrays/structs: text form
   }
 
-  private def runQuery(out: OutputStream, text: String): Unit = {
+  private def runQuery(out: OutputStream, text: String,
+      compress: Boolean): Unit = {
     try {
       val df = GraftSession.cached(spark).sql(text)
       if (df.schema.nonEmpty) {
@@ -295,15 +399,15 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
         val encs = fields.map(f => encoderFor(f.dataType))
         val rows = df.toLocalIterator()
         // header block (zero rows) announces the schema, as CH servers do
-        writeBlock(out, fields, encs, Seq.empty)
+        writeBlock(out, fields, encs, Seq.empty, compress)
         val buf = scala.collection.mutable.ArrayBuffer[Row]()
         while (rows.hasNext) {
           buf += rows.next()
           if (buf.length >= blockRows) {
-            writeBlock(out, fields, encs, buf.toSeq); buf.clear()
+            writeBlock(out, fields, encs, buf.toSeq, compress); buf.clear()
           }
         }
-        if (buf.nonEmpty) writeBlock(out, fields, encs, buf.toSeq)
+        if (buf.nonEmpty) writeBlock(out, fields, encs, buf.toSeq, compress)
       }
       writeVarint(out, SrvEndOfStream)
       out.flush()
@@ -315,10 +419,23 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     }
   }
 
+  /** One Data packet: id + table name plain; the block body either plain
+    * or as checksummed LZ4 frames — matching the real servers' layout,
+    * where compression wraps the block serialization, not the packet
+    * framing (Exception/EndOfStream/Pong stay uncompressed always). */
   private def writeBlock(out: OutputStream, fields: Array[StructField],
-      encs: Array[Enc], rows: Seq[Row]): Unit = {
+      encs: Array[Enc], rows: Seq[Row], compress: Boolean): Unit = {
     writeVarint(out, SrvData)
     writeString(out, "") // temporary table name
+    if (compress) {
+      val body = new java.io.ByteArrayOutputStream(64 * 1024)
+      writeBlockBody(body, fields, encs, rows)
+      ChCompressed.writeFrames(out, body.toByteArray)
+    } else writeBlockBody(out, fields, encs, rows)
+  }
+
+  private def writeBlockBody(out: OutputStream, fields: Array[StructField],
+      encs: Array[Enc], rows: Seq[Row]): Unit = {
     // BlockInfo: field 1 is_overflows=0, field 2 bucket_num=-1, end
     writeVarint(out, 1L); out.write(0)
     writeVarint(out, 2L); writeFixedLE(out, 0xffffffffL, 4)

@@ -37,11 +37,55 @@ class ClickHouseServerSpec extends AnyFunSuite {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
+    // the stream block payloads decode from: the raw socket, or (inside a
+    // compressed block body) this client's OWN frame decoder — layout
+    // implemented independently of the server's; the CityHash128 used for
+    // checksums is the shared library port, itself pinned by the C++-twin
+    // vectors in CityHashParitySpec
+    private var cur: InputStream = in
+
+    /** Independent decoder for the checksummed LZ4 frame stream: 16-byte
+      * CityHash128, method byte, compressed size (incl. 9-byte header),
+      * uncompressed size, raw LZ4 block. */
+    private final class FrameIn(raw: InputStream) extends InputStream {
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      private def rawN(n: Int): Array[Byte] = {
+        val b = new Array[Byte](n); var off = 0
+        while (off < n) {
+          val r = raw.read(b, off, n - off)
+          if (r < 0) throw new EOFException(); off += r
+        }
+        b
+      }
+      private def le(b: Array[Byte], off: Int, n: Int): Long = {
+        var v = 0L; (0 until n).foreach(i => v |= (b(off + i) & 0xffL) << (8 * i)); v
+      }
+      private def fill(): Unit = {
+        val sum = rawN(16)
+        val head = rawN(9)
+        assert((head(0) & 0xff) == 0x82, "expected LZ4 method byte")
+        val cLen = le(head, 1, 4).toInt
+        val uLen = le(head, 5, 4).toInt
+        val payload = rawN(cLen - 9)
+        val whole = head ++ payload
+        val (lo, hi) = graft.server.CityHash102.cityHash128(whole, 0, whole.length)
+        assert(lo == le(sum, 0, 8) && hi == le(sum, 8, 8),
+          "frame checksum mismatch")
+        buf = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+          .decompress(payload, 0, payload.length, uLen)
+        pos = 0
+      }
+      override def read(): Int = {
+        if (pos >= buf.length) fill()
+        val b = buf(pos) & 0xff; pos += 1; b
+      }
+    }
 
     private def readN(n: Int): Array[Byte] = {
       val b = new Array[Byte](n); var off = 0
       while (off < n) {
-        val r = in.read(b, off, n - off)
+        val r = cur.read(b, off, n - off)
         if (r < 0) throw new EOFException(); off += r
       }
       b
@@ -49,7 +93,7 @@ class ClickHouseServerSpec extends AnyFunSuite {
     private def varint(): Long = {
       var v = 0L; var shift = 0
       while (true) {
-        val b = in.read(); if (b < 0) throw new EOFException()
+        val b = cur.read(); if (b < 0) throw new EOFException()
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
         shift += 7
@@ -95,7 +139,57 @@ class ClickHouseServerSpec extends AnyFunSuite {
       varint() == 4L
     }
 
-    private def sendQuery(sql: String): Unit = {
+    /** Write-side frame encoder (independent of the server's). */
+    private def wFrame(body: Array[Byte]): Unit = {
+      val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val max = comp.maxCompressedLength(body.length)
+      val buf = new Array[Byte](9 + max)
+      buf(0) = 0x82.toByte
+      val n = comp.compress(body, 0, body.length, buf, 9, max)
+      def putLE(off: Int, v: Long, bytes: Int): Unit =
+        (0 until bytes).foreach(i => buf(off + i) = (v >>> (8 * i)).toByte)
+      putLE(1, 9L + n, 4); putLE(5, body.length.toLong, 4)
+      val (lo, hi) = graft.server.CityHash102.cityHash128(buf, 0, 9 + n)
+      val sum = new Array[Byte](16)
+      (0 until 8).foreach { i =>
+        sum(i) = (lo >>> (8 * i)).toByte; sum(8 + i) = (hi >>> (8 * i)).toByte
+      }
+      out.write(sum); out.write(buf, 0, 9 + n)
+    }
+
+    /** The empty-block body (BlockInfo + 0 columns, 0 rows) as bytes. */
+    private def emptyBlockBody(): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(1); b.write(0) // BlockInfo field 1: is_overflows = 0
+      b.write(2); b.write(Array[Byte](-1, -1, -1, -1)) // field 2: bucket -1
+      b.write(0) // BlockInfo end
+      b.write(0); b.write(0) // 0 columns, 0 rows
+      b.toByteArray
+    }
+
+    /** Send one typed client Data packet (INSERT-payload shape). */
+    def sendDataBlock(colName: String, chType: String,
+        values: Seq[String]): Unit = {
+      wVarint(2L); wStr("") // client Data + table name (plain always)
+      val b = new java.io.ByteArrayOutputStream()
+      def bVarint(v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        b.write(v.toInt)
+      }
+      b.write(1); b.write(0); b.write(2)
+      b.write(Array[Byte](-1, -1, -1, -1)); b.write(0)
+      bVarint(1L); bVarint(values.length.toLong)
+      val nm = colName.getBytes(UTF_8); bVarint(nm.length.toLong); b.write(nm)
+      val tp = chType.getBytes(UTF_8); bVarint(tp.length.toLong); b.write(tp)
+      values.foreach { v =>
+        val a = v.getBytes(UTF_8); bVarint(a.length.toLong); b.write(a)
+      }
+      if (compression != 0L) wFrame(b.toByteArray) else out.write(b.toByteArray)
+      out.flush()
+    }
+
+    def sendQuery(sql: String, settings: Seq[(String, Either[Long, String])] = Nil): Unit = {
       wVarint(1L) // Query
       wStr("") // query id
       // ClientInfo (classic layout at rev 54372)
@@ -105,28 +199,38 @@ class ClickHouseServerSpec extends AnyFunSuite {
       wStr("tester"); wStr("testhost"); wStr("graft-test-client")
       wVarint(21L); wVarint(8L); wVarint(54372L)
       wStr("") // quota key (rev >= 54060)
+      settings.foreach { case (name, v) =>
+        wStr(name)
+        v.fold(wVarint, wStr) // classic typed layouts: varint or string
+      }
       wStr("") // settings terminator
       wVarint(2L) // stage: complete
       wVarint(compression)
       wStr(sql)
-      // external-tables terminator: empty client Data block
+      // external-tables terminator: empty client Data block (its BODY is
+      // compressed when the query negotiated compression)
       wVarint(2L) // client Data
       wStr("") // table name
-      wVarint(1L); out.write(0) // BlockInfo is_overflows
-      wVarint(2L); out.write(Array[Byte](-1, -1, -1, -1)) // bucket_num -1
-      wVarint(0L) // BlockInfo end
-      wVarint(0L); wVarint(0L) // 0 columns, 0 rows
+      if (compression != 0L) wFrame(emptyBlockBody())
+      else out.write(emptyBlockBody())
       out.flush()
     }
 
     /** Decode one server block; returns (names, types, rows as rendered
       * strings with null → null). */
     private def readBlock(): (Seq[String], Seq[String], Seq[Seq[String]]) = {
-      str() // temporary table name
+      str() // temporary table name (always plain)
+      // the block BODY rides the compressed frame stream when negotiated
+      if (compression != 0L) cur = new FrameIn(in)
+      try readBlockBody()
+      finally cur = in
+    }
+
+    private def readBlockBody(): (Seq[String], Seq[String], Seq[Seq[String]]) = {
       var field = varint()
       while (field != 0L) {
         field match {
-          case 1L => in.read()
+          case 1L => cur.read()
           case 2L => readN(4)
           case other => fail(s"unknown BlockInfo field $other")
         }
@@ -142,7 +246,7 @@ class ClickHouseServerSpec extends AnyFunSuite {
           if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
           else (tpe, false)
         val nulls: Array[Boolean] =
-          if (nullable) Array.fill(nRows)(in.read() == 1)
+          if (nullable) Array.fill(nRows)(cur.read() == 1)
           else Array.fill(nRows)(false)
         (0 until nRows).map { r =>
           val v: String = base match {
@@ -169,9 +273,10 @@ class ClickHouseServerSpec extends AnyFunSuite {
     }
 
     /** Left(exception message) or Right((names, types, rows)). */
-    def query(sql: String):
+    def query(sql: String,
+        settings: Seq[(String, Either[Long, String])] = Nil):
         Either[String, (Seq[String], Seq[String], Seq[Seq[String]])] = {
-      sendQuery(sql)
+      sendQuery(sql, settings)
       var names = Seq.empty[String]; var types = Seq.empty[String]
       val rows = Seq.newBuilder[Seq[String]]
       while (true) {
@@ -193,6 +298,15 @@ class ClickHouseServerSpec extends AnyFunSuite {
         }
       }
       sys.error("unreachable")
+    }
+
+    /** Read one Exception packet off the wire (no query in flight). */
+    def readException(): String = {
+      assert(varint() == 2L, "expected an Exception packet")
+      readN(4); str()
+      val msg = str()
+      str(); cur.read()
+      msg
     }
 
     def close(): Unit = sock.close()
@@ -227,11 +341,73 @@ class ClickHouseServerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
-  test("a compressed-protocol request is rejected with advice, not corrupted") {
+  test("LZ4-compressed session: handler test, typed lanes, multi-frame blocks") {
     val c = new Client(port, compression = 1L)
     try {
-      val r = c.query("SELECT 1")
-      assert(r.isLeft && r.swap.exists(_.contains("--compression 0")))
+      // the reference's own e2e assertion, now under compression
+      val Right((names, _, rows)) =
+        c.query("SELECT COUNT() AS c FROM numbers(1000)"): @unchecked
+      assert(names == Seq("c") && rows == Seq(Seq("1000")))
+      // typed lanes survive the frame codec
+      val Right((_, _, vs)) = c.query(
+        "SELECT 7 AS i, 1.5 AS f, 'héllo' AS s, NULL AS n"): @unchecked
+      assert(vs.head(0) == "7" && vs.head(1) == "1.5" &&
+        vs.head(2) == "héllo" && vs.head(3) == null)
+      // a block body > 1 MiB must split into multiple checksummed frames
+      // (8192 rows x ~300-char strings ≈ 2.5 MiB per block body)
+      val Right((_, _, wide)) = c.query(
+        "SELECT repeat('x', 300) AS s FROM numbers(10000)"): @unchecked
+      assert(wide.length == 10000 && wide.forall(_.head.length == 300))
+      // errors still arrive uncompressed and the session survives
+      assert(c.query("SELECT FROM nonsense !!").isLeft)
+      assert(c.query("SELECT 7").exists(_._3.head.head == "7"))
+    } finally c.close()
+  }
+
+  test("classic typed settings decode; unknown setting rejected cleanly") {
+    val c = new Client(port)
+    try {
+      // varint-valued and string-valued classic layouts parse through
+      val r = c.query("SELECT 1 AS x", settings = Seq(
+        "max_threads" -> Left(2L),
+        "max_block_size" -> Left(4096L),
+        "send_logs_level" -> Right("warning")))
+      assert(r.exists(_._3 == Seq(Seq("1"))))
+    } finally c.close()
+    val c2 = new Client(port)
+    try {
+      // unknown name: the stream position past it is unknowable — expect a
+      // descriptive Exception and a server-side close, not a desynced parse
+      val r = c2.query("SELECT 1", settings = Seq(
+        "graft_mystery_setting" -> Left(1L)))
+      assert(r.isLeft && r.swap.exists(_.contains("graft_mystery_setting")))
+    } finally c2.close()
+  }
+
+  test("stray typed Data packet is fully consumed; session stays in sync") {
+    val c = new Client(port)
+    try {
+      // a native-INSERT-style String block out of band: the round-7 server
+      // read only the packet id and desynced; now the whole body drains
+      c.sendDataBlock("v", "String", Seq("alpha", "beta", "gamma"))
+      assert(c.query("SELECT 41 + 1 AS a").exists(_._3 == Seq(Seq("42"))))
+      // an undecodable column type draws an Exception naming it, then close
+      c.sendDataBlock("v", "AggregateFunction(uniq, UInt64)", Seq("x"))
+      assert(c.readException().contains("AggregateFunction"))
+    } finally c.close()
+  }
+
+  test("Date/DateTime outside the wire type's range clamp, not bit-truncate") {
+    val c = new Client(port)
+    try {
+      val Right((_, _, rows)) = c.query(
+        "SELECT CAST('2200-01-01' AS DATE) AS d"): @unchecked
+      // UInt16 days saturate at 2149-06-06 (epoch day 65535) — a plausible
+      // date would silently appear under bit truncation
+      assert(rows.head.head == "2149-06-06")
+      val Right((_, _, r2)) = c.query(
+        "SELECT CAST('1950-01-01' AS DATE) AS d"): @unchecked
+      assert(r2.head.head == "1970-01-01") // pre-epoch floors at 0
     } finally c.close()
   }
 
@@ -266,11 +442,12 @@ class ClickHouseServerSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  wireSuites.foreach { name =>
-    test(s"golden suite over the native wire: $name") {
+  for (name <- wireSuites; comp <- Seq(0L, 1L)) {
+    val mode = if (comp == 0L) "plain" else "LZ4"
+    test(s"golden suite over the native wire ($mode): $name") {
       assume(Files.exists(Paths.get(s"$suiteDir/$name.sql")),
         "reference checkout not present")
-      val c = new Client(port)
+      val c = new Client(port, compression = comp)
       try {
         val expected =
           Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector
