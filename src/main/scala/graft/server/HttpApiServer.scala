@@ -1,0 +1,221 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.sql.GraftSession
+
+/** HTTP admin + observability front door — the reference's third entry
+  * point, restated over JDK's built-in HTTP server (no extra deps):
+  *
+  *   - `GET /v1/hello`   → engine identity + config summary (the
+  *     reference's hello returns its Config debug dump;
+  *     api/http/v1/hello.rs:12)
+  *   - `GET /v1/configs` → the full settings map as JSON — the same
+  *     overlay `system.settings` serves (api/http/v1/config.rs:12)
+  *   - `GET /v1/cluster/list`, `POST /v1/cluster/add`,
+  *     `POST /v1/cluster/remove` → in-memory cluster-node registry,
+  *     seeded with the local node; add/remove take the reference's
+  *     `{name, priority, address}` JSON body (api/http/v1/cluster.rs:24)
+  *   - `GET /metrics`    → Prometheus text format (the reference runs a
+  *     prometheus exporter as a sibling server, metric_service.rs:30):
+  *     query counters from a QueryExecutionListener, the `system.tracing`
+  *     ring depth, and JVM heap/GC gauges.
+  *
+  * The reference's `/debug/home` + pprof handlers are deliberately out of
+  * scope: pprof is a CPU-profile format of the Rust runtime; the JVM-side
+  * equivalents (Spark UI, JFR) already exist outside this process's job.
+  *
+  * Cluster-registry semantics: metadata only, exactly like the
+  * reference's (its add/remove mutate a node list the scheduler MAY use;
+  * here local[n] IS the cluster). Single-writer maps guarded by the
+  * registry's own lock; handlers are small and allocation-light. */
+class HttpApiServer(spark: SparkSession, port: Int = 0) {
+
+  @volatile private var server: HttpServer = _
+
+  // ---- cluster registry ------------------------------------------------
+
+  /** (name → (priority, address)); seeded with the local node, matching
+    * system.clusters' static row. */
+  private val nodes = scala.collection.mutable.LinkedHashMap[String, (Long, String)](
+    "local" -> ((0L, "localhost")))
+
+  // ---- query metrics ----------------------------------------------------
+
+  private val queriesTotal = new AtomicLong
+  private val queryFailures = new AtomicLong
+  private val queryRows = new AtomicLong
+  private val queryNanos = new AtomicLong
+
+  private def installMetricsListener(): Unit =
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          queriesTotal.incrementAndGet()
+          queryNanos.addAndGet(durationNs)
+          val rows = qe.executedPlan.metrics.get("numOutputRows")
+            .map(_.value).getOrElse(0L)
+          if (rows > 0) queryRows.addAndGet(rows)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ex: Exception): Unit = {
+          queriesTotal.incrementAndGet()
+          queryFailures.incrementAndGet()
+        }
+      })
+
+  // ---- JSON helpers (emit by hand; parse via Spark's bundled Jackson) ---
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def parseNode(body: String): Either[String, (String, Long, String)] =
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val name = Option(m.get("name")).map(_.asText()).filter(_.nonEmpty)
+      val addr = Option(m.get("address")).map(_.asText()).filter(_.nonEmpty)
+      val prio = Option(m.get("priority")).map(_.asLong()).getOrElse(0L)
+      (name, addr) match {
+        case (Some(n), Some(a)) if prio >= 0 && prio <= 10 => Right((n, prio, a))
+        case (Some(_), Some(_)) => Left("priority must be in [0, 10]")
+        case _ => Left("body must be {\"name\", \"priority\", \"address\"}")
+      }
+    } catch { case e: Exception => Left(s"bad JSON: ${e.getMessage}") }
+
+  // ---- handlers ----------------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int, contentType: String,
+      body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def json(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, "application/json; charset=utf-8", body)
+
+  private def hello: String = {
+    val s = GraftSession.cached(spark)
+    s"""{"name":"graft","version":${jStr(spark.version)},""" +
+      s""""master":${jStr(spark.sparkContext.master)},""" +
+      s""""settings_overridden":${s.settings.size},""" +
+      s""""endpoints":["/v1/hello","/v1/configs","/v1/cluster/list","/metrics"]}"""
+  }
+
+  private def configs: String = {
+    GraftSession.cached(spark) // materialize the settings registry
+    val all = (spark.conf.getAll ++
+      GraftSession.settingsRegistry(spark).toMap).toSeq.sorted
+    all.map { case (k, v) => s"${jStr(k)}:${jStr(v)}" }
+      .mkString("{", ",", "}")
+  }
+
+  private def clusterList: String = nodes.synchronized {
+    nodes.map { case (n, (p, a)) =>
+      s"""{"name":${jStr(n)},"priority":$p,"address":${jStr(a)}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  private def metrics: String = {
+    val sb = new StringBuilder
+    def m(name: String, help: String, tpe: String, v: Any): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name $tpe\n$name $v\n")
+    }
+    m("graft_queries_total", "Completed query executions (incl. failures).",
+      "counter", queriesTotal.get)
+    m("graft_query_failures_total", "Failed query executions.",
+      "counter", queryFailures.get)
+    m("graft_query_rows_total", "Rows produced by completed executions.",
+      "counter", queryRows.get)
+    m("graft_query_seconds_total", "Wall seconds spent in completed executions.",
+      "counter", queryNanos.get / 1e9)
+    val traceRows = graft.tables.SystemTables.tracing(spark).count()
+    m("graft_tracing_events", "Events currently in the system.tracing ring.",
+      "gauge", traceRows)
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage
+    m("jvm_heap_used_bytes", "Used JVM heap.", "gauge", mem.getUsed)
+    m("jvm_heap_max_bytes", "Max JVM heap.", "gauge", mem.getMax)
+    var gcMs = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => gcMs += math.max(0L, b.getCollectionTime))
+    m("jvm_gc_seconds_total", "Cumulative GC seconds.", "counter", gcMs / 1e3)
+    sb.toString
+  }
+
+  // ---- lifecycle ---------------------------------------------------------
+
+  def start(): Int = synchronized {
+    require(server == null, "HttpApiServer already started")
+    installMetricsListener()
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/v1/hello", (ex: HttpExchange) =>
+      handle(ex) { json(ex, 200, hello) })
+    server.createContext("/v1/configs", (ex: HttpExchange) =>
+      handle(ex) { json(ex, 200, configs) })
+    server.createContext("/v1/cluster", (ex: HttpExchange) => handle(ex) {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", "/v1/cluster/list") => json(ex, 200, clusterList)
+        case ("POST", "/v1/cluster/add") =>
+          parseNode(new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case Left(err) => json(ex, 400, s"""{"error":${jStr(err)}}""")
+            case Right((n, p, a)) =>
+              val added = nodes.synchronized {
+                if (nodes.contains(n)) false
+                else { nodes(n) = (p, a); true }
+              }
+              if (added) json(ex, 200, clusterList)
+              else json(ex, 409, s"""{"error":${jStr(s"node $n already exists")}}""")
+          }
+        case ("POST", "/v1/cluster/remove") =>
+          parseNode(new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case Left(err) => json(ex, 400, s"""{"error":${jStr(err)}}""")
+            case Right((n, _, _)) =>
+              val removed = nodes.synchronized {
+                if (n == "local") false else nodes.remove(n).isDefined
+              }
+              if (removed) json(ex, 200, clusterList)
+              else json(ex, 404, s"""{"error":${jStr(s"no removable node $n")}}""")
+          }
+        case (meth, path) =>
+          json(ex, 404, s"""{"error":${jStr(s"no route $meth $path")}}""")
+      }
+    })
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      handle(ex) { respond(ex, 200, "text/plain; version=0.0.4", metrics) })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        try json(ex, 500, s"""{"error":${jStr(String.valueOf(e.getMessage))}}""")
+        catch { case _: Throwable => () }
+    } finally ex.close()
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+}
