@@ -53,13 +53,32 @@ class MySqlServerSpec extends AnyFunSuite {
       b
     }
     private def readPacket(): Array[Byte] = {
-      val h = readN(4)
-      readN((h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16))
+      def chunk(): (Int, Array[Byte]) = {
+        val h = readN(4)
+        val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+        (len, readN(len))
+      }
+      val (len0, p0) = chunk()
+      if (len0 < 0xffffff) p0
+      else { // 16 MB-1 continuation convention
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(p0)
+        var len = len0
+        while (len == 0xffffff) { val (l, q) = chunk(); len = l; b.write(q) }
+        b.toByteArray
+      }
     }
-    private def writePacket(seq: Int, p: Array[Byte]): Unit = {
-      out.write(p.length & 0xff); out.write((p.length >> 8) & 0xff)
-      out.write((p.length >> 16) & 0xff); out.write(seq & 0xff)
-      out.write(p); out.flush()
+    private def writePacket(seq0: Int, p: Array[Byte]): Unit = {
+      var seq = seq0; var off = 0
+      def header(len: Int): Unit = {
+        out.write(len & 0xff); out.write((len >> 8) & 0xff)
+        out.write((len >> 16) & 0xff); out.write(seq & 0xff); seq += 1
+      }
+      while (p.length - off >= 0xffffff) {
+        header(0xffffff); out.write(p, off, 0xffffff); off += 0xffffff
+      }
+      header(p.length - off); out.write(p, off, p.length - off)
+      out.flush()
     }
 
     /** Cursor-based lenenc decode. */
@@ -145,6 +164,118 @@ class MySqlServerSpec extends AnyFunSuite {
       }
     }
 
+    // ---- prepared statements (binary protocol) ---------------------------
+
+    /** Returns (statementId, nParams) from the prepare-OK chain. */
+    def prepare(sql: String): Either[String, (Int, Int)] = {
+      writePacket(0, Array(0x16.toByte) ++ sql.getBytes(UTF_8))
+      val ok = readPacket()
+      if ((ok(0) & 0xff) == 0xff)
+        return Left(new String(ok, 9, ok.length - 9, UTF_8))
+      assert((ok(0) & 0xff) == 0x00, "prepare-OK expected")
+      def le(off: Int, n: Int): Int = {
+        var v = 0; (0 until n).foreach(i => v |= (ok(off + i) & 0xff) << (8 * i)); v
+      }
+      val id = le(1, 4); val nCols = le(5, 2); val nParams = le(7, 2)
+      (0 until nParams).foreach(_ => readPacket()) // parameter definitions
+      if (nParams > 0) assert((readPacket()(0) & 0xff) == 0xfe)
+      (0 until nCols).foreach(_ => readPacket()) // column definitions
+      if (nCols > 0) assert((readPacket()(0) & 0xff) == 0xfe)
+      Right((id, nParams))
+    }
+
+    def stmtClose(id: Int): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x19)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xff))
+      writePacket(0, b.toByteArray) // no server response, by protocol
+    }
+
+    sealed trait P
+    case object PNull extends P
+    final case class PLong(v: Long) extends P
+    final case class PDouble(v: Double) extends P
+    final case class PStr(v: String) extends P
+    final case class PDate(y: Int, m: Int, d: Int) extends P
+
+    /** COM_STMT_EXECUTE with typed binary parameters; decodes the BINARY
+      * resultset shape (0x00 row header, offset-2 null bitmap, lenenc
+      * string cells — every column is VAR_STRING on this server). */
+    def execute(id: Int, params: Seq[P]): Either[String, (Seq[String], Seq[Seq[String]])] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x17)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xff))
+      b.write(0) // flags: CURSOR_TYPE_NO_CURSOR
+      b.write(1); b.write(0); b.write(0); b.write(0) // iteration count
+      if (params.nonEmpty) {
+        val bitmap = new Array[Byte]((params.length + 7) / 8)
+        params.zipWithIndex.foreach {
+          case (PNull, i) =>
+            bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+          case _ => ()
+        }
+        b.write(bitmap)
+        b.write(1) // new-params-bound
+        params.foreach { p =>
+          val t = p match {
+            case PNull => 0x06
+            case PLong(_) => 0x08
+            case PDouble(_) => 0x05
+            case PStr(_) => 0xfd
+            case PDate(_, _, _) => 0x0a
+          }
+          b.write(t); b.write(0)
+        }
+        def wLenenc(n: Int): Unit =
+          if (n < 251) b.write(n)
+          else if (n < 0x10000) { b.write(0xfc); b.write(n & 0xff); b.write((n >> 8) & 0xff) }
+          else { b.write(0xfd); b.write(n & 0xff); b.write((n >> 8) & 0xff); b.write((n >> 16) & 0xff) }
+        params.foreach {
+          case PLong(v) =>
+            (0 until 8).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+          case PDouble(v) =>
+            val bits = java.lang.Double.doubleToLongBits(v)
+            (0 until 8).foreach(i => b.write(((bits >> (8 * i)) & 0xff).toInt))
+          case PStr(s) =>
+            val a = s.getBytes(UTF_8); wLenenc(a.length); b.write(a)
+          case PDate(y, m, d) =>
+            b.write(4); b.write(y & 0xff); b.write((y >> 8) & 0xff)
+            b.write(m); b.write(d)
+          case PNull => ()
+        }
+      }
+      writePacket(0, b.toByteArray)
+      val first = readPacket()
+      (first(0) & 0xff) match {
+        case 0x00 => Right((Nil, Nil))
+        case 0xff => Left(new String(first, 9, first.length - 9, UTF_8))
+        case _ =>
+          val nCols = lenencInt(first, Array(0)).toInt
+          val cols = (0 until nCols).map { _ =>
+            val p = readPacket(); val pos = Array(0)
+            (0 until 4).foreach(_ => lenencStr(p, pos))
+            lenencStr(p, pos)
+          }
+          assert((readPacket()(0) & 0xff) == 0xfe, "EOF after columns expected")
+          val rows = Seq.newBuilder[Seq[String]]
+          val nb = (nCols + 7 + 2) / 8
+          var done = false
+          while (!done) {
+            val p = readPacket()
+            if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+            else {
+              assert((p(0) & 0xff) == 0x00, "binary row header expected")
+              val pos = Array(1 + nb)
+              rows += (0 until nCols).map { i =>
+                val isNull = (p(1 + (i + 2) / 8) & (1 << ((i + 2) % 8))) != 0
+                if (isNull) null else lenencStr(p, pos)
+              }
+            }
+          }
+          Right((cols, rows.result()))
+      }
+    }
+
     def close(): Unit = {
       writePacket(0, Array(0x01.toByte)) // COM_QUIT
       sock.close()
@@ -178,6 +309,60 @@ class MySqlServerSpec extends AnyFunSuite {
         c.query("SELECT a FROM wire_t ORDER BY a"): @unchecked
       assert(got.map(_.head) === Seq("1", "3"))
       assert(c.query("DROP TABLE wire_t").isRight)
+    } finally c.close()
+  }
+
+  test("prepared statements: typed binds, binary resultset, reuse, close") {
+    val c = new Client(port)
+    try {
+      val Right((id, nParams)) = c.prepare(
+        "SELECT ? + ? AS s, ? AS t, ? AS n, ? AS d"): @unchecked
+      assert(nParams == 5)
+      val Right((cols, rows)) = c.execute(id, Seq(
+        c.PLong(40), c.PLong(2), c.PStr("it's a \\ test"),
+        c.PNull, c.PDate(2024, 5, 17))): @unchecked
+      assert(cols == Seq("s", "t", "n", "d"))
+      assert(rows == Seq(Seq("42", "it's a \\ test", null, "2024-05-17")))
+      // REUSE with different binds — the point of preparing
+      val Right((_, r2)) =
+        c.execute(id, Seq(c.PLong(1), c.PDouble(0.5), c.PStr("x"),
+          c.PStr("y"), c.PDate(1999, 1, 2))): @unchecked
+      assert(r2.head.head == "1.5" && r2.head(2) == "y")
+      // a parameterized TVF argument flows through the text path
+      val Right((id2, _)) = c.prepare(
+        "SELECT number FROM numbers(?) ORDER BY number"): @unchecked
+      val Right((_, nums)) = c.execute(id2, Seq(c.PLong(3))): @unchecked
+      assert(nums.map(_.head) == Seq("0", "1", "2"))
+      // a '?' INSIDE a string literal is not a placeholder
+      val Right((id3, n3)) = c.prepare("SELECT '?' AS q, ? AS v"): @unchecked
+      assert(n3 == 1)
+      val Right((_, r3)) = c.execute(id3, Seq(c.PStr("bound"))): @unchecked
+      assert(r3 == Seq(Seq("?", "bound")))
+      // close releases the id; executing it afterwards is a clean error
+      c.stmtClose(id3)
+      assert(c.execute(id3, Seq(c.PStr("x"))).isLeft)
+      // and the connection still works
+      assert(c.query("SELECT 7").exists(_._2.head.head == "7"))
+    } finally c.close()
+  }
+
+  test("multi-packet framing: >16 MB cells and statements survive the wire") {
+    val c = new Client(port)
+    try {
+      // a single row larger than the 16 MB-1 packet limit: the server must
+      // split into continuation chunks (round 7 threw mid-resultset and
+      // wrote a missequenced ERR — the ADVICE desync)
+      val Right((_, big)) =
+        c.query("SELECT repeat('x', 17000000) AS s, 7 AS t"): @unchecked
+      assert(big.head.head.length == 17000000 && big.head(1) == "7")
+      // an incoming statement over the limit: client splits, server
+      // reassembles (was: never reassembled)
+      val lit = "y" * 17000000
+      val Right((_, n)) =
+        c.query(s"SELECT length('$lit') AS n"): @unchecked
+      assert(n.head.head == "17000000")
+      // the session survives both
+      assert(c.ping())
     } finally c.close()
   }
 
@@ -226,11 +411,22 @@ class MySqlServerSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  wireSuites.foreach { name =>
-    test(s"golden suite over the wire: $name") {
+  // Each suite replays twice: through COM_QUERY (text protocol) and
+  // through COM_STMT_PREPARE/EXECUTE (binary protocol) — no JDBC driver
+  // jar exists in this zero-egress sandbox, so the prepared path is
+  // exercised by the from-scratch client's binary implementation, which is
+  // the same wire bytes a server-side-prepare connector sends.
+  for (name <- wireSuites; prepared <- Seq(false, true)) {
+    val mode = if (prepared) "prepared" else "text"
+    test(s"golden suite over the wire ($mode): $name") {
       assume(Files.exists(Paths.get(s"$suiteDir/$name.sql")),
         "reference checkout not present")
       val c = new Client(port)
+      def run(sql: String): Either[String, (Seq[String], Seq[Seq[String]])] =
+        if (!prepared) c.query(sql)
+        else c.prepare(sql).flatMap { case (id, _) =>
+          val r = c.execute(id, Nil); c.stmtClose(id); r
+        }
       try {
         val expected =
           Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector
@@ -240,10 +436,10 @@ class MySqlServerSpec extends AnyFunSuite {
             // reference EXPLAIN goldens carry ITS plan text — assert the
             // statement executes over the wire, consume one golden line
             // (GoldenSuiteSpec's documented rule)
-            assert(c.query(stmt.sql).isRight, s"[$name #$idx] ${stmt.sql}")
+            assert(run(stmt.sql).isRight, s"[$name #$idx] ${stmt.sql}")
             pos += 1
           case (stmt, idx) =>
-            c.query(stmt.sql) match {
+            run(stmt.sql) match {
               case Left(err) =>
                 assert(stmt.expectError,
                   s"[$name #$idx] unexpected wire error for ${stmt.sql}: $err")
