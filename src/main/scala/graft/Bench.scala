@@ -42,6 +42,24 @@ object Bench {
     graft.plans.CountFromStats.install(spark)
     graft.plans.RangeAggStrategy.install(spark)
 
+    // Spill accounting for the constrained-heap protocol (PERFNOTES):
+    // task-level memory/disk spill totals across the whole suite — zero at
+    // a comfortable heap; nonzero-but-bounded is exactly what "degrades
+    // instead of OOMing" looks like at a deliberately small -Xmx.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
+
     // JVM/session warm-up so the first timed query doesn't pay executor
     // spin-up, parquet-reader init, or first-codegen compilation: one range
     // agg + one tiny parquet scan→filter→agg (nation: 25 rows). Without the
@@ -156,7 +174,11 @@ object Bench {
     // total JVM GC time across the whole suite (entries + micros).
     val canaryJson = canaryTimes.map(sec3).mkString("[", ",", "]")
     val gcSec = sec3((gcMillis - gcStart) / 1000.0)
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"canary":$canaryJson,"gc_sec":$gcSec,"sf":"$sfDir","value":${sec3(total)}}""")
+    // heap_gb = the ACTUAL -Xmx this run had (the constrained-memory
+    // protocol's receipt); spill counters say whether it ever pressured
+    val heapGb = sec3(Runtime.getRuntime.maxMemory / 1073741824.0)
+    val spillMb = (memSpilled.get + diskSpilled.get) >> 20
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"canary":$canaryJson,"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"sf":"$sfDir","value":${sec3(total)}}""")
     spark.stop()
   }
 }

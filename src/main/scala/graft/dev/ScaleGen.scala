@@ -24,13 +24,29 @@ import org.apache.spark.sql.functions._
   *     state (sessions, dedup keys, join buffers) scale exactly N×;
   *   - nation/region (true dims) copy verbatim.
   *
-  * Usage: runMain graft.dev.ScaleGen [srcDir] [dstDir] [copies]
+  * The optional 4th arg `dupPermille` (default 0 = pure disjoint
+  * replication) plants REALISTIC cross-replica duplicate density: that
+  * fraction of each replica's documents/embeddings become id-remapped
+  * NEAR-copies of their base row (every 7th token replaced / two sign
+  * flips) instead of alphabet-remapped disjoint content. Pure disjoint
+  * replication makes every blocking operator's candidate set artificially
+  * empty across replicas — band/bucket selectivity then measures only
+  * within-replica structure, which understates candidate volume by
+  * exactly the duplicate rate a production corpus would have (round-7
+  * verdict item 6). The membership rule is the engine's own
+  * [[graft.ext.Curation.sampleKey]] on (id + replica), so the planted
+  * rate is deterministic and the EXPECTED pair count is computable:
+  * ≈ rows · (copies−1) · rate (each non-base replica row pairs with its
+  * base; near-copies of the same base also pair with each other).
+  *
+  * Usage: runMain graft.dev.ScaleGen [srcDir] [dstDir] [copies] [dupPermille]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val dupPermille = if (args.length > 3) args(3).toInt else 0
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,24 +89,42 @@ object ScaleGen {
       "supplier" -> replicate(supp)((d, i) => d
         .withColumn("s_suppkey", col("s_suppkey") + i * sS)),
       "documents" -> replicate(docs)((d, i) => {
+        val disjoint = regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+        // near-copy: every 7th token replaced by a replica marker —
+        // Jaccard vs the base ≈ 6/7·(1/(1+2/7)) ≈ 0.75, inside every
+        // near-dup operator's net (q45/q46/q47 thresholds ≤ 0.7)
+        val nearCopy = regexp_replace(col("text"),
+          "((\\S+\\s+){6})\\S+", s"$$1ndup$i")
+        val isDup = graft.ext.Curation.sampleKey(col("doc_id") + i)
+          .lt(lit(dupPermille.toLong))
         val txt = if (i == 0) col("text")
-          else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+          else when(isDup, nearCopy).otherwise(disjoint)
         d.withColumn("doc_id", col("doc_id") + i * dS)
           .withColumn("text", txt)
           .withColumn("n_chars", length(col("text")).cast("long"))
       }),
-      "embeddings" -> replicate(emb)((d, i) =>
+      "embeddings" -> replicate(emb)((d, i) => {
+        val decohere = transform(col("embedding"), (x, dIdx) =>
+          // avalanche-hash parity per (replica, dim) — NOT a linear
+          // congruence: any affine mask makes far replica pairs' relative
+          // flip pattern near-constant (observed: mod-7 gave replicas
+          // 1/8 identical masks, a shifted LCG gave pairs 6 apart a
+          // 96%-coherent flip = near-negated twins; both inflate the
+          // cross-replica pair count ~15×)
+          when(pmod(xxhash64(dIdx, lit(i)), lit(2L)) === 0, -x).otherwise(x))
+        // near-copy: flip exactly dims (i % 64) and ((i + 31) % 64) —
+        // cosine vs the base ≈ 1 − 4/64 ≈ 0.94 for unit-ish vectors,
+        // inside the 0.45 near-dup threshold
+        val nearCopy = transform(col("embedding"), (x, dIdx) =>
+          when(dIdx === lit(i % 64) || dIdx === lit((i + 31) % 64), -x)
+            .otherwise(x))
+        val isDup = graft.ext.Curation.sampleKey(col("vec_id") + i)
+          .lt(lit(dupPermille.toLong))
         d.withColumn("vec_id", col("vec_id") + i * vS)
           .withColumn("embedding",
             if (i == 0) col("embedding")
-            else transform(col("embedding"), (x, dIdx) =>
-              // avalanche-hash parity per (replica, dim) — NOT a linear
-              // congruence: any affine mask makes far replica pairs' relative
-              // flip pattern near-constant (observed: mod-7 gave replicas
-              // 1/8 identical masks, a shifted LCG gave pairs 6 apart a
-              // 96%-coherent flip = near-negated twins; both inflate the
-              // cross-replica pair count ~15×)
-              when(pmod(xxhash64(dIdx, lit(i)), lit(2L)) === 0, -x).otherwise(x)))),
+            else when(isDup, nearCopy).otherwise(decohere))
+      }),
       // events: disjoint event/user key spaces per replica, timestamps
       // verbatim — the window set stays FIXED while per-window density and
       // the open-state population (sessions, dedup keys, join buffers) scale
