@@ -1,0 +1,1228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.tables.Tables
+
+import PipelineOps._
+
+/** Corpus curation: sampling, mixing, packing, splits, budgets, per-source balancing.
+  *
+  * One shard of [[PipelineOps]] (round-8 mechanical split of the
+  * former 8k-line file — zero behavior change; PipelineOps merges the
+  * shards and still owns the shared helpers/oracle builders). */
+private[queries] object PipelineCuration {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified sampling (domain/language mixing): keep-rate
+      // per stratum, keyed by modular arithmetic on doc_id — reproducible,
+      // engine-independent, a pure filter (no shuffle, no RNG state).
+      val sampled = Curation.stratifiedSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), sampleRates, defaultPermille = 100)
+      sampled.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"))
+    }),
+    "q64_curation_pipeline" -> ((s, dir) => {
+      // End-to-end curation: language-ID → quality gate → exact dedup on the
+      // content fingerprint (keep lowest doc_id per fingerprint — one
+      // shuffle) → stratified sample → corpus mixture summary. Every stage
+      // is an operator proven above; this pins their composition.
+      val d = t(s, dir, "documents").select(
+          col("doc_id"),
+          TA.langId(col("text")).as("plang"),
+          TA.qualityScore(col("text")).as("q"),
+          TA.contentFingerprint(col("text")).as("cfp"),
+          TA.tokenCount(col("text")).as("n_tok"))
+        .filter(col("q") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cfp")).orderBy(col("doc_id"))
+      val deduped = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      Curation.stratifiedSample(deduped, col("doc_id"), col("plang"),
+          sampleRates, defaultPermille = 100)
+        .groupBy(col("plang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("plang"))
+    }),
+    "q98_pack_concat" -> ((s, dir) => {
+      // Shard materialization: per pack, member texts concatenated in id
+      // order with an explicit separator. The pack hash pins the ORDERED
+      // string aggregation cross-engine (DuckDB: string_agg ... ORDER BY);
+      // collect_list alone would be partition-order-dependent — the sorted
+      // struct collect is what makes it deterministic.
+      Curation.packConcat(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), capTokens = 4096)
+        .select(col("stratum"), col("shard"), col("pack_id"),
+          col("n_docs"), col("pack_tok"), md5(col("pack_text")).as("pack_md5"))
+        .orderBy(col("stratum"), col("shard"), col("pack_id"))
+    }),
+    "q99_epoch_mixture" -> ((s, dir) => {
+      // Up-weighting mixture: en 2.3 epochs, fr 1.5, de 0.5, default 1.0 —
+      // full copies plus a deterministic fractional tail (same modular key
+      // as the down-sampler). Rollup over the replicated rows.
+      Curation.epochMixture(t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 2300, "fr" -> 1500, "de" -> 500), defaultPermille = 1000)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id") * col("copy")).as("checksum"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+    "q179_waterfill_budget" -> ((s, dir) => {
+      // Water-filling token budget across languages: the largest uniform
+      // per-language cap whose Σ min(tokens, cap) fits 85% of the corpus's
+      // tokens — small languages fully funded, the dominant one capped.
+      // Closed-form window arithmetic on the |langs|-sized relation.
+      Curation.waterFillAlloc(t(s, dir, "documents"), col("lang"),
+          TA.tokenCount(col("text")), budgetPpm = 850000L)
+        .withColumnRenamed("k", "lang")
+        .orderBy(col("lang"))
+    }),
+    "q237_weighted_sample" -> ((s, dir) => {
+      // Weighted sampling without replacement: 5 docs per language,
+      // selection pressure proportional to n_chars — the
+      // Efraimidis-Spirakis bottom-k shape with the deterministic integer
+      // key ⌊h/w⌋ (seeded md5 fold), engine-exact and epoch-reseedable.
+      Curation.weightedSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), col("n_chars"), k = 5, seed = "ws1")
+        .withColumnRenamed("stratum", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("lang"), col("rnk"))
+    }),
+    "q246_length_bias" -> ((s, dir) => {
+      // RLHF hygiene: in what fraction of q222's preference pairs is the
+      // chosen side simply the longer document?
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.giniDiversityPpm(col("text")).as("g"))
+      val pairs = Curation.preferencePairs(docs, col("doc_id"), col("lang"),
+        col("g"), minGap = 100000L)
+      Curation.lengthBiasAudit(pairs,
+          t(s, dir, "documents").select(col("doc_id"),
+            col("n_chars").as("len")))
+        .orderBy(col("strat"))
+    }),
+    "q248_pack_utilization" -> ((s, dir) => {
+      // How full are q67's 512-token packs per language — utilization and
+      // overflow-pack counts, the feedback number before a shard write.
+      Curation.packUtilization(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"), capTokens = 512)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"))
+    }),
+    "q249_mixture_feasibility" -> ((s, dir) => {
+      // Can the corpus serve an equal mix across sources without
+      // upsampling? The binding source caps T*; everyone else reports
+      // headroom.
+      val toks = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TA.tokenCount(col("text"))).as("avail_tok"))
+      val ns = toks.agg(count(lit(1)).as("n_src"))
+      val targets = toks.select(col("source")).crossJoin(broadcast(ns))
+        .select(col("source"), org.apache.spark.sql.graft.Bridge.idiv(
+          lit(1000000L), col("n_src")).as("target_ppm"))
+      Curation.mixtureFeasibility(toks, targets)
+        .orderBy(col("source"))
+    }),
+    "q264_capture_recapture" -> ((s, dir) => {
+      // How big is the dedup universe, from two 30% samples? Chapman
+      // estimate + the exact truth and error the audit exists to measure.
+      Dedup.captureRecapture(t(s, dir, "documents"), col("doc_id"),
+        TA.contentFingerprint(col("text")), seedA = "cra", seedB = "crb",
+        ppm = 300000L)
+    }),
+    "q269_length_histogram" -> ((s, dir) => {
+      // Log-scale length distribution per source: power-of-two token
+      // buckets via binary-string length (the q261 no-float-log rule in
+      // base 2) — the length profile a packing/budget choice reads first.
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          TA.log2Bucket(TA.tokenCount(col("text"))).as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+    "q274_cluster_split" -> ((s, dir) => {
+      // Leakage-PROOF train/eval split: documents inherit their near-dup
+      // cluster's split (q95's components over the exact-Jaccard pairs),
+      // so no pair can straddle the boundary — the fix whose absence
+      // q209's audit detects. Rollup per split plus the proof column:
+      // n_leaky_pairs computed over the very pair graph, 0 by construction.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        lit(1), n = 3, minJaccard = 0.2)
+      val split = Curation.clusterAwareSplit(docs, col("doc_id"),
+        pairs.select(col("d1"), col("d2")), trainPermille = 800)
+      val leaks = pairs
+        .join(split.select(col("doc_id").as("d1"), col("split").as("s1")),
+          Seq("d1"))
+        .join(split.select(col("doc_id").as("d2"), col("split").as("s2")),
+          Seq("d2"))
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)),
+          lit(0L)).as("n_leaky_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"),
+          sum(col("doc_id")).as("checksum"))
+        .crossJoin(broadcast(leaks))
+        .orderBy(col("split"))
+    }),
+    "q283_rendezvous_shards" -> ((s, dir) => {
+      // Consistent shard routing: HRW assignment of documents to 8 nodes,
+      // re-assigned under 9 — per node, how many keys it holds and how
+      // many MOVE when the cluster grows (expected ~1/9: rendezvous
+      // hashing's minimal-disruption property, measured not assumed).
+      val n8 = (0 until 8).map(i => s"n$i")
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val a8 = Curation.rendezvousAssign(docs, col("doc_id"), n8)
+        .withColumnRenamed("node", "node8")
+      val a9 = Curation.rendezvousAssign(docs, col("doc_id"), n8 :+ "n8")
+        .withColumnRenamed("node", "node9")
+      a8.join(a9, Seq("doc_id"))
+        .groupBy(col("node8").as("node"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("node9") =!= col("node8"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("node"))
+    }),
+    "q226_k_anonymity" -> ((s, dir) => {
+      // Privacy-release audit: quasi-identifiers (lang, source,
+      // 50-char length band) against a synthetic categorical secret
+      // (doc_id % 7); groups under k=5 or with fewer than l=3 distinct
+      // secrets put their rows at risk.
+      val docs = t(s, dir, "documents")
+      Curation.kAnonymityAudit(docs,
+        Seq(col("lang"), col("source"),
+          org.apache.spark.sql.graft.Bridge.idiv(col("n_chars"), lit(50L))
+            .as("len_band")),
+        pmod(col("doc_id"), lit(7L)), k = 5, l = 3)
+    }),
+    "q222_preference_pairs" -> ((s, dir) => {
+      // DPO-style preference pairs per language: gini diversity is the
+      // quality score, half-shift pairing, pairs must clear a 100000-ppm
+      // gap. Roll-up per lang pins pair counts and gap mass; a bounded
+      // sample of pairs rides along via min/max checksums.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.giniDiversityPpm(col("text")).as("g"))
+      Curation.preferencePairs(docs, col("doc_id"), col("lang"),
+          col("g"), minGap = 100000L)
+        .groupBy(col("strat"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("gap")).as("sum_gap"), min(col("gap")).as("min_gap"),
+          sum(col("chosen_id") - col("rejected_id")).as("pair_checksum"))
+        .orderBy(col("strat"))
+    }),
+    "q221_exact_split" -> ((s, dir) => {
+      // Exact-ratio 80/10/10 split per source: counts are floor-exact per
+      // stratum (not approximate like a modular-key split); checksums pin
+      // the exact membership under the seeded order.
+      Curation.exactRatioSplit(t(s, dir, "documents"), col("doc_id"),
+          col("source"), trainPermille = 800, valPermille = 100)
+        .groupBy(col("strat"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+        .orderBy(col("strat"), col("split"))
+    }),
+    "q220_quantile_normalize" -> ((s, dir) => {
+      // Cross-source score calibration: every source's n_chars
+      // distribution maps onto the pooled one; the per-source roll-up
+      // shows the normalized ranges agree while raw ranges differ.
+      val docs = t(s, dir, "documents")
+      Curation.quantileNormalize(docs, col("doc_id"), col("source"),
+          col("n_chars"))
+        .groupBy(col("strat"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sum_raw"), sum(col("norm")).as("sum_norm"),
+          min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
+        .orderBy(col("strat"))
+    }),
+    "q209_split_leakage" -> ((s, dir) => {
+      // Leakage audit, naive vs keyed: a doc_id % 10 split scatters
+      // exact-duplicate content across train/val/test (leaky groups > 0);
+      // splitting on the FINGERPRINT's hash cannot (0 by construction —
+      // the audit proves it rather than assumes it).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.contentFingerprint(col("text")).as("fp"))
+      def splitOf(c: org.apache.spark.sql.Column) = when(pmod(c, lit(10L)) <= 7, "train")
+        .when(pmod(c, lit(10L)) === 8, "val").otherwise("test")
+      val naive = Curation.splitLeakageAudit(docs, col("fp"),
+          splitOf(col("doc_id")))
+        .withColumn("mode", lit("naive"))
+      val keyed = Curation.splitLeakageAudit(docs, col("fp"),
+          splitOf(pmod(conv(substring(col("fp"), 1, 11), 16, 10).cast("long"),
+            lit(1000003L))))
+        .withColumn("mode", lit("keyed"))
+      naive.unionByName(keyed)
+        .select(col("mode"), col("n_groups"), col("n_leaky_groups"),
+          col("n_docs_at_risk"))
+        .orderBy(col("mode"))
+    }),
+    "q208_snake_shards" -> ((s, dir) => {
+      // Balanced training-shard assignment: snake-deal docs (by token
+      // count desc) across 8 shards; per-shard totals must come out
+      // near-equal (the spread law lives in ExtSpec). Checksums pin the
+      // exact membership, not just the balance.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+      Curation.snakeShardAssign(docs, col("doc_id"), col("n_tok"), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_tok"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("shard"))
+    }),
+    "q205_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language equal-count tertiles of the
+      // interpolated trigram-LM fluency (most fluent third = head). Docs
+      // with zero trigrams have no fluency and stay out (both engines).
+      import graft.ext.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm2 = NgramLm.probTable(docs, col("text"))
+      val lm3 = NgramLm.probTable3(docs, col("text"))
+      val scored = NgramLm.scoreInterpolated(docs, col("doc_id"), col("text"),
+          lm3, lm2, mixPpm = 600000L)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Curation.stratumEqualBuckets(scored, col("lang"), col("fluency3"),
+          col("doc_id"), nBuckets = 3)
+        .withColumn("bucket", when(col("bucket_idx") === 0, "head")
+          .when(col("bucket_idx") === 1, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("fluency3")).as("min_f"), max(col("fluency3")).as("max_f"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+    "q200_dsir_reweight" -> ((s, dir) => {
+      // DSIR-shaped selection: src0 is the target distribution, every
+      // other source is the raw pool; hashed-token bucket ratios score the
+      // pool and the top 50 most-target-like docs surface. Integer ppm
+      // ratios (not float logs) keep both engines bit-identical.
+      val docs = t(s, dir, "documents")
+      Curation.dsirScorePpm(docs, col("doc_id"), col("text"),
+          col("source") === "src0")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .filter(col("source") =!= "src0")
+        .orderBy(col("score_ppm").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("score_ppm"))
+    }),
+    "q199_gini_diversity" -> ((s, dir) => {
+      // Integer-exact token-diversity gate: Gini impurity in ppm (the
+      // log-free entropy stand-in), rolled up per (lang, keep) so the
+      // gate's corpus-level effect is visible. keep = gini >= 0.5.
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"), TA.tokenCount(col("text")).as("n_tok"),
+          TA.giniDiversityPpm(col("text")).as("gini_ppm"))
+        .withColumn("keep", (col("gini_ppm") >= 500000L).cast("long"))
+        .groupBy(col("lang"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("gini_ppm")).as("sum_gini"))
+        .orderBy(col("lang"), col("keep"))
+    }),
+    "q189_mixture_reweight" -> ((s, dir) => {
+      // Multiplicative-weights mixture tuning (the DoReMi shape, integer
+      // surrogate): reward = each language's type-token-ratio ppm, 3
+      // rounds at η = 0.5 — diverse languages compound share, templated
+      // ones decay. One corpus pass for rewards; the update runs on the
+      // |langs|-sized relation.
+      val docs = t(s, dir, "documents")
+      val rewards = docs
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang")).agg(
+          expr("(1000000 * count(1)) div sum(c)").as("reward_ppm"))
+      Curation.mixtureReweight(rewards, col("lang"), col("reward_ppm"),
+          rounds = 3, etaPpm = 500000L)
+        .withColumnRenamed("k", "lang").withColumnRenamed("r", "reward_ppm")
+        .orderBy(col("lang"))
+    }),
+    "q187_stratified_priority" -> ((s, dir) => {
+      // Priority sampling PER LANGUAGE: 20 token-weighted draws from each
+      // lang with that stratum's own τ and HT weights — a token-honest
+      // sample of every language in one stratum-keyed window pass.
+      Curation.prioritySampleByStratum(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), TA.tokenCount(col("text")), k = 20)
+        .withColumnRenamed("strat", "lang")
+        .orderBy(col("lang"), col("id"))
+    }),
+    "q186_source_diversity" -> ((s, dir) => {
+      // Whole-source diversity health: type-token ratio, trigram
+      // diversity, top-token dominance per source — the collapsed-source
+      // detector (per-doc signals can't see one template stamped a
+      // million times).
+      Curation.sourceDiversity(t(s, dir, "documents"),
+          col("source"), col("text"))
+        .orderBy(col("src"))
+    }),
+    "q185_priority_sample" -> ((s, dir) => {
+      // Token-weighted sampling without replacement (priority sampling,
+      // Duffield-Lund-Thorup): top-50 hash-deterministic priorities w/u,
+      // with Horvitz-Thompson adjusted weights ŵ = max(w, τ) so token
+      // totals estimated from the sample stay honest. Bounded TakeOrdered,
+      // no global sort.
+      Curation.prioritySample(t(s, dir, "documents"), col("doc_id"),
+          TA.tokenCount(col("text")), k = 50)
+        .orderBy(col("id"))
+    }),
+    "q183_filter_attrition" -> ((s, dir) => {
+      // The curation-cascade funnel: which gate drops how much, charged to
+      // the FIRST failing rule — one codegen'd CASE pass over the corpus,
+      // funnel math on the |rules|-sized relation.
+      Curation.filterAttrition(t(s, dir, "documents"), Seq(
+          "lang_allowed" -> col("lang").isin("en", "es", "de", "fr"),
+          "min_tokens" -> (TA.tokenCount(col("text")) >= 25),
+          "max_chars" -> (col("n_chars") <= 380)))
+        .orderBy(col("rule_id"))
+    }),
+    "q182_waterfill_sample" -> ((s, dir) => {
+      // The water-fill level driving selection: per-language allocations
+      // from q179's closed form, then each language keeps its largest-docs-
+      // first prefix that fits ITS allocation — mixture flattening and
+      // best-of-source selection in one deterministic integer pipeline.
+      Curation.waterFillSample(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang"), col("n_chars"), budgetPpm = 850000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q176_length_batching" -> ((s, dir) => {
+      // Length-bucketed dynamic batching (the loader-throughput knob):
+      // power-of-two length bands via length(bin(n)) — highest set bit,
+      // no float log2 — then sharded windows chop each band into
+      // batchSize runs; per-batch padding waste = n·max − sum is the
+      // metric the bucketing minimizes. Deterministic end to end, one
+      // (bucket, shard)-keyed window shuffle.
+      Curation.lengthBucketBatches(t(s, dir, "documents"),
+          col("doc_id"), col("text"), batchSize = 8, shards = 4)
+        .orderBy(col("bucket"), col("shard"), col("batch"))
+    }),
+    "q168_temperature_mixture" -> ((s, dir) => {
+      // Temperature mixture (proportions ∝ √n — the Gopher/LLaMA mixture
+      // knob): small sources boost, dominant sources damp. All-integer
+      // thresholds over floor(sqrt(count)) weights and the deterministic
+      // sample-key hash — the oracle replays the identical arithmetic, so
+      // the kept SET (not just counts) is cross-engine exact.
+      Curation.temperatureMixture(t(s, dir, "documents"),
+          col("doc_id"), col("source"), targetRows = 600L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("checksum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+    "q93_source_cap" -> ((s, dir) => {
+      // Domain balancing: at most 10 docs per source, longest-first (ties to
+      // the lowest id) — integer priority keeps the window order cross-engine
+      // exact. Per-source rollup of what survived.
+      Curation.capPerSource(t(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), k = 10)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("source"))
+    }),
+    "q109_epoch_shuffle" -> ((s, dir) => {
+      // Deterministic global corpus shuffle: total order by md5(seed:id) —
+      // the epoch shuffle every trainer needs, reproducible across engines
+      // and cluster sizes (a different seed is a fresh permutation). Spark
+      // plans the global ORDER BY as a range-partitioned sort (sampled
+      // boundaries, per-partition sorts — no single-task pass);
+      // Curation.writeShuffled materializes the same order as ordered
+      // parquet shards (ScaleOpsSpec covers the file form).
+      Curation.shuffled(t(s, dir, "documents"), col("doc_id"), seed = "epoch1")
+        .select(col("shuffle_key"), col("doc_id"), col("lang"))
+    }),
+    "q67_sequence_pack" -> ((s, dir) => {
+      // Sequence packing (context-window fill): contiguous token-capacity
+      // packs per (stratum, shard); per-pack rollup. Integer-exact.
+      Curation.sequencePack(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), capTokens = 4096)
+        .groupBy(col("stratum"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tok"))
+        .orderBy(col("stratum"), col("shard"), col("pack_id"))
+    }),
+    "q137_bottomk_sample" -> ((s, dir) => {
+      // Exact-k uniform corpus sample: bottom-200 by the Knuth
+      // multiplicative key (same modular arithmetic as q59's Bernoulli
+      // sampler, but with an EXACT output size — "give me exactly k docs").
+      // orderBy+limit plans through the bounded-heap TopK operator: each
+      // partition keeps 200 rows, no global sort, no RNG, reproducible
+      // across engines and cluster sizes.
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Curation.sampleKey(col("doc_id"), 999983).as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(200)
+    }),
+    "q140_cluster_split" -> ((s, dir) => {
+      // Leakage-safe train/val/test split: near-dup CLUSTERS (q95's
+      // connected components over the n-gram-Jaccard pair graph) assign
+      // whole to a split by the Knuth key of their representative — no
+      // near-duplicate pair can straddle splits (the eval-contamination
+      // guarantee an id-hash split cannot give). Singleton docs are their
+      // own cluster. Buckets 0-7 train, 8 val, 9 test.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val assigned = docs.join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+        .withColumn("bucket", Curation.sampleKey(col("cluster"), 10))
+        .withColumn("split",
+          when(col("bucket") <= 7, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      assigned.groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy(col("split"))
+    }),
+    "q161_stratum_topk_sample" -> ((s, dir) => {
+      // Exactly-k-per-stratum sampling ("25 docs per language, no more, no
+      // fewer"): rank by the Knuth key within each stratum, keep rn <= k —
+      // q137's exact-size guarantee made per-group; one stratum-keyed
+      // window, partitions bounded by stratum populations.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("skey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Curation.sampleKey(col("doc_id"), 999983).as("skey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 25)
+        .orderBy(col("lang"), col("rn"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q237_weighted_sample" ->
+      raw"""WITH h AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         |    list_reduce(
+         |      list_transform(string_split(md5('ws1:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) AS hv
+         |  FROM documents WHERE n_chars > 0),
+         |p AS (SELECT doc_id, lang, w, hv // w AS priority FROM h),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
+         |SELECT lang, doc_id, w, CAST(priority AS BIGINT) AS priority, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "q246_length_bias" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang AS strat,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS x
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, strat, x,
+         |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x DESC, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) // 2 AS h
+         |  FROM g),
+         |top AS (SELECT strat, doc_id AS chosen_id, x AS cs, r + h AS pr FROM r WHERE r <= h),
+         |bot AS (SELECT strat, doc_id AS rejected_id, x AS rs, r AS pr FROM r),
+         |p AS (
+         |  SELECT top.strat, chosen_id, rejected_id
+         |  FROM top JOIN bot USING (strat, pr)
+         |  WHERE cs - rs >= 100000),
+         |len AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc FROM documents),
+         |pl AS (SELECT p.strat, lc.nc AS c_len, lr.nc AS r_len
+         |  FROM p JOIN len lc ON lc.doc_id = p.chosen_id
+         |    JOIN len lr ON lr.doc_id = p.rejected_id),
+         |a AS (SELECT strat, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN c_len > r_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_chosen_longer,
+         |    CAST(sum(CASE WHEN c_len = r_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ties
+         |  FROM pl GROUP BY strat)
+         |SELECT strat, n_pairs, n_chosen_longer, n_ties,
+         |  CAST(CASE WHEN n_pairs = n_ties THEN NULL
+         |    ELSE (n_chosen_longer * 1000000) // (n_pairs - n_ties)
+         |  END AS BIGINT) AS length_bias_ppm
+         |FROM a ORDER BY strat""".stripMargin,
+    "q248_pack_utilization" ->
+      raw"""WITH b AS (
+         |  SELECT lang AS stratum, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    doc_id // 1000 AS shard
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tok) OVER (
+         |    PARTITION BY stratum, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+         |p AS (SELECT stratum, shard, (cum - n_tok) // 512 AS pack_id, n_tok FROM c),
+         |pk AS (SELECT stratum, shard, pack_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tok
+         |  FROM p GROUP BY stratum, shard, pack_id),
+         |a AS (SELECT stratum AS lang, CAST(count(*) AS BIGINT) AS n_packs,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(pack_tok) AS BIGINT) AS sum_tok,
+         |    CAST(sum(CASE WHEN pack_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_over_packs
+         |  FROM pk GROUP BY stratum)
+         |SELECT lang, n_packs, n_docs, sum_tok, n_over_packs,
+         |  (sum_tok * 1000000) // (n_packs * 512) AS util_ppm
+         |FROM a ORDER BY lang""".stripMargin,
+    "q249_mixture_feasibility" ->
+      raw"""WITH toks AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         |      AS avail_tok
+         |  FROM documents GROUP BY source),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM toks),
+         |tg AS (SELECT source, avail_tok,
+         |  CAST(1000000 // ns.n_src AS BIGINT) AS target_ppm FROM toks, ns),
+         |cap AS (SELECT CAST(min((avail_tok * 1000000) // target_ppm) AS BIGINT)
+         |  AS t_star FROM tg WHERE target_ppm > 0)
+         |SELECT source, avail_tok, target_ppm, cap.t_star,
+         |  CAST(CASE WHEN target_ppm = 0 THEN 0
+         |    ELSE (cap.t_star * target_ppm) // 1000000 END AS BIGINT) AS alloc_tok,
+         |  avail_tok - CAST(CASE WHEN target_ppm = 0 THEN 0
+         |    ELSE (cap.t_star * target_ppm) // 1000000 END AS BIGINT)
+         |    AS headroom_tok,
+         |  CAST(CASE WHEN target_ppm > 0
+         |    AND (avail_tok * 1000000) // target_ppm = cap.t_star
+         |    THEN 1 ELSE 0 END AS BIGINT) AS binding
+         |FROM tg, cap ORDER BY source""".stripMargin,
+    "q264_capture_recapture" ->
+      raw"""WITH b AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         |  FROM documents),
+         |ga AS (SELECT DISTINCT fp FROM b WHERE list_reduce(
+         |    list_transform(string_split(md5('cra:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |    (a, v) -> a * 16 + v) % 1000000 < 300000),
+         |gb AS (SELECT DISTINCT fp FROM b WHERE list_reduce(
+         |    list_transform(string_split(md5('crb:' || CAST(doc_id AS VARCHAR)), '')[1:15],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |    (a, v) -> a * 16 + v) % 1000000 < 300000),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM ga),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM gb),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ga JOIN gb USING (fp)),
+         |tt AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS true_distinct FROM b),
+         |e AS (SELECT n1, n2, m, true_distinct,
+         |    CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS est
+         |  FROM n1, n2, mm, tt)
+         |SELECT n1, n2, m, true_distinct, est,
+         |  (abs(est - true_distinct) * 1000000) // true_distinct AS err_ppm
+         |FROM e""".stripMargin,
+    "q274_cluster_split" ->
+      (s"WITH RECURSIVE $ccJaccardCtes,\n" +
+        """lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+          |sp AS (SELECT doc_id, comp,
+          |    CASE WHEN ((comp % 1000003) * 2654435761) % 1000 < 800
+          |      THEN 'train' ELSE 'eval' END AS split
+          |  FROM lab),
+          |lk AS (SELECT CAST(coalesce(sum(CASE WHEN a.split != b.split
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
+          |  FROM pairs p JOIN sp a ON a.doc_id = p.d1
+          |               JOIN sp b ON b.doc_id = p.d2)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters,
+          |  CAST(sum(doc_id) AS BIGINT) AS checksum, lk.n_leaky_pairs
+          |FROM sp CROSS JOIN lk
+          |GROUP BY split, lk.n_leaky_pairs ORDER BY split""".stripMargin),
+    "q283_rendezvous_shards" ->
+      """WITH n8 AS (SELECT unnest(['n0','n1','n2','n3','n4','n5','n6','n7'])
+        |    AS node),
+        |n9 AS (SELECT node FROM n8 UNION ALL SELECT 'n8'),
+        |w8 AS (SELECT d.doc_id, n.node, (list_reduce(list_transform(
+        |    string_split(md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)),
+        |      '')[1:15],
+        |    c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |              ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v)) AS h
+        |  FROM documents d CROSS JOIN n8 n),
+        |a8 AS (SELECT doc_id, node FROM (SELECT doc_id, node,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC)
+        |      AS rn FROM w8) WHERE rn = 1),
+        |w9 AS (SELECT d.doc_id, n.node, (list_reduce(list_transform(
+        |    string_split(md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)),
+        |      '')[1:15],
+        |    c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |              ELSE unicode(c) - 48 END AS BIGINT)),
+        |    (a, v) -> a * 16 + v)) AS h
+        |  FROM documents d CROSS JOIN n9 n),
+        |a9 AS (SELECT doc_id, node FROM (SELECT doc_id, node,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node DESC)
+        |      AS rn FROM w9) WHERE rn = 1)
+        |SELECT a8.node, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a9.node != a8.node THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  CAST(sum(a8.doc_id) AS BIGINT) AS checksum
+        |FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+        |GROUP BY a8.node ORDER BY a8.node""".stripMargin,
+    "q269_length_histogram" ->
+      raw"""WITH b AS (SELECT source,
+         |    CAST(length(bin(CAST(len(string_split_regex(trim(text), '\s+'))
+         |      AS BIGINT))) AS BIGINT) AS bucket
+         |  FROM documents)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q226_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 50 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS ldiv
+        |  FROM documents GROUP BY lang, source, len_band)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_ldiv_groups,
+        |  CAST(sum(CASE WHEN n < 5 OR ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size,
+        |  CAST(min(ldiv) AS BIGINT) AS min_ldiv
+        |FROM g""".stripMargin,
+    "q222_preference_pairs" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang AS strat,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS x
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, strat, x,
+         |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x DESC, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) // 2 AS h
+         |  FROM g),
+         |top AS (SELECT strat, doc_id AS chosen_id, x AS cs, r + h AS pr FROM r WHERE r <= h),
+         |bot AS (SELECT strat, doc_id AS rejected_id, x AS rs, r AS pr FROM r),
+         |p AS (
+         |  SELECT top.strat, chosen_id, rejected_id, cs, rs, cs - rs AS gap
+         |  FROM top JOIN bot USING (strat, pr)
+         |  WHERE cs - rs >= 100000)
+         |SELECT strat, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(gap) AS BIGINT) AS sum_gap, CAST(min(gap) AS BIGINT) AS min_gap,
+         |  CAST(sum(chosen_id - rejected_id) AS BIGINT) AS pair_checksum
+         |FROM p GROUP BY strat ORDER BY strat""".stripMargin,
+    "q221_exact_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source AS strat,
+        |    md5('split' || ':' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, strat,
+        |    CAST(row_number() OVER (PARTITION BY strat ORDER BY sk, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) AS n
+        |  FROM b),
+        |sp AS (
+        |  SELECT doc_id, strat,
+        |    CASE WHEN r <= (n * 800) // 1000 THEN 'train'
+        |         WHEN r <= (n * 900) // 1000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT strat, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM sp GROUP BY strat, split ORDER BY strat, split""".stripMargin,
+    "q220_quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT doc_id, source AS strat, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |t AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY x),
+        |o AS (SELECT x AS vx, cnt, CAST(coalesce(sum(cnt) OVER (
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, strat, x,
+        |    CAST(row_number() OVER (PARTITION BY strat ORDER BY x, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY strat) AS BIGINT) AS n_s,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_total
+        |  FROM b),
+        |m AS (
+        |  SELECT doc_id, strat, x, ((r - 1) * n_total) // n_s + 1 AS i FROM r),
+        |j AS (
+        |  SELECT m.doc_id, m.strat, m.x, o.vx AS norm
+        |  FROM m JOIN o ON m.i > o.off AND m.i <= o.off + o.cnt)
+        |SELECT strat, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(x) AS BIGINT) AS sum_raw, CAST(sum(norm) AS BIGINT) AS sum_norm,
+        |  CAST(min(norm) AS BIGINT) AS min_norm, CAST(max(norm) AS BIGINT) AS max_norm
+        |FROM j GROUP BY strat ORDER BY strat""".stripMargin,
+    "q59_stratified_sample" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM documents
+         |WHERE ${sampleKeySql.format("doc_id")} < ${sampleRateCase.format("lang")}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q64_curation_pipeline" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id,
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS alpha,
+         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+         |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mtl,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['le','la','les','de','et','un','est'], t))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> list_contains(['el','los','las','y','un','es','que'], t))) AS BIGINT) AS s_es,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      string_split_regex(trim(text), '\\s+'))), ' ')) AS cfp,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, cfp, n_tok,
+         |    CASE WHEN has_cjk THEN 'zh'
+         |      WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         |      WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         |      WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         |      ELSE 'es' END AS plang,
+         |    round(0.5 * alpha + 0.3 * least(stop_ratio * 3, 1.0)
+         |      + 0.2 * least(mtl / 8, 1.0), 6) AS q
+         |  FROM comp),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cfp ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.5),
+         |smp AS (
+         |  SELECT * FROM dd WHERE rn = 1
+         |    AND ${sampleKeySql.format("doc_id")} < ${sampleRateCase.format("plang")})
+         |SELECT plang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM smp GROUP BY plang ORDER BY plang""".stripMargin,
+    "q98_pack_concat" ->
+      """WITH b AS (
+        |  SELECT lang AS stratum, doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    doc_id // 1000 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (
+        |    PARTITION BY stratum, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+        |p AS (SELECT stratum, shard, (cum - n_tok) // 4096 AS pack_id,
+        |             doc_id, text, n_tok FROM c)
+        |SELECT stratum, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS pack_tok,
+        |  md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS pack_md5
+        |FROM p GROUP BY stratum, shard, pack_id
+        |ORDER BY stratum, shard, pack_id""".stripMargin,
+    "q99_epoch_mixture" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2300 WHEN 'fr' THEN 1500
+        |              WHEN 'de' THEN 500 ELSE 1000 END AS rate
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, rate // 1000 +
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < rate % 1000
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM base),
+        |x AS (
+        |  SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+        |  FROM n WHERE copies >= 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id * copy) AS BIGINT) AS checksum,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    "q93_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM r WHERE rn <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q179_waterfill_budget" ->
+      raw"""WITH per AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang),
+         |r AS (SELECT lang, n_tok,
+         |  CAST(row_number() OVER (ORDER BY n_tok, lang) AS BIGINT) AS j,
+         |  coalesce(sum(n_tok) OVER (ORDER BY n_tok, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         |  coalesce(lag(n_tok) OVER (ORDER BY n_tok, lang), 0) AS t_prev,
+         |  CAST(count(*) OVER () AS BIGINT) AS n,
+         |  sum(n_tok) OVER () AS total FROM per),
+         |r2 AS (SELECT *, (CAST(total AS HUGEINT) * 850000) // 1000000 AS budget FROM r),
+         |r3 AS (SELECT *, (budget - s_prev) // (n - j + 1) AS cand FROM r2),
+         |cap AS (SELECT min(cand) AS cap FROM r3
+         |        WHERE cand >= t_prev AND cand < n_tok
+         |          AND s_prev + cand * (n - j + 1) <= budget)
+         |SELECT lang, n_tok,
+         |  CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc,
+         |  CAST(cap AS BIGINT) AS cap
+         |FROM r2, cap ORDER BY lang""".stripMargin,
+    "q209_split_leakage" ->
+      raw"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         |  FROM documents),
+         |naive AS (
+         |  SELECT fp, CASE WHEN doc_id % 10 <= 7 THEN 'train'
+         |    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM fp),
+         |keyed AS (
+         |  SELECT fp,
+         |    CASE WHEN h % 10 <= 7 THEN 'train' WHEN h % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT fp, list_reduce(
+         |      list_transform(string_split(fp, '')[1:11],
+         |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                  ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 1000003 AS h FROM fp)),
+         |audit AS (
+         |  SELECT 'naive' AS mode, fp AS k, count(DISTINCT split) AS n_splits,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM naive GROUP BY fp
+         |  UNION ALL
+         |  SELECT 'keyed', fp, count(DISTINCT split), CAST(count(*) AS BIGINT)
+         |  FROM keyed GROUP BY fp)
+         |SELECT mode, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+         |  CAST(sum(CASE WHEN n_splits >= 2 THEN n_rows ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+         |FROM audit GROUP BY mode ORDER BY mode""".stripMargin,
+    "q208_snake_shards" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, w, CAST(row_number() OVER (ORDER BY w DESC, doc_id) AS BIGINT) AS rn
+         |  FROM d),
+         |a AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+         |         ELSE 7 - ((rn - 1) % 8) END AS shard
+         |  FROM r)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS sum_tok,
+         |  CAST(sum(doc_id) AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q200_dsir_reweight" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_transform(string_split(md5(w), '')[1:11],
+         |      c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+         |                ELSE unicode(c) - 48 END AS BIGINT)),
+         |      (a, v) -> a * 16 + v) % 64 AS b
+         |  FROM tok),
+         |r AS (
+         |  SELECT b,
+         |    CAST((1000000 * (sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1)) //
+         |         (sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1) AS BIGINT) AS r_ppm
+         |  FROM tb GROUP BY b),
+         |sc AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(r.r_ppm) AS BIGINT) AS sum_r
+         |  FROM tb t JOIN r USING (b) GROUP BY t.doc_id)
+         |SELECT d.doc_id, d.source, sc.n_tok,
+         |  CAST(sc.sum_r // sc.n_tok AS BIGINT) AS score_ppm
+         |FROM sc JOIN documents d USING (doc_id)
+         |WHERE d.source <> 'src0'
+         |ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
+    "q199_gini_diversity" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, w),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq
+         |  FROM cnt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS gini_ppm
+         |  FROM d)
+         |SELECT lang, CAST(CASE WHEN gini_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(sum(gini_ppm) AS BIGINT) AS sum_gini
+         |FROM g GROUP BY lang, keep ORDER BY lang, keep""".stripMargin,
+    "q189_mixture_reweight" ->
+      raw"""WITH tc AS (
+         |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+         |    FROM documents) GROUP BY lang, t),
+         |s0 AS (SELECT lang AS k, (1000000 * count(*)) // sum(c) AS r
+         |       FROM tc GROUP BY lang),
+         |w0 AS (SELECT k, CAST(r AS BIGINT) AS r, CAST(1000000 AS BIGINT) AS w FROM s0),
+         |w1 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w0)),
+         |w2 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w1)),
+         |w3 AS (SELECT k, r, CAST((wu * 1000000) // sum(wu) OVER () AS BIGINT) AS w FROM (
+         |  SELECT k, r, (w * (1000000 + (500000 * r) // 1000000)) // 1000000 AS wu FROM w2))
+         |SELECT k AS lang, r AS reward_ppm, w AS share_ppm
+         |FROM w3 ORDER BY lang""".stripMargin,
+    "q205_ccnet_buckets" ->
+      (s"WITH $trigramLmCtes,\n" +
+        """scored AS (
+          |  SELECT sc.doc_id, d.lang, CAST(sc.tot // sc.m AS BIGINT) AS fluency3
+          |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+          |r AS (
+          |  SELECT *, CAST(row_number() OVER (
+          |      PARTITION BY lang ORDER BY fluency3 DESC, doc_id) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS cnt
+          |  FROM scored),
+          |b AS (
+          |  SELECT lang, doc_id, fluency3,
+          |    CASE ((rn - 1) * 3) // cnt WHEN 0 THEN 'head'
+          |         WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+          |  FROM r)
+          |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  min(fluency3) AS min_f, max(fluency3) AS max_f,
+          |  CAST(sum(doc_id) AS BIGINT) AS checksum
+          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
+    "q187_stratified_priority" ->
+      raw"""WITH base AS (
+         |  SELECT lang, doc_id AS id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |p AS (SELECT lang, id, w,
+         |  round(w * 1000000.0 / ((((id % 1000003) * 2654435761) % 1000000) + 1.0), 6) AS priority
+         |  FROM base WHERE w > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY priority DESC, id) AS BIGINT) AS rnk FROM p),
+         |tau AS (SELECT lang, coalesce(max(CASE WHEN rnk = 21 THEN priority END), 0.0) AS tau
+         |        FROM r WHERE rnk <= 21 GROUP BY lang)
+         |SELECT r.lang, id, w, priority,
+         |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_w
+         |FROM r JOIN tau ON tau.lang IS NOT DISTINCT FROM r.lang
+         |WHERE rnk <= 20 ORDER BY r.lang, id""".stripMargin,
+    "q186_source_diversity" ->
+      raw"""WITH toks AS (
+         |  SELECT source AS src,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS t
+         |  FROM documents),
+         |tc AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY src, t),
+         |ta AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(count(*) AS BIGINT) AS distinct_tok, max(c) AS top_tok
+         |  FROM tc GROUP BY src),
+         |tw AS (SELECT doc_id, source AS src,
+         |  string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |tri AS (SELECT src, unnest(list_transform(
+         |    generate_series(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM tw WHERE len(w) >= 3),
+         |gc AS (SELECT src, g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY src, g),
+         |ga AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tri,
+         |  CAST(count(*) AS BIGINT) AS distinct_tri FROM gc GROUP BY src),
+         |dc AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT dc.src, dc.n_docs,
+         |  coalesce(ta.n_tok, 0) AS n_tok,
+         |  round(CAST(ta.distinct_tok AS DOUBLE) / ta.n_tok, 6) AS ttr,
+         |  round(CAST(ta.top_tok AS DOUBLE) / ta.n_tok, 6) AS top_tok_ratio,
+         |  coalesce(ga.n_tri, 0) AS n_tri,
+         |  round(CAST(ga.distinct_tri AS DOUBLE) / ga.n_tri, 6) AS tri_diversity
+         |FROM dc LEFT JOIN ta ON ta.src = dc.src LEFT JOIN ga ON ga.src = dc.src
+         |ORDER BY dc.src""".stripMargin,
+    "q185_priority_sample" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+         |  FROM documents),
+         |p AS (SELECT id, w,
+         |  round(w * 1000000.0 / ((((id % 1000003) * 2654435761) % 1000000) + 1.0), 6) AS priority
+         |  FROM base WHERE w > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, id) AS BIGINT) AS rnk
+         |      FROM p),
+         |tau AS (SELECT coalesce(max(CASE WHEN rnk = 51 THEN priority END), 0.0) AS tau FROM r)
+         |SELECT id, w, priority, round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_w
+         |FROM r, tau WHERE rnk <= 50 ORDER BY id""".stripMargin,
+    "q183_filter_attrition" ->
+      raw"""WITH base AS (
+         |  -- coalesce(cond, false): a NULL predicate FAILS its rule, the
+         |  -- operator's semantics — bare NOT(NULL) would skip the rule
+         |  SELECT CASE WHEN NOT coalesce(lang IN ('en','es','de','fr'), false) THEN 0
+         |              WHEN NOT coalesce(len(string_split_regex(trim(text), '\s+')) >= 25, false) THEN 1
+         |              WHEN NOT coalesce(n_chars <= 380, false) THEN 2 ELSE 3 END AS fi
+         |  FROM documents),
+         |c AS (SELECT fi, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY fi),
+         |rules AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT),'lang_allowed'),
+         |  (1,'min_tokens'), (2,'max_chars')) t(rule_id, rule)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |f AS (SELECT r.rule_id, r.rule, CAST(coalesce(c.c, 0) AS BIGINT) AS n_drop
+         |      FROM rules r LEFT JOIN c ON c.fi = r.rule_id)
+         |SELECT rule_id, rule,
+         |  total - CAST(coalesce(sum(n_drop) OVER (ORDER BY rule_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+         |  n_drop,
+         |  total - CAST(coalesce(sum(n_drop) OVER (ORDER BY rule_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_out
+         |FROM f, tot ORDER BY rule_id""".stripMargin,
+    "q182_waterfill_sample" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+         |  FROM documents),
+         |per AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS n_tok FROM base GROUP BY lang),
+         |r AS (SELECT lang, n_tok,
+         |  CAST(row_number() OVER (ORDER BY n_tok, lang) AS BIGINT) AS j,
+         |  coalesce(sum(n_tok) OVER (ORDER BY n_tok, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         |  coalesce(lag(n_tok) OVER (ORDER BY n_tok, lang), 0) AS t_prev,
+         |  CAST(count(*) OVER () AS BIGINT) AS n,
+         |  sum(n_tok) OVER () AS total FROM per),
+         |r2 AS (SELECT *, (CAST(total AS HUGEINT) * 850000) // 1000000 AS budget FROM r),
+         |r3 AS (SELECT *, (budget - s_prev) // (n - j + 1) AS cand FROM r2),
+         |cap AS (SELECT min(cand) AS cap FROM r3
+         |        WHERE cand >= t_prev AND cand < n_tok
+         |          AND s_prev + cand * (n - j + 1) <= budget),
+         |a AS (SELECT lang, CAST(least(n_tok, coalesce(cap, n_tok)) AS BIGINT) AS alloc
+         |      FROM r2, cap),
+         |sel AS (
+         |  -- IS NOT DISTINCT FROM mirrors the operator's null-safe <=>
+         |  -- join: a NULL stratum keeps its own allocation
+         |  SELECT base.doc_id, base.lang, base.n_chars, a.alloc,
+         |    sum(base.tok) OVER (PARTITION BY base.lang
+         |      ORDER BY base.n_chars DESC, base.doc_id) AS cum
+         |  FROM base JOIN a ON a.lang IS NOT DISTINCT FROM base.lang)
+         |SELECT doc_id, lang, n_chars FROM sel WHERE cum <= alloc
+         |ORDER BY doc_id""".stripMargin,
+    "q176_length_batching" ->
+      raw"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(length(printf('%b', n_tok)) AS BIGINT) AS bucket,
+         |    doc_id % 4 AS shard
+         |  FROM b),
+         |r AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+         |      ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+         |  FROM base)
+         |SELECT bucket, shard, batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste
+         |FROM r GROUP BY bucket, shard, batch
+         |ORDER BY bucket, shard, batch""".stripMargin,
+    "q168_temperature_mixture" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |thr AS (SELECT source, n, w,
+        |    (600 * w * 1000000) // ((SELECT CAST(sum(w) AS BIGINT) FROM w) * n) AS t
+        |  FROM w)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS checksum,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < thr.t
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the seeded md5 order is engine-portable — restated verbatim
+    "q109_epoch_shuffle" ->
+      """SELECT md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  doc_id, lang
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+    "q67_sequence_pack" ->
+      """WITH b AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    doc_id // 1000 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (
+        |    PARTITION BY stratum, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+        |p AS (SELECT stratum, shard, (cum - n_tok) // 4096 AS pack_id, n_tok FROM c)
+        |SELECT stratum, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tok
+        |FROM p GROUP BY stratum, shard, pack_id
+        |ORDER BY stratum, shard, pack_id""".stripMargin,
+    "q137_bottomk_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ((doc_id % 1000003) * 2654435761) % 999983 AS skey
+        |FROM documents ORDER BY skey, doc_id LIMIT 200""".stripMargin,
+    "q140_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = d1
+        |  JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN ((cluster % 1000003) * 2654435761) % 10 <= 7 THEN 'train'
+        |         WHEN ((cluster % 1000003) * 2654435761) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM assigned)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(sum(doc_id) AS BIGINT) AS checksum
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    "q161_stratum_topk_sample" ->
+      """SELECT doc_id, lang, n_chars, skey, rn FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ((doc_id % 1000003) * 2654435761) % 999983 AS skey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 999983, doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+  )
+}
