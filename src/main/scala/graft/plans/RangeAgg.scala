@@ -37,7 +37,10 @@ import org.apache.spark.sql.types._
   *
   * Semantics preserved exactly:
   *   - partition boundaries replicate `RangeExec`'s `i·n/slices` split, so
-  *     per-partition double accumulation (avg) associates identically;
+  *     per-partition double accumulation (non-affine avg) associates
+  *     identically; AFFINE averages skip accumulation entirely — exact
+  *     BigInt sum + one correctly-rounded division (strictly tighter than
+  *     any float accumulation order once the sum passes 2^53);
   *   - LEGACY arithmetic wraps — identical to Java `+`/`*`/`%`;
   *   - ANSI arithmetic must throw on overflow: eligibility requires a static
   *     no-overflow proof (exact closed form for affine expressions, interval
@@ -79,6 +82,9 @@ private[plans] object SlotKind {
   /** value solved in closed form at plan time (affine sum / endpoint
     * min-max) — loop-free, like CountAll */
   case class ConstLong(value: Long) extends SlotKind
+  /** double solved in closed form at plan time (affine average: exact
+    * BigInt sum, one correctly-rounded rational division) */
+  case class ConstDouble(value: Double) extends SlotKind
 }
 
 private[plans] case class RangeAggSlot(kind: SlotKind, resultType: DataType)
@@ -155,6 +161,7 @@ case class RangeAggExec(
         case SlotKind.CountAll => Literal(n, LongType)
         case _ if n == 0 => Literal(null, s.resultType)
         case SlotKind.ConstLong(v) => Literal(v, LongType)
+        case SlotKind.ConstDouble(v) => Literal(v, DoubleType)
         case SlotKind.SumLong(i) => Literal(l(i), LongType)
         case SlotKind.MinLong(i) => Literal(l(i), LongType)
         case SlotKind.MaxLong(i) => Literal(l(i), LongType)
@@ -451,10 +458,27 @@ object RangeAggStrategy extends SparkStrategy {
           }
         case a: Average if a.child.dataType == LongType && a.evalMode.toString != "TRY" =>
           childGen(a.child).map { g =>
-            val i = nDouble; nDouble += 1
-            val k = SlotKind.AvgLong(i)
-            loopOps += ((k, valueVar(g)))
-            RangeAggSlot(k, DoubleType)
+            g.affine match {
+              case Some((aa, bb)) if g.noWrap && nBig > 0 =>
+                // Exact rational mean at plan time: Σ(A·k + B) over [0, n)
+                // in BigInt, ONE division rounded once to double — strictly
+                // tighter than any float accumulation order (stock Spark's
+                // double running sum drifts past 2^53; round 8 flipped the
+                // last executing BASELINE shape to closed form with this).
+                // LEGACY wrap disqualifies via noWrap: wrapped values are
+                // not affine and the loop is the semantics.
+                val A = aa * BigInt(r.step)
+                val B = aa * BigInt(r.start) + bb
+                val s = affineSum(A, B, BigInt(0), nBig)
+                val v = (BigDecimal(s, java.math.MathContext.DECIMAL128) /
+                  BigDecimal(nBig)).toDouble
+                RangeAggSlot(SlotKind.ConstDouble(v), DoubleType)
+              case _ =>
+                val i = nDouble; nDouble += 1
+                val k = SlotKind.AvgLong(i)
+                loopOps += ((k, valueVar(g)))
+                RangeAggSlot(k, DoubleType)
+            }
           }
         case _ => None
       }

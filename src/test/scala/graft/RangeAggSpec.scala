@@ -209,12 +209,32 @@ class RangeAggSpec extends AnyFunSuite {
   }
 
   test("avg matches stock Spark bit-for-bit on a partition-aligned range") {
-    // Same partition split as RangeExec + partition-order merge ⇒ identical
-    // double association; compare against a stock plan forced via a filter.
+    // Affine avg closed-forms (exact sum + one division); on this range the
+    // stock double accumulation is also exact (sum < 2^53), so the two must
+    // coincide bit-for-bit. Compare against a stock plan forced via a filter.
     val fused = spark.range(0, 100000, 1, 4).agg(avg("id").as("a"))
     assertFused(fused)
     val stock = spark.range(0, 100000, 1, 4).filter(col("id") >= 0).agg(avg("id").as("a"))
     assert(!physical(stock).contains("RangeAgg"))
     assert(fused.collect().head.getDouble(0) == stock.collect().head.getDouble(0))
+  }
+
+  test("affine avg is the exact rational mean, loop-free, past 2^53 sums") {
+    // range(B, B + n): exact mean = B + (n-1)/2; at B = 2^60 a double
+    // RUNNING SUM would round every addition (values ≫ 2^53) while the
+    // closed form computes Σ in BigInt and rounds ONCE at the division.
+    val b = 1L << 60
+    val n = 1000001L
+    val df = spark.range(b, b + n).agg(avg("id").as("a"))
+    assertFused(df)
+    val expected = (BigDecimal(BigInt(b) * BigInt(n) + BigInt(n) * BigInt(n - 1) / 2,
+      java.math.MathContext.DECIMAL128) / BigDecimal(n)).toDouble
+    assert(df.collect().head.getDouble(0) == expected)
+    // and a non-affine avg still takes the loop path with the same answer
+    // shape (serial double accumulation — pinned by the bit-for-bit test)
+    val loop = spark.range(0, 1000).agg(avg(col("id") * col("id")).as("a"))
+    assertFused(loop)
+    assert(loop.collect().head.getDouble(0) ==
+      (0 until 1000).map(i => i.toDouble * i).sum / 1000.0)
   }
 }
