@@ -1568,6 +1568,74 @@ object Similarity {
       .select(col("v1"), col("v2"), col("sim"))
   }
 
+  /** Simplified-silhouette clustering-quality audit — the standard
+    * centroid form of the silhouette coefficient (a = distance to the OWN
+    * centroid, b = distance to the nearest OTHER centroid, s = (b−a)/b),
+    * which replaces the textbook form's O(n²) pairwise means with an
+    * O(n·k) map over centroid literals — the audit stays scan-speed at any
+    * corpus size. Distances are exact integer squared-L2 in quantized
+    * space (the q114 Lloyd convention) and s lands in ppm via integer
+    * division; a ≤ b by construction (assignment = nearest centroid), so
+    * s_ppm ∈ [0, 1e6] and truncating vs flooring division cannot differ.
+    * The (b−a)·10⁶ product can pass Long (sq-dists reach ~2.6e14), so the
+    * ratio rides DECIMAL, q225's discipline. Returns one row per vector:
+    * (vec_id, cell, a, b, s_ppm) — callers roll up per cell (q287).
+    *
+    * 100 TB shape: one Lloyd fit (k·dim driver state), one pure map over
+    * centroid literals, zero extra shuffles beyond the fit. */
+  def simplifiedSilhouette(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      quant: Double = 1e6): DataFrame = {
+    val cents = lloydCentroidsQ(quantized(emb, quant), k, iters)
+    val scored = quantized(emb, quant).select(col("vec_id"),
+      array_sort(array(cents.indices.map(i =>
+        struct(sqDist(col("qv"), cents(i)).as("d"), lit(i.toLong).as("c"))): _*)).as("ds"))
+    scored.select(col("vec_id"),
+        col("ds")(0).getField("c").as("cell"),
+        col("ds")(0).getField("d").as("a"),
+        col("ds")(1).getField("d").as("b"))
+      .withColumn("s_ppm", expr(
+        "CAST((CAST(b - a AS DECIMAL(38,0)) * 1000000) DIV greatest(b, 1) AS BIGINT)"))
+  }
+
+  /** k-occurrence (hubness) audit over cell-blocked kNN — the known
+    * embedding-space pathology where a few "hub" vectors appear in a large
+    * fraction of all nearest-neighbor lists (and their antihubs appear in
+    * none), which silently skews kNN label votes, dedup verdicts, and
+    * retrieval training pairs. Blocking follows [[cellKnnLabelVote]]:
+    * vectors meet only within their trained Lloyd cell (per-cell work
+    * bounded), rank by (cosine DESC, c_id), each vector contributes its
+    * top-k list; occurrence = how many lists a vector appears in (0 for
+    * vectors alone in their cell or never ranked — the antihub signal).
+    * Returns one row per vector: (vec_id, occ).
+    *
+    * `nCells ≤ 0` → [[semDedupClustersFor]] decides (cells ∝ corpus, the
+    * q271 rule): fixed cells make the in-cell pair space quadratic in the
+    * corpus — measured 27.5 s at 10× data with 8 pinned cells vs linear
+    * under the rule. The oracle recomputes the same rule from count(*).
+    *
+    * 100 TB shape: = [[cellKnnLabelVote]] (cell equi-join, window inside
+    * cells) + one count by neighbor id. */
+  def knnOccurrence(emb: DataFrame, k: Int = 5, nCells: Int = 0,
+      iters: Int = 2): DataFrame = {
+    val n = if (nCells > 0) nCells else semDedupClustersFor(emb.count())
+    val cells = kmeansFit(emb, n, iters).select(col("vec_id"), col("cell"))
+    val withCell = cells.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
+      col("embedding").as("qe"))
+    val b = withCell.select(col("cell"), col("vec_id").as("c_id"),
+      col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val nn = a.join(b, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(Vectors.cosine(col("qe"), col("ce")), 5))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val occ = nn.groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+    emb.select(col("vec_id"))
+      .join(occ, emb("vec_id") === occ("c_id"), "left")
+      .select(col("vec_id"), coalesce(col("occ"), lit(0L)).as("occ"))
+  }
+
   /** Deterministic-plane near-dup pairs — the oracle-expressible twin of
     * [[embeddingNearDupPairs]], the same relationship
     * [[lshTopKDeterministic]] has to [[lshTopK]]: plane weights from the

@@ -222,6 +222,32 @@ private[queries] object PipelineAnn {
           col("label"), col("embedding"))
         .orderBy(col("ga"), col("gb"))
     }),
+    "q287_silhouette" -> ((s, dir) => {
+      // Clustering-quality audit: simplified silhouette per Lloyd cell
+      // (a = integer sq-dist to own centroid, b = to nearest other,
+      // s_ppm = (b-a)·1e6 div b). Weak cells (low mean s) are where
+      // SemDedup blocking and cell-kNN votes lose precision — the audit
+      // that says WHICH cells. All-integer, oracle replays the Lloyd
+      // chain and the rank-2 distance pick.
+      Similarity.simplifiedSilhouette(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"),
+          min(col("s_ppm")).as("min_s_ppm"), max(col("s_ppm")).as("max_s_ppm"),
+          sum(col("vec_id")).as("checksum"))
+        .orderBy(col("cell"))
+    }),
+    "q288_hubness" -> ((s, dir) => {
+      // Hubness (k-occurrence) audit: how many cell-blocked top-5 lists
+      // each vector appears in. Heavy hubs skew kNN votes/dedup verdicts;
+      // occ=0 antihubs are invisible to every neighbor-based operator —
+      // the distribution is the embedding-space health check. Blocking,
+      // rank rule, tie-breaks, AND the auto-scaled cell count mirror
+      // q271's kernel (fixed cells measured 27.5 s at 10x — quadratic).
+      Similarity.knnOccurrence(t(s, dir, "embeddings"), k = 5)
+        .groupBy(col("occ"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("checksum"))
+        .orderBy(col("occ"))
+    }),
     "q216_ann_recall_audit" -> ((s, dir) => {
       // Index QA: per query (vec_id < 10), the rank at which the q49b
       // IVF index (nlist 16, nprobe 4, k 3) surfaces the exact brute
@@ -629,6 +655,51 @@ private[queries] object PipelineAnn {
         |  5) AS cos
         |FROM p JOIN nrm na ON na.g = p.ga JOIN nrm nb ON nb.g = p.gb
         |WHERE p.ga != p.gb ORDER BY p.ga, p.gb""".stripMargin,
+    // Simplified silhouette: the Lloyd chain's d3 CTE already holds every
+    // (vector, cell) distance — rank 1 is the own-centroid distance (and
+    // the cell), rank 2 the nearest other; s rides HUGEINT, q225's rule.
+    "q287_silhouette" ->
+      (s"WITH ${kmeansCtes(8, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
+        """r AS (SELECT vec_id, cell, dist, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d3),
+          |sv AS (SELECT a.vec_id, a.cell, a.dist AS a, b.dist AS b
+          |  FROM r a JOIN r b USING (vec_id) WHERE a.rn = 1 AND b.rn = 2),
+          |s AS (SELECT vec_id, cell,
+          |    CAST((CAST(b - a AS HUGEINT) * 1000000) // greatest(b, 1)
+          |      AS BIGINT) AS s_ppm
+          |  FROM sv)
+          |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+          |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+          |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm,
+          |  CAST(sum(vec_id) AS BIGINT) AS checksum
+          |FROM s GROUP BY cell ORDER BY cell""".stripMargin),
+    // Hubness: q271's cell-blocked kNN kernel minus labels; LEFT join back
+    // to the corpus makes occ=0 antihubs first-class rows.
+    "q288_hubness" ->
+      (s"WITH ${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
+        """wc AS (SELECT vec_id, cell FROM a3),
+          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+          |    round(list_sum(list_transform(generate_series(1, 64),
+          |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))))), 5)
+          |      AS sim
+          |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id != y.vec_id
+          |    JOIN embeddings eq ON eq.vec_id = x.vec_id
+          |    JOIN embeddings ec ON ec.vec_id = y.vec_id),
+          |nn AS (SELECT c_id FROM (SELECT q_id, c_id,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          |      AS rnk FROM sims) t
+          |  WHERE rnk <= 5),
+          |occ AS (SELECT e.vec_id, CAST(count(nn.c_id) AS BIGINT) AS occ
+          |  FROM embeddings e LEFT JOIN nn ON nn.c_id = e.vec_id
+          |  GROUP BY e.vec_id)
+          |SELECT occ, CAST(count(*) AS BIGINT) AS n_vectors,
+          |  CAST(sum(vec_id) AS BIGINT) AS checksum
+          |FROM occ GROUP BY occ ORDER BY occ""".stripMargin),
     "q271_cell_label_noise" ->
       (s"WITH ${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
         """lab AS (SELECT vec_id, label FROM embeddings),

@@ -134,6 +134,32 @@ class ExtSpec extends AnyFunSuite {
     assert(Similarity.contrastiveTriplets(tight, tight, negCeiling = 0.30).count() == 0)
   }
 
+  test("simplified silhouette: bounds, own-centroid consistency, coverage") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val rows = Similarity.simplifiedSilhouette(emb, k = 8, iters = 2).collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val (a, b, s) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a <= b, s"own-centroid distance must be the minimum: $r")
+      assert(s >= 0 && s <= 1000000, s"s_ppm out of [0, 1e6]: $r")
+    }
+    // the emitted cell IS the kmeansFit assignment (same tie rule)
+    val fit = Similarity.kmeansFit(emb, 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(fit(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("knn occurrence: every vector reported once; totals balance the lists") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val occ = Similarity.knnOccurrence(emb, k = 5, nCells = 8, iters = 2).collect()
+    assert(occ.length == emb.count()) // occ=0 antihubs are first-class rows
+    assert(occ.map(_.getLong(0)).distinct.length == occ.length)
+    // sum of occurrences == total entries across all top-k lists, which is
+    // bounded by k per vector and hits the bound only in cells of > k+1
+    val total = occ.map(_.getLong(1)).sum
+    assert(total > 0 && total <= 5L * occ.length)
+  }
+
   test("trained IVF: full probe equals brute force; default probe clears a floor") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
