@@ -311,6 +311,31 @@ object RangeAggStrategy extends SparkStrategy {
 
   // --------------------------------------------------------------- sum proof
   /** Σ over k ∈ [ka, kb) of (A·k + B). */
+  /** The IEEE-754 double NEAREST to the exact rational s/n (round half to
+    * even) — one rounding, total. `BigDecimal(...).toDouble` at any fixed
+    * precision rounds twice (decimal digits, then bits) and can land one
+    * ulp off at half-ulp boundaries. Normal-range results only (the avg of
+    * a numbers() range is ≥ 2^-63 in magnitude, far from subnormal). */
+  private[graft] def rationalToDouble(s: BigInt, n: BigInt): Double = {
+    if (s.signum == 0) return 0.0
+    val neg = (s.signum < 0) != (n.signum < 0)
+    val a = s.abs; val b = n.abs
+    // e = floor(log2(a/b)): a/b < 2^(e0+1) always, so e is e0 or e0-1
+    val e0 = a.bitLength - b.bitLength
+    val e = if (e0 >= 0) { if (a >= (b << e0)) e0 else e0 - 1 }
+            else { if ((a << -e0) >= b) e0 else e0 - 1 }
+    // 53-bit mantissa m = round(a/b · 2^(52-e)), half-to-even on the
+    // exact remainder
+    val shift = 52 - e
+    val (num, den) =
+      if (shift >= 0) (a << shift, b) else (a, b << -shift)
+    val (q, rem) = num /% den
+    val cmp = (rem << 1).compare(den)
+    val m = if (cmp > 0 || (cmp == 0 && q.testBit(0))) q + 1 else q
+    val d = math.scalb(m.toDouble, e - 52) // m ≤ 2^53: toDouble is exact
+    if (neg) -d else d
+  }
+
   private def affineSum(A: BigInt, B: BigInt, ka: BigInt, kb: BigInt): BigInt =
     if (kb <= ka) BigInt(0)
     else A * (ka + kb - 1) * (kb - ka) / 2 + B * (kb - ka)
@@ -461,17 +486,18 @@ object RangeAggStrategy extends SparkStrategy {
             g.affine match {
               case Some((aa, bb)) if g.noWrap && nBig > 0 =>
                 // Exact rational mean at plan time: Σ(A·k + B) over [0, n)
-                // in BigInt, ONE division rounded once to double — strictly
-                // tighter than any float accumulation order (stock Spark's
-                // double running sum drifts past 2^53; round 8 flipped the
-                // last executing BASELINE shape to closed form with this).
-                // LEGACY wrap disqualifies via noWrap: wrapped values are
-                // not affine and the loop is the semantics.
+                // in BigInt, then the CORRECTLY-ROUNDED double of the exact
+                // quotient (rationalToDouble: one binary rounding, half to
+                // even) — strictly tighter than any float accumulation
+                // order (stock Spark's double running sum drifts past 2^53;
+                // round 8 flipped the last executing BASELINE shape to
+                // closed form with this). LEGACY wrap disqualifies via
+                // noWrap: wrapped values are not affine and the loop is
+                // the semantics.
                 val A = aa * BigInt(r.step)
                 val B = aa * BigInt(r.start) + bb
                 val s = affineSum(A, B, BigInt(0), nBig)
-                val v = (BigDecimal(s, java.math.MathContext.DECIMAL128) /
-                  BigDecimal(nBig)).toDouble
+                val v = rationalToDouble(s, nBig)
                 RangeAggSlot(SlotKind.ConstDouble(v), DoubleType)
               case _ =>
                 val i = nDouble; nDouble += 1

@@ -54,26 +54,41 @@ object ChCompressed {
     v
   }
 
-  /** LZ4-compress `data` into checksummed frames on `out`, splitting at
-    * [[MaxUncompressedFrame]] so a hostile-sized block can't force the peer
-    * to allocate an unbounded decompression buffer. */
-  def writeFrames(out: OutputStream, data: Array[Byte]): Unit = {
-    if (data.isEmpty) { writeFrame(out, data, 0, 0); return }
+  /** Compress `data` into checksummed frames on `out` (LZ4 by default,
+    * ZSTD when the client asked via `network_compression_method=zstd`),
+    * splitting at [[MaxUncompressedFrame]] so a hostile-sized block can't
+    * force the peer to allocate an unbounded decompression buffer. */
+  def writeFrames(out: OutputStream, data: Array[Byte],
+      method: Int = MethodLZ4): Unit = {
+    if (data.isEmpty) { writeFrame(out, data, 0, 0, method); return }
     var off = 0
     while (off < data.length) {
       val n = math.min(MaxUncompressedFrame, data.length - off)
-      writeFrame(out, data, off, n)
+      writeFrame(out, data, off, n, method)
       off += n
     }
   }
 
   private def writeFrame(out: OutputStream, data: Array[Byte], off: Int,
-      len: Int): Unit = {
-    val comp = lz4.fastCompressor()
-    val maxC = comp.maxCompressedLength(len)
-    val body = new Array[Byte](9 + maxC)
-    val cLen = comp.compress(data, off, len, body, 9, maxC)
-    body(0) = MethodLZ4.toByte
+      len: Int, method: Int): Unit = {
+    val (body, cLen) = method match {
+      case MethodLZ4 =>
+        val comp = lz4.fastCompressor()
+        val maxC = comp.maxCompressedLength(len)
+        val b = new Array[Byte](9 + maxC)
+        (b, comp.compress(data, off, len, b, 9, maxC))
+      case MethodZSTD =>
+        // raw ZSTD block via zstd-jni (same library ClickHouse links);
+        // level 1 mirrors the classic server's network default
+        val maxC = com.github.luben.zstd.Zstd.compressBound(len.toLong).toInt
+        val b = new Array[Byte](9 + maxC)
+        val n = com.github.luben.zstd.Zstd.compressByteArray(
+          b, 9, maxC, data, off, len, 1)
+        (b, n.toInt)
+      case other =>
+        throw new IllegalArgumentException(f"unknown frame method 0x$other%02x")
+    }
+    body(0) = method.toByte
     putIntLE(body, 1, 9 + cLen)
     putIntLE(body, 5, len)
     val (lo, hi) = CityHash102.cityHash128(body, 0, 9 + cLen)
@@ -129,17 +144,34 @@ object ChCompressed {
       buf = method match {
         case MethodLZ4 =>
           lz4.safeDecompressor().decompress(payload, 0, payload.length, uLen)
+        case MethodZSTD =>
+          val dst = new Array[Byte](uLen)
+          val n = com.github.luben.zstd.Zstd.decompressByteArray(
+            dst, 0, uLen, payload, 0, payload.length)
+          if (com.github.luben.zstd.Zstd.isError(n) || n.toInt != uLen)
+            throw new java.io.IOException("ZSTD frame did not decode to " +
+              s"its declared size ($n vs $uLen)")
+          dst
         case MethodNone =>
           if (payload.length != uLen)
             throw new java.io.IOException("NONE frame size mismatch")
           payload
         case other =>
           throw new java.io.IOException(
-            f"unsupported compression method 0x$other%02x (ZSTD not offered)")
+            f"unsupported compression method 0x$other%02x")
       }
       pos = 0
       if (buf.length > 0) true else refill() // tolerate (unusual) empty frames
     }
+
+    /** True when every decompressed byte has been consumed. A reader that
+      * finishes a logical unit (one Data-packet block) mid-buffer has
+      * desynced from the peer's framing — callers check this and reject
+      * rather than silently dropping the residue (frame boundaries carry
+      * no meaning, but this server decodes one packet per stream instance,
+      * so residue means the client packed MORE than the packet's block
+      * into its frames). */
+    def drained: Boolean = pos >= buf.length
 
     override def read(): Int = {
       if (pos >= buf.length && !refill()) return -1

@@ -163,8 +163,13 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
       if (rev >= 54058L) writeString(out, "UTC")
       if (rev >= 54372L) writeString(out, "graft")
       out.flush()
+      // per-connection isolated session (own current-db / settings / temp
+      // views over the shared SparkContext) — the reference's per-session
+      // context (sessions/settings.rs:21-33); `USE`/`SET` on this
+      // connection is invisible to every other
+      val session = GraftSession.forConnection(spark)
       if (db.nonEmpty && db != "default")
-        GraftSession.cached(spark).sql(s"USE $db")
+        session.sql(s"USE $db")
 
       var open = true
       // compression is negotiated per QUERY (the Query packet carries the
@@ -178,11 +183,11 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
           case CliHello => // protocol error — one hello per connection
             open = false
           case CliQuery =>
-            val (qCompress, text) = readQueryPacket(in, rev)
+            val (qCompress, qMethod, text) = readQueryPacket(in, rev)
             compress = qCompress
             // external-tables terminator: an empty client Data block
             consumeClientData(in, rev, compress)
-            runQuery(out, text, compress)
+            runQuery(out, session, text, compress, qMethod)
           case CliData =>
             // stray data block (a native-protocol INSERT payload): consume
             // the WHOLE body — table name, BlockInfo, typed columns — so
@@ -238,10 +243,13 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     "max_streams_to_max_threads_ratio", "memory_tracker_fault_probability",
     "force_index_by_date", "force_primary_key", "compile")
 
-  /** Parse a Query packet at `rev`: returns (compressionRequested, text).
-    * Throws [[ProtocolReject]] when an unknown setting makes the stream
-    * position unknowable. */
-  private def readQueryPacket(in: InputStream, rev: Long): (Boolean, String) = {
+  /** Parse a Query packet at `rev`: returns (compressionRequested,
+    * serverFrameMethod, text) — the method honors the classic
+    * `network_compression_method` setting (lz4 | zstd | none). Throws
+    * [[ProtocolReject]] when an unknown setting makes the stream position
+    * unknowable. */
+  private def readQueryPacket(in: InputStream,
+      rev: Long): (Boolean, Int, String) = {
     readString(in) // query id
     if (rev >= 54032L) { // ClientInfo
       val kind = in.read()
@@ -261,10 +269,24 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     // settings: (name, typed value) pairs, empty name terminates — the
     // classic per-type binary layout (the strings-serialized layout only
     // exists from revision 54429, above our pinned 54372)
+    var method = ChCompressed.MethodLZ4
     var name = readString(in)
     while (name.nonEmpty) {
       if (varintSettings(name)) readVarint(in)
-      else if (stringSettings(name)) readString(in)
+      else if (stringSettings(name)) {
+        val v = readString(in)
+        // the one string setting that changes the wire itself: the codec
+        // this server uses for ITS frames (client frames self-describe
+        // via each frame's method byte)
+        if (name == "network_compression_method") method =
+          v.toLowerCase match {
+            case "lz4" => ChCompressed.MethodLZ4
+            case "zstd" => ChCompressed.MethodZSTD
+            case "none" => ChCompressed.MethodNone
+            case other => throw new ProtocolReject(
+              s"unknown network_compression_method '$other'")
+          }
+      }
       else throw new ProtocolReject(
         s"setting '$name' is not recognized; its classic binary layout is " +
           "unknown to this server, so the query packet cannot be parsed " +
@@ -274,7 +296,7 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     readVarint(in) // processing stage (2 = complete)
     val compression = readVarint(in)
     val text = readString(in)
-    (compression != 0L, text)
+    (compression != 0L, method, text)
   }
 
   /** Consume one client Data packet including its leading packet id
@@ -312,6 +334,17 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
       readString(bin) // column name
       val chType = readString(bin)
       skipColumn(bin, chType, nRows)
+    }
+    // this server decodes ONE block per frame stream (as clickhouse-client
+    // flushes); a client that packed the NEXT block's bytes into this
+    // packet's frames would silently desync — residue is a hard reject,
+    // not a silent drop
+    bin match {
+      case f: ChCompressed.FrameInputStream if !f.drained =>
+        throw new ProtocolReject(
+          "compressed Data packet carries bytes past its one block; this " +
+            "server requires one-block-per-frame-stream flushing")
+      case _ =>
     }
   }
 
@@ -390,24 +423,27 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     case _ => new StrEnc(Render.value) // decimals/arrays/structs: text form
   }
 
-  private def runQuery(out: OutputStream, text: String,
-      compress: Boolean): Unit = {
+  private def runQuery(out: OutputStream, session: GraftSession,
+      text: String, compress: Boolean,
+      method: Int = ChCompressed.MethodLZ4): Unit = {
     try {
-      val df = GraftSession.cached(spark).sql(text)
+      val df = session.sql(text)
       if (df.schema.nonEmpty) {
         val fields = df.schema.fields
         val encs = fields.map(f => encoderFor(f.dataType))
         val rows = df.toLocalIterator()
         // header block (zero rows) announces the schema, as CH servers do
-        writeBlock(out, fields, encs, Seq.empty, compress)
+        writeBlock(out, fields, encs, Seq.empty, compress, method)
         val buf = scala.collection.mutable.ArrayBuffer[Row]()
         while (rows.hasNext) {
           buf += rows.next()
           if (buf.length >= blockRows) {
-            writeBlock(out, fields, encs, buf.toSeq, compress); buf.clear()
+            writeBlock(out, fields, encs, buf.toSeq, compress, method)
+            buf.clear()
           }
         }
-        if (buf.nonEmpty) writeBlock(out, fields, encs, buf.toSeq, compress)
+        if (buf.nonEmpty)
+          writeBlock(out, fields, encs, buf.toSeq, compress, method)
       }
       writeVarint(out, SrvEndOfStream)
       out.flush()
@@ -424,13 +460,14 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
     * where compression wraps the block serialization, not the packet
     * framing (Exception/EndOfStream/Pong stay uncompressed always). */
   private def writeBlock(out: OutputStream, fields: Array[StructField],
-      encs: Array[Enc], rows: Seq[Row], compress: Boolean): Unit = {
+      encs: Array[Enc], rows: Seq[Row], compress: Boolean,
+      method: Int = ChCompressed.MethodLZ4): Unit = {
     writeVarint(out, SrvData)
     writeString(out, "") // temporary table name
     if (compress) {
       val body = new java.io.ByteArrayOutputStream(64 * 1024)
       writeBlockBody(body, fields, encs, rows)
-      ChCompressed.writeFrames(out, body.toByteArray)
+      ChCompressed.writeFrames(out, body.toByteArray, method)
     } else writeBlockBody(out, fields, encs, rows)
   }
 

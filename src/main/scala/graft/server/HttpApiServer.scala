@@ -147,9 +147,11 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
       "counter", queryRows.get)
     m("graft_query_seconds_total", "Wall seconds spent in completed executions.",
       "counter", queryNanos.get / 1e9)
-    val traceRows = graft.tables.SystemTables.tracing(spark).count()
+    // ring depth read directly — a Spark action here would fire the
+    // QueryExecutionListener and inflate the counters this page reports
+    // (and bill every Prometheus scrape one Spark job)
     m("graft_tracing_events", "Events currently in the system.tracing ring.",
-      "gauge", traceRows)
+      "gauge", graft.tables.SystemTables.tracingDepth(spark))
     val mem = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage
     m("jvm_heap_used_bytes", "Used JVM heap.", "gauge", mem.getUsed)

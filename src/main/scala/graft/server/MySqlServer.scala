@@ -45,9 +45,10 @@ import graft.sql.{GraftSession, Render}
   *     sequenced ERR packet (the protocol's mid-resultset error shape).
   *
   * Threading: one daemon accept loop, one daemon thread per connection —
-  * connections share the SparkSession (Spark schedules concurrent jobs),
-  * each getting the session's cached GraftSession exactly like concurrent
-  * library callers. */
+  * connections share the SparkContext (Spark schedules concurrent jobs)
+  * but each gets its OWN [[GraftSession]] over `spark.newSession()`, so
+  * `USE` / `SET` on one connection never leaks to another (the reference
+  * scopes settings per session — sessions/settings.rs:21-33). */
 class MySqlServer(spark: SparkSession, port: Int = 0) {
 
   @volatile private var serverSocket: ServerSocket = _
@@ -208,8 +209,15 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
       writePacket(out, seq + 1, okPacket())
       out.flush()
 
-      // per-connection prepared-statement registry: id → '?'-split query
-      val stmts = scala.collection.mutable.HashMap[Int, Seq[String]]()
+      // per-connection isolated session (own current-db / settings / temp
+      // views over the shared SparkContext and persistent catalog)
+      val session = GraftSession.forConnection(spark)
+
+      // per-connection prepared-statement registry: id → ('?'-split query,
+      // parameter types cached from the first execute — stock connectors
+      // (Connector/J etc.) send types only once and set
+      // new_params_bound_flag=0 on re-executes)
+      val stmts = scala.collection.mutable.HashMap[Int, PreparedStmt]()
       val stmtIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
       var open = true
@@ -221,16 +229,16 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
           case 0x0e => writePacket(out, 1, okPacket()); out.flush() // COM_PING
           case 0x02 => // COM_INIT_DB → USE <db> (do_init:193)
             val db = new String(cmd, 1, cmd.length - 1, UTF_8)
-            runStatement(out, s"USE $db")
+            runStatement(out, session, s"USE $db")
           case 0x03 => // COM_QUERY
-            runStatement(out, new String(cmd, 1, cmd.length - 1, UTF_8))
+            runStatement(out, session, new String(cmd, 1, cmd.length - 1, UTF_8))
           case 0x16 => // COM_STMT_PREPARE — extension BEYOND the reference
             // (its worker refuses; do_prepare:124) so stock connectors with
             // server-side prepare on can use this door
             val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
             val segs = splitPlaceholders(sql)
             val id = stmtIds.incrementAndGet()
-            stmts(id) = segs
+            stmts(id) = new PreparedStmt(segs)
             // prepare-OK: stmt id, 0 columns (result metadata is delivered
             // with each execute's resultset), N params, 0 warnings
             val nParams = segs.length - 1
@@ -243,7 +251,7 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
             if (nParams > 0) writePacket(out, seq, eofPacket())
             out.flush()
           case 0x17 => // COM_STMT_EXECUTE
-            execPrepared(out, cmd, stmts)
+            execPrepared(out, session, cmd, stmts)
           case 0x19 => // COM_STMT_CLOSE: no server response, by protocol
             stmts.remove(leInt(cmd, 1, 4).toInt): Unit
           case 0x1a => // COM_STMT_RESET
@@ -363,7 +371,13 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
     case 0x06 => "NULL"
     case 0x00 | 0xf6 => // DECIMAL / NEWDECIMAL travel as length-encoded text
       val n = cur.lenenc().toInt
-      new String(cur.bytes(n), UTF_8) // numeric text — inline unquoted
+      val text = new String(cur.bytes(n), UTF_8)
+      // inlined unquoted into the statement — validate it IS numeric text,
+      // or a hostile binding would splice SQL into the prepared statement
+      if (!text.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?"""))
+        throw new IllegalArgumentException(
+          s"malformed DECIMAL parameter: ${text.take(64)}")
+      text
     case 0x0f | 0xfd | 0xfe | 0xf9 | 0xfa | 0xfb | 0xfc => // string/blob family
       val n = cur.lenenc().toInt
       sqlString(new String(cur.bytes(n), UTF_8))
@@ -371,15 +385,25 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
       throw new IllegalArgumentException(f"unsupported parameter type 0x$other%02x")
   }
 
+  /** Per-connection prepared statement: the '?'-split text plus the
+    * parameter types from the most recent typed execute — the protocol
+    * sends types only when `new_params_bound_flag=1` (stock connectors
+    * set it on the FIRST execute only and expect the server to remember). */
+  private final class PreparedStmt(val segs: Seq[String]) {
+    var types: Option[Seq[Int]] = None
+  }
+
   /** COM_STMT_EXECUTE: decode the null bitmap + typed binding block,
     * substitute literals into the prepared text, run through the same SQL
     * path as COM_QUERY, answer with a BINARY-protocol resultset. */
-  private def execPrepared(out: OutputStream, cmd: Array[Byte],
-      stmts: scala.collection.mutable.HashMap[Int, Seq[String]]): Unit = {
+  private def execPrepared(out: OutputStream, session: GraftSession,
+      cmd: Array[Byte],
+      stmts: scala.collection.mutable.HashMap[Int, PreparedStmt]): Unit = {
     try {
       val id = leInt(cmd, 1, 4).toInt
-      val segs = stmts.getOrElse(id,
+      val stmt = stmts.getOrElse(id,
         throw new IllegalArgumentException(s"unknown statement id $id"))
+      val segs = stmt.segs
       val nParams = segs.length - 1
       val cur = new Cursor(cmd, 5)
       cur.u1(); cur.le(4): Unit // flags, iteration count (always 1)
@@ -387,20 +411,20 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
         val nullBits = cur.bytes((nParams + 7) / 8)
         def isNull(i: Int): Boolean = (nullBits(i / 8) & (1 << (i % 8))) != 0
         val newBound = cur.u1()
-        if (newBound != 1)
-          throw new IllegalArgumentException(
-            "rebind without types is not supported; send types (the first " +
-              "execute of a statement always does)")
-        val types = (0 until nParams).map { _ =>
-          val t = cur.u1(); cur.u1(): Unit // type, signedness flag
-          t
+        if (newBound == 1) {
+          stmt.types = Some((0 until nParams).map { _ =>
+            val t = cur.u1(); cur.u1(): Unit // type, signedness flag
+            t
+          })
         }
+        val types = stmt.types.getOrElse(throw new IllegalArgumentException(
+          "execute with new_params_bound_flag=0 before any typed execute"))
         (0 until nParams).map { i =>
           if (isNull(i)) "NULL" else decodeParamLiteral(cur, types(i))
         }
       }
       val sql = segs.head + lits.zip(segs.tail).map { case (l, s) => l + s }.mkString
-      val df = GraftSession.cached(spark).sql(sql)
+      val df = session.sql(sql)
       if (df.schema.isEmpty) {
         writePacket(out, 1, okPacket())
         out.flush()
@@ -430,13 +454,14 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
   // instead of sending @@ syntax into the dialect
   private val SysVarRe = """(?is)^\s*select\s+@@[\w.]+(\s+limit\s+\d+)?\s*$""".r
 
-  private def runStatement(out: OutputStream, text: String): Unit = {
+  private def runStatement(out: OutputStream, session: GraftSession,
+      text: String): Unit = {
     try {
       SysVarRe.findFirstIn(text) match {
         case Some(_) =>
           writeResultSet(out, Seq("@@"), Iterator(Seq("")))
         case None =>
-          val df = GraftSession.cached(spark).sql(text)
+          val df = session.sql(text)
           if (df.schema.isEmpty) { // DDL/SET/INSERT: no result set → OK
             writePacket(out, 1, okPacket())
             out.flush()

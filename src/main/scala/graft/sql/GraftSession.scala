@@ -292,6 +292,30 @@ object GraftSession {
     g
   }
 
+  /** One ISOLATED session per wire-protocol connection — the Spark
+    * restatement of the reference's per-session `FuseQueryContext`
+    * (fusequery/query/src/sessions/settings.rs:21-33, one settings object
+    * per session): `root.newSession()` shares the SparkContext, cached
+    * blocks and the persistent catalog, but owns its SQLConf, current
+    * database, temp views and function registry — so one connection's
+    * `USE db` / `SET x = y` is invisible to every other connection.
+    * Construction re-registers the graft function surface on the new
+    * session's own registry (driver-local map inserts, microseconds). */
+  def forConnection(root: SparkSession): GraftSession = {
+    val s = root.newSession()
+    // a fresh session starts from SparkConf defaults, not the root's RUNTIME
+    // conf — inherit the server operator's tuning (ansi mode, shuffle
+    // partitions, …) as the connection's STARTING point, the way a freshly
+    // accepted reference session snapshots the server settings; the
+    // connection's own SETs then apply to its session only
+    val defaults = s.conf.getAll
+    root.conf.getAll.foreach { case (k, v) =>
+      if (defaults.get(k) != Some(v) && s.conf.isModifiable(k))
+        s.conf.set(k, v)
+    }
+    new GraftSession(s)
+  }
+
   /** One engine-settings map per SparkSession (weakly held). */
   private val registries =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]

@@ -131,6 +131,13 @@ object SystemTables {
             trace(spark, s"action $funcName FAILED: ${ex.getMessage}", 50)
         })
 
+  /** Current ring depth WITHOUT a Spark action — metrics endpoints must not
+    * fire the very QueryExecutionListener whose counters they report. */
+  def tracingDepth(spark: SparkSession): Int = {
+    val b = traceBuf(spark)
+    b.synchronized(b.size)
+  }
+
   def tracing(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val b = traceBuf(spark)

@@ -33,7 +33,8 @@ class ClickHouseServerSpec extends AnyFunSuite {
 
   // ---- minimal native client ------------------------------------------------
 
-  private final class Client(port: Int, compression: Long = 0L) {
+  private final class Client(port: Int, compression: Long = 0L,
+      zstd: Boolean = false) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
@@ -64,7 +65,6 @@ class ClickHouseServerSpec extends AnyFunSuite {
       private def fill(): Unit = {
         val sum = rawN(16)
         val head = rawN(9)
-        assert((head(0) & 0xff) == 0x82, "expected LZ4 method byte")
         val cLen = le(head, 1, 4).toInt
         val uLen = le(head, 5, 4).toInt
         val payload = rawN(cLen - 9)
@@ -72,8 +72,18 @@ class ClickHouseServerSpec extends AnyFunSuite {
         val (lo, hi) = graft.server.CityHash102.cityHash128(whole, 0, whole.length)
         assert(lo == le(sum, 0, 8) && hi == le(sum, 8, 8),
           "frame checksum mismatch")
-        buf = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
-          .decompress(payload, 0, payload.length, uLen)
+        buf = (head(0) & 0xff) match {
+          case 0x82 =>
+            net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+              .decompress(payload, 0, payload.length, uLen)
+          case 0x90 =>
+            val dst = new Array[Byte](uLen)
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(
+              dst, 0, uLen, payload, 0, payload.length)
+            assert(n.toInt == uLen, "zstd frame size mismatch")
+            dst
+          case other => fail(f"unexpected method byte 0x$other%02x")
+        }
         pos = 0
       }
       override def read(): Int = {
@@ -141,11 +151,23 @@ class ClickHouseServerSpec extends AnyFunSuite {
 
     /** Write-side frame encoder (independent of the server's). */
     private def wFrame(body: Array[Byte]): Unit = {
-      val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
-      val max = comp.maxCompressedLength(body.length)
-      val buf = new Array[Byte](9 + max)
-      buf(0) = 0x82.toByte
-      val n = comp.compress(body, 0, body.length, buf, 9, max)
+      // this client compresses its own frames with the SAME method it asks
+      // the server to use, like clickhouse-client does
+      val (buf, n) =
+        if (zstd) {
+          val max = com.github.luben.zstd.Zstd.compressBound(
+            body.length.toLong).toInt
+          val b = new Array[Byte](9 + max)
+          b(0) = 0x90.toByte
+          (b, com.github.luben.zstd.Zstd.compressByteArray(
+            b, 9, max, body, 0, body.length, 1).toInt)
+        } else {
+          val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+          val max = comp.maxCompressedLength(body.length)
+          val b = new Array[Byte](9 + max)
+          b(0) = 0x82.toByte
+          (b, comp.compress(body, 0, body.length, b, 9, max))
+        }
       def putLE(off: Int, v: Long, bytes: Int): Unit =
         (0 until bytes).foreach(i => buf(off + i) = (v >>> (8 * i)).toByte)
       putLE(1, 9L + n, 4); putLE(5, body.length.toLong, 4)
@@ -199,7 +221,11 @@ class ClickHouseServerSpec extends AnyFunSuite {
       wStr("tester"); wStr("testhost"); wStr("graft-test-client")
       wVarint(21L); wVarint(8L); wVarint(54372L)
       wStr("") // quota key (rev >= 54060)
-      settings.foreach { case (name, v) =>
+      val allSettings =
+        if (zstd) settings :+ ("network_compression_method" ->
+          (Right("zstd"): Either[Long, String]))
+        else settings
+      allSettings.foreach { case (name, v) =>
         wStr(name)
         v.fold(wVarint, wStr) // classic typed layouts: varint or string
       }
@@ -341,6 +367,32 @@ class ClickHouseServerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("session isolation: USE and SET on one connection are invisible to another") {
+    val a = new Client(port); val b = new Client(port)
+    try {
+      assert(a.query("CREATE DATABASE IF NOT EXISTS iso_ch").isRight)
+      assert(a.query("USE iso_ch").isRight)
+      assert(a.query("SET max_threads = 5").isRight)
+      val Right((_, _, dbA)) = a.query("SELECT database() AS d"): @unchecked
+      val Right((_, _, dbB)) = b.query("SELECT database() AS d"): @unchecked
+      assert(dbA.head.head == "iso_ch")
+      assert(dbB.head.head == "default", "USE leaked across connections")
+      val Right((_, _, setB)) = b.query(
+        "SELECT value FROM system.settings WHERE name = 'max_threads'"): @unchecked
+      assert(setB.head.head != "5", "SET leaked across connections")
+      // catalog objects stay SHARED: B reads the table A created
+      a.query("CREATE TABLE iso_ch.t_iso (x BIGINT) ENGINE = Memory")
+        .swap.foreach(e => fail(s"create failed: $e"))
+      assert(a.query("INSERT INTO iso_ch.t_iso VALUES (23)").isRight)
+      val Right((_, _, shared)) =
+        b.query("SELECT x FROM iso_ch.t_iso"): @unchecked
+      assert(shared.head.head == "23")
+    } finally {
+      a.query("DROP DATABASE IF EXISTS iso_ch")
+      a.close(); b.close()
+    }
+  }
+
   test("LZ4-compressed session: handler test, typed lanes, multi-frame blocks") {
     val c = new Client(port, compression = 1L)
     try {
@@ -355,6 +407,29 @@ class ClickHouseServerSpec extends AnyFunSuite {
         vs.head(2) == "héllo" && vs.head(3) == null)
       // a block body > 1 MiB must split into multiple checksummed frames
       // (8192 rows x ~300-char strings ≈ 2.5 MiB per block body)
+      val Right((_, _, wide)) = c.query(
+        "SELECT repeat('x', 300) AS s FROM numbers(10000)"): @unchecked
+      assert(wide.length == 10000 && wide.forall(_.head.length == 300))
+      // errors still arrive uncompressed and the session survives
+      assert(c.query("SELECT FROM nonsense !!").isLeft)
+      assert(c.query("SELECT 7").exists(_._3.head.head == "7"))
+    } finally c.close()
+  }
+
+  test("ZSTD-compressed session (network_compression_method=zstd), both directions") {
+    val c = new Client(port, compression = 1L, zstd = true)
+    try {
+      // handler-test shape under ZSTD: the client's Data terminator rides
+      // 0x90 frames IN, the server's result blocks ride 0x90 frames OUT
+      val Right((names, _, rows)) =
+        c.query("SELECT COUNT() AS c FROM numbers(1000)"): @unchecked
+      assert(names == Seq("c") && rows == Seq(Seq("1000")))
+      // typed lanes survive the zstd codec
+      val Right((_, _, vs)) = c.query(
+        "SELECT 7 AS i, 1.5 AS f, 'héllo' AS s, NULL AS n"): @unchecked
+      assert(vs.head(0) == "7" && vs.head(1) == "1.5" &&
+        vs.head(2) == "héllo" && vs.head(3) == null)
+      // multi-frame: a block body > 1 MiB splits at MaxUncompressedFrame
       val Right((_, _, wide)) = c.query(
         "SELECT repeat('x', 300) AS s FROM numbers(10000)"): @unchecked
       assert(wide.length == 10000 && wide.forall(_.head.length == 300))
@@ -442,12 +517,13 @@ class ClickHouseServerSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  for (name <- wireSuites; comp <- Seq(0L, 1L)) {
-    val mode = if (comp == 0L) "plain" else "LZ4"
+  for (name <- wireSuites; mode <- Seq("plain", "LZ4", "ZSTD")) {
     test(s"golden suite over the native wire ($mode): $name") {
       assume(Files.exists(Paths.get(s"$suiteDir/$name.sql")),
         "reference checkout not present")
-      val c = new Client(port, compression = comp)
+      val c = new Client(port,
+        compression = if (mode == "plain") 0L else 1L,
+        zstd = mode == "ZSTD")
       try {
         val expected =
           Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector

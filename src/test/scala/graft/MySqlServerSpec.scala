@@ -196,12 +196,14 @@ class MySqlServerSpec extends AnyFunSuite {
     final case class PLong(v: Long) extends P
     final case class PDouble(v: Double) extends P
     final case class PStr(v: String) extends P
+    final case class PDec(text: String) extends P // NEWDECIMAL: lenenc text
     final case class PDate(y: Int, m: Int, d: Int) extends P
 
     /** COM_STMT_EXECUTE with typed binary parameters; decodes the BINARY
       * resultset shape (0x00 row header, offset-2 null bitmap, lenenc
       * string cells — every column is VAR_STRING on this server). */
-    def execute(id: Int, params: Seq[P]): Either[String, (Seq[String], Seq[Seq[String]])] = {
+    def execute(id: Int, params: Seq[P],
+        sendTypes: Boolean = true): Either[String, (Seq[String], Seq[Seq[String]])] = {
       val b = new java.io.ByteArrayOutputStream()
       b.write(0x17)
       (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xff))
@@ -215,13 +217,16 @@ class MySqlServerSpec extends AnyFunSuite {
           case _ => ()
         }
         b.write(bitmap)
-        b.write(1) // new-params-bound
-        params.foreach { p =>
+        // new_params_bound_flag: stock connectors send types on the FIRST
+        // execute only; sendTypes=false models every later execute
+        b.write(if (sendTypes) 1 else 0)
+        if (sendTypes) params.foreach { p =>
           val t = p match {
             case PNull => 0x06
             case PLong(_) => 0x08
             case PDouble(_) => 0x05
             case PStr(_) => 0xfd
+            case PDec(_) => 0xf6
             case PDate(_, _, _) => 0x0a
           }
           b.write(t); b.write(0)
@@ -237,6 +242,8 @@ class MySqlServerSpec extends AnyFunSuite {
             val bits = java.lang.Double.doubleToLongBits(v)
             (0 until 8).foreach(i => b.write(((bits >> (8 * i)) & 0xff).toInt))
           case PStr(s) =>
+            val a = s.getBytes(UTF_8); wLenenc(a.length); b.write(a)
+          case PDec(s) =>
             val a = s.getBytes(UTF_8); wLenenc(a.length); b.write(a)
           case PDate(y, m, d) =>
             b.write(4); b.write(y & 0xff); b.write((y >> 8) & 0xff)
@@ -374,6 +381,68 @@ class MySqlServerSpec extends AnyFunSuite {
       assert(ra.exists(_._2.head.head == "499500"))
       assert(rb.exists(_._2.head.head == "1000"))
     } finally { a.close(); b.close() }
+  }
+
+  test("session isolation: USE and SET on one connection are invisible to another") {
+    val a = new Client(port); val b = new Client(port)
+    try {
+      assert(a.query("CREATE DATABASE IF NOT EXISTS iso_mysql").isRight)
+      // interleave: A switches db and sets a session setting; B must see
+      // neither (reference sessions/settings.rs scopes settings per session)
+      assert(a.query("USE iso_mysql").isRight)
+      assert(a.query("SET max_threads = 3").isRight)
+      val Right((_, dbA)) = a.query("SELECT database() AS d"): @unchecked
+      val Right((_, dbB)) = b.query("SELECT database() AS d"): @unchecked
+      assert(dbA.head.head == "iso_mysql")
+      assert(dbB.head.head == "default")
+      val Right((_, setB)) = b.query(
+        "SELECT value FROM system.settings WHERE name = 'max_threads'"): @unchecked
+      assert(setB.head.head != "3", "SET leaked across connections")
+      val Right((_, setA)) = a.query(
+        "SELECT value FROM system.settings WHERE name = 'max_threads'"): @unchecked
+      assert(setA.head.head == "3")
+      // catalog objects stay SHARED (persistent catalog): B sees A's table
+      a.query("CREATE TABLE iso_mysql.t_iso (x BIGINT) ENGINE = Memory")
+        .swap.foreach(e => fail(s"create failed: $e"))
+      assert(a.query("INSERT INTO iso_mysql.t_iso VALUES (11)").isRight)
+      val Right((_, shared)) =
+        b.query("SELECT x FROM iso_mysql.t_iso"): @unchecked
+      assert(shared.head.head == "11")
+    } finally {
+      a.query("DROP DATABASE IF EXISTS iso_mysql")
+      a.close(); b.close()
+    }
+  }
+
+  test("prepared re-execute without types (new_params_bound_flag=0) reuses cached types") {
+    val c = new Client(port)
+    try {
+      val Right((id, _)) = c.prepare("SELECT ? + 1 AS v"): @unchecked
+      val Right((_, r1)) = c.execute(id, Seq(c.PLong(41))): @unchecked
+      assert(r1.head.head == "42")
+      // stock connectors send types only on the FIRST execute
+      val Right((_, r2)) =
+        c.execute(id, Seq(c.PLong(99)), sendTypes = false): @unchecked
+      assert(r2.head.head == "100")
+      // a typeless execute with NO prior typed execute is a clean error
+      val Right((id2, _)) = c.prepare("SELECT ? AS v"): @unchecked
+      assert(c.execute(id2, Seq(c.PLong(1)), sendTypes = false).isLeft)
+      // and the connection still works after the error
+      assert(c.query("SELECT 5").exists(_._2.head.head == "5"))
+    } finally c.close()
+  }
+
+  test("NEWDECIMAL binding validates numeric text (no SQL splice)") {
+    val c = new Client(port)
+    try {
+      val Right((id, _)) = c.prepare("SELECT ? + 1 AS v"): @unchecked
+      val Right((_, ok)) = c.execute(id, Seq(c.PDec("12.50"))): @unchecked
+      assert(ok.head.head == "13.5")
+      // non-numeric decimal payload must ERR, not splice into the statement
+      val r = c.execute(id, Seq(c.PDec("0 UNION SELECT 666")))
+      assert(r.isLeft && r.swap.exists(_.contains("DECIMAL")))
+      assert(c.query("SELECT 9").exists(_._2.head.head == "9"))
+    } finally c.close()
   }
 
   // ---- golden suites over the wire ----------------------------------------

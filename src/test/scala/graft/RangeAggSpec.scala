@@ -237,4 +237,48 @@ class RangeAggSpec extends AnyFunSuite {
     assert(loop.collect().head.getDouble(0) ==
       (0 until 1000).map(i => i.toDouble * i).sum / 1000.0)
   }
+
+  test("rationalToDouble: correctly rounded, half to even, vs exact midpoints") {
+    import graft.plans.RangeAggStrategy.rationalToDouble
+    // exact tie at mantissa boundary: (2^53+1)/2^53 is halfway between
+    // 1.0 (even mantissa) and nextUp(1.0) -> rounds DOWN to 1.0
+    assert(rationalToDouble(BigInt(2).pow(53) + 1, BigInt(2).pow(53)) == 1.0)
+    // (2^53+3)/2^53 is halfway between 1+2^-52 (odd) and 1+2^-51 (even)
+    // -> rounds UP
+    assert(rationalToDouble(BigInt(2).pow(53) + 3, BigInt(2).pow(53)) ==
+      1.0 + math.pow(2, -51))
+    assert(rationalToDouble(BigInt(0), BigInt(7)) == 0.0)
+    assert(rationalToDouble(BigInt(-3), BigInt(2)) == -1.5)
+    assert(rationalToDouble(BigInt(3), BigInt(-2)) == -1.5)
+    // property check against the exact rational: the returned d must
+    // satisfy |s/n - d| <= half-ulp with ties only at even mantissas --
+    // verified by comparing s/n to the EXACT midpoints (d +/- ulp/2),
+    // all in BigDecimal (finite doubles are exact decimals)
+    val rnd = new scala.util.Random(20260815)
+    (0 until 4000).foreach { i =>
+      val sBits = 1 + rnd.nextInt(96)
+      val nBits = 1 + rnd.nextInt(64)
+      val sv = BigInt(sBits, rnd) * (if (rnd.nextBoolean()) 1 else -1)
+      val nv = BigInt(nBits, rnd) + 1
+      val d = rationalToDouble(sv, nv)
+      // scala.BigDecimal(double) goes through Double.toString (INEXACT);
+      // java's new BigDecimal(double) is the exact binary value
+      def exact(x: Double): BigDecimal = BigDecimal(new java.math.BigDecimal(x))
+      val exactQ = (BigDecimal(sv), BigDecimal(nv))
+      def cmpQ(x: BigDecimal): Int =
+        (exactQ._1 - x * exactQ._2).signum * exactQ._2.signum
+      val up = exact(Math.nextUp(d)); val dn = exact(Math.nextDown(d))
+      val dd = exact(d)
+      val midUp = (dd + up) / 2
+      val midDn = (dd + dn) / 2
+      // s/n must lie in [midDn, midUp]; at an exact midpoint the mantissa
+      // must be even (testBit(0) == false on the 53-bit significand)
+      assert(cmpQ(midDn) >= 0 && cmpQ(midUp) <= 0,
+        s"[$i] $sv/$nv -> $d not nearest")
+      if (cmpQ(midUp) == 0 || cmpQ(midDn) == 0) {
+        val bits = java.lang.Double.doubleToLongBits(math.abs(d))
+        assert((bits & 1L) == 0L, s"[$i] tie not broken to even: $sv/$nv -> $d")
+      }
+    }
+  }
 }
