@@ -52,6 +52,7 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
 
   @volatile private var serverSocket: ServerSocket = _
   @volatile private var running = false
+  private val connSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def start(): Int = synchronized {
     require(serverSocket == null, "ClickHouseServer already started")
@@ -63,6 +64,7 @@ class ClickHouseServer(spark: SparkSession, port: Int = 0,
           val sock = serverSocket.accept()
           val t = new Thread(() => handleConnection(sock))
           t.setDaemon(true)
+          t.setName(s"graft-clickhouse-conn-${connSeq.incrementAndGet()}")
           t.start()
         } catch {
           case _: Throwable if !running =>

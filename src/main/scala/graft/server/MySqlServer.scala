@@ -53,6 +53,7 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
 
   @volatile private var serverSocket: ServerSocket = _
   @volatile private var running = false
+  private val connSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Bind + start accepting; returns the bound port (ephemeral when 0). */
   def start(): Int = synchronized {
@@ -65,6 +66,7 @@ class MySqlServer(spark: SparkSession, port: Int = 0) {
           val sock = serverSocket.accept()
           val t = new Thread(() => handleConnection(sock))
           t.setDaemon(true)
+          t.setName(s"graft-mysql-conn-${connSeq.incrementAndGet()}")
           t.start()
         } catch {
           case _: Throwable if !running => // closed during stop()

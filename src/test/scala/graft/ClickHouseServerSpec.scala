@@ -33,310 +33,9 @@ class ClickHouseServerSpec extends AnyFunSuite {
 
   // ---- minimal native client ------------------------------------------------
 
-  private final class Client(port: Int, compression: Long = 0L,
-      zstd: Boolean = false) {
-    private val sock = new Socket("127.0.0.1", port)
-    private val in = new BufferedInputStream(sock.getInputStream)
-    private val out = new BufferedOutputStream(sock.getOutputStream)
-    // the stream block payloads decode from: the raw socket, or (inside a
-    // compressed block body) this client's OWN frame decoder — layout
-    // implemented independently of the server's; the CityHash128 used for
-    // checksums is the shared library port, itself pinned by the C++-twin
-    // vectors in CityHashParitySpec
-    private var cur: InputStream = in
-
-    /** Independent decoder for the checksummed LZ4 frame stream: 16-byte
-      * CityHash128, method byte, compressed size (incl. 9-byte header),
-      * uncompressed size, raw LZ4 block. */
-    private final class FrameIn(raw: InputStream) extends InputStream {
-      private var buf: Array[Byte] = Array.emptyByteArray
-      private var pos = 0
-      private def rawN(n: Int): Array[Byte] = {
-        val b = new Array[Byte](n); var off = 0
-        while (off < n) {
-          val r = raw.read(b, off, n - off)
-          if (r < 0) throw new EOFException(); off += r
-        }
-        b
-      }
-      private def le(b: Array[Byte], off: Int, n: Int): Long = {
-        var v = 0L; (0 until n).foreach(i => v |= (b(off + i) & 0xffL) << (8 * i)); v
-      }
-      private def fill(): Unit = {
-        val sum = rawN(16)
-        val head = rawN(9)
-        val cLen = le(head, 1, 4).toInt
-        val uLen = le(head, 5, 4).toInt
-        val payload = rawN(cLen - 9)
-        val whole = head ++ payload
-        val (lo, hi) = graft.server.CityHash102.cityHash128(whole, 0, whole.length)
-        assert(lo == le(sum, 0, 8) && hi == le(sum, 8, 8),
-          "frame checksum mismatch")
-        buf = (head(0) & 0xff) match {
-          case 0x82 =>
-            net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
-              .decompress(payload, 0, payload.length, uLen)
-          case 0x90 =>
-            val dst = new Array[Byte](uLen)
-            val n = com.github.luben.zstd.Zstd.decompressByteArray(
-              dst, 0, uLen, payload, 0, payload.length)
-            assert(n.toInt == uLen, "zstd frame size mismatch")
-            dst
-          case other => fail(f"unexpected method byte 0x$other%02x")
-        }
-        pos = 0
-      }
-      override def read(): Int = {
-        if (pos >= buf.length) fill()
-        val b = buf(pos) & 0xff; pos += 1; b
-      }
-    }
-
-    private def readN(n: Int): Array[Byte] = {
-      val b = new Array[Byte](n); var off = 0
-      while (off < n) {
-        val r = cur.read(b, off, n - off)
-        if (r < 0) throw new EOFException(); off += r
-      }
-      b
-    }
-    private def varint(): Long = {
-      var v = 0L; var shift = 0
-      while (true) {
-        val b = cur.read(); if (b < 0) throw new EOFException()
-        v |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return v
-        shift += 7
-      }
-      v
-    }
-    private def str(): String = {
-      val n = varint().toInt
-      if (n == 0) "" else new String(readN(n), UTF_8)
-    }
-    private def wVarint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
-    private def wStr(s: String): Unit = {
-      val a = s.getBytes(UTF_8); wVarint(a.length.toLong); out.write(a)
-    }
-    private def fixedLE(bytes: Int): Long = {
-      val a = readN(bytes); var v = 0L
-      (0 until bytes).foreach(i => v |= (a(i) & 0xffL) << (8 * i))
-      v
-    }
-
-    // handshake
-    val (serverName, serverRev): (String, Long) = {
-      wVarint(0L) // Hello
-      wStr("graft-test-client")
-      wVarint(21L); wVarint(8L); wVarint(54372L)
-      wStr("default"); wStr("tester"); wStr("")
-      out.flush()
-      assert(varint() == 0L, "server Hello expected")
-      val name = str()
-      varint(); varint() // version
-      val rev = varint()
-      if (rev >= 54058L) str() // timezone
-      if (rev >= 54372L) str() // display name
-      (name, rev)
-    }
-
-    def ping(): Boolean = {
-      wVarint(4L); out.flush()
-      varint() == 4L
-    }
-
-    /** Write-side frame encoder (independent of the server's). */
-    private def wFrame(body: Array[Byte]): Unit = {
-      // this client compresses its own frames with the SAME method it asks
-      // the server to use, like clickhouse-client does
-      val (buf, n) =
-        if (zstd) {
-          val max = com.github.luben.zstd.Zstd.compressBound(
-            body.length.toLong).toInt
-          val b = new Array[Byte](9 + max)
-          b(0) = 0x90.toByte
-          (b, com.github.luben.zstd.Zstd.compressByteArray(
-            b, 9, max, body, 0, body.length, 1).toInt)
-        } else {
-          val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
-          val max = comp.maxCompressedLength(body.length)
-          val b = new Array[Byte](9 + max)
-          b(0) = 0x82.toByte
-          (b, comp.compress(body, 0, body.length, b, 9, max))
-        }
-      def putLE(off: Int, v: Long, bytes: Int): Unit =
-        (0 until bytes).foreach(i => buf(off + i) = (v >>> (8 * i)).toByte)
-      putLE(1, 9L + n, 4); putLE(5, body.length.toLong, 4)
-      val (lo, hi) = graft.server.CityHash102.cityHash128(buf, 0, 9 + n)
-      val sum = new Array[Byte](16)
-      (0 until 8).foreach { i =>
-        sum(i) = (lo >>> (8 * i)).toByte; sum(8 + i) = (hi >>> (8 * i)).toByte
-      }
-      out.write(sum); out.write(buf, 0, 9 + n)
-    }
-
-    /** The empty-block body (BlockInfo + 0 columns, 0 rows) as bytes. */
-    private def emptyBlockBody(): Array[Byte] = {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(1); b.write(0) // BlockInfo field 1: is_overflows = 0
-      b.write(2); b.write(Array[Byte](-1, -1, -1, -1)) // field 2: bucket -1
-      b.write(0) // BlockInfo end
-      b.write(0); b.write(0) // 0 columns, 0 rows
-      b.toByteArray
-    }
-
-    /** Send one typed client Data packet (INSERT-payload shape). */
-    def sendDataBlock(colName: String, chType: String,
-        values: Seq[String]): Unit = {
-      wVarint(2L); wStr("") // client Data + table name (plain always)
-      val b = new java.io.ByteArrayOutputStream()
-      def bVarint(v0: Long): Unit = {
-        var v = v0
-        while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-        b.write(v.toInt)
-      }
-      b.write(1); b.write(0); b.write(2)
-      b.write(Array[Byte](-1, -1, -1, -1)); b.write(0)
-      bVarint(1L); bVarint(values.length.toLong)
-      val nm = colName.getBytes(UTF_8); bVarint(nm.length.toLong); b.write(nm)
-      val tp = chType.getBytes(UTF_8); bVarint(tp.length.toLong); b.write(tp)
-      values.foreach { v =>
-        val a = v.getBytes(UTF_8); bVarint(a.length.toLong); b.write(a)
-      }
-      if (compression != 0L) wFrame(b.toByteArray) else out.write(b.toByteArray)
-      out.flush()
-    }
-
-    def sendQuery(sql: String, settings: Seq[(String, Either[Long, String])] = Nil): Unit = {
-      wVarint(1L) // Query
-      wStr("") // query id
-      // ClientInfo (classic layout at rev 54372)
-      out.write(1) // initial query
-      wStr(""); wStr(""); wStr("") // initial user/id/address
-      out.write(1) // TCP interface
-      wStr("tester"); wStr("testhost"); wStr("graft-test-client")
-      wVarint(21L); wVarint(8L); wVarint(54372L)
-      wStr("") // quota key (rev >= 54060)
-      val allSettings =
-        if (zstd) settings :+ ("network_compression_method" ->
-          (Right("zstd"): Either[Long, String]))
-        else settings
-      allSettings.foreach { case (name, v) =>
-        wStr(name)
-        v.fold(wVarint, wStr) // classic typed layouts: varint or string
-      }
-      wStr("") // settings terminator
-      wVarint(2L) // stage: complete
-      wVarint(compression)
-      wStr(sql)
-      // external-tables terminator: empty client Data block (its BODY is
-      // compressed when the query negotiated compression)
-      wVarint(2L) // client Data
-      wStr("") // table name
-      if (compression != 0L) wFrame(emptyBlockBody())
-      else out.write(emptyBlockBody())
-      out.flush()
-    }
-
-    /** Decode one server block; returns (names, types, rows as rendered
-      * strings with null → null). */
-    private def readBlock(): (Seq[String], Seq[String], Seq[Seq[String]]) = {
-      str() // temporary table name (always plain)
-      // the block BODY rides the compressed frame stream when negotiated
-      if (compression != 0L) cur = new FrameIn(in)
-      try readBlockBody()
-      finally cur = in
-    }
-
-    private def readBlockBody(): (Seq[String], Seq[String], Seq[Seq[String]]) = {
-      var field = varint()
-      while (field != 0L) {
-        field match {
-          case 1L => cur.read()
-          case 2L => readN(4)
-          case other => fail(s"unknown BlockInfo field $other")
-        }
-        field = varint()
-      }
-      val nCols = varint().toInt
-      val nRows = varint().toInt
-      val names = Seq.newBuilder[String]; val types = Seq.newBuilder[String]
-      val cols = (0 until nCols).map { _ =>
-        val name = str(); val tpe = str()
-        names += name; types += tpe
-        val (base, nullable) =
-          if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
-          else (tpe, false)
-        val nulls: Array[Boolean] =
-          if (nullable) Array.fill(nRows)(cur.read() == 1)
-          else Array.fill(nRows)(false)
-        (0 until nRows).map { r =>
-          val v: String = base match {
-            case "Int8" => fixedLE(1).toByte.toString
-            case "Int16" => fixedLE(2).toShort.toString
-            case "Int32" => fixedLE(4).toInt.toString
-            case "Int64" => fixedLE(8).toString
-            case "UInt8" => graft.sql.Render.value(fixedLE(1) == 1L)
-            case "Float32" => graft.sql.Render.value(
-              java.lang.Float.intBitsToFloat(fixedLE(4).toInt).toDouble)
-            case "Float64" => graft.sql.Render.value(
-              java.lang.Double.longBitsToDouble(fixedLE(8)))
-            case "Date" => java.time.LocalDate.ofEpochDay(fixedLE(2)).toString
-            case "DateTime" =>
-              new java.sql.Timestamp(fixedLE(4) * 1000L).toString
-            case "String" => str()
-            case other => fail(s"client cannot decode type $other")
-          }
-          if (nulls(r)) null else v
-        }
-      }
-      (names.result(), types.result(),
-        (0 until nRows).map(r => cols.map(c => c(r))))
-    }
-
-    /** Left(exception message) or Right((names, types, rows)). */
-    def query(sql: String,
-        settings: Seq[(String, Either[Long, String])] = Nil):
-        Either[String, (Seq[String], Seq[String], Seq[Seq[String]])] = {
-      sendQuery(sql, settings)
-      var names = Seq.empty[String]; var types = Seq.empty[String]
-      val rows = Seq.newBuilder[Seq[String]]
-      while (true) {
-        varint() match {
-          case 1L => // Data
-            val (n, t, r) = readBlock()
-            if (n.nonEmpty) { names = n; types = t }
-            rows ++= r
-          case 2L => // Exception
-            readN(4) // code
-            str() // name
-            val msg = str()
-            str(); in.read() // stack, nested
-            return Left(msg)
-          case 5L => return Right((names, types, rows.result()))
-          case 3L | 6L | 7L | 8L => // progress/profile/totals/extremes unused
-            fail("server sent a packet this test does not expect")
-          case other => fail(s"unexpected server packet $other")
-        }
-      }
-      sys.error("unreachable")
-    }
-
-    /** Read one Exception packet off the wire (no query in flight). */
-    def readException(): String = {
-      assert(varint() == 2L, "expected an Exception packet")
-      readN(4); str()
-      val msg = str()
-      str(); cur.read()
-      msg
-    }
-
-    def close(): Unit = sock.close()
-  }
+  /** Shared from-scratch client (extracted to [[WireClients]] for reuse by
+    * the fuzz/torture suites). */
+  private type Client = WireClients.Ch
 
   test("hello, ping, the reference handler-test query, typed columns, NULLs") {
     val c = new Client(port)
@@ -391,6 +90,58 @@ class ClickHouseServerSpec extends AnyFunSuite {
       a.query("DROP DATABASE IF EXISTS iso_ch")
       a.close(); b.close()
     }
+  }
+
+  test("concurrency torture: 8 connections (plain + LZ4 + ZSTD) with per-connection state") {
+    // 8 parallel clients for 20 rounds each — a third of them LZ4, a third
+    // ZSTD — every round mixing typed reads with per-connection USE/SET.
+    // Compression raises the stakes: a block routed to the wrong connection
+    // also fails the per-connection frame checksum decode.
+    val n = 8; val rounds = 20
+    (0 until n).foreach(i =>
+      session.sql(s"CREATE DATABASE IF NOT EXISTS tort_c$i"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        val c = i % 3 match {
+          case 0 => new Client(port)
+          case 1 => new Client(port, compression = 1L)
+          case _ => new Client(port, compression = 1L, zstd = true)
+        }
+        try {
+          def expectOne(sql: String, want: String, what: String): Unit =
+            c.query(sql) match {
+              case Right((_, _, rows)) if rows.head.head == want => ()
+              case Right((_, _, rows)) =>
+                failures.add(s"t$i $what: got ${rows.head.head}, want $want")
+              case Left(e) => failures.add(s"t$i $what errored: $e")
+            }
+          if (c.query(s"USE tort_c$i").isLeft) failures.add(s"t$i USE failed")
+          if (c.query(s"SET max_threads = ${200 + i}").isLeft)
+            failures.add(s"t$i SET failed")
+          (1 to rounds).foreach { r =>
+            expectOne("SELECT sum(number) AS s FROM numbers(1000)", "499500", s"r$r sum")
+            expectOne(s"SELECT avg(number) AS a FROM numbers(${100 * (i + 1)})",
+              ((100 * (i + 1) - 1) / 2.0).toString, s"r$r avg")
+            expectOne("SELECT database() AS d", s"tort_c$i", s"r$r database")
+            expectOne(
+              "SELECT value FROM system.settings WHERE name = 'max_threads'",
+              (200 + i).toString, s"r$r setting")
+            // an exception mid-session must not desync the connection
+            if (c.query("SELECT definitely_not_a_function(1)").isRight)
+              failures.add(s"t$i r$r: bogus function did not error")
+          }
+          if (!c.ping()) failures.add(s"t$i final ping failed")
+        } catch {
+          case e: Throwable => failures.add(s"t$i died: ${e.getMessage}")
+        } finally c.close()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    threads.filter(_.isAlive).foreach(t => failures.add(s"${t.getName} hung"))
+    (0 until n).foreach(i => session.sql(s"DROP DATABASE IF EXISTS tort_c$i CASCADE"))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
   }
 
   test("LZ4-compressed session: handler test, typed lanes, multi-frame blocks") {

@@ -105,6 +105,56 @@ class HttpApiSpec extends AnyFunSuite {
     assert(counter(body, "graft_query_seconds_total") > 0)
   }
 
+  test("concurrency torture: parallel scrapes + routes while queries run; counters stay monotone") {
+    // 8 threads × 25 scrapes across every GET route, racing a thread that
+    // keeps the session busy with real actions. Asserts: every response is
+    // well-formed, nothing drops or hangs, and graft_queries_total observed
+    // by any single thread never DECREASES across its sequential scrapes
+    // (a torn read or per-scrape self-inflation would show up here — the
+    // round-8 ADVICE fix made /metrics itself action-free).
+    def counter(body: String, name: String): Double =
+      body.linesIterator.find(_.startsWith(name + " "))
+        .map(_.split(' ')(1).toDouble).getOrElse(Double.NaN)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val load = new Thread(() => {
+      var i = 0L
+      while (!stop.get) { session.range(0, 1000 + i % 7).count(); i += 1 }
+    })
+    load.setDaemon(true); load.start()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          var last = -1.0
+          (1 to 25).foreach { r =>
+            val (mc, metrics) = get("/metrics")
+            if (mc != 200) failures.add(s"t$t r$r /metrics -> $mc")
+            val q = counter(metrics, "graft_queries_total")
+            if (q.isNaN) failures.add(s"t$t r$r graft_queries_total missing")
+            else if (q < last) failures.add(s"t$t r$r counter went backwards: $last -> $q")
+            else last = q
+            val (hc, hello) = get("/v1/hello")
+            if (hc != 200 || parse(hello).get("name") == null)
+              failures.add(s"t$t r$r /v1/hello malformed")
+            val (cc, cfg) = get("/v1/configs")
+            if (cc != 200 || !parse(cfg).isObject)
+              failures.add(s"t$t r$r /v1/configs malformed")
+            val (lc, lst) = get("/v1/cluster/list")
+            if (lc != 200 || !parse(lst).isArray)
+              failures.add(s"t$t r$r /v1/cluster/list malformed")
+          }
+        } catch {
+          case e: Throwable => failures.add(s"t$t died: ${e.getMessage}")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    stop.set(true); load.join(30000)
+    threads.filter(_.isAlive).foreach(t => failures.add(s"${t.getName} hung"))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+  }
+
   test("unknown cluster routes 404 with a JSON error") {
     val (code, body) = get("/v1/cluster/nope")
     assert(code == 404 && parse(body).get("error") != null)

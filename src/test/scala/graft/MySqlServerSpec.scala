@@ -39,255 +39,9 @@ class MySqlServerSpec extends AnyFunSuite {
 
   // ---- minimal client ------------------------------------------------------
 
-  private final class Client(port: Int) {
-    private val sock = new Socket("127.0.0.1", port)
-    private val in = new BufferedInputStream(sock.getInputStream)
-    private val out = new BufferedOutputStream(sock.getOutputStream)
-
-    private def readN(n: Int): Array[Byte] = {
-      val b = new Array[Byte](n); var off = 0
-      while (off < n) {
-        val r = in.read(b, off, n - off)
-        if (r < 0) throw new EOFException(); off += r
-      }
-      b
-    }
-    private def readPacket(): Array[Byte] = {
-      def chunk(): (Int, Array[Byte]) = {
-        val h = readN(4)
-        val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
-        (len, readN(len))
-      }
-      val (len0, p0) = chunk()
-      if (len0 < 0xffffff) p0
-      else { // 16 MB-1 continuation convention
-        val b = new java.io.ByteArrayOutputStream()
-        b.write(p0)
-        var len = len0
-        while (len == 0xffffff) { val (l, q) = chunk(); len = l; b.write(q) }
-        b.toByteArray
-      }
-    }
-    private def writePacket(seq0: Int, p: Array[Byte]): Unit = {
-      var seq = seq0; var off = 0
-      def header(len: Int): Unit = {
-        out.write(len & 0xff); out.write((len >> 8) & 0xff)
-        out.write((len >> 16) & 0xff); out.write(seq & 0xff); seq += 1
-      }
-      while (p.length - off >= 0xffffff) {
-        header(0xffffff); out.write(p, off, 0xffffff); off += 0xffffff
-      }
-      header(p.length - off); out.write(p, off, p.length - off)
-      out.flush()
-    }
-
-    /** Cursor-based lenenc decode. */
-    private def lenencInt(p: Array[Byte], pos: Array[Int]): Long = {
-      val first = p(pos(0)) & 0xff; pos(0) += 1
-      first match {
-        case 0xfc =>
-          val v = (p(pos(0)) & 0xffL) | ((p(pos(0) + 1) & 0xffL) << 8)
-          pos(0) += 2; v
-        case 0xfd =>
-          val v = (p(pos(0)) & 0xffL) | ((p(pos(0) + 1) & 0xffL) << 8) |
-            ((p(pos(0) + 2) & 0xffL) << 16)
-          pos(0) += 3; v
-        case 0xfe =>
-          var v = 0L
-          (0 until 8).foreach(i => v |= (p(pos(0) + i) & 0xffL) << (8 * i))
-          pos(0) += 8; v
-        case n => n.toLong
-      }
-    }
-    private def lenencStr(p: Array[Byte], pos: Array[Int]): String = {
-      val n = lenencInt(p, pos).toInt
-      val s = new String(p, pos(0), n, UTF_8); pos(0) += n; s
-    }
-
-    // handshake: read greeting, send HandshakeResponse41, expect OK
-    val serverVersion: String = {
-      val greet = readPacket()
-      assert((greet(0) & 0xff) == 0x0a, "protocol version 10 expected")
-      val end = greet.indexOf(0.toByte, 1)
-      val v = new String(greet, 1, end - 1, UTF_8)
-      val resp = new java.io.ByteArrayOutputStream()
-      def i4(x: Long): Unit = (0 until 4).foreach(i => resp.write(((x >> (8 * i)) & 0xff).toInt))
-      i4(0x0200L | 0x8000L) // CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
-      i4(16777216L) // max packet
-      resp.write(33) // charset
-      resp.write(new Array[Byte](23))
-      resp.write("tester".getBytes(UTF_8)); resp.write(0) // user
-      resp.write(0) // empty auth response (accept-all server)
-      writePacket(1, resp.toByteArray)
-      val ok = readPacket()
-      assert((ok(0) & 0xff) == 0x00, "handshake not accepted")
-      v
-    }
-
-    def ping(): Boolean = {
-      writePacket(0, Array(0x0e.toByte))
-      (readPacket()(0) & 0xff) == 0x00
-    }
-
-    /** Left(error message) or Right((columns, rows)); OK-only statements
-      * return Right((Nil, Nil)). */
-    def query(sql: String): Either[String, (Seq[String], Seq[Seq[String]])] = {
-      val payload = Array(0x03.toByte) ++ sql.getBytes(UTF_8)
-      writePacket(0, payload)
-      val first = readPacket()
-      (first(0) & 0xff) match {
-        case 0x00 => Right((Nil, Nil))
-        case 0xff =>
-          Left(new String(first, 9, first.length - 9, UTF_8)) // skip code+#+state
-        case _ =>
-          val nCols = lenencInt(first, Array(0)).toInt
-          val cols = (0 until nCols).map { _ =>
-            val p = readPacket(); val pos = Array(0)
-            (0 until 4).foreach(_ => lenencStr(p, pos)) // def, schema, table, org_table
-            lenencStr(p, pos) // name
-          }
-          assert((readPacket()(0) & 0xff) == 0xfe, "EOF after columns expected")
-          val rows = Seq.newBuilder[Seq[String]]
-          var done = false
-          while (!done) {
-            val p = readPacket()
-            if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
-            else {
-              val pos = Array(0)
-              rows += (0 until nCols).map { _ =>
-                if ((p(pos(0)) & 0xff) == 0xfb) { pos(0) += 1; null }
-                else lenencStr(p, pos)
-              }
-            }
-          }
-          Right((cols, rows.result()))
-      }
-    }
-
-    // ---- prepared statements (binary protocol) ---------------------------
-
-    /** Returns (statementId, nParams) from the prepare-OK chain. */
-    def prepare(sql: String): Either[String, (Int, Int)] = {
-      writePacket(0, Array(0x16.toByte) ++ sql.getBytes(UTF_8))
-      val ok = readPacket()
-      if ((ok(0) & 0xff) == 0xff)
-        return Left(new String(ok, 9, ok.length - 9, UTF_8))
-      assert((ok(0) & 0xff) == 0x00, "prepare-OK expected")
-      def le(off: Int, n: Int): Int = {
-        var v = 0; (0 until n).foreach(i => v |= (ok(off + i) & 0xff) << (8 * i)); v
-      }
-      val id = le(1, 4); val nCols = le(5, 2); val nParams = le(7, 2)
-      (0 until nParams).foreach(_ => readPacket()) // parameter definitions
-      if (nParams > 0) assert((readPacket()(0) & 0xff) == 0xfe)
-      (0 until nCols).foreach(_ => readPacket()) // column definitions
-      if (nCols > 0) assert((readPacket()(0) & 0xff) == 0xfe)
-      Right((id, nParams))
-    }
-
-    def stmtClose(id: Int): Unit = {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0x19)
-      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xff))
-      writePacket(0, b.toByteArray) // no server response, by protocol
-    }
-
-    sealed trait P
-    case object PNull extends P
-    final case class PLong(v: Long) extends P
-    final case class PDouble(v: Double) extends P
-    final case class PStr(v: String) extends P
-    final case class PDec(text: String) extends P // NEWDECIMAL: lenenc text
-    final case class PDate(y: Int, m: Int, d: Int) extends P
-
-    /** COM_STMT_EXECUTE with typed binary parameters; decodes the BINARY
-      * resultset shape (0x00 row header, offset-2 null bitmap, lenenc
-      * string cells — every column is VAR_STRING on this server). */
-    def execute(id: Int, params: Seq[P],
-        sendTypes: Boolean = true): Either[String, (Seq[String], Seq[Seq[String]])] = {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0x17)
-      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xff))
-      b.write(0) // flags: CURSOR_TYPE_NO_CURSOR
-      b.write(1); b.write(0); b.write(0); b.write(0) // iteration count
-      if (params.nonEmpty) {
-        val bitmap = new Array[Byte]((params.length + 7) / 8)
-        params.zipWithIndex.foreach {
-          case (PNull, i) =>
-            bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
-          case _ => ()
-        }
-        b.write(bitmap)
-        // new_params_bound_flag: stock connectors send types on the FIRST
-        // execute only; sendTypes=false models every later execute
-        b.write(if (sendTypes) 1 else 0)
-        if (sendTypes) params.foreach { p =>
-          val t = p match {
-            case PNull => 0x06
-            case PLong(_) => 0x08
-            case PDouble(_) => 0x05
-            case PStr(_) => 0xfd
-            case PDec(_) => 0xf6
-            case PDate(_, _, _) => 0x0a
-          }
-          b.write(t); b.write(0)
-        }
-        def wLenenc(n: Int): Unit =
-          if (n < 251) b.write(n)
-          else if (n < 0x10000) { b.write(0xfc); b.write(n & 0xff); b.write((n >> 8) & 0xff) }
-          else { b.write(0xfd); b.write(n & 0xff); b.write((n >> 8) & 0xff); b.write((n >> 16) & 0xff) }
-        params.foreach {
-          case PLong(v) =>
-            (0 until 8).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
-          case PDouble(v) =>
-            val bits = java.lang.Double.doubleToLongBits(v)
-            (0 until 8).foreach(i => b.write(((bits >> (8 * i)) & 0xff).toInt))
-          case PStr(s) =>
-            val a = s.getBytes(UTF_8); wLenenc(a.length); b.write(a)
-          case PDec(s) =>
-            val a = s.getBytes(UTF_8); wLenenc(a.length); b.write(a)
-          case PDate(y, m, d) =>
-            b.write(4); b.write(y & 0xff); b.write((y >> 8) & 0xff)
-            b.write(m); b.write(d)
-          case PNull => ()
-        }
-      }
-      writePacket(0, b.toByteArray)
-      val first = readPacket()
-      (first(0) & 0xff) match {
-        case 0x00 => Right((Nil, Nil))
-        case 0xff => Left(new String(first, 9, first.length - 9, UTF_8))
-        case _ =>
-          val nCols = lenencInt(first, Array(0)).toInt
-          val cols = (0 until nCols).map { _ =>
-            val p = readPacket(); val pos = Array(0)
-            (0 until 4).foreach(_ => lenencStr(p, pos))
-            lenencStr(p, pos)
-          }
-          assert((readPacket()(0) & 0xff) == 0xfe, "EOF after columns expected")
-          val rows = Seq.newBuilder[Seq[String]]
-          val nb = (nCols + 7 + 2) / 8
-          var done = false
-          while (!done) {
-            val p = readPacket()
-            if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
-            else {
-              assert((p(0) & 0xff) == 0x00, "binary row header expected")
-              val pos = Array(1 + nb)
-              rows += (0 until nCols).map { i =>
-                val isNull = (p(1 + (i + 2) / 8) & (1 << ((i + 2) % 8))) != 0
-                if (isNull) null else lenencStr(p, pos)
-              }
-            }
-          }
-          Right((cols, rows.result()))
-      }
-    }
-
-    def close(): Unit = {
-      writePacket(0, Array(0x01.toByte)) // COM_QUIT
-      sock.close()
-    }
-  }
+  /** Shared from-scratch client (extracted to [[WireClients]] for reuse by
+    * the fuzz/torture suites). */
+  private type Client = WireClients.MySql
 
   test("handshake, ping, simple query, NULLs, errors over the wire") {
     val c = new Client(port)
@@ -443,6 +197,64 @@ class MySqlServerSpec extends AnyFunSuite {
       assert(r.isLeft && r.swap.exists(_.contains("DECIMAL")))
       assert(c.query("SELECT 9").exists(_._2.head.head == "9"))
     } finally c.close()
+  }
+
+  test("concurrency torture: 8 connections replay interleaved suites with per-connection state") {
+    // The round-8 isolation test drives TWO connections sequentially; this
+    // one runs 8 clients in parallel for 20 rounds each, every round mixing
+    // reads with per-connection USE/SET — any cross-talk (a session object
+    // shared between threads, a result routed to the wrong socket, a
+    // settings write leaking) surfaces as a wrong value on SOME thread.
+    val n = 8; val rounds = 20
+    (0 until n).foreach(i =>
+      session.sql(s"CREATE DATABASE IF NOT EXISTS tort_m$i"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        val c = new Client(port)
+        try {
+          def expectOne(sql: String, want: String, what: String): Unit =
+            c.query(sql) match {
+              case Right((_, rows)) if rows.head.head == want => ()
+              case Right((_, rows)) =>
+                failures.add(s"t$i $what: got ${rows.head.head}, want $want")
+              case Left(e) => failures.add(s"t$i $what errored: $e")
+            }
+          // per-connection state, distinct per thread
+          if (c.query(s"USE tort_m$i").isLeft) failures.add(s"t$i USE failed")
+          if (c.query(s"SET max_threads = ${100 + i}").isLeft)
+            failures.add(s"t$i SET failed")
+          val Right((pid, _)) = c.prepare("SELECT ? * 2 AS v"): @unchecked
+          (1 to rounds).foreach { r =>
+            expectOne("SELECT sum(number) AS s FROM numbers(1000)", "499500", s"r$r sum")
+            expectOne(
+              s"SELECT count(DISTINCT number % ${i + 2}) AS u FROM numbers(100)",
+              (i + 2).toString, s"r$r uniq")
+            // this connection's state, never another's
+            expectOne("SELECT database() AS d", s"tort_m$i", s"r$r database")
+            expectOne(
+              "SELECT value FROM system.settings WHERE name = 'max_threads'",
+              (100 + i).toString, s"r$r setting")
+            // binary protocol interleaves with text on the same connection
+            c.execute(pid, Seq(c.PLong(r))) match {
+              case Right((_, rows)) if rows.head.head == (2L * r).toString => ()
+              case other => failures.add(s"t$i r$r prepared: $other")
+            }
+            // an error mid-stream must not desync the connection
+            if (c.query("SELECT definitely_not_a_function(1)").isRight)
+              failures.add(s"t$i r$r: bogus function did not error")
+          }
+          if (!c.ping()) failures.add(s"t$i final ping failed")
+        } catch {
+          case e: Throwable => failures.add(s"t$i died: ${e.getMessage}")
+        } finally c.close()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    threads.filter(_.isAlive).foreach(t => failures.add(s"${t.getName} hung"))
+    (0 until n).foreach(i => session.sql(s"DROP DATABASE IF EXISTS tort_m$i CASCADE"))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
   }
 
   // ---- golden suites over the wire ----------------------------------------
