@@ -25,3 +25,19 @@ fi
 
 echo "== EntrySmoke =="
 sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
+
+# Executor-boundary stage (GATE_LC=1): the same 292 oracles under
+# local-cluster[4,8,6144] — four SEPARATE executor JVMs forked from
+# SPARK_HOME, Netty shuffle between processes. Proves every task closure,
+# broadcast, custom Catalyst expression and UDAF buffer serializes across a
+# real process boundary (the single strongest 100 TB-readiness signal a one
+# box sandbox can produce; first green run 2026-08-16, PERFNOTES "round 9").
+# SPARK_SCALA_VERSION short-circuits the launcher's assembly-dir probe.
+if [ "${GATE_LC:-0}" = "1" ]; then
+  echo "== Verify + DuckDB oracle (sf0.01, local-cluster 4x8) =="
+  rm -rf /tmp/vout_lc
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' SPARK_SCALA_VERSION=2.13 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout_lc" \
+    2>&1 | grep "\[verify\]" || true
+  python3 dev/check_oracle.py /tmp/vout_lc /root/testdata/sf0.01 | tail -3
+fi

@@ -56,10 +56,25 @@ object Tables {
     }
 
   /** Register every star-schema table as a temp view so `spark.sql` queries
-    * (EXISTS/scalar subqueries, CTEs) can reference them by name. */
+    * (EXISTS/scalar subqueries, CTEs) can reference them by name.
+    *
+    * Memoized per (session, sfDir): each `spark.read.parquet` costs a file
+    * listing + footer schema read, so re-registering ten tables on every
+    * statement added ~0.5 s of pure catalog overhead per dialect entry
+    * (q38 was the visible case). Temp views are session-scoped and nothing
+    * else writes these names (q96's scratch table uses its own name), so a
+    * second call with the same sfDir is a provable no-op. A different sfDir
+    * re-registers — Verify/Bench runs that switch scale factors stay
+    * correct. */
+  private val registered = new java.util.WeakHashMap[SparkSession, String]
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    starSchema.foreach { n =>
-      table(spark, sfDir, n).createOrReplaceTempView(n)
+    registered.synchronized {
+      if (registered.get(spark) != sfDir) {
+        starSchema.foreach { n =>
+          table(spark, sfDir, n).createOrReplaceTempView(n)
+        }
+        registered.put(spark, sfDir)
+      }
     }
 
   /** Reference `numbers(N)` / `numbers_mt(N)` table function
