@@ -92,7 +92,13 @@ object Bench {
     val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
     def groupHygiene(): Unit = {
       spark.catalog.clearCache()
-      spark.catalog.listTables().collect().filter(_.isTemporary)
+      // drop SCRATCH views accumulated by dialect entries, but keep the
+      // star-schema registrations: they are session furniture every SQL
+      // entry re-creates identically (memoized in Tables.registerAll), and
+      // dropping them here would bill one arbitrary entry per group for
+      // ten parquet footer reads that belong to no query
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && !Tables.starSchema.contains(t.name))
         .foreach(t => spark.catalog.dropTempView(t.name))
       canary.foreach(fn => canaryTimes += time(evalFully(fn(spark, sfDir))))
     }

@@ -69,7 +69,12 @@ object Tables {
   private val registered = new java.util.WeakHashMap[SparkSession, String]
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     registered.synchronized {
-      if (registered.get(spark) != sfDir) {
+      // the memo can go stale if a caller drops temp views wholesale
+      // (Bench's group hygiene does); one catalog existence probe on a
+      // sentinel view is ~1000x cheaper than ten footer reads and
+      // registration is all-or-nothing, so probing one name suffices
+      if (registered.get(spark) != sfDir ||
+          !spark.catalog.tableExists(starSchema.head)) {
         starSchema.foreach { n =>
           table(spark, sfDir, n).createOrReplaceTempView(n)
         }
