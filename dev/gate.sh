@@ -26,6 +26,18 @@ fi
 echo "== EntrySmoke =="
 sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
 
+# Organic-sf1 stage (GATE_SF1=1): generate a fresh-draw sf1 dataset (no
+# replication artifacts — organic key cardinalities and band occupancy)
+# and replay the full oracle at 100x the sf0.01 gate. ~1 h: Verify ~35 min,
+# DuckDB compare ~30 min (q158's semdedup oracle alone is ~2.5 min).
+if [ "${GATE_SF1:-0}" = "1" ]; then
+  echo "== OrganicGen sf1 + Verify + DuckDB oracle =="
+  sbt -batch "runMain graft.dev.OrganicGen /tmp/graft-organic-sf1 1.0" 2>&1 | grep -c "\[organic\] wrote"
+  rm -rf /tmp/vout_sf1
+  sbt -batch "runMain graft.Verify /tmp/graft-organic-sf1 /tmp/vout_sf1" 2>&1 | grep "\[verify\]" || true
+  python3 dev/check_oracle.py /tmp/vout_sf1 /tmp/graft-organic-sf1 | tail -3
+fi
+
 # Executor-boundary stage (GATE_LC=1): the same 292 oracles under
 # local-cluster[4,8,6144] — four SEPARATE executor JVMs forked from
 # SPARK_HOME, Netty shuffle between processes. Proves every task closure,

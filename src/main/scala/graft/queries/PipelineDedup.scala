@@ -735,7 +735,7 @@ private[queries] object PipelineDedup {
     "q111_cc_star_chains" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT doc_id AS d1, doc_id + 7 AS d2 FROM documents WHERE doc_id < 196),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION
@@ -760,12 +760,12 @@ private[queries] object PipelineDedup {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT d1, d2 FROM inter
         |  JOIN sizes sa ON sa.doc_id = d1
         |  JOIN sizes sb ON sb.doc_id = d2
         |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION

@@ -709,7 +709,15 @@ object PipelineOps {
 
   /** The q95 duplicate-cluster chain (3-gram Jaccard pairs → symmetric
     * edges → recursive transitive closure → min-label `comp`), shared with
-    * the canonical-selection oracle. Usage: `WITH RECURSIVE $ccJaccardCtes`. */
+    * the canonical-selection oracle. Usage: `WITH RECURSIVE $ccJaccardCtes`.
+    *
+    * `pairs`/`edges` carry MATERIALIZED hints: inside a WITH RECURSIVE,
+    * DuckDB 1.0 re-inlines non-recursive CTEs into the recursion, so the
+    * full inverted-index pair join (~129M joined rows at sf1's 50k docs)
+    * re-executed per fixpoint step — 9 min and ~80 GB of spill before
+    * failing at sf1. Materialized, the closure runs over the ~2.6k actual
+    * edges and the whole oracle takes ~20 s (found by the round-9 organic
+    * sf1 gate; sf0.1's 5k docs kept the blowup under the radar). */
   /** DuckDB restatement of the engine's md5-fold-mod-1e6 gate:
     * `pmod(conv(substring(md5(e),1,15),16,10), 1e6)` — the first 15 hex
     * nibbles folded base-16, exact in both engines. */
@@ -734,12 +742,12 @@ object PipelineOps {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes sa ON sa.doc_id = d1
        |  JOIN sizes sb ON sb.doc_id = d2
        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
