@@ -694,23 +694,23 @@ private[queries] object PipelineAnalytics {
           |  SELECT doc_id, source,
           |    unnest(string_split_regex(trim(text), '\s+')) AS w
           |  FROM documents),
-          |cnt AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+          |cnt AS MATERIALIZED (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
           |  FROM tok GROUP BY doc_id, source, w),
           |gd AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
           |  CAST(sum(c * c) AS BIGINT) AS sumsq
           |  FROM cnt GROUP BY doc_id, source),
-          |g AS (SELECT doc_id, source,
+          |g AS MATERIALIZED (SELECT doc_id, source,
           |  1000000 - (1000000 * sumsq) // (n_tok * n_tok) AS g FROM gd),
           |pa AS (SELECT doc_id // 2 AS pid, source, g FROM g WHERE doc_id % 2 = 0),
           |pb AS (SELECT doc_id // 2 AS pid, source, g FROM g WHERE doc_id % 2 = 1),
-          |o AS (SELECT
+          |o AS MATERIALIZED (SELECT
           |    CASE WHEN pa.g > pb.g THEN pa.source ELSE pb.source END AS winner,
           |    CASE WHEN pa.g > pb.g THEN pb.source ELSE pa.source END AS loser
           |  FROM pa JOIN pb USING (pid)
           |  WHERE pa.source <> pb.source AND pa.g <> pb.g),
           |wins AS (SELECT winner AS p, CAST(count(*) AS BIGINT) AS n_wins
           |  FROM o GROUP BY winner),
-          |sym AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM (
+          |sym AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM (
           |    SELECT winner AS i, loser AS j FROM o
           |    UNION ALL SELECT loser AS i, winner AS j FROM o)
           |  GROUP BY i, j),

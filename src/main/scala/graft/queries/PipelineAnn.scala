@@ -649,20 +649,74 @@ private[queries] object PipelineAnn {
         |FROM mn a JOIN mn b ON a.lab = b.lab AND a.pos = b.pos
         |  AND a.h = 0 AND b.h = 1
         |GROUP BY a.lab ORDER BY label""".stripMargin,
+    // labelVoteAuto SWITCHES geometry on corpus size (fixed-16 IVF at or
+    // below 4096 rows, trained semDedupK cells above — Similarity.scala),
+    // so the static oracle restates BOTH branches and gates each on the
+    // same count the engine reads: the round-8 fixed-16-only restatement
+    // was right at sf0.01/sf0.1 and silently wrong at organic sf1's 20k
+    // vectors (found by the round-9 sf1 gate: 21 flagged vs the fixed
+    // geometry's 19). Branch B is q271's trained-chain restatement with
+    // its kmeans CTEs name-prefixed to avoid colliding with branch A's.
     "q267_label_noise" ->
       (s"WITH ${knnVoteCtes("")},\n" +
-        """fin AS (SELECT c1.q_id, eo.label AS own_label, c1.voted_label,
+        """finA AS (SELECT c1.q_id, eo.label AS own_label, c1.voted_label,
           |    c1.n_votes, tot.n_neighbors
           |  FROM c1 JOIN tot USING (q_id)
           |    JOIN embeddings eo ON eo.vec_id = c1.q_id),
-          |fl AS (SELECT *, (n_votes * 1000000) // n_neighbors AS margin_ppm
-          |  FROM fin WHERE own_label != voted_label)
-          |SELECT CAST(own_label AS BIGINT) AS own_label,
+          |flA AS (SELECT *, (n_votes * 1000000) // n_neighbors AS margin_ppm
+          |  FROM finA WHERE own_label != voted_label),
+          |aggA AS (SELECT CAST(own_label AS BIGINT) AS own_label,
           |  CAST(voted_label AS BIGINT) AS voted_label,
           |  CAST(count(*) AS BIGINT) AS n_flagged,
           |  CAST(sum(q_id) AS BIGINT) AS checksum
-          |FROM fl WHERE margin_ppm >= 600000
-          |GROUP BY own_label, voted_label
+          |FROM flA WHERE margin_ppm >= 600000
+          |GROUP BY own_label, voted_label),
+          |""".stripMargin +
+        prefixCtes(s"${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)}",
+          Seq("qe", "c0", "d1", "a1", "s1", "n1", "c1",
+            "d2", "a2", "s2", "n2", "c2", "d3", "a3"), "kb") + ",\n" +
+        """wcB AS (SELECT kba3.vec_id, kba3.cell, e.label
+          |  FROM kba3 JOIN embeddings e USING (vec_id)),
+          |simsB AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+          |    x.label AS own_label, y.label AS c_label,
+          |    round(list_sum(list_transform(generate_series(1, 64),
+          |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+          |         i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))))), 5)
+          |      AS sim
+          |  FROM wcB x JOIN wcB y ON x.cell = y.cell AND x.vec_id != y.vec_id
+          |    JOIN embeddings eq ON eq.vec_id = x.vec_id
+          |    JOIN embeddings ec ON ec.vec_id = y.vec_id),
+          |nnB AS (SELECT * FROM (SELECT q_id, c_id, own_label, c_label, sim,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          |      AS rnk FROM simsB) t
+          |  WHERE rnk <= 5 AND c_label IS NOT NULL),
+          |vB AS (SELECT q_id, own_label, c_label,
+          |    CAST(count(*) AS BIGINT) AS n_votes
+          |  FROM nnB GROUP BY q_id, own_label, c_label),
+          |totB AS (SELECT q_id, CAST(sum(n_votes) AS BIGINT) AS n_neighbors
+          |  FROM vB GROUP BY q_id),
+          |consB AS (SELECT q_id, own_label, c_label AS voted_label, n_votes
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY n_votes DESC, c_label) AS vrnk FROM vB) t
+          |  WHERE vrnk = 1),
+          |flB AS (SELECT consB.q_id, own_label, voted_label, n_votes,
+          |    (n_votes * 1000000) // totB.n_neighbors AS margin_ppm
+          |  FROM consB JOIN totB USING (q_id)
+          |  WHERE own_label != voted_label),
+          |aggB AS (SELECT CAST(own_label AS BIGINT) AS own_label,
+          |  CAST(voted_label AS BIGINT) AS voted_label,
+          |  CAST(count(*) AS BIGINT) AS n_flagged,
+          |  CAST(sum(q_id) AS BIGINT) AS checksum
+          |FROM flB WHERE margin_ppm >= 600000
+          |GROUP BY own_label, voted_label)
+          |SELECT * FROM aggA
+          |WHERE (SELECT count(*) FROM embeddings) <= 4096
+          |UNION ALL
+          |SELECT * FROM aggB
+          |WHERE (SELECT count(*) FROM embeddings) > 4096
           |ORDER BY own_label, voted_label""".stripMargin),
     "q284_source_centroids" ->
       """WITH q AS (SELECT label AS g, list_transform(embedding,

@@ -49,12 +49,15 @@ private[queries] object PipelineDedup {
         .orderBy(col("doc_id"))
     }),
     "q46_minhash_lsh" -> ((s, dir) => {
-      // MinHash(32) + LSH(8×4) candidates, exact-Jaccard verified on the
+      // MinHash(32) + LSH(16×2) candidates, exact-Jaccard verified on the
       // candidate set only. The murmur3 signatures aren't SQL-expressible,
-      // but the OUTPUT is: on the planted near-dup corpus every true pair
-      // has J ≥ 0.9, where a band match is ~66% per band → miss odds ~2e-4
-      // per pair — so the verified candidate set EQUALS the exact
-      // inverted-index answer (q45) and shares its full DuckDB oracle.
+      // but the OUTPUT is: the worst planted true pair has J = 8/9 (a
+      // 10-word doc vs its one-word-longer copy), and at 16 two-row bands
+      // its all-bands miss odds are (1−J²)¹⁶ ≈ 1.4e-11 — so the verified
+      // candidate set EQUALS the exact inverted-index answer (q45) and
+      // shares its full DuckDB oracle at EVERY corpus scale. (The former
+      // 8×4 banding missed one short-doc pair in 2467 at organic sf1 —
+      // see lshBandKeys for the recall math.)
       // est_jaccard (signature-estimated) is covered in ExtSpec instead.
       Dedup.minhashLshPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
@@ -463,7 +466,8 @@ private[queries] object PipelineDedup {
         |FROM nseg n LEFT JOIN reb r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // MinHash+LSH's verified candidate set equals the exact inverted-index
     // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
-    // odds ~2e-4 with 8 bands) — the exact-pairs oracle applies verbatim.
+    // odds ~1.4e-11 with 16 two-row bands even for the worst J = 8/9
+    // planted pair) — the exact-pairs oracle applies verbatim.
     "q46_minhash_lsh" -> ngramJaccardOracle(0.2),
     "q247_lsh_recall_audit" ->
       raw"""WITH toks AS (

@@ -154,6 +154,14 @@ object PipelineOps {
   private[queries] def kmeansCtes(k: Int, iters: Int, dim: Int): String =
     kmeansCtesE(k.toString, iters, dim)
 
+  /** Rename a CTE chain's names with a prefix (word-boundary replace) so
+    * two independent chains can coexist in one WITH — q267's auto-switch
+    * oracle carries the fixed-IVF chain AND the trained-kmeans chain,
+    * whose `c1` would otherwise collide. */
+  private[queries] def prefixCtes(chain: String, names: Seq[String],
+      prefix: String): String =
+    names.foldLeft(chain)((s, n) => s.replaceAll(s"\\b$n\\b", prefix + n))
+
   private[queries] def kmeansCtesE(k: String, iters: Int, dim: Int): String = {
     def update(i: Int, cPrev: String): String =
       s"""s$i AS (
