@@ -12,10 +12,13 @@ superlinearity candidates that get the q267/q271 treatment.
 """
 import sys, json
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
 top = None
-if "--top" in sys.argv:
-    top = int(sys.argv[sys.argv.index("--top") + 1])
+if "--top" in argv:
+    i = argv.index("--top")
+    top = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2:]
+args = argv
 
 runs = []  # (label, {entry: sec})
 for a in args:
