@@ -265,6 +265,45 @@ class WireFuzzSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("compressed-frame decoder fuzz: 4000 mutated frames — typed errors only, bounded allocation") {
+    // Drive ChCompressed.FrameInputStream directly with corrupted frames.
+    // Contract: every mutation either decodes to the original bytes (the
+    // mutation missed all load-bearing bits — impossible past the checksum
+    // unless it was the identity) or throws IOException/EOFException.
+    // Anything else — OutOfMemoryError from a forged multi-GiB length,
+    // NegativeArraySizeException, an infinite refill loop, or silently
+    // WRONG bytes surviving a corrupted frame — fails the suite.
+    import graft.server.ChCompressed
+    val rng = new scala.util.Random(seed ^ 0xC0FFEEL)
+    (1 to 4000).foreach { i =>
+      val n = 1 + rng.nextInt(5000)
+      val data = Array.fill(n)(rng.nextInt().toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      ChCompressed.writeFrames(bos, data,
+        if (rng.nextBoolean()) ChCompressed.MethodLZ4 else ChCompressed.MethodZSTD)
+      val frames = mutate(rng, bos.toByteArray)
+      val in = new ChCompressed.FrameInputStream(
+        new java.io.ByteArrayInputStream(frames))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+        val got = out.toByteArray
+        // a clean decode must be a FRAME-GRANULAR PREFIX of the original
+        // payload: the identity mutation gives all of it, a truncation at
+        // a frame boundary gives the frames before the cut (clean EOF is
+        // legal between frames), and nothing else can survive the
+        // CityHash128 check — non-prefix bytes surviving is a decoder bug
+        assert(got.length <= data.length &&
+          java.util.Arrays.equals(got, data.take(got.length)),
+          s"frame $i: corrupted stream decoded cleanly to non-prefix bytes")
+      } catch {
+        case _: java.io.IOException => () // includes EOFException: typed rejection
+      }
+    }
+  }
+
   test("fuzz aftermath: no connection-thread leak, servers still serve") {
     // All fuzz connections above are closed; give their server threads a
     // beat to unwind, then count what's left. A reader thread stuck on a
