@@ -51,5 +51,6 @@ for e, secs, worst in rows:
              for s in secs]
     print(f"| {e} | " + " | ".join(cells) + f" | {worst:.1f}x |")
 
-tot = ["TOTAL"] + [f"{sum(v for v in q.values() if v > 0):.1f}" for _, q in runs]
+tot = ["TOTAL"] + [f"{sum(v for v in q.values() if isinstance(v, (int, float)) and v > 0):.1f}"
+                   for _, q in runs]
 print("| " + " | ".join(tot) + " | |")

@@ -671,7 +671,7 @@ private[queries] object PipelineAnn {
           |  FROM c1 JOIN tot USING (q_id)
           |    JOIN embeddings eo ON eo.vec_id = c1.q_id),
           |flA AS (SELECT *, (n_votes * 1000000) // n_neighbors AS margin_ppm
-          |  FROM finA WHERE own_label != voted_label),
+          |  FROM finA WHERE own_label IS DISTINCT FROM voted_label),
           |aggA AS (SELECT CAST(own_label AS BIGINT) AS own_label,
           |  CAST(voted_label AS BIGINT) AS voted_label,
           |  CAST(count(*) AS BIGINT) AS n_flagged,
@@ -680,8 +680,7 @@ private[queries] object PipelineAnn {
           |GROUP BY own_label, voted_label),
           |""".stripMargin +
         prefixCtes(s"${kmeansCtesE(semDedupK, 2, 64)},\n${kmeansAssign(3, "c2", 64)}",
-          Seq("qe", "c0", "d1", "a1", "s1", "n1", "c1",
-            "d2", "a2", "s2", "n2", "c2", "d3", "a3"), "kb") + ",\n" +
+          "kb") + ",\n" +
         """wcB AS (SELECT kba3.vec_id, kba3.cell, e.label
           |  FROM kba3 JOIN embeddings e USING (vec_id)),
           |simsB AS (SELECT x.vec_id AS q_id, y.vec_id AS c_id,
@@ -712,7 +711,7 @@ private[queries] object PipelineAnn {
           |flB AS (SELECT consB.q_id, own_label, voted_label, n_votes,
           |    (n_votes * 1000000) // totB.n_neighbors AS margin_ppm
           |  FROM consB JOIN totB USING (q_id)
-          |  WHERE own_label != voted_label),
+          |  WHERE own_label IS DISTINCT FROM voted_label),
           |aggB AS (SELECT CAST(own_label AS BIGINT) AS own_label,
           |  CAST(voted_label AS BIGINT) AS voted_label,
           |  CAST(count(*) AS BIGINT) AS n_flagged,

@@ -58,6 +58,15 @@ private[queries] object PipelineDedup {
       // shares its full DuckDB oracle at EVERY corpus scale. (The former
       // 8×4 banding missed one short-doc pair in 2467 at organic sf1 —
       // see lshBandKeys for the recall math.)
+      //
+      // CORPUS PRECONDITION (round-9 ADVICE): the equality claim holds
+      // only while no pair sits in the gray zone 0.2 ≤ J < 8/9, where the
+      // all-bands miss odds are no longer structural (J = 0.25 misses with
+      // p ≈ 0.35 per run). Both testdata generators plant dups at J ≥ 8/9
+      // and draw unrelated docs far below 0.2; graft.dev.RecallAudit
+      // asserts the gray zone is EMPTY on the corpus under test (summed
+      // miss odds < 1e-6) and runs as a gate stage — a corpus change that
+      // violates the precondition fails the audit, not the q46 coin flip.
       // est_jaccard (signature-estimated) is covered in ExtSpec instead.
       Dedup.minhashLshPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 3, minJaccard = 0.2)

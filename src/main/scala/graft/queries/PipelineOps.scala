@@ -157,10 +157,28 @@ object PipelineOps {
   /** Rename a CTE chain's names with a prefix (word-boundary replace) so
     * two independent chains can coexist in one WITH — q267's auto-switch
     * oracle carries the fixed-IVF chain AND the trained-kmeans chain,
-    * whose `c1` would otherwise collide. */
-  private[queries] def prefixCtes(chain: String, names: Seq[String],
-      prefix: String): String =
-    names.foldLeft(chain)((s, n) => s.replaceAll(s"\\b$n\\b", prefix + n))
+    * whose `c1` would otherwise collide.
+    *
+    * The name list is DERIVED from the chain's own `name AS (` headers
+    * (never hand-enumerated): a caller-maintained list silently breaks the
+    * oracle the day the kmeans chain gains a CTE nobody added to it
+    * (round-9 ADVICE finding). The header regex cannot confuse casts or
+    * column aliases — `AS BIGINT)` / `) AS rnk` have no `(` after the
+    * alias — and a post-rename assert proves no bare name survived (a
+    * name inside a string literal would, and must fail loudly here, not
+    * as a DuckDB collision). */
+  private[queries] def prefixCtes(chain: String, prefix: String): String = {
+    val header = "([A-Za-z_]\\w*)\\s+AS\\s*\\(".r
+    val names = header.findAllMatchIn(chain).map(_.group(1)).toSeq.distinct
+    require(names.nonEmpty, "prefixCtes: no CTE headers found")
+    val out = names.foldLeft(chain)((s, n) => s.replaceAll(s"\\b$n\\b", prefix + n))
+    // every header in the renamed chain must carry the prefix — proves the
+    // derivation caught every CTE and the rename left none behind
+    val bare = header.findAllMatchIn(out).map(_.group(1))
+      .filterNot(_.startsWith(prefix)).toSeq
+    require(bare.isEmpty, s"prefixCtes: unrenamed CTE header(s): $bare")
+    out
+  }
 
   private[queries] def kmeansCtesE(k: String, iters: Int, dim: Int): String = {
     def update(i: Int, cPrev: String): String =

@@ -70,11 +70,13 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     registered.synchronized {
       // the memo can go stale if a caller drops temp views wholesale
-      // (Bench's group hygiene does); one catalog existence probe on a
-      // sentinel view is ~1000x cheaper than ten footer reads and
-      // registration is all-or-nothing, so probing one name suffices
+      // (Bench's group hygiene does) — or drops/shadows a SINGLE view while
+      // the rest survive, so every name is probed: ten catalog existence
+      // checks are in-memory map lookups (~µs), still ~1000x cheaper than
+      // ten parquet footer reads, and the probe no longer assumes
+      // registration is all-or-nothing (round-9 ADVICE finding).
       if (registered.get(spark) != sfDir ||
-          !spark.catalog.tableExists(starSchema.head)) {
+          !starSchema.forall(spark.catalog.tableExists)) {
         starSchema.foreach { n =>
           table(spark, sfDir, n).createOrReplaceTempView(n)
         }
