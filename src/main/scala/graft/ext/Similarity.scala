@@ -1520,9 +1520,19 @@ object Similarity {
     * at the rule's planes it returns to ~linear, PERFNOTES scaling table).
     * Recall lost to tighter buckets is recovered by tables × multiprobe,
     * the same trade documented on the defaults. */
-  def neardupPlanesFor(corpusRows: Long, targetLoad: Int = 8): Int =
-    math.max(8, (math.log(math.max(corpusRows, 1L).toDouble / targetLoad)
-      / math.log(2.0)).ceil.toInt)
+  def neardupPlanesFor(corpusRows: Long, targetLoad: Int = 8): Int = {
+    // exact integer form of max(8, ceil(log2(n / targetLoad))): the smallest
+    // p with targetLoad·2^p ≥ n is bitlen(ceil(n/targetLoad) − 1), and for
+    // power-of-two targetLoad that is bitlen(n−1) − log2(targetLoad). The
+    // former ln-ratio spelling could misround at EXACT power-of-two corpus
+    // sizes (ln(2^k)/ln 2 is not guaranteed to be k in doubles), which
+    // matters now that the q291 DuckDB oracle restates this rule — integer
+    // arithmetic is the only form both engines compute identically.
+    require(Integer.bitCount(targetLoad) == 1, "targetLoad must be a power of 2")
+    val n = math.max(corpusRows, 1L)
+    val bitlenNm1 = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(8, bitlenNm1 - Integer.numberOfTrailingZeros(targetLoad))
+  }
 
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 0, tables: Int = 12, dim: Int = 64,
@@ -1722,6 +1732,64 @@ object Similarity {
     * geometry (the oracle is a static string); at production scale this
     * twin's pair volume grows superlinearly — hand the job to
     * [[embeddingNearDupPairs]] (auto-scaled planes, margin probes). */
+  /** The AUTO-SCALED near-dup kernel, graded: [[embeddingNearDupPairs]]'s
+    * scale structure — [[neardupPlanesFor]] bucket granularity growing with
+    * the corpus, the asymmetric probe/base bucket self-join carrying only
+    * id/bucket longs, and the same post-broadcast `shuffle_hash` regime —
+    * over the DETERMINISTIC integer plane source
+    * ([[graft.functions.LshKeysDeterministic]]), so the full operator
+    * (plane rule, buckets, radius-1 probes, candidates, cosines) is
+    * restated verbatim by the q291 DuckDB oracle at ANY corpus size. This
+    * closes the round-9 gap where the graded suite exercised only q50's
+    * FIXED-geometry twin and the auto-scale rule lived in receipts: here
+    * the rule itself is on the scoreboard — at the sf0.01 gate the rule
+    * returns the floor (8 planes), at organic sf1 (~20k vectors) it
+    * returns 12, and the oracle recomputes the same value from count(*)
+    * in exact integer arithmetic (8·2^p ≥ n), so a drift in either
+    * engine's rule is a hash mismatch, not a silent slowdown.
+    *
+    * planes cap: the packed `(table << 20) | bucket` key bounds p at 20 —
+    * reached at 8·2²⁰ ≈ 8.4M corpus rows. Past that the seeded production
+    * kernel ([[embeddingNearDupPairs]], planes ≤ 52, margin-directed
+    * probes) is the path; this graded kernel asserts the regime it can
+    * restate. Recall: radius-1 blind flips at rule planes are tighter than
+    * q50's deliberate planes=6 — true near-dup pairs (J-analogue cos ≥
+    * 0.85, split prob per plane ≈ 0.18) still collide in ≥1 of 16 tables
+    * with miss odds ≤ (1−(0.82¹² + 12·0.82¹¹·0.18))¹⁶ ≈ 3e-3 per pair at
+    * p=12; the 0.45 threshold is verify-side only — candidates it admits
+    * are exact-cosine checked, so looser recall there costs coverage of
+    * gray pairs, never wrong rows (both engines compute the same set). */
+  def neardupPairsAuto(emb: DataFrame, threshold: Double,
+      tables: Int = 16, dim: Int = 64): DataFrame = {
+    import graft.functions.LshExpressions.lshKeysDeterministic
+    val n = emb.count()
+    val p = math.min(20, neardupPlanesFor(n))
+    val probe = emb.select(col("vec_id"),
+      explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
+        flips = true)).as("bkt"))
+    val base = emb.select(col("vec_id"),
+      explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
+        flips = false)).as("bkt"))
+    // identical post-broadcast join-strategy guard to embeddingNearDupPairs:
+    // sort-merge over the linearly-growing probe volume was the measured
+    // 100x-scaling cost; shuffle_hash keeps those stages sort-free once the
+    // corpus outgrows the broadcast threshold
+    val rowBytes = dim * 4L + 24L
+    val hashHint = n * rowBytes > (8L << 20)
+    def h(df: DataFrame): DataFrame = if (hashHint) df.hint("shuffle_hash") else df
+    val cand = probe.alias("a").join(h(base.alias("b")),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .dropDuplicates("v1", "v2")
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
+      .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+      .filter(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
+
   def neardupPairsDeterministic(emb: DataFrame, threshold: Double,
       planes: Int = 6, tables: Int = 16, dim: Int = 64): DataFrame = {
     import graft.functions.LshExpressions.lshKeysDeterministic

@@ -231,6 +231,29 @@ class ExtSpec extends AnyFunSuite {
     val recall = (det & exact).size.toDouble / exact.size
     info(f"deterministic near-dup recall = $recall%.3f")
     assert(recall >= 0.95)
+    // the graded auto-scaled kernel (q291): exact-cosine verified → zero
+    // false positives by construction; at this scale the rule returns the
+    // floor so recall tracks the fixed twin's
+    val auto = pairSet(Similarity.neardupPairsAuto(emb, threshold = 0.45))
+    assert((auto -- exact).isEmpty, s"false positives: ${auto -- exact}")
+    val autoRecall = (auto & exact).size.toDouble / exact.size
+    info(f"auto near-dup recall = $autoRecall%.3f")
+    assert(autoRecall >= 0.95)
+  }
+
+  test("neardupPlanesFor: exact integer rule, boundary-stable (q291 oracle twin)") {
+    // the DuckDB oracle restates this rule as p = #{q : 8·2^q < n}; these
+    // pins prove the engine side computes the same values INCLUDING the
+    // exact-power-of-two boundaries where the old ln-ratio form could
+    // misround
+    assert(Similarity.neardupPlanesFor(1L) === 8)
+    assert(Similarity.neardupPlanesFor(2048L) === 8)   // 8·2^8 = 2048 ≥ n
+    assert(Similarity.neardupPlanesFor(2049L) === 9)
+    assert(Similarity.neardupPlanesFor(4096L) === 9)
+    assert(Similarity.neardupPlanesFor(4097L) === 10)
+    assert(Similarity.neardupPlanesFor(6000L) === 10)  // the organic sf0.3 gate point
+    assert(Similarity.neardupPlanesFor(20000L) === 12) // the organic sf1 gate point
+    assert(Similarity.neardupPlanesFor(1L << 40) === 37)
   }
 
   test("simhash driver query q47: exact dups surface at hamming 0, J verified") {
