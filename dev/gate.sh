@@ -26,6 +26,14 @@ fi
 echo "== EntrySmoke =="
 sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
 
+# Corpus-coupled recall audit (round-10): q46's oracle is the exact answer
+# while its engine blocking is MinHash banding — this stage computes the
+# summed all-bands miss odds over the ACTUAL exact-pair inventory of the
+# gate corpus and fails if they reach 1e-6 (a corpus drift into the
+# gray zone fails HERE, with pairs printed, not as a q46 coin flip).
+echo "== RecallAudit (sf0.01) =="
+sbt -batch "runMain graft.dev.RecallAudit /root/testdata/sf0.01" 2>&1 | grep "\[recall-audit\]"
+
 # Organic-sf1 stage (GATE_SF1=1): generate a fresh-draw sf1 dataset (no
 # replication artifacts — organic key cardinalities and band occupancy)
 # and replay the full oracle at 100x the sf0.01 gate. ~1 h: Verify ~35 min,
@@ -36,6 +44,8 @@ if [ "${GATE_SF1:-0}" = "1" ]; then
   rm -rf /tmp/vout_sf1
   sbt -batch "runMain graft.Verify /tmp/graft-organic-sf1 /tmp/vout_sf1" 2>&1 | grep "\[verify\]" || true
   python3 dev/check_oracle.py /tmp/vout_sf1 /tmp/graft-organic-sf1 | tail -3
+  echo "== RecallAudit (organic sf1) =="
+  sbt -batch "runMain graft.dev.RecallAudit /tmp/graft-organic-sf1" 2>&1 | grep "\[recall-audit\]"
 fi
 
 # Executor-boundary stage (GATE_LC=1): the same 292 oracles under

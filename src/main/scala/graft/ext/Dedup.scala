@@ -579,9 +579,25 @@ object Dedup {
     * (1−J²)¹⁶ ≈ 1.4e-11 — recall is structural again — while the extra
     * low-J candidates the shorter bands admit are all removed by the
     * exact-Jaccard verify that follows every LSH blocking here. */
+  /** The q46 band geometry AND the corpus contract it is sized for, as
+    * named constants so [[graft.ext.RecallFloors]] (RecallFloorSpec +
+    * graft.dev.RecallAudit) pins the analytic miss floor against the SAME
+    * values the kernel runs — a future geometry edit that re-widens the
+    * per-run miss odds fails the floor spec at compile-adjacent time
+    * instead of resurfacing as a 0.5%-per-gate coin flip (the round-9
+    * organic-sf1 finding that forced 8×4 → 16×2). */
+  val LshBands = 16
+  val LshBandRows = 2
+  /** Worst planted TRUE pair both testdata generators emit: a 10-word doc
+    * vs its one-word-longer copy — trigram J = 8/9. The q46 oracle-equality
+    * claim additionally requires the gray zone 0.2 ≤ J < 8/9 to be EMPTY,
+    * which graft.dev.RecallAudit asserts per corpus. */
+  val PlantedWorstJaccard = 8.0 / 9.0
+
   def lshBandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(15)),
-      b => concat_ws(",", concat(b.cast("string"), lit(":")), slice(sig, b * 2 + 1, lit(2))))
+    transform(sequence(lit(0), lit(LshBands - 1)),
+      b => concat_ws(",", concat(b.cast("string"), lit(":")),
+        slice(sig, b * LshBandRows + 1, lit(LshBandRows))))
 
   /** MinHash-LSH near-duplicate pairs: signature → band-bucket explode →
     * bucket self-join (the only shuffle is on band keys) → estimated Jaccard
