@@ -63,3 +63,25 @@ if [ "${GATE_LC:-0}" = "1" ]; then
     2>&1 | grep "\[verify\]" || true
   python3 dev/check_oracle.py /tmp/vout_lc /root/testdata/sf0.01 | tail -3
 fi
+
+# Retry-determinism fault stage (GATE_FAULT=1, round 10): the same 293
+# oracles under local-cluster WITH induced executor kills (ChaosPlugin
+# halts each executor JVM after a staggered ~1-2 min lifetime; the Worker
+# relaunches it), speculative execution ON, widened task/stage retry
+# budgets, and reliable checkpoints for iterative operators (localCheckpoint
+# blocks die with their executor). Every completed query must still
+# hash-match DuckDB — operators that are only deterministic on a clean run
+# (speculation races, partial-attempt side effects, retry-order state)
+# fail HERE instead of corrupting silently at 1000-executor scale.
+# SPARK_GRAFT_QUERY_RETRIES re-runs a query whose stage-retry budget the
+# chaos exhausted (the orchestrator move — it cannot mask nondeterminism,
+# the completed run still has to hash-match).
+if [ "${GATE_FAULT:-0}" = "1" ]; then
+  echo "== Verify + DuckDB oracle (sf0.01, local-cluster 4x8 + chaos) =="
+  rm -rf /tmp/vout_fault
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_FAULT=1 SPARK_GRAFT_QUERY_RETRIES=2 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout_fault" \
+    2>&1 | grep -E "\[verify\]|\[chaos\]" | tail -20 || true
+  python3 dev/check_oracle.py /tmp/vout_fault /root/testdata/sf0.01 | tail -3
+fi

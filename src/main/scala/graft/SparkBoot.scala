@@ -48,7 +48,7 @@ object SparkBoot {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) {
+    val b2 = if (master.startsWith("local-cluster")) {
       val cp = (ownClasspath +: sys.env.get("SPARK_GRAFT_EXTRA_CP").toSeq)
         .mkString(java.io.File.pathSeparator)
       b.config("spark.executor.extraClassPath", cp)
@@ -57,6 +57,29 @@ object SparkBoot {
         // files in /tmp like the local[] runs do.
         .config("spark.local.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     } else b
+    // Retry-determinism fault mode (dev/gate.sh GATE_FAULT): inject
+    // executor kills (ChaosPlugin halts each executor JVM after a bounded
+    // staggered lifetime), enable speculative execution, widen task/stage
+    // retry budgets, and switch every iterative operator's lineage
+    // truncation to RELIABLE checkpoints (localCheckpoint blocks die with
+    // the executor that computed them — graft.ops.Checkpoints). The gate
+    // then asserts the full Verify suite still hash-matches DuckDB: the
+    // proof that every operator is deterministic under task retries,
+    // re-run stages and speculative duplicate attempts — not just on the
+    // clean runs the round-9 boundary proof covered.
+    if (sys.env.get("SPARK_GRAFT_FAULT").contains("1")) {
+      b2.config("spark.plugins", "graft.dev.ChaosPlugin")
+        .config("spark.graft.chaos.periodMs",
+          sys.env.getOrElse("SPARK_GRAFT_CHAOS_PERIOD_MS", "120000"))
+        .config("spark.task.maxFailures", "8")
+        .config("spark.stage.maxConsecutiveAttempts", "10")
+        .config("spark.speculation", "true")
+        .config("spark.graft.reliableCheckpoint", "true")
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        // the standalone Master aborts an app after N executor failures
+        // with none running; chaos kills are continuous by design
+        .config("spark.deploy.maxExecutorRetries", "-1")
+    } else b2
   }
 
   def install(spark: SparkSession): SparkSession = {

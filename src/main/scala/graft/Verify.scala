@@ -13,14 +13,33 @@ object Verify {
       SparkBoot.builder("graft-verify").getOrCreate())
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Job-level retry budget — 0 (off) except under the fault gate, where
+    // induced executor kills can exhaust a query's stage-retry budget
+    // before the operator ever misbehaves. Retrying the whole query is the
+    // production orchestrator's move, and it cannot mask nondeterminism:
+    // whatever run completes still has to hash-match the DuckDB oracle.
+    val retries = sys.env.getOrElse("SPARK_GRAFT_QUERY_RETRIES", "0").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          done = true
+        } catch { case e: Throwable =>
+          if (attempt < retries) {
+            attempt += 1
+            System.err.println(
+              s"[verify] $name attempt $attempt failed, retrying: ${e.getMessage}")
+          } else {
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            done = true
+          }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

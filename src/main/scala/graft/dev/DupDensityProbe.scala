@@ -49,9 +49,9 @@ object DupDensityProbe {
     println(f"== $label")
 
     val docs = graft.tables.Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("text")).transform(graft.ops.Checkpoints.truncate(_))
     val emb = graft.tables.Tables.table(spark, dir, "embeddings")
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
 
     // q45: exact n-gram Jaccard — candidates = pairs sharing any trigram
     val (c45, _) = timed(pairCount(docs.select(col("doc_id"),

@@ -134,7 +134,7 @@ object Bpe {
       "trainMergesBatched: nMerges must be in [1, 100000]")
     require(batchR >= 1, "trainMergesBatched: batchR must be positive")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var cur = words.select(col("n"), symbolString(col("w")).as("s")).localCheckpoint()
+    var cur = words.select(col("n"), symbolString(col("w")).as("s")).transform(graft.ops.Checkpoints.truncate(_))
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
       val want = math.min(batchR, nMerges - merges.size)
@@ -165,7 +165,7 @@ object Bpe {
         merges ++= batch // first ranked pair always accepts: progress is guaranteed
         cur = batch.foldLeft(cur) { (d, m) =>
           d.withColumn("s", applyMerge(col("s"), m.x, m.y))
-        }.localCheckpoint()
+        }.transform(graft.ops.Checkpoints.truncate(_))
       }
     }
     merges.toSeq

@@ -2130,11 +2130,11 @@ object Curation {
     val sym = wl.select(col("wi").as("i"), col("lo").as("j"))
       .unionAll(wl.select(col("lo").as("i"), col("wi").as("j")))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     val players = sym.select(col("i").as("p")).distinct()
       .join(wins, Seq("p"), "left")
       .select(col("p"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     // |players|-sized driver count (arena-bounded — the lloydCentroidsQ
     // collect discipline): the normalization target Σw = nPlayers·1e6
     val nPlayers: Long = players.count()
@@ -2154,7 +2154,7 @@ object Curation {
         .select(col("p"), expr(
           s"CAST((CAST(wr AS DECIMAL(38,0)) * 1000000 * $nPlayers) DIV s " +
             "AS BIGINT)").as("w"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
     }
     players.join(w, Seq("p"))
       .join(sym.groupBy(col("i").as("p")).agg(sum(col("c")).as("n_games")),

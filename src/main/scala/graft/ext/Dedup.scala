@@ -133,7 +133,7 @@ object Dedup {
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct().persist()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+      .withColumn("comp", col("node")).transform(graft.ops.Checkpoints.truncate(_))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -142,7 +142,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
       // isEmpty, not count(): the convergence probe stops at the first
       // changed row (limit-1 semantics) instead of counting all of them
       val anyChanged = !next.alias("n")
@@ -193,7 +193,7 @@ object Dedup {
       .select(col(d1).as("a"), col(d2).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.ops.Checkpoints.truncate(_))
     val allNodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct().persist()
     var converged = false
@@ -217,7 +217,7 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b"))
         .union(smins.select(col("m").as("a"), col("u").as("b")))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.ops.Checkpoints.truncate(_))
       // fixpoint = edge set unchanged (both phases emit canonical, distinct
       // pairs, so equal cardinality + one empty difference proves equality)
       converged = next.count() == edges.count() && next.except(edges).isEmpty
@@ -286,7 +286,7 @@ object Dedup {
     // prefixJaccardPairs pattern)
     val g = docs
       .select(id.as("doc_id"), block.as("blk"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.ops.Checkpoints.truncate(_))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = g.select(col("doc_id").as("d1"), col("blk"), col("ng"))
     val b = g.select(col("doc_id").as("d2"), col("blk").as("blk2"), col("ng").as("ng2"))
@@ -325,7 +325,7 @@ object Dedup {
       n: Int): DataFrame = {
     val sh = docs
       .select(group.as("src"), explode(wordNgramHashes(text, n)).as("h"))
-      .distinct().localCheckpoint() // three consumers: totals + both join sides
+      .distinct().transform(graft.ops.Checkpoints.truncate(_)) // three consumers: totals + both join sides
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     sh.select(col("src").as("s1"), col("h"))
       .join(sh.select(col("src").as("s2"), col("h").as("h2")),
@@ -373,7 +373,7 @@ object Dedup {
     val sets = docs.select(id.as("doc_id"),
         array_sort(array_distinct(wordNgramHashes(text, n))).as("gs"))
       .filter(size(col("gs")) > 0)
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     val g = sets.select(col("doc_id"), explode(col("gs")).as("ng"))
     // Vernica et al. ship the token ordering to every node via the
     // distributed cache — the broadcast hint is that decision made
@@ -396,7 +396,7 @@ object Dedup {
       .select(col("doc_id"), col("p.ng").as("ng"))
       // both sides of the candidate self-join read this table — without the
       // checkpoint each side replays the df join + prefix aggregation
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     val cand = prefix.select(col("doc_id").as("d1"), col("ng"))
       .join(prefix.select(col("doc_id").as("d2"), col("ng").as("ng2")),
         col("ng") === col("ng2") && col("d1") < col("d2"))
@@ -422,7 +422,7 @@ object Dedup {
     // same multi-consumer materialization as ngramJaccardPairs
     val g = docs
       .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.ops.Checkpoints.truncate(_))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = g.select(col("doc_id").as("d1"), col("ng"))
       .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")),
@@ -608,7 +608,7 @@ object Dedup {
     // the signature (the most expensive kernel here) feeds the bucket
     // explode AND both verify-side rejoins — materialize it once
     val withSig = docs.select(id.as("doc_id"), minhashSignature(text, n).as("sig"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     val buckets = withSig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("bucket"))
     // distinct over bare (d1, d2) id pairs — signatures rejoin afterwards so
@@ -716,7 +716,7 @@ object Dedup {
     val snap = spark.table(snapshotTable)
     val g = incoming
       .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
-      .distinct().localCheckpoint() // two consumers: totals + the semi join
+      .distinct().transform(graft.ops.Checkpoints.truncate(_)) // two consumers: totals + the semi join
     val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val known = g.join(snap, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))

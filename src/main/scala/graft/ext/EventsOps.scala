@@ -340,7 +340,7 @@ object EventsOps {
   def transitionRules(events: DataFrame, minSupport: Long): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val idiv = Bridge.idiv _
-    val m = eventTransitions(events).localCheckpoint()
+    val m = eventTransitions(events).transform(graft.ops.Checkpoints.truncate(_))
     val fromTot = m.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
     val toTot = m.groupBy(col("to_type")).agg(sum(col("n")).as("n_to"))
     val all = m.agg(sum(col("n")).as("n_all"))

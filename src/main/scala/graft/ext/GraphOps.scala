@@ -94,10 +94,10 @@ object GraphOps {
     // q280 graph; the same one-evaluation rule as the per-round label
     // checkpoint below)
     val e = edges.filter(col("w") > 0)
-      .select(col("src"), col("dst"), col("w")).localCheckpoint()
+      .select(col("src"), col("dst"), col("w")).transform(graft.ops.Checkpoints.truncate(_))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    var lab = nodes.withColumn("label", col("node")).localCheckpoint()
+    var lab = nodes.withColumn("label", col("node")).transform(graft.ops.Checkpoints.truncate(_))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst")).orderBy(col("wsum").desc, col("label"))
     (1 to iters).foreach { _ =>
@@ -109,7 +109,7 @@ object GraphOps {
         .select(col("dst").as("node"), col("label").as("nl"))
       lab = lab.join(next, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
     }
     lab
   }
@@ -117,9 +117,9 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters in [1, 10]")
     val e = edges.select(col("src"), col("dst"), col("w"))
-      .filter(col("w") > 0).localCheckpoint()
-    val hubs = e.select(col("src")).distinct().localCheckpoint()
-    val auths = e.select(col("dst")).distinct().localCheckpoint()
+      .filter(col("w") > 0).transform(graft.ops.Checkpoints.truncate(_))
+    val hubs = e.select(col("src")).distinct().transform(graft.ops.Checkpoints.truncate(_))
+    val auths = e.select(col("dst")).distinct().transform(graft.ops.Checkpoints.truncate(_))
     val nH = hubs.count() // node-sized scalars (the pageRank n discipline)
     val nA = auths.count()
     var h = hubs.withColumn("h", lit(1000000L))
@@ -132,7 +132,7 @@ object GraphOps {
       a = ar.crossJoin(broadcast(at))
         .select(col("dst"),
           expr(s"CAST((raw * $nA * 1000000) DIV t AS BIGINT)").as("a"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
       val hr = e.join(a, "dst")
         .groupBy(col("src"))
         .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * a")).as("raw"))
@@ -140,7 +140,7 @@ object GraphOps {
       h = hr.crossJoin(broadcast(ht))
         .select(col("src"),
           expr(s"CAST((raw * $nH * 1000000) DIV t AS BIGINT)").as("h"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
     }
     h.select(col("src").cast("string").as("node"), lit("hub").as("role"),
         col("h").as("score_ppm"))
@@ -154,9 +154,9 @@ object GraphOps {
     // the edge list feeds out-weights AND every iteration's join — left
     // lazy, an expensive edge derivation (e.g. the gram-overlap self-join)
     // replays once per round; materialize it once (lineage truncated)
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.ops.Checkpoints.truncate(_))
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().transform(graft.ops.Checkpoints.truncate(_))
     // ow > 0: a node whose out-edges all weigh zero (e.g. the documented
     // zero-weight self-loop that pins an isolated node into the node set)
     // has nothing to distribute — it must count as DANGLING, not divide by
@@ -164,7 +164,7 @@ object GraphOps {
     // from the dangling sum (mass would silently drain)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .filter(col("ow") > 0)
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.truncate(_))
     val n = nodes.count() // node count: one bounded scalar, needed in literals
     var rank = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
@@ -188,7 +188,7 @@ object GraphOps {
           (lit(Scale * (100 - dampingPct) / 100 / n) +
             expr(s"($dampingPct * (coalesce(contrib, 0L) + (__dang div $n))) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.truncate(_))
     }
     rank
   }

@@ -511,7 +511,7 @@ object Similarity {
       quant: Double = 1e3): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters in [1, 10]")
     val q = quantized(emb.select(col("vec_id"), col("embedding")), quant)
-      .localCheckpoint() // feeds two aggregations (mean, then covariance)
+      .transform(graft.ops.Checkpoints.truncate(_)) // feeds two aggregations (mean, then covariance)
     val head = q.agg(count(lit(1)).as("n"),
       graft.functions.VecSumAggregator.sum(col("qv")).as("s")).collect().head
     val n = head.getLong(0)
@@ -1669,7 +1669,7 @@ object Similarity {
     * n·k-row frame. */
   def mutualKnnPairs(emb: DataFrame, k: Int = 5, nCells: Int = 0,
       iters: Int = 2): DataFrame = {
-    val nn = cellKnnLists(emb, k, nCells, iters).localCheckpoint()
+    val nn = cellKnnLists(emb, k, nCells, iters).transform(graft.ops.Checkpoints.truncate(_))
     nn.alias("x").join(nn.alias("y"),
         col("x.q_id") === col("y.c_id") && col("x.c_id") === col("y.q_id") &&
           col("x.q_id") < col("x.c_id"))

@@ -308,7 +308,7 @@ object StreamingQueries {
       val corpusGrams = graft.tables.Tables.table(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
         .select(explode(graft.ext.Dedup.wordNgramHashes(col("text"), 3)).as("h"))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.ops.Checkpoints.truncate(_))
       val stream = EventStreams.readDocuments(s, dir)
         .filter(col("doc_id") % 2 === 1)
       val scored = EventStreams.noveltyStream(stream, corpusGrams,

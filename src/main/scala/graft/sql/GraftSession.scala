@@ -193,7 +193,7 @@ class GraftSession(val spark: SparkSession) {
     // localCheckpoint (eager): the source SELECT executes exactly ONCE — a
     // non-deterministic source must merge and report the SAME row set, and
     // the matched-count probe below must see the rows that were written
-    val updates = sql(sourceSql).localCheckpoint()
+    val updates = sql(sourceSql).transform(graft.ops.Checkpoints.truncate(_))
     // matched = source keys present in the PRE-merge snapshot (true UPDATE
     // count); computed before upsert rewrites the directory
     // readSnapshot resolves either commit protocol: a flat parquet dir or a

@@ -15,7 +15,8 @@ object WireClients {
   /** Minimal MySQL client: packet framing, HandshakeResponse41,
     * COM_QUERY/COM_PING, text resultsets, and the binary prepared path
     * (COM_STMT_PREPARE/EXECUTE/CLOSE). */
-  final class MySql(port: Int) {
+  final class MySql(port: Int, user: String = "tester",
+      auth: Array[Byte] = Array.empty) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
@@ -86,7 +87,7 @@ object WireClients {
       assert((greet(0) & 0xff) == 0x0a, "protocol version 10 expected")
       val end = greet.indexOf(0.toByte, 1)
       val v = new String(greet, 1, end - 1, UTF_8)
-      writePacket(1, MySql.handshakeResponse41)
+      writePacket(1, MySql.handshakeResponse41(user, auth))
       val ok = readPacket()
       assert((ok(0) & 0xff) == 0x00, "handshake not accepted")
       v
@@ -260,7 +261,12 @@ object WireClients {
   object MySql {
     /** HandshakeResponse41 payload bytes (accept-all server; user `tester`,
       * empty auth) — also the fuzz corpus's valid-handshake template. */
-    def handshakeResponse41: Array[Byte] = {
+    def handshakeResponse41: Array[Byte] = handshakeResponse41("tester", Array.empty)
+
+    /** HandshakeResponse41 with arbitrary credentials — the auth-parity
+      * probe (WireAuthSpec): any user + any auth-response bytes must be
+      * accepted, the reference's posture. */
+    def handshakeResponse41(user: String, auth: Array[Byte]): Array[Byte] = {
       val resp = new java.io.ByteArrayOutputStream()
       def i4(x: Long): Unit =
         (0 until 4).foreach(i => resp.write(((x >> (8 * i)) & 0xff).toInt))
@@ -268,8 +274,9 @@ object WireClients {
       i4(16777216L) // max packet
       resp.write(33) // charset
       resp.write(new Array[Byte](23))
-      resp.write("tester".getBytes(UTF_8)); resp.write(0) // user
-      resp.write(0) // empty auth response (accept-all server)
+      resp.write(user.getBytes(UTF_8)); resp.write(0) // user
+      resp.write(auth.length) // length-prefixed auth response (SECURE_CONN)
+      resp.write(auth)
       resp.toByteArray
     }
 
@@ -286,7 +293,8 @@ object WireClients {
   /** Minimal ClickHouse native-TCP client: varint framing, Hello/Query/Data
     * packets, typed native column decode incl. Nullable, and the
     * checksummed LZ4/ZSTD compressed frame stream. */
-  final class Ch(port: Int, compression: Long = 0L, zstd: Boolean = false) {
+  final class Ch(port: Int, compression: Long = 0L, zstd: Boolean = false,
+      user: String = "tester", password: String = "") {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
@@ -383,7 +391,7 @@ object WireClients {
 
     // handshake
     val (serverName, serverRev): (String, Long) = {
-      out.write(Ch.helloBytes)
+      out.write(Ch.helloBytes(user, password))
       out.flush()
       assert(varint() == 0L, "server Hello expected")
       val name = str()
@@ -583,7 +591,10 @@ object WireClients {
 
   object Ch {
     /** The client Hello packet bytes (fuzz corpus template). */
-    def helloBytes: Array[Byte] = {
+    def helloBytes: Array[Byte] = helloBytes("tester", "")
+
+    /** Hello with arbitrary credentials (WireAuthSpec — accept-all parity). */
+    def helloBytes(user: String, password: String): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
       def v(v0: Long): Unit = {
         var x = v0
@@ -596,7 +607,7 @@ object WireClients {
       v(0L) // Hello
       s("graft-test-client")
       v(21L); v(8L); v(54372L)
-      s("default"); s("tester"); s("")
+      s("default"); s(user); s(password)
       b.toByteArray
     }
 
