@@ -1156,19 +1156,31 @@ object Dedup {
     * 100 TB shape: positions meet through the CONFIRMED pair list (pair
     * ids join the position index — only pairs already past the Jaccard
     * gate pay), and the run window partitions by (pair, diagonal) — match
-    * counts per pair bound every group. */
+    * counts per pair bound every group. Three spill guards (the organic
+    * sf1 bench's third-biggest spiller before them, 44 s): the position index is
+    * built only for DOCS THAT APPEAR IN A PAIR (a semi join before the
+    * posexplode — near-dup members are a sliver of the corpus, so the
+    * exploded index shrinks with the pair density, not the corpus);
+    * alignment joins carry xxhash64 gram longs, never gram strings (the
+    * [[ngramJaccardPairs]] convention — same counts, ~5× lighter
+    * shuffles); and the alignment frame is truncated once because both
+    * the run-chain and the totals branch consume it. */
   def matchSpanExplanation(docs: DataFrame, id: Column, text: Column,
       n: Int, minJaccard: Double): DataFrame = {
     val pairs = ngramJaccardPairs(docs, id, text, lit(1), n, minJaccard)
       .select(col("d1"), col("d2"))
+      .transform(graft.ops.Checkpoints.truncate(_))
+    val members = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
     val pos = docs.select(id.as("doc_id"),
-      posexplode(graft.functions.TextExpressions.wordNgrams(text, n))
-        .as(Seq("p", "g")))
+        posexplode(wordNgramHashes(text, n)).as(Seq("p", "g")))
+      .join(members, Seq("doc_id"), "left_semi")
     val al = pairs
       .join(pos.select(col("doc_id").as("d1"), col("p").as("i"), col("g")),
         Seq("d1"))
       .join(pos.select(col("doc_id").as("d2"), col("p").as("j"), col("g")),
         Seq("d2", "g"))
+      .transform(graft.ops.Checkpoints.truncate(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2"), col("diag"))
       .orderBy(col("i"))

@@ -520,15 +520,27 @@ private[queries] object PipelineAnalytics {
       // error ≤ 0.02%) beside the exact interpolated percentile (which
       // matches DuckDB quantile_cont bit-for-bit — q55). Projects the exact
       // values and sketch-in-tolerance flags. At 100 TB the sketch is the
-      // only option: bounded per-group state, associative merges; exact
-      // percentile buffers every value of a group.
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+      // only option: bounded per-group state, associative merges.
+      //
+      // The EXACT side pre-aggregates to (flag, price, cnt) and feeds
+      // percentile's frequency form: the raw spelling buffered every row
+      // in 3 per-flag ObjectHashAggregate buffers — the single biggest
+      // spiller of the organic-sf1 bench (35 s, round-9 verdict watch
+      // item) — where the distinct-value table is both map-side
+      // combinable and orders of magnitude smaller than the row count.
+      // percentile(v, p, cnt) over it is DEFINED as the same weighted
+      // interpolation, so the answer is bit-identical.
+      val li = t(s, dir, "lineitem")
+      val sketch = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, 0.5, 5000)").as("s50"),
           expr("approx_percentile(l_extendedprice, 0.95, 5000)").as("s95"))
+      val exact = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5, cnt)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95, cnt)"), 2).as("p95"))
+      sketch.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
           (abs(col("s50") - col("p50")) <= col("p50") * 0.02)
             .cast("int").as("tol50"),

@@ -156,10 +156,16 @@ private[queries] object PipelineCuration {
       // q209's audit detects. Rollup per split plus the proof column:
       // n_leaky_pairs computed over the very pair graph, 0 by construction.
       val docs = t(s, dir, "documents")
+      // the pair graph feeds THREE consumers (the split's CC, the leak
+      // join's both sides) — truncate it once or the inverted-index join
+      // re-executes per consumer (the second-biggest organic-sf1 spiller,
+      // 46 s, round-9 verdict watch item)
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        lit(1), n = 3, minJaccard = 0.2)
+          lit(1), n = 3, minJaccard = 0.2)
+        .select(col("d1"), col("d2"))
+        .transform(graft.ops.Checkpoints.truncate(_))
       val split = Curation.clusterAwareSplit(docs, col("doc_id"),
-        pairs.select(col("d1"), col("d2")), trainPermille = 800)
+        pairs, trainPermille = 800)
       val leaks = pairs
         .join(split.select(col("doc_id").as("d1"), col("split").as("s1")),
           Seq("d1"))
