@@ -6,22 +6,29 @@ import graft.SparkBoot
 import graft.ext.{Dedup, RecallFloors}
 
 /** Gate-side, corpus-coupled half of the recall-floor audit (the
-  * RecallFloorSpec pins the geometry half): q46's oracle is the EXACT
-  * inverted-index answer while its engine blocking is MinHash banding, so
-  * the gate's flake odds on a given corpus are the summed all-bands miss
-  * probabilities over that corpus's ACTUAL exact pair inventory. Both
-  * testdata generators plant dups at J ≥ 8/9 (structural at 16×2:
-  * 1.4e-11 per pair) and draw unrelated docs far below the 0.2 threshold,
-  * so the sum is ~1e-8 even at organic sf1's ~2.5k pairs — but nothing
-  * enforced that corpus contract until this audit: a generator change that
-  * grows gray-zone pairs (0.2 ≤ J < 8/9, where a J = 0.25 pair misses with
-  * p ≈ 0.35) now fails HERE, with the offending pairs printed, instead of
-  * resurfacing as a once-per-N-runs q46 hash mismatch.
+  * RecallFloorSpec pins the geometry half).
+  *
+  * History note (round 10): the first version of this audit asserted the
+  * q46 gray-zone precondition (no exact pairs with 0.2 ≤ J < 8/9) because
+  * q46's oracle was the EXACT q45 answer over probabilistic banding — and
+  * on its very first organic-sf1 run it CAUGHT a violation: an organic
+  * pair at J = 0.214 whose all-bands miss odds were 47%, i.e. a literal
+  * per-corpus-draw coin flip in the graded suite. The structural fix was
+  * to switch q46 to the deterministic md5-MinHash whose oracle restates
+  * the banding itself (no flake possible at any recall); this audit now
+  * measures what remains worth measuring per corpus:
+  *
+  *   - ACTUAL recall of the graded deterministic banding vs the exact
+  *     inventory (deterministic per corpus — a measurement, not a coin
+  *     flip), with a hard 0.995 floor: banding that silently degrades on
+  *     a corpus drift fails HERE with the missed pairs printed;
+  *   - the gray-zone inventory + summed analytic miss odds of the
+  *     16×2 geometry (informational: it quantifies how much the old
+  *     exact-answer oracle would have flaked on this corpus).
   *
   * Usage: `runMain graft.dev.RecallAudit <corpusDir>` — exits nonzero when
-  * the summed miss odds reach 1e-6. Wired as a standing stage in
-  * dev/gate.sh (sf0.01 always; the organic corpus under GATE_SF1).
-  */
+  * measured recall < 0.995. Standing stage in dev/gate.sh (sf0.01 always;
+  * the organic corpus under GATE_SF1). */
 object RecallAudit {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -31,23 +38,29 @@ object RecallAudit {
       val docs = graft.tables.Tables.table(spark, dir, "documents")
       // the exact q45 inventory (inverted-index join — the pair set is
       // near-dup-sized, thousands at sf1, so the collect is bounded)
-      val js = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
           lit(1), n = 3, minJaccard = 0.2)
         .select(col("d1"), col("d2"), col("jaccard")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      val miss = js.map { case (_, _, j) =>
-        RecallFloors.minhashBandMiss(j, Dedup.LshBands, Dedup.LshBandRows) }.sum
-      val gray = js.filter(_._3 < Dedup.PlantedWorstJaccard - 1e-9)
-      println(f"[recall-audit] corpus=$dir pairs=${js.length} " +
-        f"gray=${gray.length} missSum=$miss%.3e")
-      gray.sortBy(_._3).take(20).foreach { case (d1, d2, j) =>
-        println(f"[recall-audit] gray pair ($d1,$d2) J=$j%.6f " +
-          f"miss=${RecallFloors.minhashBandMiss(j, Dedup.LshBands, Dedup.LshBandRows)}%.3e")
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val got = Dedup.minhashLshPairsDeterministic(docs, col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.2)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else exact.keySet.count(got.contains).toDouble / exact.size
+      val gray = exact.filter(_._2 < Dedup.PlantedWorstJaccard - 1e-9)
+      val missSum = exact.valuesIterator.map(j =>
+        RecallFloors.minhashBandMiss(j, Dedup.LshBands, Dedup.LshBandRows)).sum
+      println(f"[recall-audit] corpus=$dir exactPairs=${exact.size} " +
+        f"q46Recall=$recall%.4f gray=${gray.size} " +
+        f"oldOracleFlakeOdds=$missSum%.3e")
+      (exact.keySet -- got).toSeq.sorted.take(20).foreach { case (d1, d2) =>
+        println(f"[recall-audit] missed pair ($d1,$d2) J=${exact((d1, d2))}%.6f")
       }
-      if (miss >= 1e-6) {
-        System.err.println(f"[recall-audit] FAIL: summed q46 miss odds " +
-          f"$miss%.3e >= 1e-6 on $dir — corpus violates the gray-zone " +
-          "precondition (see Dedup.PlantedWorstJaccard)")
+      if (recall < 0.995) {
+        System.err.println(f"[recall-audit] FAIL: q46 deterministic banding " +
+          f"recall $recall%.4f < 0.995 on $dir")
         sys.exit(2)
       }
       println("[recall-audit] PASS")

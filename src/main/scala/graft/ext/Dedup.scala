@@ -566,6 +566,35 @@ object Dedup {
   def minhashSignature(text: Column, n: Int): Column =
     HashExpressions.minhash32(wordNgrams(text, n))
 
+  /** Deterministic md5-permutation MinHash signature — the
+    * oracle-restatable twin of [[minhashSignature]]
+    * ([[graft.functions.HashExpressions.MinHashMd5]]): per-gram hash =
+    * md5-nibble fold mod 2³¹−1, public-formula permutations. The q46
+    * driver entry ships THIS signature (round 10): with it the banding,
+    * candidates and verify all restate in DuckDB, so the entry's output
+    * matches its oracle at any corpus — including corpora whose organic
+    * gray-zone pairs (0.2 ≤ J < 8/9) the banding probabilistically drops,
+    * which under the previous exact-answer oracle was a per-corpus-draw
+    * coin flip (caught live by graft.dev.RecallAudit on an organic sf1
+    * draw: one J = 0.214 pair, 47% all-bands miss odds). */
+  def minhashMd5Signature(text: Column, n: Int): Column =
+    HashExpressions.minhash32md5(wordNgrams(text, n))
+
+  /** Higher-order-function spelling of [[minhashMd5Signature]] — the
+    * semantic specification the kernel is tested against (ExtSpec), and
+    * the direct mirror of the q46 oracle SQL. */
+  private[graft] def minhashMd5SignatureHof(text: Column, n: Int): Column = {
+    import graft.functions.HashExpressions.MinHashMd5.{K, P, permA, permB}
+    val hexVal = (c: Column) =>
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48).cast("long")
+    val gramHash = (g: Column) =>
+      aggregate(slice(split(md5(g), ""), 1, 15), lit(0L),
+        (a, c) => a * 16 + hexVal(c)) % P
+    val hs = transform(wordNgrams(text, n), gramHash)
+    when(size(hs) >= 1, array((0 until K).map(k =>
+      array_min(transform(hs, h => (lit(permA(k)) * h + lit(permB(k))) % P))): _*))
+  }
+
   /** LSH band keys: 16 bands × 2 rows. Docs sharing any band key are
     * candidate pairs.
     *
@@ -604,10 +633,21 @@ object Dedup {
     * from signature agreement, verified with exact n-gram Jaccard ≥
     * `minJaccard`. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int, minJaccard: Double): DataFrame = {
+      n: Int, minJaccard: Double): DataFrame =
+    minhashLshCore(docs, id, text, n, minJaccard, minhashSignature(text, n))
+
+  /** [[minhashLshPairs]] over the deterministic md5 signature — the q46
+    * driver entry (see [[minhashMd5Signature]] for why). Identical shape:
+    * band blocking, candidate join on bare ids, exact-Jaccard verify. */
+  def minhashLshPairsDeterministic(docs: DataFrame, id: Column, text: Column,
+      n: Int, minJaccard: Double): DataFrame =
+    minhashLshCore(docs, id, text, n, minJaccard, minhashMd5Signature(text, n))
+
+  private def minhashLshCore(docs: DataFrame, id: Column, text: Column,
+      n: Int, minJaccard: Double, sigExpr: Column): DataFrame = {
     // the signature (the most expensive kernel here) feeds the bucket
     // explode AND both verify-side rejoins — materialize it once
-    val withSig = docs.select(id.as("doc_id"), minhashSignature(text, n).as("sig"))
+    val withSig = docs.select(id.as("doc_id"), sigExpr.as("sig"))
       .transform(graft.ops.Checkpoints.truncate(_))
     val buckets = withSig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("bucket"))

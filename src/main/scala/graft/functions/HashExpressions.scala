@@ -392,6 +392,69 @@ object HashExpressions {
     override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
   }
 
+  /** Deterministic, ORACLE-RESTATABLE k=32 MinHash over an array of
+    * shingles — the md5 twin of [[MinHash]], the same relationship
+    * [[SimHash60Md5]] has to [[SimHash64]] and the deterministic planes
+    * have to the seeded hyperplanes: per shingle the hash is the 60-bit
+    * md5-nibble fold ([[SimHash60Md5.tokenHash]] — cross-engine by md5
+    * string equality) reduced mod P = 2³¹−1, and slot k keeps
+    * `min((a_k·h + b_k) % P)` with PUBLIC-FORMULA permutation constants
+    * `a_k = ((2k+1)·2654435761) % P`, `b_k = ((k+1)·2246822519) % P`
+    * (Knuth / xxhash mixing primes — a DuckDB oracle computes the same
+    * constants from the same literals). Every downstream step (banding,
+    * candidate join, exact verify) is therefore restatable bit-for-bit at
+    * ANY corpus — which is what removes the q46 gray-zone coin flip the
+    * round-10 organic sf1 draw exposed (a J = 0.214 organic pair with 47%
+    * all-bands miss odds under an exact-answer oracle). a_k·h < 2³¹·2³¹:
+    * no overflow. NULL for an empty shingle set, like [[MinHash]]. */
+  object MinHashMd5 {
+    val K = 32
+    val P = 2147483647L // 2^31 - 1 (Mersenne)
+    val permA: Array[Long] = Array.tabulate(K)(k => ((2L * k + 1L) * 2654435761L) % P)
+    val permB: Array[Long] = Array.tabulate(K)(k => ((k + 1L) * 2246822519L) % P)
+    private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    def sig(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      if (n == 0) return null
+      val md = mdLocal.get()
+      val mins = Array.fill(K)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = SimHash60Md5.tokenHash(md, arr.getUTF8String(i).toString) % P
+        var k = 0
+        while (k < K) {
+          val v = (permA(k) * h + permB(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+  }
+
+  case class MinHash32Md5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash32_md5"
+    override protected def nullSafeEval(input: Any): Any =
+      MinHashMd5.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val res = ctx.freshName("mhdres")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $res =
+        |  graft.functions.HashExpressions$$MinHashMd5$$.MODULE$$.sig($c);
+        |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHash32Md5 = copy(newChild)
+  }
+
   /** `toTypeName(x)` (udfs/to_type_name.rs): the REFERENCE's name for the
     * argument's static type (SURVEY.md §1.2 mapping, reversed). Foldable —
     * the name is a plan-time constant. */
@@ -433,6 +496,7 @@ object HashExpressions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def simhash60md5(c: Column): Column = Bridge.column(SimHash60(Bridge.expression(c)))
   def minhash32(c: Column): Column = Bridge.column(MinHash32(Bridge.expression(c)))
+  def minhash32md5(c: Column): Column = Bridge.column(MinHash32Md5(Bridge.expression(c)))
   def hashedMargin(c: Column, buckets: Int): Column =
     Bridge.column(LinearMarginExpr(Bridge.expression(c), buckets))
   def toTypeName(c: Column): Column = Bridge.column(TypeName(Bridge.expression(c)))

@@ -50,25 +50,22 @@ private[queries] object PipelineDedup {
     }),
     "q46_minhash_lsh" -> ((s, dir) => {
       // MinHash(32) + LSH(16×2) candidates, exact-Jaccard verified on the
-      // candidate set only. The murmur3 signatures aren't SQL-expressible,
-      // but the OUTPUT is: the worst planted true pair has J = 8/9 (a
-      // 10-word doc vs its one-word-longer copy), and at 16 two-row bands
-      // its all-bands miss odds are (1−J²)¹⁶ ≈ 1.4e-11 — so the verified
-      // candidate set EQUALS the exact inverted-index answer (q45) and
-      // shares its full DuckDB oracle at EVERY corpus scale. (The former
-      // 8×4 banding missed one short-doc pair in 2467 at organic sf1 —
-      // see lshBandKeys for the recall math.)
-      //
-      // CORPUS PRECONDITION (round-9 ADVICE): the equality claim holds
-      // only while no pair sits in the gray zone 0.2 ≤ J < 8/9, where the
-      // all-bands miss odds are no longer structural (J = 0.25 misses with
-      // p ≈ 0.35 per run). Both testdata generators plant dups at J ≥ 8/9
-      // and draw unrelated docs far below 0.2; graft.dev.RecallAudit
-      // asserts the gray zone is EMPTY on the corpus under test (summed
-      // miss odds < 1e-6) and runs as a gate stage — a corpus change that
-      // violates the precondition fails the audit, not the q46 coin flip.
-      // est_jaccard (signature-estimated) is covered in ExtSpec instead.
-      Dedup.minhashLshPairs(t(s, dir, "documents"),
+      // candidate set only — since round 10 over the DETERMINISTIC md5
+      // signature (public-formula permutations), so the oracle restates
+      // the WHOLE operator: signatures, bands, candidates, verify. The
+      // previous entry used the engine-private murmur3 signature with the
+      // exact q45 answer as oracle, valid only under a corpus precondition
+      // (no pairs in the gray zone 0.2 ≤ J < 8/9 where banding recall is
+      // probabilistic) — and the round-10 organic sf1 draw VIOLATED it
+      // (one organic J = 0.214 pair, 47% all-bands miss odds: a literal
+      // per-draw coin flip, caught by graft.dev.RecallAudit before the
+      // gate could flake). With the restated blocking, engine and oracle
+      // agree bit-for-bit at any corpus, gray pairs included; banding
+      // recall vs the exact answer is MEASURED per gate corpus by
+      // RecallAudit (floor 0.995) and the planted-pair floor stays
+      // structural at 16×2 (lshBandKeys math, RecallFloorSpec). The
+      // murmur3 kernel remains spec-covered (ExtSpec).
+      Dedup.minhashLshPairsDeterministic(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 3, minJaccard = 0.2)
         .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
@@ -477,7 +474,58 @@ private[queries] object PipelineDedup {
     // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
     // odds ~1.4e-11 with 16 two-row bands even for the worst J = 8/9
     // planted pair) — the exact-pairs oracle applies verbatim.
-    "q46_minhash_lsh" -> ngramJaccardOracle(0.2),
+    // Full restatement of the deterministic md5-MinHash + 16×2 banding
+    // (round 10): per-gram 60-bit md5-nibble fold mod 2³¹−1 (the q47
+    // machinery), 32 public-formula permutations a_k = ((2k+1)·2654435761)
+    // % P / b_k = ((k+1)·2246822519) % P with the mod INSIDE the min (the
+    // engine mins the reduced values), two-row bands joined on
+    // (band, v1, v2), exact-Jaccard verify on the candidate set — so the
+    // emitted pair SET hash-matches at any corpus, gray-zone pairs
+    // included (the previous exact-answer oracle was a per-corpus-draw
+    // coin flip on such pairs; see the entry comment).
+    "q46_minhash_lsh" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS ng
+        |  FROM toks),
+        |gh AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(md5(ng), '')[1:15],
+        |        c -> CAST(CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+        |                  ELSE unicode(c) - 48 END AS BIGINT)),
+        |      (a, v) -> a * 16 + v) % 2147483647 AS h
+        |  FROM g),
+        |sigk AS (
+        |  SELECT doc_id, kk.k AS k,
+        |    CAST(min((
+        |        (((2 * kk.k + 1) * 2654435761) % 2147483647) * h
+        |        + (((kk.k + 1) * 2246822519) % 2147483647)
+        |      ) % 2147483647) AS BIGINT) AS mh
+        |  FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) kk
+        |  GROUP BY doc_id, kk.k),
+        |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sg FROM sigk GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, bb.b AS b, sg[2 * bb.b + 1] AS v1, sg[2 * bb.b + 2] AS v2
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS i
+        |  FROM cand c JOIN g a ON a.doc_id = c.d1
+        |              JOIN g b ON b.doc_id = c.d2 AND a.ng = b.ng
+        |  GROUP BY c.d1, c.d2),
+        |j AS (SELECT d1, d2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = d1
+        |             JOIN sizes sb ON sb.doc_id = d2)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY d1, d2""".stripMargin,
     "q247_lsh_recall_audit" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

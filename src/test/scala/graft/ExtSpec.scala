@@ -276,12 +276,41 @@ class ExtSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) == 1.0, s"exact dup with J != 1: $r"))
   }
 
-  test("minhash LSH driver query q46 equals the exact inverted-index answer (q45)") {
-    // This equality is what licenses q46's full DuckDB oracle.
+  test("minhash LSH q46 (deterministic) recall vs exact; murmur3 kernel equality at test scale") {
+    // q46's oracle restates its own banding since round 10, so q45
+    // equality is no longer the licensing condition — recall vs exact is a
+    // MEASURED quality (RecallAudit pins 0.995 per gate corpus; at the
+    // planted-dup test corpus both variants still recover everything).
     def pairSet(name: String): Set[(Long, Long)] =
       graft.queries.PipelineOps.queries(name)(spark, TestSpark.sfDir)
         .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairSet("q46_minhash_lsh") === pairSet("q45_ngram_jaccard"))
+    val exact = pairSet("q45_ngram_jaccard")
+    val det = pairSet("q46_minhash_lsh")
+    assert((det -- exact).isEmpty, s"false positives: ${det -- exact}")
+    val recall = (det & exact).size.toDouble / exact.size
+    info(f"deterministic md5-minhash banding recall = $recall%.4f")
+    assert(recall >= 0.99)
+    // the spec-covered murmur3 kernel: same banding, engine-private sigs
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+    val mur = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 0.2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((mur -- exact).isEmpty)
+    assert((mur & exact).size.toDouble / exact.size >= 0.99)
+  }
+
+  test("md5-minhash kernel equals its HOF semantic specification on real docs") {
+    val docs = graft.tables.Tables.table(spark, TestSpark.sfDir, "documents")
+      .limit(200)
+    val both = docs.select(
+      Dedup.minhashMd5Signature(col("text"), 3).as("k"),
+      Dedup.minhashMd5SignatureHof(col("text"), 3).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
   }
 
   test("deterministic simhash twin (q102): signature matches a JVM recomputation") {
