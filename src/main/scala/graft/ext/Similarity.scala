@@ -1790,6 +1790,44 @@ object Similarity {
       .select(col("v1"), col("v2"), col("sim"))
   }
 
+  /** [[neardupPairsAuto]] with the production kernel's MARGIN-DIRECTED
+    * multiprobe instead of blind radius-1 flips — the last structural
+    * feature of [[embeddingNearDupPairs]] the graded suite did not
+    * exercise. Geometry mirrors production exactly (rule planes × 12
+    * tables × 16 probes); the probe rule is the Lv et al. one the seeded
+    * kernel runs — ranks = the 4 smallest |projection| planes, probe j
+    * flips the ranked planes at j's set bits — but over INTEGER
+    * projections, so the q292 oracle restates ranks, masks and probe
+    * buckets verbatim (ties in |projection| break to the lower plane
+    * index in both engines). Corpus side stays single-bucket keys: probes
+    * multiply the query explode only, never the 100 TB side. */
+  def neardupPairsAutoMargin(emb: DataFrame, threshold: Double,
+      tables: Int = 12, dim: Int = 64, probes: Int = 16): DataFrame = {
+    import graft.functions.LshExpressions.{lshKeysDeterministic, lshKeysDeterministicProbed}
+    val n = emb.count()
+    val p = math.min(20, neardupPlanesFor(n))
+    val probe = emb.select(col("vec_id"),
+      explode(lshKeysDeterministicProbed(col("embedding"), p, tables, dim,
+        probes)).as("bkt"))
+    val base = emb.select(col("vec_id"),
+      explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
+        flips = false)).as("bkt"))
+    val rowBytes = dim * 4L + 24L
+    val hashHint = n * rowBytes > (8L << 20)
+    def h(df: DataFrame): DataFrame = if (hashHint) df.hint("shuffle_hash") else df
+    val cand = probe.alias("a").join(h(base.alias("b")),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .dropDuplicates("v1", "v2")
+    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
+      .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+      .filter(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
+
   def neardupPairsDeterministic(emb: DataFrame, threshold: Double,
       planes: Int = 6, tables: Int = 16, dim: Int = 64): DataFrame = {
     import graft.functions.LshExpressions.lshKeysDeterministic

@@ -175,7 +175,7 @@ object LshKernel {
     * The float→double→×1e6→floor quantization here is the same IEEE op
     * sequence the DuckDB restatement runs — exact, both engines. */
   def detKeys(vec: ArrayData, w: Array[Long], planes: Int, tables: Int,
-      dim: Int, flips: Boolean, isFloat: Boolean): ArrayData = {
+      dim: Int, flips: Boolean, probes: Int, isFloat: Boolean): ArrayData = {
     val n = math.min(vec.numElements(), dim)
     val qv = new Array[Long](n)
     var d = 0
@@ -184,8 +184,10 @@ object LshKernel {
       qv(d) = math.floor(x * 1000000.0).toLong
       d += 1
     }
-    val perTable = if (flips) planes + 1 else 1
+    val perTable = if (probes > 1) probes else if (flips) planes + 1 else 1
     val out = new Array[Long](tables * perTable)
+    val proj = new Array[Long](planes)
+    val rank = new Array[Int](4)
     var m = 0
     var t = 0
     while (t < tables) {
@@ -198,11 +200,50 @@ object LshKernel {
         var i = 0
         while (i < n) { s += qv(i) * w(off + i); i += 1 }
         if (s > 0) bucket |= 1L << p
+        proj(p) = math.abs(s)
         p += 1
       }
       out(m) = (t.toLong << 20) | bucket
       m += 1
-      if (flips) {
+      if (probes > 1) {
+        // margin-directed multiprobe over INTEGER projections — the
+        // [[LshKernel.keys]] probe rule made oracle-restatable: ranks =
+        // the 4 smallest |projection| planes (ties by plane index
+        // ascending), probe j flips the ranked planes at j's set bits
+        // (binary counting = cheapest-flip-first). Distinct subsets of
+        // distinct planes → distinct keys, no dedup needed.
+        var r = 0
+        while (r < 4) { rank(r) = -1; r += 1 }
+        var i = 0
+        while (i < planes) {
+          var j = 0
+          var placed = false
+          while (j < 4 && !placed) {
+            val cur = rank(j)
+            if (cur < 0 || proj(i) < proj(cur) ||
+                (proj(i) == proj(cur) && i < cur)) {
+              var k = 3
+              while (k > j) { rank(k) = rank(k - 1); k -= 1 }
+              rank(j) = i
+              placed = true
+            }
+            j += 1
+          }
+          i += 1
+        }
+        var sIdx = 1 // 0 = the base bucket, already emitted
+        while (sIdx < probes) {
+          var mask = 0L
+          var b = 0
+          while (b < 4) {
+            if ((sIdx & (1 << b)) != 0) mask ^= 1L << rank(b)
+            b += 1
+          }
+          out(m) = (t.toLong << 20) | (bucket ^ mask)
+          m += 1
+          sIdx += 1
+        }
+      } else if (flips) {
         var p2 = 0
         while (p2 < planes) {
           out(m) = (t.toLong << 20) | (bucket ^ (1L << p2))
@@ -238,10 +279,13 @@ object LshKernel {
   * restatement deliberately avoids). Flip keys can't collide (they differ
   * from base and each other in exactly one bit) — no dedup pass needed. */
 case class LshKeysDeterministic(child: Expression, planes: Int, tables: Int,
-    dim: Int, flips: Boolean) extends UnaryExpression {
+    dim: Int, flips: Boolean, probes: Int = 1) extends UnaryExpression {
 
   require(planes >= 1 && planes <= 20, s"planes in [1,20], got $planes")
   require(tables >= 1 && tables <= 1024, s"tables in [1,1024], got $tables")
+  require(probes >= 1 && probes <= 16, s"probes in [1,16], got $probes")
+  require(probes == 1 || planes >= 4, "margin multiprobe ranks 4 planes; need planes >= 4")
+  require(probes == 1 || !flips, "probes>1 (margin multiprobe) replaces radius-1 flips")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_keys_det"
@@ -273,13 +317,13 @@ case class LshKeysDeterministic(child: Expression, planes: Int, tables: Int,
 
   override protected def nullSafeEval(input: Any): Any =
     LshKernel.detKeys(input.asInstanceOf[ArrayData], flat, planes, tables, dim,
-      flips, isFloat)
+      flips, probes, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("lshDetWeights", flat, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.LshKernel.detKeys($v, $wRef, " +
-        s"$planes, $tables, $dim, $flips, $isFloat);")
+        s"$planes, $tables, $dim, $flips, $probes, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshKeysDeterministic =
@@ -298,4 +342,12 @@ object LshExpressions {
   def lshKeysDeterministic(vec: Column, planes: Int, tables: Int, dim: Int,
       flips: Boolean): Column =
     Bridge.column(LshKeysDeterministic(Bridge.expression(vec), planes, tables, dim, flips))
+
+  /** Margin-directed multiprobe keys over deterministic integer planes —
+    * the production probe rule ([[LshKeys]] probes) with the
+    * oracle-restatable plane source (see [[LshKernel.detKeys]]). */
+  def lshKeysDeterministicProbed(vec: Column, planes: Int, tables: Int,
+      dim: Int, probes: Int): Column =
+    Bridge.column(LshKeysDeterministic(Bridge.expression(vec), planes, tables,
+      dim, flips = false, probes = probes))
 }

@@ -112,6 +112,21 @@ private[queries] object PipelineAnn {
       Similarity.neardupPairsAuto(t(s, dir, "embeddings"), threshold = 0.45)
         .orderBy(col("v1"), col("v2"))
     }),
+    "q292_neardup_margin" -> ((s, dir) => {
+      // q291's companion: the production kernel's MARGIN-DIRECTED
+      // multiprobe (Lv et al. — flip the lowest-|projection| sign bits,
+      // binary-counting over the 4 margin-ranked planes) at the exact
+      // production geometry (rule planes × 12 tables × 16 probes), over
+      // deterministic integer planes so the oracle restates ranks, flip
+      // masks and probe buckets verbatim. With q291 (auto planes,
+      // radius-1) this puts EVERY structural feature of
+      // embeddingNearDupPairs on the scoreboard: the scale rule, the
+      // asymmetric probe/base join, the post-broadcast hash regime, and
+      // now the probe rule itself.
+      Similarity.neardupPairsAutoMargin(t(s, dir, "embeddings"),
+          threshold = 0.45)
+        .orderBy(col("v1"), col("v2"))
+    }),
     "q52_embedding_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), round(graft.ext.Vectors.norm(col("embedding")), 6).as("nrm"))
@@ -1077,6 +1092,61 @@ private[queries] object PipelineAnn {
         |  SELECT vec_id, (t << 20) | xor(bucket, CAST(1 AS BIGINT) << pp) AS bkt
         |  FROM (SELECT vec_id, t, bucket,
         |      unnest(generate_series(0, p - 1)) AS pp FROM bt) fl),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM probe a JOIN base b USING (bkt) WHERE a.vec_id < b.vec_id),
+        |s AS (
+        |  SELECT v1, v2, round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE))))), 5) AS sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.v1
+        |            JOIN embeddings c2 ON c2.vec_id = cand.v2)
+        |SELECT v1, v2, sim FROM s WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin,
+    // q291's oracle extended with the margin-probe rule: pt carries the
+    // SIGNED projection list; ranks = the 4 plane indices ordered by
+    // (|proj|, plane) ascending (struct list_sort = the engine's
+    // tie-break); probe j's mask sums the ranked single bits at j's set
+    // bits (distinct planes → bit sum = XOR); 12 tables, 16 probes —
+    // the exact production geometry.
+    "q292_neardup_margin" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |pl AS (SELECT least(20, greatest(8,
+        |    CAST(list_sum(list_transform(generate_series(0, 56),
+        |      q -> CASE WHEN (CAST(8 AS BIGINT) << q) < nn.n THEN 1 ELSE 0 END))
+        |      AS BIGINT))) AS p FROM nn),
+        |qe AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pt AS (
+        |  SELECT vec_id, tt.t AS t, pl.p AS p,
+        |    list_transform(generate_series(0, pl.p - 1), pp ->
+        |      CAST(list_sum(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * ((((((tt.t * pl.p + pp) * 64 + i - 1) * 2654435761) % 131071)
+        |          * ((((tt.t * pl.p + pp) * 64 + i - 1) * 2654435761) % 131071)) % 131071 - 65535)))
+        |        AS BIGINT)) AS proj
+        |  FROM qe CROSS JOIN pl CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS t) tt),
+        |bt AS (
+        |  SELECT vec_id, t, p,
+        |    CAST(list_sum(list_transform(generate_series(0, p - 1), pp ->
+        |      CASE WHEN proj[pp + 1] > 0 THEN (CAST(1 AS BIGINT) << pp)
+        |           ELSE 0 END)) AS BIGINT) AS bucket,
+        |    list_transform(list_sort(list_transform(generate_series(0, p - 1), pp ->
+        |      {'a': abs(proj[pp + 1]), 'pp': pp})), x -> x.pp)[1:4] AS rnk
+        |  FROM pt),
+        |base AS (SELECT vec_id, (t << 20) | bucket AS bkt FROM bt),
+        |probe AS (
+        |  SELECT DISTINCT vec_id, (t << 20) | xor(bucket,
+        |      ((jj.j >> 0) & 1) * (CAST(1 AS BIGINT) << rnk[1])
+        |    + ((jj.j >> 1) & 1) * (CAST(1 AS BIGINT) << rnk[2])
+        |    + ((jj.j >> 2) & 1) * (CAST(1 AS BIGINT) << rnk[3])
+        |    + ((jj.j >> 3) & 1) * (CAST(1 AS BIGINT) << rnk[4])) AS bkt
+        |  FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
         |  FROM probe a JOIN base b USING (bkt) WHERE a.vec_id < b.vec_id),

@@ -239,6 +239,14 @@ class ExtSpec extends AnyFunSuite {
     val autoRecall = (auto & exact).size.toDouble / exact.size
     info(f"auto near-dup recall = $autoRecall%.3f")
     assert(autoRecall >= 0.95)
+    // the margin-probe variant (q292): production geometry, exact-cosine
+    // verified → zero false positives; margin probes recover boundary
+    // pairs radius-1 flips lose, so recall holds at fewer tables (12)
+    val margin = pairSet(Similarity.neardupPairsAutoMargin(emb, threshold = 0.45))
+    assert((margin -- exact).isEmpty, s"false positives: ${margin -- exact}")
+    val marginRecall = (margin & exact).size.toDouble / exact.size
+    info(f"margin-probe near-dup recall = $marginRecall%.3f")
+    assert(marginRecall >= 0.85)
   }
 
   test("neardupPlanesFor: exact integer rule, boundary-stable (q291 oracle twin)") {
