@@ -13,7 +13,7 @@ rm -rf /tmp/vout
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout" 2>&1 | grep "\[verify\]" || true
 python3 dev/check_oracle.py /tmp/vout /root/testdata/sf0.01 | tail -3
 
-# 10x scale gate: the same 288 oracles at sf0.1 (catches overflow,
+# 10x scale gate: the full oracle suite at sf0.1 (catches overflow,
 # precision drift, and cardinality-dependent divergence that hides at
 # sf0.01 — round 8 found five). Skip with GATE_SKIP_SF01=1 when iterating.
 if [ "${GATE_SKIP_SF01:-0}" != "1" ]; then
@@ -26,11 +26,13 @@ fi
 echo "== EntrySmoke =="
 sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
 
-# Corpus-coupled recall audit (round-10): q46's oracle is the exact answer
-# while its engine blocking is MinHash banding — this stage computes the
-# summed all-bands miss odds over the ACTUAL exact-pair inventory of the
-# gate corpus and fails if they reach 1e-6 (a corpus drift into the
-# gray zone fails HERE, with pairs printed, not as a q46 coin flip).
+# Corpus-coupled recall audit (round-10): measures the graded q46
+# banding's ACTUAL recall vs the exact pair inventory of the gate corpus
+# (hard floor 0.995, missed pairs printed) and reports the gray-zone
+# inventory + the flake odds the old exact-answer oracle would have had.
+# Its first organic-sf1 run caught a live J=0.214 gray pair (47% miss
+# odds) — which forced q46's switch to the oracle-restated deterministic
+# md5-MinHash (flake-free by construction; see PERFNOTES round 10).
 echo "== RecallAudit (sf0.01) =="
 sbt -batch "runMain graft.dev.RecallAudit /root/testdata/sf0.01" 2>&1 | grep "\[recall-audit\]"
 
@@ -48,7 +50,7 @@ if [ "${GATE_SF1:-0}" = "1" ]; then
   sbt -batch "runMain graft.dev.RecallAudit /tmp/graft-organic-sf1" 2>&1 | grep "\[recall-audit\]"
 fi
 
-# Executor-boundary stage (GATE_LC=1): the same 292 oracles under
+# Executor-boundary stage (GATE_LC=1): the full oracle suite under
 # local-cluster[4,8,6144] — four SEPARATE executor JVMs forked from
 # SPARK_HOME, Netty shuffle between processes. Proves every task closure,
 # broadcast, custom Catalyst expression and UDAF buffer serializes across a
@@ -64,7 +66,7 @@ if [ "${GATE_LC:-0}" = "1" ]; then
   python3 dev/check_oracle.py /tmp/vout_lc /root/testdata/sf0.01 | tail -3
 fi
 
-# Retry-determinism fault stage (GATE_FAULT=1, round 10): the same 293
+# Retry-determinism fault stage (GATE_FAULT=1, round 10): the full suite of
 # oracles under local-cluster WITH induced executor kills (ChaosPlugin
 # halts each executor JVM after a staggered ~1-2 min lifetime; the Worker
 # relaunches it), speculative execution ON, widened task/stage retry
