@@ -38,7 +38,9 @@ class ChaosPlugin extends SparkPlugin {
       val period = conf.getLong("spark.graft.chaos.periodMs", 120000L)
       val id = ctx.executorID()
       if (id == "driver") return
-      val stagger = (math.abs(id.hashCode) % 4) * period / 4
+      // floorMod: abs(Int.MinValue) is negative, which would make lifeMs
+      // negative and Thread.sleep throw — that executor would never die
+      val stagger = Math.floorMod(id.hashCode, 4).toLong * period / 4
       val lifeMs = period / 2 + stagger
       val t = new Thread(() => {
         try Thread.sleep(lifeMs)

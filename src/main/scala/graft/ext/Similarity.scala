@@ -1544,14 +1544,18 @@ object Similarity {
     // to 8; ~1.8× under the rule). At the verified-recall scales (≤ 2048
     // rows) the rule returns the floor 8, so oracle behavior is unchanged
     // there.
-    val n = emb.count()
+    // emb fans out five ways (count, probe/base explodes, two verify
+    // rejoins) — truncate once so a non-trivial upstream derivation is
+    // computed exactly once, the minhashLshCore pattern (round-10 ADVICE)
+    val embT = graft.ops.Checkpoints.truncate(emb)
+    val n = embT.count()
     val p = if (planes > 0) planes else neardupPlanesFor(n)
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
-    val a = emb.select(col("vec_id"),
+    val a = embT.select(col("vec_id"),
       explode(lshProbeKeys(col("embedding"), p, tables, dim, probes)).as("bkt"))
-    val v = emb.select(col("vec_id"),
+    val v = embT.select(col("vec_id"),
       explode(lshTableKeys(col("embedding"), p, tables, dim)).as("bkt"))
     // Join-strategy guard for the post-broadcast regime: while the corpus
     // fits a broadcast (~≤40k vectors at dim 64) the planner's broadcast
@@ -1569,7 +1573,7 @@ object Similarity {
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val e = embT.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     cand
       .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
       .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
@@ -1762,12 +1766,14 @@ object Similarity {
   def neardupPairsAuto(emb: DataFrame, threshold: Double,
       tables: Int = 16, dim: Int = 64): DataFrame = {
     import graft.functions.LshExpressions.lshKeysDeterministic
-    val n = emb.count()
+    // single materialization ahead of the five-way fan-out (round-10 ADVICE)
+    val embT = graft.ops.Checkpoints.truncate(emb)
+    val n = embT.count()
     val p = math.min(20, neardupPlanesFor(n))
-    val probe = emb.select(col("vec_id"),
+    val probe = embT.select(col("vec_id"),
       explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
         flips = true)).as("bkt"))
-    val base = emb.select(col("vec_id"),
+    val base = embT.select(col("vec_id"),
       explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
         flips = false)).as("bkt"))
     // identical post-broadcast join-strategy guard to embeddingNearDupPairs:
@@ -1781,7 +1787,7 @@ object Similarity {
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val e = embT.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     cand
       .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
       .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")
@@ -1804,12 +1810,14 @@ object Similarity {
   def neardupPairsAutoMargin(emb: DataFrame, threshold: Double,
       tables: Int = 12, dim: Int = 64, probes: Int = 16): DataFrame = {
     import graft.functions.LshExpressions.{lshKeysDeterministic, lshKeysDeterministicProbed}
-    val n = emb.count()
+    // single materialization ahead of the five-way fan-out (round-10 ADVICE)
+    val embT = graft.ops.Checkpoints.truncate(emb)
+    val n = embT.count()
     val p = math.min(20, neardupPlanesFor(n))
-    val probe = emb.select(col("vec_id"),
+    val probe = embT.select(col("vec_id"),
       explode(lshKeysDeterministicProbed(col("embedding"), p, tables, dim,
         probes)).as("bkt"))
-    val base = emb.select(col("vec_id"),
+    val base = embT.select(col("vec_id"),
       explode(lshKeysDeterministic(col("embedding"), p, tables, dim,
         flips = false)).as("bkt"))
     val rowBytes = dim * 4L + 24L
@@ -1819,7 +1827,7 @@ object Similarity {
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
-    val e = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val e = embT.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     cand
       .join(h(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))), "v1")
       .join(h(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))), "v2")

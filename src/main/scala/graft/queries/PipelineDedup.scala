@@ -470,10 +470,6 @@ private[queries] object PipelineDedup {
         |  CAST(n.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM nseg n LEFT JOIN reb r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
-    // MinHash+LSH's verified candidate set equals the exact inverted-index
-    // answer on this corpus (every true pair has J ≥ 0.9 → per-pair miss
-    // odds ~1.4e-11 with 16 two-row bands even for the worst J = 8/9
-    // planted pair) — the exact-pairs oracle applies verbatim.
     // Full restatement of the deterministic md5-MinHash + 16×2 banding
     // (round 10): per-gram 60-bit md5-nibble fold mod 2³¹−1 (the q47
     // machinery), 32 public-formula permutations a_k = ((2k+1)·2654435761)

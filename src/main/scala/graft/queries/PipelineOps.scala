@@ -171,6 +171,18 @@ object PipelineOps {
     val header = "([A-Za-z_]\\w*)\\s+AS\\s*\\(".r
     val names = header.findAllMatchIn(chain).map(_.group(1)).toSeq.distinct
     require(names.nonEmpty, "prefixCtes: no CTE headers found")
+    // Over-rename guard (round-10 ADVICE): the word-boundary replace below
+    // also rewrites a COLUMN alias or a string literal that happens to
+    // reuse a CTE name — silently, since the post-rename assert only
+    // checks headers. Refuse such chains up front: a CTE name must not
+    // appear as `AS <name>` without an opening paren (column alias) nor
+    // inside a single-quoted literal.
+    names.foreach { n =>
+      require(!s"(?i)\\bAS\\s+$n\\b(?!\\s*\\()".r.findFirstIn(chain).exists(_ => true),
+        s"prefixCtes: CTE name '$n' reused as a column alias — rename one")
+      require(!s"'[^']*\\b$n\\b[^']*'".r.findFirstIn(chain).exists(_ => true),
+        s"prefixCtes: CTE name '$n' appears inside a string literal")
+    }
     val out = names.foldLeft(chain)((s, n) => s.replaceAll(s"\\b$n\\b", prefix + n))
     // every header in the renamed chain must carry the prefix — proves the
     // derivation caught every CTE and the rename left none behind

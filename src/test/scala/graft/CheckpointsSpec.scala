@@ -20,20 +20,24 @@ class CheckpointsSpec extends AnyFunSuite {
   }
 
   test("reliable mode: sets a checkpoint dir lazily and survives re-entry") {
-    spark.conf.set("spark.graft.reliableCheckpoint", "true")
-    try {
-      val out = Checkpoints.truncate(Seq(4, 5).toDF("x"))
-      assert(out.count() === 2)
-      val dir = spark.sparkContext.getCheckpointDir
-      assert(dir.isDefined, "reliable truncate must set a checkpoint dir")
-      // second call reuses the dir (no churn), data still correct
-      val out2 = Checkpoints.truncate(Seq(6).toDF("x"))
-      assert(out2.count() === 1)
-      assert(spark.sparkContext.getCheckpointDir === dir)
-      // the checkpointed data really lives under the dir (reloadable by
-      // ANY executor — the property localCheckpoint lacks)
-      val files = new java.io.File(new java.net.URI(dir.get))
-      assert(files.exists)
-    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+    // a dedicated session: SQLConf is session-scoped, so flipping the
+    // reliable flag here cannot leak into concurrently running suites
+    // whose Checkpoints.truncate calls would otherwise take the reliable
+    // path mid-test (round-10 ADVICE)
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.graft.reliableCheckpoint", "true")
+    val out = Checkpoints.truncate(Seq(4, 5).toDF("x"))
+    assert(out.count() === 2)
+    val dir = s.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "reliable truncate must set a checkpoint dir")
+    // second call reuses the dir (no churn), data still correct
+    val out2 = Checkpoints.truncate(Seq(6).toDF("x"))
+    assert(out2.count() === 1)
+    assert(s.sparkContext.getCheckpointDir === dir)
+    // the checkpointed data really lives under the dir (reloadable by
+    // ANY executor — the property localCheckpoint lacks)
+    val files = new java.io.File(new java.net.URI(dir.get))
+    assert(files.exists)
   }
 }

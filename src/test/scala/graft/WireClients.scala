@@ -275,6 +275,9 @@ object WireClients {
       resp.write(33) // charset
       resp.write(new Array[Byte](23))
       resp.write(user.getBytes(UTF_8)); resp.write(0) // user
+      // one raw byte is only a valid length-encoded integer below 251; a
+      // longer auth blob needs a lenenc-int and would silently corrupt here
+      require(auth.length < 251, s"auth blob ${auth.length}B needs lenenc-int")
       resp.write(auth.length) // length-prefixed auth response (SECURE_CONN)
       resp.write(auth)
       resp.toByteArray
