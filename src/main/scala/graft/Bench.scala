@@ -154,9 +154,6 @@ object Bench {
     // Locale.ROOT: f"" delegates to String.format with the default locale, and a
     // comma-decimal locale would emit unparseable JSON (e.g. "0,607")
     def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else sec3(v))
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a -1.0 entry is a query that THREW — name it loudly on stderr (the
     // stdout contract stays one JSON line); a silent -1 cost round 4 16
@@ -164,20 +161,53 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0): ${failed.mkString(", ")}")
-    // field order matters: the driver keeps only the TAIL of stdout, so the
-    // headline total/value must sit at the END of the line (rounds 3-4 lost
-    // it — the line's head fell outside the capture window and parsing
-    // failed; the tail now always carries micro-suite + drift + sf + total).
-    // "canary" = the fixed q44 re-timed every 50 entries (flat vector = no
-    // in-suite degradation; ramp = position effect, localized); "gc_sec" =
-    // total JVM GC time across the whole suite (entries + micros).
+    // Canary-normalized protocol (round 11, PERFNOTES "drift-immune bench"):
+    // round 10 burned a day disproving a phantom 1.5× "regression" that was
+    // ambient machine drift — every cross-round raw-seconds comparison on a
+    // shared host is suspect. The canary (q44, unchanged since round 6,
+    // re-timed every 50 entries) measures THIS RUN's machine speed, so
+    // per-entry values divided by the canary median compare across rounds
+    // with host drift cancelled. Both forms are recorded.
+    val canaryMedian = {
+      val s = canaryTimes.filter(_ > 0).sorted
+      if (s.isEmpty) 1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def norm(v: Double): Double = if (v < 0) -1.0 else v / canaryMedian
+    // The driver keeps only the last ~2000 chars of stdout, so the full
+    // per-entry maps (raw + normalized ≈ 16 KB) CANNOT ride the contract
+    // line — in rounds 9-10 the head of the long line fell outside the
+    // window and the driver's parse failed entirely. Round-11 split:
+    //   - the full detail (raw + normalized per entry, canary vector,
+    //     environment) goes to bench_detail.json in the CWD (= repo root
+    //     under sbt; committed as the round receipt);
+    //   - stdout carries ONE line short enough (~1 KB) to land whole in
+    //     the capture window: headline total, canary stats, normalized
+    //     total, spill/gc/heap, and the 10 slowest entries (raw seconds).
     val canaryJson = canaryTimes.map(sec3).mkString("[", ",", "]")
     val gcSec = sec3((gcMillis - gcStart) / 1000.0)
     // heap_gb = the ACTUAL -Xmx this run had (the constrained-memory
     // protocol's receipt); spill counters say whether it ever pressured
     val heapGb = sec3(Runtime.getRuntime.maxMemory / 1073741824.0)
     val spillMb = (memSpilled.get + diskSpilled.get) >> 20
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"canary":$canaryJson,"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"sf":"$sfDir","value":${sec3(total)}}""")
+    def jmap(xs: Seq[(String, Double)], f: Double => String): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1.0" else f(v)) }
+        .mkString("{", ",", "}")
+    val detail =
+      s"""{"queries":${jmap(results, sec3)},
+         |"normalized":${jmap(results, v => sec3(norm(v)))},
+         |"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},
+         |"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,
+         |"cpus":$cpus,"failed":${failed.size},"sf":"$sfDir",
+         |"norm_value":${sec3(norm(total))},"value":${sec3(total)}}"""
+        .stripMargin.replace("\n", "")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    // headline total/value still sits at the END of the line (rounds 3-4:
+    // anything before the final ~2000 chars is at risk of truncation)
+    println(s"""{"metric":"total","unit":"sec","detail":"$detailPath","slowest":${jmap(slowest, sec3)},"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}""")
     spark.stop()
   }
 }
