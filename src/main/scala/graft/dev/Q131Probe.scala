@@ -29,6 +29,8 @@ object Q131Probe {
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.5, cnt)"),
         expr("percentile(l_extendedprice, 0.95, cnt)")))
+    time("exact_cumsum")(graft.ops.Percentiles.exactInterpolated(li,
+      "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95)))
     spark.stop()
   }
 }

@@ -522,24 +522,26 @@ private[queries] object PipelineAnalytics {
       // values and sketch-in-tolerance flags. At 100 TB the sketch is the
       // only option: bounded per-group state, associative merges.
       //
-      // The EXACT side pre-aggregates to (flag, price, cnt) and feeds
-      // percentile's frequency form: the raw spelling buffered every row
-      // in 3 per-flag ObjectHashAggregate buffers — the single biggest
-      // spiller of the organic-sf1 bench (35 s, round-9 verdict watch
-      // item) — where the distinct-value table is both map-side
-      // combinable and orders of magnitude smaller than the row count.
-      // percentile(v, p, cnt) over it is DEFINED as the same weighted
-      // interpolation, so the answer is bit-identical.
+      // The EXACT side is the distributed cumsum interpolation
+      // (ops/Percentiles — the same percentile_cont formula, zero
+      // per-group value buffering). History: the raw percentile()
+      // spelling buffered every row in 3 per-flag ObjectHashAggregate
+      // buffers (35 s at organic sf1, round-9 watch item); round 10's
+      // frequency pre-aggregation shrank the buffer to the distinct-value
+      // table but stayed buffer-bound at the 8 GiB heap (33.8 s);
+      // round 11 removes the object buffer entirely — one map-combinable
+      // freq agg + one windowed cumsum + a ≤2-rows-per-group bracket agg,
+      // the only shape whose per-task state is O(1) at 100 TB
+      // (dev/Q131Probe has the paired timings; answers bit-identical).
       val li = t(s, dir, "lineitem")
       val sketch = li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, 0.5, 5000)").as("s50"),
           expr("approx_percentile(l_extendedprice, 0.95, 5000)").as("s95"))
-      val exact = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5, cnt)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95, cnt)"), 2).as("p95"))
+      val exact = graft.ops.Percentiles.exactInterpolated(li,
+          "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("l_returnflag"),
+          round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"))
       sketch.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
           (abs(col("s50") - col("p50")) <= col("p50") * 0.02)
