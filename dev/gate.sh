@@ -87,3 +87,34 @@ if [ "${GATE_FAULT:-0}" = "1" ]; then
     2>&1 | grep -E "\[verify\]|\[chaos\]" | tail -20 || true
   python3 dev/check_oracle.py /tmp/vout_fault /root/testdata/sf0.01 | tail -3
 fi
+
+# Round-11: chaos under STREAMING (GATE_STREAM_FAULT=1). The
+# StreamingRecoverySpec kills are injected exceptions in one JVM; this
+# stage halts REAL executor JVMs (ChaosPlugin, ~30 s lifetimes) under the
+# two graded stateful pipelines (flatMapGroupsWithState sessionizer +
+# foreachBatch CDC upsert) on RocksDB state over local-cluster, and
+# asserts byte-identical output vs a clean run — mid-microbatch state
+# loss, shuffle loss, and checkpoint reload by a relaunched executor.
+if [ "${GATE_STREAM_FAULT:-0}" = "1" ]; then
+  echo "== StreamChaos (sf0.01, local-cluster 2x8 + executor halts) =="
+  SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_FAULT=1 SPARK_GRAFT_CHAOS_PERIOD_MS=20000 \
+    sbt -batch "runMain graft.dev.StreamChaos /root/testdata/sf0.01" \
+    2>&1 | grep -E "\[stream-chaos\]|\[chaos\]" | tail -20
+fi
+
+# Round-11: the fault gate at REAL data sizes (GATE_FAULT_SF01=1). At
+# sf0.01 an executor death loses kilobytes; at sf0.1 the lost shuffle
+# files, broadcast rebuilds and reliable-checkpoint frames are materially
+# sized, so the recompute-on-loss paths (stage retries, reliable
+# checkpoint reload by a DIFFERENT executor) actually execute instead of
+# trivially replaying. Same chaos schedule, same hash-match bar.
+if [ "${GATE_FAULT_SF01:-0}" = "1" ]; then
+  echo "== Verify + DuckDB oracle (sf0.1, local-cluster 4x8 + chaos) =="
+  rm -rf /tmp/vout_fault01
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_FAULT=1 SPARK_GRAFT_QUERY_RETRIES=2 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/vout_fault01" \
+    2>&1 | grep -E "\[verify\]|\[chaos\]" | tail -30 || true
+  python3 dev/check_oracle.py /tmp/vout_fault01 /root/testdata/sf0.1 | tail -3
+fi

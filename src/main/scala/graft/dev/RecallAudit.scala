@@ -63,6 +63,47 @@ object RecallAudit {
           f"recall $recall%.4f < 0.995 on $dir")
         sys.exit(2)
       }
+
+      // Stage 2 (round 11): the SEEDED production kernel. q46/q291/q292
+      // grade deterministic twins whose oracles restate the banding;
+      // embeddingNearDupPairs — the actual production entry point, seeded
+      // float hyperplanes + margin-directed multiprobe — had analytic
+      // floors (RecallFloorSpec) but no per-corpus MEASURED recall. Exact
+      // cosine verification makes its precision structural (every emitted
+      // pair is checked against the threshold), so recall is the only free
+      // variable: measure it against the exact all-pairs inventory, hard
+      // floor 0.99. The all-pairs join is audit-side dev code — one
+      // broadcastable side of n·dim floats, pair set near-dup-sized, so
+      // both collects are bounded.
+      import graft.ext.{Similarity, Vectors}
+      val emb = graft.tables.Tables.table(spark, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        Vectors.norm(col("embedding")).as("n1"))
+      val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        Vectors.norm(col("embedding")).as("n2"))
+      val exactEmb = a.join(b, col("v1") < col("v2"))
+        .withColumn("sim",
+          round(Vectors.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 5))
+        .filter(col("sim") >= 0.45)
+        .select(col("v1"), col("v2"), col("sim")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val gotEmb = Similarity.embeddingNearDupPairs(emb, threshold = 0.45)
+        .select(col("v1"), col("v2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recallEmb =
+        if (exactEmb.isEmpty) 1.0
+        else exactEmb.keySet.count(gotEmb.contains).toDouble / exactEmb.size
+      println(f"[recall-audit] seeded-kernel exactPairs=${exactEmb.size} " +
+        f"prodRecall=$recallEmb%.4f")
+      (exactEmb.keySet -- gotEmb).toSeq.sorted.take(20).foreach { case (v1, v2) =>
+        println(f"[recall-audit] seeded-kernel missed ($v1,$v2) " +
+          f"sim=${exactEmb((v1, v2))}%.5f")
+      }
+      if (recallEmb < 0.99) {
+        System.err.println(f"[recall-audit] FAIL: seeded production kernel " +
+          f"recall $recallEmb%.4f < 0.99 on $dir")
+        sys.exit(2)
+      }
       println("[recall-audit] PASS")
     } finally spark.stop()
   }

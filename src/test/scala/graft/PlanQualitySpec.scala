@@ -244,4 +244,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("TopK"), p)
     assert(!p.contains("GlobalSort"), p)
   }
+
+  // --- q291/q292 post-broadcast regime pins (round-11 verdict item 3) ----
+  // The production near-dup kernels switch to a shuffle_hash HINT once the
+  // corpus outgrows the broadcast threshold (~30k vectors at dim 64);
+  // Similarity.scala documents ~500 s of sort cost at the 100× probe when
+  // the planner falls back to sort-merge. A hint is advisory — a Spark
+  // upgrade or an AQE change could silently stop honoring it with correct
+  // answers and a 100×-scale bench cliff, and until this round nothing
+  // failed in that case. Pin the plan shape at a synthetic
+  // above-threshold corpus: every join in the kernel (candidate self-join
+  // + both verify rejoins) must resolve hash-based — ShuffledHashJoin
+  // present, no SortMergeJoin, never a cartesian.
+  private def syntheticEmb(n: Long) =
+    spark.range(0, n).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(pmod(id * (i + 7) + i, 97) / 9.7 AS FLOAT)) AS embedding")
+
+  test("q291 kernel (neardupPairsAuto) above broadcast threshold: all joins hash, none sort-merge") {
+    val df = graft.ext.Similarity.neardupPairsAuto(syntheticEmb(35000), 0.85)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint not honored:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "kernel degraded to sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q292 kernel (neardupPairsAutoMargin) above broadcast threshold: all joins hash, none sort-merge") {
+    val df = graft.ext.Similarity.neardupPairsAutoMargin(syntheticEmb(35000), 0.85)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint not honored:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "kernel degraded to sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("seeded production kernel (embeddingNearDupPairs) above broadcast threshold: hash regime holds") {
+    val df = graft.ext.Similarity.embeddingNearDupPairs(syntheticEmb(35000), 0.85)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint not honored:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "kernel degraded to sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
