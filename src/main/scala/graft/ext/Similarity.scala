@@ -1499,27 +1499,33 @@ object Similarity {
     * multiprobe LSH-blocked (a pair must meet in some probed bucket of some
     * table), exact-cosine verified on the deduplicated candidate set.
     *
-    * Defaults (8 planes × 12 tables × 16 probes) measured on the synthetic
-    * corpus at threshold 0.45: recall vs the exact all-pairs twin = 1.000
-    * (sf0.001), 1.000 (sf0.01), 0.993 (sf0.1 — one pair at sim 0.456).
-    * Seeded hyperplanes make those numbers run-to-run constants. Planes
-    * stay high on purpose — bucket occupancy drives the self-join's pair
-    * count, the quadratic term at 100 TB — and multiprobe + tables recover
-    * the boundary pairs tight buckets lose.
+    * Plane choice (planes ≤ 0) = min(occupancy rule, threshold-recall cap)
+    * — see [[neardupPlanesFor]] and [[planesForRecallAt]]. The cap is the
+    * round-11 fix for an audit-measured failure: at organic sf1 the
+    * occupancy rule alone (12 planes) shed 44% of true 0.45-threshold
+    * pairs (RecallAudit, every miss at sim 0.45–0.50); recall at the
+    * REQUESTED angle is now an analytic ≥0.99 guarantee at any corpus
+    * size, and the gate measures it per corpus. At true near-dup
+    * thresholds (cos ≥ 0.85) the cap sits at 12–25 planes, so the
+    * occupancy rule stays the binding constraint through ~10⁵–10⁸ rows —
+    * the 100 TB scaling regime is unchanged where near-dup dedup actually
+    * runs; a WIDE net at scale honestly costs coarser buckets (raise
+    * `tables` to buy granularity back — the cap grows with tables at
+    * linear query-side cost).
     *
     * Shape note: the bucket self-join carries ONLY (vec_id, bucket) longs —
     * exploding tables×probes keys with the 64-float embedding attached
     * (the previous formulation) shuffles ~50× the bytes and was the
     * measured source of run-to-run variance; embeddings rejoin afterwards,
     * once, on the deduplicated pair ids. */
-  /** The scale rule for [[embeddingNearDupPairs]]'s bucket granularity:
-    * planes = log2(corpus / targetLoad), floored at the verified-recall
-    * default. Bucket count must grow WITH the corpus — at fixed planes the
-    * per-bucket occupancy rises linearly and the bucket self-join's pair
-    * count quadratically (measured: 10× data at planes=8 cost 12.8× wall;
-    * at the rule's planes it returns to ~linear, PERFNOTES scaling table).
-    * Recall lost to tighter buckets is recovered by tables × multiprobe,
-    * the same trade documented on the defaults. */
+  /** The COST half of [[embeddingNearDupPairs]]'s plane choice:
+    * planes = log2(corpus / targetLoad), floored at 8. Bucket count must
+    * grow WITH the corpus — at fixed planes the per-bucket occupancy rises
+    * linearly and the bucket self-join's pair count quadratically
+    * (measured: 10× data at planes=8 cost 12.8× wall; at the rule's planes
+    * it returns to ~linear, PERFNOTES scaling table). Blind to the
+    * requested angle by design — [[planesForRecallAt]] is the recall half
+    * that caps it. */
   def neardupPlanesFor(corpusRows: Long, targetLoad: Int = 8): Int = {
     // exact integer form of max(8, ceil(log2(n / targetLoad))): the smallest
     // p with targetLoad·2^p ≥ n is bitlen(ceil(n/targetLoad) − 1), and for
@@ -1532,6 +1538,41 @@ object Similarity {
     val n = math.max(corpusRows, 1L)
     val bitlenNm1 = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     math.max(8, bitlenNm1 - Integer.numberOfTrailingZeros(targetLoad))
+  }
+
+  /** The RECALL half of the production kernel's plane choice (round 11):
+    * the largest plane count whose analytic per-pair miss odds stay
+    * ≤ `maxMiss` at cosine `threshold` — the WIDEST angle the kernel
+    * promises to emit — across `tables` under radius-1 probing
+    * ([[RecallFloors.lshRadius1Miss]]; conservative for the
+    * margin-directed kernel, whose 16 probes cover every subset of the
+    * four lowest-|margin| planes — the planes a threshold pair most
+    * likely disagrees on).
+    *
+    * Why this must cap the occupancy rule: [[neardupPlanesFor]] grows
+    * buckets with the corpus for COST, blind to the threshold. For true
+    * near-dups (cos ≥ 0.85, split prob ≈ 0.18/plane) rule planes stay
+    * inside this cap until ~10⁵ rows and recall holds; but at a WIDE
+    * threshold the same buckets shed exactly the near-threshold pairs
+    * the caller asked for — the round-11 RecallAudit measured recall
+    * 0.5562 at organic sf1 (rule planes 12, threshold 0.45, every miss
+    * at sim 0.45–0.50). With the cap the kernel keeps ≥ 1−maxMiss
+    * analytic recall AT ANY requested threshold; the cost of a wide net
+    * surfaces as coarser buckets (and is the honest cost — the true
+    * pair inventory itself grows quadratically as the threshold widens).
+    * `tables` is the lever that buys tight buckets back: the cap GROWS
+    * with tables (linear query-side cost), e.g. 0.45 → 5 planes at 12
+    * tables, 6 at 16; 0.85 → 12 at 12 tables, 14 at 16.
+    *
+    * Corroboration: q50's hand-tuned fixed geometry (6 planes × 16
+    * tables at threshold 0.45, measured recall 1.000/1.000/0.993 across
+    * scales) is exactly `planesForRecallAt(0.45, 16)`. */
+  def planesForRecallAt(threshold: Double, tables: Int,
+      maxMiss: Double = 0.01): Int = {
+    var p = 1
+    while (p < 52 &&
+        RecallFloors.lshRadius1Miss(threshold, p + 1, tables) <= maxMiss) p += 1
+    p
   }
 
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
@@ -1549,7 +1590,12 @@ object Similarity {
     // computed exactly once, the minhashLshCore pattern (round-10 ADVICE)
     val embT = graft.ops.Checkpoints.truncate(emb)
     val n = embT.count()
-    val p = if (planes > 0) planes else neardupPlanesFor(n)
+    // planes = occupancy rule CAPPED by the threshold-recall rule: cost
+    // wants buckets to tighten with the corpus, recall forbids tightening
+    // past what the requested angle survives (see planesForRecallAt — the
+    // audit-measured 0.5562-recall failure mode this cap closes)
+    val p = if (planes > 0) planes
+      else math.min(neardupPlanesFor(n), planesForRecallAt(threshold, tables))
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
@@ -1762,7 +1808,14 @@ object Similarity {
     * with miss odds ≤ (1−(0.82¹² + 12·0.82¹¹·0.18))¹⁶ ≈ 3e-3 per pair at
     * p=12; the 0.45 threshold is verify-side only — candidates it admits
     * are exact-cosine checked, so looser recall there costs coverage of
-    * gray pairs, never wrong rows (both engines compute the same set). */
+    * gray pairs, never wrong rows (both engines compute the same set).
+    * Role note (round 11): this kernel deliberately runs the occupancy
+    * rule UNCAPPED — it exists to grade the rule itself against the
+    * oracle's count(*)-derived restatement at every scale. The production
+    * entry point [[embeddingNearDupPairs]] additionally caps planes by
+    * [[planesForRecallAt]] so user-facing recall holds at any requested
+    * threshold (the audit-measured wide-net failure this grading twin is
+    * exempt from, being oracle-matched rather than recall-promising). */
   def neardupPairsAuto(emb: DataFrame, threshold: Double,
       tables: Int = 16, dim: Int = 64): DataFrame = {
     import graft.functions.LshExpressions.lshKeysDeterministic

@@ -77,6 +77,37 @@ class RecallFloorSpec extends AnyFunSuite {
     assert(missGate <= 2e-6) // computes to 1.18e-6
   }
 
+  test("seeded kernel: threshold-recall cap closes the wide-angle regime (round-11 audit finding)") {
+    // The organic-sf1 RecallAudit measured embeddingNearDupPairs at recall
+    // 0.5562 (rule planes 12, threshold 0.45, every miss at sim 0.45–0.50):
+    // the occupancy rule is blind to the requested angle. planesForRecallAt
+    // caps it at the largest plane count with ≤1% analytic per-pair miss AT
+    // the threshold — pin the cap's values and the properties the fix
+    // depends on.
+    assert(Similarity.planesForRecallAt(0.45, 12) === 5)
+    assert(Similarity.planesForRecallAt(0.45, 16) === 6,
+      "cap(0.45, 16) must equal q50's hand-tuned 6-plane geometry")
+    assert(Similarity.planesForRecallAt(0.85, 12) === 12)
+    assert(Similarity.planesForRecallAt(0.85, 16) === 14)
+    assert(Similarity.planesForRecallAt(0.95, 16) === 25)
+    // the failure mode the audit caught: rule planes at sf1 exceed the cap
+    // at threshold 0.45, and the uncapped miss odds are catastrophic
+    val uncapped = RecallFloors.lshRadius1Miss(0.45, 12, 12)
+    info(f"uncapped sf1 wide-net geometry (p=12, 12 tables): cos-0.45 miss $uncapped%.3e")
+    assert(uncapped > 0.3, "the audit's 44% measured miss should be no surprise")
+    assert(RecallFloors.lshRadius1Miss(0.45,
+      Similarity.planesForRecallAt(0.45, 12), 12) <= 0.01)
+    // monotonicity: more tables buy tighter buckets back (linear cost);
+    // tighter thresholds allow tighter buckets (near-dup regime unharmed —
+    // the occupancy rule stays the binding constraint below ~1e5 rows)
+    assert(Similarity.planesForRecallAt(0.45, 16) >=
+      Similarity.planesForRecallAt(0.45, 12))
+    assert(Similarity.planesForRecallAt(0.95, 12) >
+      Similarity.planesForRecallAt(0.85, 12))
+    assert(Similarity.neardupPlanesFor(100000L) <=
+      Similarity.planesForRecallAt(0.85, 16))
+  }
+
   test("simhash banding: pigeonhole collision guarantee is structural, not probabilistic") {
     // q47/q102 band 60-bit md5-SimHash into 4 bands of 15 — any pair at
     // Hamming ≤ 3 shares an untouched band with certainty (pigeonhole):
