@@ -1593,9 +1593,14 @@ object Similarity {
     // planes = occupancy rule CAPPED by the threshold-recall rule: cost
     // wants buckets to tighten with the corpus, recall forbids tightening
     // past what the requested angle survives (see planesForRecallAt — the
-    // audit-measured 0.5562-recall failure mode this cap closes)
+    // audit-measured 0.5562-recall failure mode this cap closes). Floor 4:
+    // the margin ranker requires >= 4 planes, and at the thresholds where
+    // the cap would dip below that (≲0.2) the 16 probes cover the entire
+    // 2^4 bucket space anyway — blocking degenerates to brute force, which
+    // is what such an angle honestly costs.
     val p = if (planes > 0) planes
-      else math.min(neardupPlanesFor(n), planesForRecallAt(threshold, tables))
+      else math.max(4,
+        math.min(neardupPlanesFor(n), planesForRecallAt(threshold, tables)))
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
