@@ -33,6 +33,12 @@ sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
 # Its first organic-sf1 run caught a live J=0.214 gray pair (47% miss
 # odds) — which forced q46's switch to the oracle-restated deterministic
 # md5-MinHash (flake-free by construction; see PERFNOTES round 10).
+# Round-11: stage 2 measures the SEEDED production kernel
+# (embeddingNearDupPairs) vs the exact all-pairs inventory, floor 0.99 —
+# its first organic-sf1 run caught recall 0.5562 (rule planes blind to
+# the 0.45 threshold), fixed by the planesForRecallAt cap. Cost note: at
+# organic sf1 this stage is ~19 min (a 5-plane wide net at 20k vectors is
+# near-brute-force — the honest cost of the requested angle; sf0.01 ~1 min).
 echo "== RecallAudit (sf0.01) =="
 sbt -batch "runMain graft.dev.RecallAudit /root/testdata/sf0.01" 2>&1 | grep "\[recall-audit\]"
 
