@@ -36,9 +36,14 @@ sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_ROWS
 # Round-11: stage 2 measures the SEEDED production kernel
 # (embeddingNearDupPairs) vs the exact all-pairs inventory, floor 0.99 —
 # its first organic-sf1 run caught recall 0.5562 (rule planes blind to
-# the 0.45 threshold), fixed by the planesForRecallAt cap. Cost note: at
-# organic sf1 this stage is ~19 min (a 5-plane wide net at 20k vectors is
-# near-brute-force — the honest cost of the requested angle; sf0.01 ~1 min).
+# the 0.45 threshold), fixed by the planesForRecallAt cap.
+# Round-12 cost fix (the sf1 stage was ~19 min): above 4096 vectors the
+# stage samples the probe side with the deterministic modular key (mod 8)
+# — the kernel's pair join is one-directional, so a v1-sampled inventory
+# measures the exact per-pair discovery event — and gates on the
+# one-sided 95% Wilson lower confidence bound >= 0.99 (~2100 sampled
+# pairs at sf1: zero misses -> LCB 0.9987, >=3 misses fails). Full
+# inventory + pointwise floor still run at sf0.01/sf0.1 (~1 min).
 echo "== RecallAudit (sf0.01) =="
 sbt -batch "runMain graft.dev.RecallAudit /root/testdata/sf0.01" 2>&1 | grep "\[recall-audit\]"
 

@@ -90,6 +90,21 @@ object Bench {
     val groupSize = 50
     val canary = SparkEntry.queries.get("q44_fingerprint")
     val canaryTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    // Second, MID-WEIGHT canary (round-12, PERFNOTES noise-floor rule):
+    // q44 is one cheap scan-shaped job, so it normalizes kernel speed but
+    // not fixed per-job overheads (scheduling, shuffle setup) — two
+    // same-tree runs still differed 5.6% on the normalized total and far
+    // more per-entry. This canary is a fixed ~1-2 s shuffle workload
+    // (range → 1M-group hash aggregate: one real exchange, two-phase agg),
+    // sfDir-independent and unchanged across rounds; its median is recorded
+    // beside q44's so cross-round comparisons can separate kernel drift
+    // from per-job-overhead drift. Normalization stays on q44 (protocol
+    // continuity); the decision rule lives in PERFNOTES.
+    val canary2Times = scala.collection.mutable.ArrayBuffer[Double]()
+    def canary2(): Unit = evalFully(
+      spark.range(0, 30000000L, 1, cpus.toInt)
+        .groupBy(pmod(col("id"), lit(1000000L)).as("k"))
+        .agg(sum(col("id")).as("s"), count(lit(1)).as("c")))
     def groupHygiene(): Unit = {
       spark.catalog.clearCache()
       // drop SCRATCH views accumulated by dialect entries, but keep the
@@ -101,6 +116,7 @@ object Bench {
         .filter(t => t.isTemporary && !Tables.starSchema.contains(t.name))
         .foreach(t => spark.catalog.dropTempView(t.name))
       canary.foreach(fn => canaryTimes += time(evalFully(fn(spark, sfDir))))
+      canary2Times += time(canary2())
     }
 
     val gcStart = gcMillis
@@ -168,12 +184,14 @@ object Bench {
     // re-timed every 50 entries) measures THIS RUN's machine speed, so
     // per-entry values divided by the canary median compare across rounds
     // with host drift cancelled. Both forms are recorded.
-    val canaryMedian = {
-      val s = canaryTimes.filter(_ > 0).sorted
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.filter(_ > 0).sorted
       if (s.isEmpty) 1.0
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val canaryMedian = median(canaryTimes.toSeq)
+    val canary2Median = median(canary2Times.toSeq)
     def norm(v: Double): Double = if (v < 0) -1.0 else v / canaryMedian
     // The driver keeps only the last ~2000 chars of stdout, so the full
     // per-entry maps (raw + normalized ≈ 16 KB) CANNOT ride the contract
@@ -186,6 +204,7 @@ object Bench {
     //     the capture window: headline total, canary stats, normalized
     //     total, spill/gc/heap, and the 10 slowest entries (raw seconds).
     val canaryJson = canaryTimes.map(sec3).mkString("[", ",", "]")
+    val canary2Json = canary2Times.map(sec3).mkString("[", ",", "]")
     val gcSec = sec3((gcMillis - gcStart) / 1000.0)
     // heap_gb = the ACTUAL -Xmx this run had (the constrained-memory
     // protocol's receipt); spill counters say whether it ever pressured
@@ -198,6 +217,7 @@ object Bench {
       s"""{"queries":${jmap(results, sec3)},
          |"normalized":${jmap(results, v => sec3(norm(v)))},
          |"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},
+         |"canary2":$canary2Json,"canary2_median":${sec3(canary2Median)},
          |"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,
          |"cpus":$cpus,"failed":${failed.size},"sf":"$sfDir",
          |"norm_value":${sec3(norm(total))},"value":${sec3(total)}}"""
@@ -207,7 +227,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
     // headline total/value still sits at the END of the line (rounds 3-4:
     // anything before the final ~2000 chars is at risk of truncation)
-    println(s"""{"metric":"total","unit":"sec","detail":"$detailPath","slowest":${jmap(slowest, sec3)},"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","detail":"$detailPath","slowest":${jmap(slowest, sec3)},"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},"canary2_median":${sec3(canary2Median)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}""")
     spark.stop()
   }
 }

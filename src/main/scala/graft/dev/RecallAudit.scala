@@ -77,8 +77,31 @@ object RecallAudit {
       // both collects are bounded.
       import graft.ext.{Similarity, Vectors}
       val emb = graft.tables.Tables.table(spark, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      // Cost control (round-12 verdict item 3): the full stage at organic
+      // sf1 was ~19 min — a 5-plane wide net at 20k vectors is
+      // near-brute-force, and the exact all-pairs inventory is n²/2 dot
+      // products. Above 4096 vectors, sample the PROBE side with the
+      // repo's own deterministic modular key (Curation.sampleKey, mod 8 —
+      // no RNG, same subset every run): the kernel's pair join is
+      // one-directional (a.vec_id < b.vec_id — only the LOWER id's probes
+      // can discover a pair), so restricting probes to S = {sampleKey=0}
+      // and the exact inventory to pairs with v1 ∈ S measures EXACTLY the
+      // per-pair discovery event the full kernel evaluates, on an unbiased
+      // 1/8 sample of the inventory, at ~1/8 the self-join and ~1/8 the
+      // exact-side cost. The gate then needs the statistics made explicit:
+      // a sample estimate can't assert "recall ≥ 0.99" pointwise, so it
+      // asserts the one-sided 95% Wilson lower confidence bound ≥ 0.99
+      // (at the measured sf1 scale, ~2100 sampled pairs, zero misses →
+      // LCB ≈ 0.9987; ≥3 misses in the sample fails the gate — stricter
+      // than the full-inventory floor, never looser). Full inventory (and
+      // the exact pointwise floor) still runs at sf0.01/sf0.1.
+      val nEmb = emb.count()
+      val sampled = nEmb > 4096
+      val inS = graft.ext.Curation.sampleKey(col("vec_id"), 8) === 0
+      val a0 = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
         Vectors.norm(col("embedding")).as("n1"))
+      val a = if (sampled)
+        a0.filter(graft.ext.Curation.sampleKey(col("v1"), 8) === 0) else a0
       val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"),
         Vectors.norm(col("embedding")).as("n2"))
       val exactEmb = a.join(b, col("v1") < col("v2"))
@@ -87,21 +110,31 @@ object RecallAudit {
         .filter(col("sim") >= 0.45)
         .select(col("v1"), col("v2"), col("sim")).collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-      val gotEmb = Similarity.embeddingNearDupPairs(emb, threshold = 0.45)
+      val gotEmb = Similarity.embeddingNearDupPairs(emb, threshold = 0.45,
+          probeFilter = if (sampled) Some(inS) else None)
         .select(col("v1"), col("v2")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = exactEmb.keySet.count(gotEmb.contains)
       val recallEmb =
-        if (exactEmb.isEmpty) 1.0
-        else exactEmb.keySet.count(gotEmb.contains).toDouble / exactEmb.size
+        if (exactEmb.isEmpty) 1.0 else found.toDouble / exactEmb.size
+      // one-sided 95% Wilson score lower bound on the true recall
+      def wilsonLb(s: Long, n: Long, z: Double = 1.6449): Double =
+        if (n == 0) 1.0 else {
+          val ph = s.toDouble / n
+          val z2 = z * z
+          (ph + z2 / (2.0 * n) -
+            z * math.sqrt(ph * (1 - ph) / n + z2 / (4.0 * n * n))) / (1 + z2 / n)
+        }
+      val lb = if (sampled) wilsonLb(found, exactEmb.size) else recallEmb
       println(f"[recall-audit] seeded-kernel exactPairs=${exactEmb.size} " +
-        f"prodRecall=$recallEmb%.4f")
+        f"sampled=$sampled prodRecall=$recallEmb%.4f lcb=$lb%.4f")
       (exactEmb.keySet -- gotEmb).toSeq.sorted.take(20).foreach { case (v1, v2) =>
         println(f"[recall-audit] seeded-kernel missed ($v1,$v2) " +
           f"sim=${exactEmb((v1, v2))}%.5f")
       }
-      if (recallEmb < 0.99) {
+      if (lb < 0.99) {
         System.err.println(f"[recall-audit] FAIL: seeded production kernel " +
-          f"recall $recallEmb%.4f < 0.99 on $dir")
+          f"recall $recallEmb%.4f (lcb $lb%.4f, sampled=$sampled) < 0.99 on $dir")
         sys.exit(2)
       }
       println("[recall-audit] PASS")

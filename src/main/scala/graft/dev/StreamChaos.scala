@@ -115,9 +115,9 @@ object StreamChaos {
           val s = batch.sparkSession
           val latest = graft.tables.Snapshots.latestPerKey(
             batch, "user_id", Seq("ts", "event_id"))
-          val (fs, rootP) = graft.tables.Hfs.fsFor(s, snap)
-          if (!fs.exists(rootP)) latest.write.parquet(snap)
-          else graft.tables.Snapshots.upsertLatestByKey(
+          // replay-idempotent bootstrap: a chaos kill mid-batch-0 must not
+          // leave a partial snapshot the replay then upserts into
+          graft.tables.Snapshots.bootstrapOrUpsertLatest(
             s, snap, latest, "user_id", Seq("ts", "event_id"))
         }
         .option("checkpointLocation", cp)

@@ -27,6 +27,35 @@ object Curation {
   def sampleKey(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** Leakage-safe train/val/test split over near-dup clusters: every doc
+    * joins its connected-component id from `comp` (columns: idCol, `comp`;
+    * docs absent from `comp` are singletons — their own cluster), the
+    * CLUSTER picks a bucket via [[sampleKey]], and whole clusters land in
+    * one split — no near-duplicate pair can straddle train/eval, the
+    * contamination guarantee an id-hash split cannot give. Buckets
+    * `0..trainHi` → train, `trainHi+1..valHi` → val, rest → test.
+    *
+    * The membership join is the scale hazard this helper exists to own:
+    * `comp` has one row per duplicate-involved doc, which at web-scale
+    * corpora is 20–50% of the corpus — an unconditional `broadcast()`
+    * there is an OOM at 100 TB, not a hint (round-11 verdict, q140). The
+    * frame is lineage-truncated (reused by the measure and the join),
+    * measured, and joined under [[graft.ops.JoinRegime.sizeAware]]:
+    * broadcast while genuinely small, shuffle_hash past the bound — never
+    * a forced broadcast, never a sort-merge. PlanQualitySpec pins the
+    * degradation to ShuffledHashJoin above a synthetic threshold corpus. */
+  def clusterSplit(docs: DataFrame, comp: DataFrame, idCol: String,
+      trainHi: Int = 7, valHi: Int = 8, buckets: Int = 10): DataFrame = {
+    val compT = graft.ops.Checkpoints.truncate(comp)
+    val compBytes = compT.count() * 32L // (id, comp) longs + Tungsten row overhead
+    docs.join(graft.ops.JoinRegime.sizeAware(compT, compBytes), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .withColumn("bucket", sampleKey(col("cluster"), buckets))
+      .withColumn("split",
+        when(col("bucket") <= trainHi, "train")
+          .when(col("bucket") <= valHi, "val").otherwise("test"))
+  }
+
   /** Stratified sample: keep a row when its [[sampleKey]] falls under its
     * stratum's keep-rate (permille). The mixture knob of a training-data
     * pipeline — "30% of en, 10% of everything else" — as a pure filter:

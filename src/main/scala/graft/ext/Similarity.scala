@@ -1505,13 +1505,19 @@ object Similarity {
     * occupancy rule alone (12 planes) shed 44% of true 0.45-threshold
     * pairs (RecallAudit, every miss at sim 0.45–0.50); recall at the
     * REQUESTED angle is now an analytic ≥0.99 guarantee at any corpus
-    * size, and the gate measures it per corpus. At true near-dup
-    * thresholds (cos ≥ 0.85) the cap sits at 12–25 planes, so the
-    * occupancy rule stays the binding constraint through ~10⁵–10⁸ rows —
-    * the 100 TB scaling regime is unchanged where near-dup dedup actually
-    * runs; a WIDE net at scale honestly costs coarser buckets (raise
-    * `tables` to buy granularity back — the cap grows with tables at
-    * linear query-side cost).
+    * size, and the gate measures it per corpus. Where the cap binds, the
+    * corpus-growth story changes (round-11 ADVICE correction): at
+    * threshold 0.85 with the default 12 tables the cap is 12 planes,
+    * which binds from n ≈ 8·2¹² ≈ 33k rows — past that, per-bucket
+    * occupancy grows linearly with the corpus and the bucket self-join
+    * quadratically (the exact blowup [[neardupPlanesFor]] exists to
+    * prevent; measured 12.8× wall at 10× data). Only tighter thresholds
+    * or more tables push the crossover out (0.95 at 16 tables → cap 25 →
+    * ~10⁸ rows). `tables` is therefore the REQUIRED knob for large
+    * corpora at a given threshold — the cap grows with tables at linear
+    * query-side cost — and the kernel logs a loud warning whenever the
+    * recall cap undercuts the occupancy rule so a large-corpus caller
+    * cannot drift into the quadratic regime silently.
     *
     * Shape note: the bucket self-join carries ONLY (vec_id, bucket) longs —
     * exploding tables×probes keys with the 64-float embedding attached
@@ -1577,7 +1583,7 @@ object Similarity {
 
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       planes: Int = 0, tables: Int = 12, dim: Int = 64,
-      probes: Int = 16): DataFrame = {
+      probes: Int = 16, probeFilter: Option[Column] = None): DataFrame = {
     // The corpus count steers both scale decisions below (one footer-stats
     // job on a parquet-backed corpus). planes <= 0 → the rule decides:
     // bucket granularity MUST grow with the corpus or the bucket self-join
@@ -1598,13 +1604,31 @@ object Similarity {
     // the cap would dip below that (≲0.2) the 16 probes cover the entire
     // 2^4 bucket space anyway — blocking degenerates to brute force, which
     // is what such an angle honestly costs.
-    val p = if (planes > 0) planes
-      else math.max(4,
-        math.min(neardupPlanesFor(n), planesForRecallAt(threshold, tables)))
+    val ruleP = neardupPlanesFor(n)
+    val capP = planesForRecallAt(threshold, tables)
+    val p = if (planes > 0) planes else math.max(4, math.min(ruleP, capP))
+    // The recall cap undercutting the occupancy rule means bucket occupancy
+    // now grows linearly with the corpus (self-join pairs quadratically) —
+    // correct but increasingly expensive. Say so loudly: `tables` buys the
+    // granularity back at linear query-side cost.
+    if (planes <= 0 && capP < ruleP)
+      org.slf4j.LoggerFactory.getLogger("graft.ext.Similarity").warn(
+        s"embeddingNearDupPairs: recall cap ($capP planes at threshold " +
+          s"$threshold, $tables tables) undercuts the occupancy rule " +
+          s"($ruleP planes for $n rows); bucket self-join cost will grow " +
+          "quadratically with further corpus growth — raise `tables` to " +
+          "restore bucket granularity at linear query-side cost")
     // Asymmetric multiprobe self-join: one side explodes into probe keys
     // (base + low-margin sign flips), the other into base keys only — a
     // (low,high) pair meets when low's probe set reaches high's bucket.
-    val a = embT.select(col("vec_id"),
+    // probeFilter (audit-only; None in every production/graded path, so
+    // the plan is byte-identical there) restricts WHICH vectors probe:
+    // with a sampled probe side the emitted set is exactly the pairs
+    // discoverable via a sampled vector's probes — a conservative
+    // (one-sided) recall measurement at 1/m of the self-join cost
+    // (dev/RecallAudit's sf1 stage; plane choice still sees the full n).
+    val probeSrc = probeFilter.fold(embT)(embT.filter)
+    val a = probeSrc.select(col("vec_id"),
       explode(lshProbeKeys(col("embedding"), p, tables, dim, probes)).as("bkt"))
     val v = embT.select(col("vec_id"),
       explode(lshTableKeys(col("embedding"), p, tables, dim)).as("bkt"))

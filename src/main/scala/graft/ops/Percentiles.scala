@@ -17,10 +17,27 @@ import org.apache.spark.sql.functions._
   * needs only: one map-combinable frequency aggregation on (group, value),
   * one window cumsum within each group (sort-based, streams through
   * Tungsten, spills gracefully), and one final aggregation over ≤ 2·|ps|
-  * bracket rows per group. Identical answers: position/interpolation
-  * arithmetic is the same double-precision formula the builtin evaluates
-  * (verified bit-for-bit against `percentile` in PercentilesSpec and by
-  * q131's DuckDB `quantile_cont` oracle at every gate scale).
+  * bracket rows per group. Interpolation is the convex form
+  * `(1−frac)·lo + frac·hi` — the spelling BOTH Spark's builtin and DuckDB's
+  * `quantile_cont` evaluate (measured: the algebraically-equal
+  * `lo + frac·(hi−lo)` differs in the final ulp on 25 of 100 supplier
+  * groups at sf0.01), so the builtin comparison (PercentilesSpec) and the
+  * DuckDB oracle (q131/q293, unrounded doubles) are bit-exact.
+  *
+  * Null semantics match the builtin: null values are SKIPPED (filtered
+  * before the frequency aggregation), so they neither inflate n nor can be
+  * selected as bracket values; a group whose values are all null produces
+  * no row (the builtin returns null there — callers that need that row
+  * should outer-join the group list back). PercentilesSpec pins both.
+  *
+  * Parallelism note: the cumsum window partitions by `groupCol`, so each
+  * group's distinct values stream through ONE task — stage parallelism
+  * equals the group count. With few groups (q131 has 3) the stage is
+  * narrow but safe: per-task state is O(1) and the sort spills; for
+  * low-group-count workloads at extreme scale the quantile sketch remains
+  * the documented primary (q130), this op the exact auditor. With many
+  * groups (q293: thousands of suppliers) the stage is embarrassingly
+  * parallel.
   *
   * Returns one row per group: (groupCol, <name> per requested p). Groups
   * absent from `df` produce no row (same as the builtin under GROUP BY). */
@@ -29,6 +46,7 @@ object Percentiles {
       ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val freq = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
     val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("g"))
@@ -57,7 +75,7 @@ object Percentiles {
       val lo = col(s"__lo_$name").cast("double")
       val hi = col(s"__hi_$name").cast("double")
       val frac = col(s"__pos_$name") - floor(col(s"__pos_$name"))
-      (lo + frac * (hi - lo)).as(name)
+      (lo * (lit(1.0) - frac) + hi * frac).as(name)
     }
     out.select(cols: _*)
   }

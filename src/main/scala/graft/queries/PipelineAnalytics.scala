@@ -550,6 +550,19 @@ private[queries] object PipelineAnalytics {
             .cast("int").as("tol95"))
         .orderBy(col("l_returnflag"))
     }),
+    "q293_percentiles_by_supplier" -> ((s, dir) => {
+      // ops/Percentiles graded directly as a first-class operator (q131
+      // exercises it only as the exact side of a sketch comparison) on a
+      // HIGH-cardinality group — one group per supplier, thousands at sf1 —
+      // the regime where the cumsum window's parallelism equals the group
+      // count and the stage is embarrassingly parallel (the low-group-count
+      // caveat in the scaladoc does not apply). Exact percentile_cont
+      // semantics, bit-matched by DuckDB quantile_cont.
+      graft.ops.Percentiles.exactInterpolated(t(s, dir, "lineitem"),
+          "l_suppkey", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("l_suppkey"), col("p50"), col("p95"))
+        .orderBy(col("l_suppkey"))
+    }),
     "q132_sketch_union" -> ((s, dir) => {
       // Persisted-sketch re-aggregation — the incremental-corpus pattern:
       // one DataSketches HLL per day materialized to parquet (binary
@@ -1585,6 +1598,11 @@ private[queries] object PipelineAnalytics {
         |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
         |  CAST(1 AS INT) AS tol50, CAST(1 AS INT) AS tol95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q293_percentiles_by_supplier" ->
+      """SELECT l_suppkey,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q126_retention_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,

@@ -473,18 +473,16 @@ private[queries] object PipelineCuration {
       // whole to a split by the Knuth key of their representative — no
       // near-duplicate pair can straddle splits (the eval-contamination
       // guarantee an id-hash split cannot give). Singleton docs are their
-      // own cluster. Buckets 0-7 train, 8 val, 9 test.
+      // own cluster. Buckets 0-7 train, 8 val, 9 test. The membership join
+      // rides Curation.clusterSplit's size-aware regime (broadcast only
+      // under a measured byte bound, shuffle_hash above — the round-11
+      // forced-broadcast scale-killer is gone; PlanQualitySpec pins it).
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs,
         col("doc_id"), col("text"), lit(1), n = 3, minJaccard = 0.2)
       val comp = Dedup.connectedComponents(pairs)
         .withColumnRenamed("node", "doc_id")
-      val assigned = docs.join(broadcast(comp), Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
-        .withColumn("bucket", Curation.sampleKey(col("cluster"), 10))
-        .withColumn("split",
-          when(col("bucket") <= 7, "train")
-            .when(col("bucket") === 8, "val").otherwise("test"))
+      val assigned = Curation.clusterSplit(docs, comp, "doc_id")
       assigned.groupBy(col("split")).agg(
           count(lit(1)).as("n_docs"),
           countDistinct(col("cluster")).as("n_clusters"),

@@ -88,17 +88,29 @@ private[queries] object PipelineDedup {
         maxHamming = 8)
       // 100 TB shape: the full n-gram table outgrows a broadcast — reduce it
       // FIRST to docs that appear in a candidate pair (semi-join against the
-      // band-blocked candidate set), then broadcast the reduction under both
-      // lookups; the candidate-pair stream picks up ng1/ng2 map-side and the
-      // (hashed-long, array_distinct'd) gram column never shuffles.
+      // band-blocked candidate set), then join the reduction under both
+      // lookups via the size-aware regime: the candidate-doc fraction is
+      // small when dup rates are low, but web corpora run 20–50%
+      // duplicate-involved, so the reduction is MEASURED (one job against
+      // the truncated frame, which also stops it recomputing under the two
+      // lookups) — broadcast under the byte bound, shuffle_hash above it
+      // (never a forced broadcast, never a sort). The candidate-pair stream
+      // picks up ng1/ng2 hash-side and the (hashed-long, array_distinct'd)
+      // gram column never sort-shuffles.
       val candDocs = pairs.select(col("d1").as("doc_id"))
         .union(pairs.select(col("d2").as("doc_id"))).distinct()
-      val ng = docs.join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          array_distinct(Dedup.wordNgramHashes(col("text"), 3)).as("ng"))
+      val ng = graft.ops.Checkpoints.truncate(
+        docs.join(candDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            array_distinct(Dedup.wordNgramHashes(col("text"), 3)).as("ng")))
+      val ngStats = ng.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("ng"))), lit(0L)).as("grams")).head()
+      val ngBytes = ngStats.getLong(0) * 32L + ngStats.getLong(1) * 8L
+      def h(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.JoinRegime.sizeAware(df, ngBytes)
       pairs
-        .join(broadcast(ng.select(col("doc_id").as("d1"), col("ng").as("ng1"))), Seq("d1"))
-        .join(broadcast(ng.select(col("doc_id").as("d2"), col("ng").as("ng2"))), Seq("d2"))
+        .join(h(ng.select(col("doc_id").as("d1"), col("ng").as("ng1"))), Seq("d1"))
+        .join(h(ng.select(col("doc_id").as("d2"), col("ng").as("ng2"))), Seq("d2"))
         .withColumn("i", size(array_intersect(col("ng1"), col("ng2"))).cast("double"))
         .withColumn("jaccard",
           round(col("i") / (size(col("ng1")) + size(col("ng2")) - col("i")), 6))

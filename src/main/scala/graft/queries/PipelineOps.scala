@@ -176,11 +176,20 @@ object PipelineOps {
     // reuse a CTE name — silently, since the post-rename assert only
     // checks headers. Refuse such chains up front: a CTE name must not
     // appear as `AS <name>` without an opening paren (column alias) nor
-    // inside a single-quoted literal.
+    // inside a single-quoted literal. Literal detection is parity-based,
+    // not a single inside-quotes regex (round-11 ADVICE: that regex read a
+    // closing quote as an opening one and false-positived on a name
+    // BETWEEN two literals): split on ' — even segments are unquoted SQL,
+    // odd segments are literal interiors; a doubled '' escape flips parity
+    // twice, a no-op.
+    val segs = chain.split("'", -1).zipWithIndex
+    val unquoted = segs.collect { case (s, i) if i % 2 == 0 => s }
+    val quoted = segs.collect { case (s, i) if i % 2 == 1 => s }
     names.foreach { n =>
-      require(!s"(?i)\\bAS\\s+$n\\b(?!\\s*\\()".r.findFirstIn(chain).exists(_ => true),
+      require(!unquoted.exists(s =>
+          s"(?i)\\bAS\\s+$n\\b(?!\\s*\\()".r.findFirstIn(s).isDefined),
         s"prefixCtes: CTE name '$n' reused as a column alias — rename one")
-      require(!s"'[^']*\\b$n\\b[^']*'".r.findFirstIn(chain).exists(_ => true),
+      require(!quoted.exists(s => s"\\b$n\\b".r.findFirstIn(s).isDefined),
         s"prefixCtes: CTE name '$n' appears inside a string literal")
     }
     val out = names.foldLeft(chain)((s, n) => s.replaceAll(s"\\b$n\\b", prefix + n))

@@ -398,13 +398,14 @@ object EventStreams {
           // a VersionedTable root commits each batch as a pointer-swapped
           // version — the streaming CDC view gains atomic object-store
           // commits and time travel for free
+          // both branches are replay-idempotent at batch 0 (a restart can
+          // replay the first micro-batch): versioned roots pointer-swap a
+          // complete version, flat roots bootstrap tmp-then-rename and
+          // treat a markerless partial as absent (round-11 ADVICE)
           if (graft.tables.VersionedTable.isVersioned(s, path))
             graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
-          else {
-            val (fs, root) = graft.tables.Hfs.fsFor(s, path)
-            if (!fs.exists(root)) latest.write.parquet(path)
-            else graft.tables.Snapshots.upsertLatestByKey(s, path, latest, key, orderCols)
-          }
+          else graft.tables.Snapshots.bootstrapOrUpsertLatest(
+            s, path, latest, key, orderCols)
         }
         .option("checkpointLocation", cp.toString)
         .trigger(Trigger.AvailableNow())

@@ -101,6 +101,31 @@ object Snapshots {
       latestPerKey(existing.unionByName(updates), key, orderCols)
     }
 
+  /** CDC batch-sink step that is REPLAY-IDEMPOTENT at batch 0 (round-11
+    * ADVICE): a streaming restart replays the first micro-batch if the
+    * kill landed after some snapshot files committed but before the
+    * checkpoint offset did — a bare `if (!exists) write.parquet(path)`
+    * then takes the upsert path against a PARTIAL snapshot (possibly with
+    * `_temporary` leftovers). Here the bootstrap is tmp-then-rename, so the
+    * final path only ever appears complete (`_SUCCESS` inside the renamed
+    * dir); a directory without the marker is a dead partial bootstrap and
+    * is deleted before retrying. Replays after a COMPLETED bootstrap fall
+    * through to [[upsertLatestByKey]], which re-merging the same batch
+    * cannot change (latest-per-key of identical rows). */
+  def bootstrapOrUpsertLatest(spark: SparkSession, path: String,
+      updates: DataFrame, key: String, orderCols: Seq[String]): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    val marker = new Path(root, "_SUCCESS")
+    if (fs.exists(root) && !fs.exists(marker)) fs.delete(root, true)
+    if (!fs.exists(root)) {
+      val tmp = new Path(root.toString + ".bootstrap-tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      updates.write.parquet(tmp.toString)
+      require(fs.rename(tmp, root),
+        s"bootstrap: rename $tmp -> $path failed")
+    } else upsertLatestByKey(spark, path, updates, key, orderCols)
+  }
+
   /** Retention / right-to-erasure delete: rewrite the snapshot WITHOUT the
     * rows matching `predicate` (a failed delete never leaves a partial
     * dataset — pointer-swap or tmp-then-swap per the root's protocol).

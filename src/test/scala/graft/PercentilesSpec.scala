@@ -51,6 +51,25 @@ class PercentilesSpec extends AnyFunSuite {
     assert(c("two")(1) === 1.5) // p50 of {1,2} interpolates the midpoint
   }
 
+  test("null values are skipped like the builtin; all-null group emits no row") {
+    // {0,1} brackets: both interpolation spellings (lo + frac*(hi-lo) here,
+    // the builtin's convex (1-frac)*lo + frac*hi) reduce to frac exactly,
+    // so the comparison stays bit-exact and tests ONLY the null semantics
+    val df = Seq(
+      ("a", Option(0.0)), ("a", None), ("a", Option(1.0)), ("a", None),
+      ("b", None), ("b", None),
+      ("c", Option(5.0))
+    ).toDF("g", "v")
+    val c = cumsum(df)
+    // builtin skips nulls too — restate it on the null-free frame so the
+    // comparison is apples-to-apples (the builtin returns a null ROW for
+    // the all-null group; this op omits the row, as documented)
+    val b = builtin(df.filter(col("v").isNotNull))
+    assert(c.keySet === Set("a", "c"), "all-null group must produce no row")
+    assert(c === b)
+    assert(c("a")(1) === 0.5) // p50 of {0,1}: nulls neither counted nor bracketed
+  }
+
   test("duplicate-spanning brackets: index pair falls inside one run") {
     // 10 copies of 5.0 then one 100.0: p50 position 5.0 sits mid-run (both
     // bracket indices inside the 5.0 run), p95 position 9.5 spans the run
