@@ -70,6 +70,15 @@ case class PrimitiveTopKPartialExec(limit: Int, order: SortOrder, child: SparkPl
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
+  // Empty, NOT the default `references` (the SortExec convention): with the
+  // key in usedInputs, consume() pre-evaluates a deferred key variable
+  // OUTSIDE doConsume while row.code (prepareRowVar's copies, prepared
+  // before that pre-evaluation) still declares the same generated locals
+  // inside — janino rejects the stage ("Redefinition of local variable")
+  // and the operator silently drops to interpreted execution. doConsume
+  // evaluates exactly what each layout needs, exactly once.
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
   private val rowCls = classOf[UnsafeRow].getName
 
   /** Key-only shape: the operator's output IS the sort column and nothing
@@ -313,17 +322,55 @@ case class PrimitiveTopKPartialExec(limit: Int, order: SortOrder, child: SparkPl
          |}
        """.stripMargin
     } else {
-      // The row is BUILT (row.code) only inside the beats branch — the hot
-      // path per row is: read key, map, one compare against the heap root.
-      s"""
-         |${evaluateVariables(input)}
-         |$mapCode
-         |$flip
-         |if ($sizeTerm < $limit || $mk > $keysTerm[0]) {
-         |  ${row.code}
-         |  $insertFn($mk, ($rowCls) ${row.value});
-         |}
-       """.stripMargin
+      // Building the UnsafeRow is `row.code` — which also DECLARES every
+      // deferred input column: consume()'s prepareRowVar evaluates its own
+      // COPIES of the input vars (same generated names), so a blanket
+      // evaluateVariables(input) here redeclares the same locals and the
+      // stage fails janino compilation ("Redefinition of local variable" —
+      // the round-11 bench WARN on the substring shape, silently falling
+      // back to interpreted execution). Three layouts, one invariant: no
+      // variable is ever declared twice.
+      val keyDeferred = keyEv.code.toString.trim.nonEmpty
+      val rowDeferred = row.code.toString.trim.nonEmpty
+      if (!rowDeferred) {
+        // child handed us an already-materialized row (row.code empty):
+        // the key var is a row read with its own deferred code — evaluate
+        // just the key, compare, insert the row as-is
+        s"""
+           |${evaluateVariables(Seq(keyEv))}
+           |$mapCode
+           |$flip
+           |if ($sizeTerm < $limit || $mk > $keysTerm[0]) {
+           |  $insertFn($mk, ($rowCls) ${row.value});
+           |}
+         """.stripMargin
+      } else if (!keyDeferred) {
+        // hot path: the key is a pass-through attribute already in scope;
+        // the row is BUILT (row.code) only inside the beats branch — per
+        // row: read key, map, one compare against the heap root
+        s"""
+           |$mapCode
+           |$flip
+           |if ($sizeTerm < $limit || $mk > $keysTerm[0]) {
+           |  ${row.code}
+           |  $insertFn($mk, ($rowCls) ${row.value});
+           |}
+         """.stripMargin
+      } else {
+        // the key itself is computed by the child stage (ORDER BY a
+        // derived column): row.code declares the key's variable (the
+        // copies keep the generated names), so build the row first, then
+        // compare — the row build is unconditional here, but that is what
+        // the key computation costs anyway
+        s"""
+           |${row.code}
+           |$mapCode
+           |$flip
+           |if ($sizeTerm < $limit || $mk > $keysTerm[0]) {
+           |  $insertFn($mk, ($rowCls) ${row.value});
+           |}
+         """.stripMargin
+      }
     }
   }
 }

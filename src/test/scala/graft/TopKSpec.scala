@@ -103,4 +103,46 @@ class TopKSpec extends AnyFunSuite {
       .orderBy(col("number").desc).limit(100).as[Long].collect()
     assert(got.toSeq == (6L to 0L by -1L).toSeq)
   }
+
+  // --- codegen-compilation pins (round-12 verdict item 2) ----------------
+  // The round-11 bench tail carried a silent `WholeStageCodegen disabled`
+  // WARN on the substring shape: doConsume's blanket evaluateVariables
+  // duplicated the declarations row.code (prepareRowVar's copies) also
+  // emits, janino rejected the stage, and the operator fell back to
+  // interpreted execution with correct answers — nothing failed. These
+  // cases run with spark.sql.codegen.fallback=false, so a generated-code
+  // compile break is a red test, not a WARN.
+  private def withNoCodegenFallback[T](body: => T): T = {
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("string projection above the top-k compiles under codegen.fallback=false") {
+    withNoCodegenFallback {
+      val got = Tables.numbers(spark, 100000L, Some(4))
+        .filter(col("number") > 100)
+        .select(substring(col("number").cast("string"), 3, Int.MaxValue).as("s"),
+          col("number"))
+        .orderBy(col("number").desc).limit(10)
+      assert(physical(got).contains("PrimitiveTopK"), physical(got))
+      val rows = got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exp = (99999L to 99990L by -1L).map(n => (n.toString.substring(2), n))
+      assert(rows == exp)
+    }
+  }
+
+  test("derived sort key (key declared by row.code) compiles under codegen.fallback=false") {
+    withNoCodegenFallback {
+      // the key itself is computed by the child Project, so its variable is
+      // declared inside row.code — the third doConsume layout
+      val got = Tables.numbers(spark, 1000L, Some(4))
+        .select(col("number"), (col("number") * 3 + 1).as("m"))
+        .orderBy(col("m").desc).limit(5)
+      assert(physical(got).contains("PrimitiveTopK"), physical(got))
+      val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == (999L to 995L by -1L).map(n => (n, n * 3 + 1)).toSeq)
+    }
+  }
 }
