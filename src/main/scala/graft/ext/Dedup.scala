@@ -278,7 +278,20 @@ object Dedup {
     * group that clear `minJaccard`. Inverted-index join: |A∩B| from a
     * self-join on distinct (doc, ngram), |A| and |B| from per-doc counts —
     * the pair space never materializes beyond docs that actually share an
-    * n-gram inside a block. */
+    * n-gram inside a block.
+    *
+    * Cost bound (round-12 sf10 receipt): the candidate volume is
+    * Θ(Σ_g df(g)²) — per gram, every co-occurring doc pair. On corpora
+    * where common grams' document frequency grows WITH the corpus (small
+    * vocabularies, boilerplate-heavy crawls), that is quadratic: the 1000×
+    * scale probe aborted on shuffle disk-fill (>70 GB) at 500k synthetic
+    * docs because the 30-word generator vocabulary makes every gram's df
+    * linear in n. This op is the EXACT inventory for gate-scale grading
+    * and audits; at production scale, candidate generation is the banded
+    * [[minhashLshPairsDeterministic]] path (linear via banding, recall
+    * measured in RecallAudit) with exact Jaccard verified on candidates
+    * only — or [[prefixJaccardPairs]], whose rarest-first prefix filter
+    * bounds per-gram fan-out. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       block: Column, n: Int, minJaccard: Double): DataFrame = {
     // three consumers (sizes + both join sides) — materialize the gram
