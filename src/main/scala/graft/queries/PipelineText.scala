@@ -159,11 +159,15 @@ private[queries] object PipelineText {
       val docs = t(s, dir, "documents")
       val wc = graft.ext.Bpe.wordCounts(docs, col("text"))
       val merges = graft.ext.Bpe.trainMerges(wc, nMerges = 4)
-      val vocab = graft.ext.Bpe.encodeWords(wc, merges)
+      // the vocab is corpus-derived (distinct words — unbounded on real
+      // text): measured size-aware regime, never an unconditional broadcast
+      val vocab = graft.ops.Checkpoints.truncate(
+        graft.ext.Bpe.encodeWords(wc, merges).select(col("w"), col("n_tok")))
+      val vBytes = vocab.count() * 48L
       docs.select(col("doc_id"), col("lang"),
           explode(TA.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
-        .join(broadcast(vocab.select(col("w"), col("n_tok"))), "w")
+        .join(graft.ops.JoinRegime.sizeAware(vocab, vBytes), "w")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("w")).cast("long")).as("n_chars"),
@@ -573,17 +577,22 @@ private[queries] object PipelineText {
     }),
     "q143_bpe_encode" -> ((s, dir) => {
       // BPE encoding via the trained vocabulary: train 4 merges, encode the
-      // DISTINCT words (vocabulary-sized, broadcastable), then join docs to
-      // the encoded vocab — no per-document merge loop at any scale. Output:
+      // DISTINCT words (vocabulary-sized), then join docs to the encoded
+      // vocab — no per-document merge loop at any scale. The vocab is
+      // corpus-derived (Heaps-law growth on real text), so the join rides
+      // the measured size-aware regime: broadcast under the byte bound,
+      // shuffle_hash above — never an unconditional broadcast. Output:
       // per-doc BPE token counts for the first 50 docs.
       val docs = t(s, dir, "documents")
       val wc = graft.ext.Bpe.wordCounts(docs, col("text"))
       val merges = graft.ext.Bpe.trainMerges(wc, nMerges = 4)
-      val vocab = graft.ext.Bpe.encodeWords(wc, merges)
+      val vocab = graft.ops.Checkpoints.truncate(
+        graft.ext.Bpe.encodeWords(wc, merges).select(col("w"), col("n_tok")))
+      val vBytes = vocab.count() * 48L
       docs.filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
-        .join(broadcast(vocab.select(col("w"), col("n_tok"))), "w")
+        .join(graft.ops.JoinRegime.sizeAware(vocab, vBytes), "w")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tok"))
         .orderBy(col("doc_id"))
