@@ -537,6 +537,38 @@ private[queries] object PipelineTables {
         .drop("png_bytes")
         .orderBy(col("doc_id"))
     }),
+    "q294_remote_table" -> ((s, dir) => {
+      // Remote table engine under the oracle gate (reference
+      // `remote_table.rs` + store service; SURVEY §2.1's last row): this
+      // session doubles as the serving node (HttpApiServer /v1/remote/*)
+      // and reads lineitem BACK over a live socket through the
+      // `graft-remote` DSv2 connector — schema fetch, file-grained split
+      // planning, executor-side gzip'd ndjson fetch, with the predicate,
+      // projection and their application all on the serving side. The
+      // rollup over the wire-read rows must match DuckDB over the original
+      // parquet: full type round-trip (long/double/string/timestamp) plus
+      // exact remote predicate semantics in one hash.
+      val api = new graft.server.HttpApiServer(s)
+      api.registerRemoteTable("lineitem", s"$dir/lineitem.parquet")
+      val port = api.start()
+      try {
+        val remote = s.read.format("graft-remote")
+          .option("url", s"http://127.0.0.1:$port")
+          .option("table", "lineitem").load()
+        val out = remote
+          .filter(col("l_quantity") < 10 && col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("key_checksum"),
+            round(graft.functions.Stable.sumD(col("l_extendedprice")), 2)
+              .as("sum_price"),
+            max(col("l_shipdate")).as("last_ship"))
+          .orderBy(col("l_linestatus"))
+        // evaluate while the server is still up — the finally stops it
+        materialize(s, out)
+      } finally api.stop()
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -890,5 +922,15 @@ private[queries] object PipelineTables {
         |  3 AS channels,
         |  'image/png' AS format
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // the remote read is row-preserving over (filter, project) — the oracle
+    // is the same rollup on the parquet the server serves
+    "q294_remote_table" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem
+        |WHERE l_quantity < 10 AND l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
   )
 }

@@ -45,6 +45,142 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
   private val nodes = scala.collection.mutable.LinkedHashMap[String, (Long, String)](
     "local" -> ((0L, "localhost")))
 
+  // ---- remote table store ------------------------------------------------
+
+  /** Tables this node serves to `graft-remote` clients (name → parquet
+    * path). The store half of the reference's Remote engine
+    * (`store_client_provider.rs` + fusestore's read_plan/read_partition),
+    * restated over the HTTP front door:
+    *
+    *   - `GET /v1/remote/tables`             → registered names
+    *   - `GET /v1/remote/schema?table=T`     → Spark schema JSON (lossless
+    *     `DataType.fromJson` round-trip)
+    *   - `GET /v1/remote/splits?table=T`     → the table's file-grained
+    *     parts (≈ read_plan's `Vec<Part>`)
+    *   - `GET /v1/remote/read?table=T&split=F[&cols=..][&where=..][&limit=n]
+    *     [&count_only=1]` → gzip'd ndjson of that split, with the pushed
+    *     projection/predicate/limit applied by THIS session's Catalyst
+    *     inside the parquet scan (≈ read_partition's ReadAction.push_down)
+    *
+    * Split paths are validated against the table's own file list — the
+    * endpoint can serve exactly the registered tables, nothing else on the
+    * filesystem. Serve jobs run on this session's executors: co-hosting
+    * client and server on one session works (the gate does) but shares task
+    * slots; production shape is a dedicated serving node. */
+  private val remoteTables =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+  // name → (schema, split files); computed once per registration
+  private val remoteMeta =
+    scala.collection.mutable.HashMap[String, (org.apache.spark.sql.types.StructType, Set[String])]()
+
+  def registerRemoteTable(name: String, path: String): Unit =
+    remoteTables.synchronized {
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
+      remoteTables(name) = path
+      remoteMeta.remove(name): Unit
+    }
+
+  private def remoteTableMeta(name: String) = remoteTables.synchronized {
+    val path = remoteTables.getOrElse(name,
+      throw new NoSuchElementException(s"remote table not registered: $name"))
+    remoteMeta.getOrElseUpdate(name, {
+      val df = spark.read.parquet(path)
+      (df.schema, df.inputFiles.toSet)
+    })
+  }
+
+  /** Pinned wire formats for `to_json` — the client decoder parses exactly
+    * these (RemoteWire.decoder). */
+  private val remoteJsonOpts = Map(
+    "timeZone" -> "UTC",
+    "dateFormat" -> "yyyy-MM-dd",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** Last /v1/remote/read query params — observability hook; the spec uses
+    * it to pin that pushdown actually crossed the wire. */
+  @volatile private[graft] var lastRemoteRead: Map[String, String] = Map.empty
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.toMap
+
+  private def remoteRead(ex: HttpExchange, params: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit, struct, to_json}
+    val table = params.getOrElse("table",
+      throw new IllegalArgumentException("missing table param"))
+    val split = params.getOrElse("split",
+      throw new IllegalArgumentException("missing split param"))
+    val (schema, files) = remoteTableMeta(table)
+    require(files.contains(split), s"split not owned by $table: $split")
+    lastRemoteRead = params
+    var df = spark.read.schema(schema).parquet(split)
+    params.get("where").foreach(w => df = df.filter(expr(w)))
+    df =
+      if (params.get("count_only").contains("1")) df.select(lit(1).as("one"))
+      else params.get("cols") match {
+        case Some(cs) if cs.nonEmpty =>
+          df.select(cs.split(',').toIndexedSeq.map(col): _*)
+        case _ => df
+      }
+    params.get("limit").foreach(n => df = df.limit(n.toInt))
+    // decimals travel as strings: a JSON-number decimal would be parsed
+    // through double on the client and rounded (RemoteWire pins the rule)
+    val wireCols = df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          col(f.name).cast("string").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    val lines = df
+      .select(to_json(struct(wireCols: _*), remoteJsonOpts).as("j"))
+      .toLocalIterator()
+    // force planning + the first serve job BEFORE committing a 200: scan
+    // errors surface as a 500 the client task can retry on, not a
+    // truncated stream
+    val first = if (lines.hasNext) Some(lines.next()) else None
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.getResponseHeaders.set("Content-Encoding", "gzip")
+    ex.sendResponseHeaders(200, 0)
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16))
+    try {
+      def emit(r: org.apache.spark.sql.Row): Unit = {
+        out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+      }
+      first.foreach(emit)
+      while (lines.hasNext) emit(lines.next())
+    } finally out.close()
+  }
+
+  private def handleRemote(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+      case ("GET", "/v1/remote/tables") =>
+        json(ex, 200, remoteTables.synchronized {
+          remoteTables.keys.map(jStr).mkString("""{"tables":[""", ",", "]}")
+        })
+      case ("GET", "/v1/remote/schema") =>
+        val t = params.getOrElse("table", "")
+        val (schema, _) = remoteTableMeta(t)
+        json(ex, 200, s"""{"table":${jStr(t)},"schema":${schema.json}}""")
+      case ("GET", "/v1/remote/splits") =>
+        val t = params.getOrElse("table", "")
+        val (_, files) = remoteTableMeta(t)
+        json(ex, 200,
+          files.toSeq.sorted.map(jStr).mkString("""{"splits":[""", ",", "]}"))
+      case ("GET", "/v1/remote/read") => remoteRead(ex, params)
+      case (meth, path) =>
+        json(ex, 404, s"""{"error":${jStr(s"no route $meth $path")}}""")
+    }
+  }
+
   // ---- query metrics ----------------------------------------------------
 
   private val queriesTotal = new AtomicLong
@@ -117,7 +253,8 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
     s"""{"name":"graft","version":${jStr(spark.version)},""" +
       s""""master":${jStr(spark.sparkContext.master)},""" +
       s""""settings_overridden":${s.settings.size},""" +
-      s""""endpoints":["/v1/hello","/v1/configs","/v1/cluster/list","/metrics"]}"""
+      s""""endpoints":["/v1/hello","/v1/configs","/v1/cluster/list",""" +
+      s""""/v1/remote/tables","/metrics"]}"""
   }
 
   private def configs: String = {
@@ -201,6 +338,8 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
           json(ex, 404, s"""{"error":${jStr(s"no route $meth $path")}}""")
       }
     })
+    server.createContext("/v1/remote", (ex: HttpExchange) =>
+      handle(ex) { handleRemote(ex) })
     server.createContext("/metrics", (ex: HttpExchange) =>
       handle(ex) { respond(ex, 200, "text/plain; version=0.0.4", metrics) })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-remote` — DataSource V2 connector that reads a table served by a
+  * remote graft node's HTTP front door (the reference's Remote table engine:
+  * a table whose partitions live in the store service and are fetched per
+  * split with the scan pushed down — `remote_table.rs:74-105` plans splits
+  * via `client.read_plan`, `remote_table_do_read.rs:20-67` streams each
+  * split with a `ReadAction{part, push_down}`).
+  *
+  * Spark-first restatement:
+  *   - `read_plan` → `Batch.planInputPartitions`: one `InputPartition` per
+  *     remote file split (`GET /v1/remote/splits`), so a 1000-executor
+  *     cluster fetches 1000 splits concurrently — the Flight-stream
+  *     parallelism, carried by Spark's own scheduler;
+  *   - `ReadAction.push_down` → `SupportsPushDownRequiredColumns` +
+  *     `SupportsPushDownFilters` + `SupportsPushDownLimit`: pruned columns,
+  *     translated predicates and the per-split row cap travel in the read
+  *     URL and are applied by the REMOTE engine's Catalyst inside its
+  *     parquet scan, so wire bytes scale with the selected data;
+  *   - partition fetch happens ON THE EXECUTOR (`RemotePartitionReader`),
+  *     never through the driver; a retried task re-issues an idempotent GET
+  *     (the fault gate's executor kills exercise exactly this path).
+  *
+  * Deployment note: the serving node is its own process with its own
+  * resources (the reference's store service likewise). Co-hosting server
+  * and client on one SparkSession — as the in-repo gate does — is a test
+  * convenience; each remote fetch then costs a serve-side task slot, so
+  * keep client-side scan parallelism below the shared slot count there.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-remote")
+  *     .option("url", "http://host:port").option("table", "lineitem").load()
+  * }}}
+  */
+class RemoteTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-remote"
+
+  private def opt(options: CaseInsensitiveStringMap, key: String): String = {
+    val v = options.get(key)
+    require(v != null && v.nonEmpty, s"graft-remote: option '$key' is required")
+    v
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val url = opt(options, "url")
+    val table = opt(options, "table")
+    val body = RemoteWire.getBody(
+      s"$url/v1/remote/schema?table=${RemoteWire.enc(table)}")
+    val node = RemoteWire.parseLine(body)
+    val schema = DataType.fromJson(node.get("schema").toString)
+      .asInstanceOf[StructType]
+    RemoteWire.assertSupported(schema)
+    schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new RemoteTable(opt(options, "url"), opt(options, "table"), schema)
+  }
+}
+
+class RemoteTable(url: String, table: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-remote:$table"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RemoteScanBuilder(url, table, tableSchema)
+}
+
+class RemoteScanBuilder(url: String, table: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var whereSql: Option[String] = None
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Returns the filters Spark must still evaluate post-scan: exactly the
+    * ones the SQL-text translation refuses. Accepted ones are applied by
+    * the remote Catalyst verbatim (RemoteTableSpec pins value parity). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => RemoteWire.filterToSql(f).isDefined)
+    pushed = ok
+    whereSql =
+      if (ok.isEmpty) None
+      else Some(ok.flatMap(RemoteWire.filterToSql).mkString("(", " AND ", ")"))
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** Per-split cap only — Spark keeps its own global Limit, so reporting
+    * `isPartiallyPushed` keeps semantics exact while each remote split
+    * stops scanning after `n` rows. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan =
+    new RemoteScan(url, table, required, whereSql, limit)
+}
+
+class RemoteScan(url: String, table: String, required: StructType,
+    whereSql: Option[String], limit: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-remote table=$table cols=[${required.fieldNames.mkString(",")}]" +
+      whereSql.fold("")(w => s" pushed=$w") + limit.fold("")(n => s" limit=$n")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val body = RemoteWire.getBody(
+      s"$url/v1/remote/splits?table=${RemoteWire.enc(table)}")
+    val node = RemoteWire.parseLine(body).get("splits")
+    (0 until node.size()).map { i =>
+      RemoteSplit(node.get(i).asText()): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RemoteReaderFactory(url, table, required, whereSql, limit)
+}
+
+/** One remote split = one file the serving node owns for this table (its
+  * `Part`; the reference's read_plan returns the same file-grained parts). */
+case class RemoteSplit(split: String) extends InputPartition
+
+case class RemoteReaderFactory(url: String, table: String,
+    required: StructType, whereSql: Option[String], limit: Option[Int])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RemotePartitionReader(url, table,
+      partition.asInstanceOf[RemoteSplit].split, required, whereSql, limit)
+}
+
+/** Executor-side streaming reader for one split: issues the pushed-down GET
+  * and decodes gzip'd ndjson lines into `InternalRow`s as they arrive —
+  * no buffering of the split in memory, so split size is bounded by the
+  * REMOTE side's file granularity, not this JVM's heap. */
+class RemotePartitionReader(url: String, table: String, split: String,
+    required: StructType, whereSql: Option[String], limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+
+  private val countOnly = required.isEmpty
+  private val decode = RemoteWire.decoder(required)
+  private val emptyRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(0)
+
+  private val (conn, reader) = {
+    val base = s"$url/v1/remote/read?table=${RemoteWire.enc(table)}" +
+      s"&split=${RemoteWire.enc(split)}" +
+      (if (countOnly) "&count_only=1"
+       else s"&cols=${RemoteWire.enc(required.fieldNames.mkString(","))}") +
+      whereSql.fold("")(w => s"&where=${RemoteWire.enc(w)}") +
+      limit.fold("")(n => s"&limit=$n")
+    RemoteWire.openLines(base)
+  }
+
+  private var line: String = _
+
+  override def next(): Boolean = { line = reader.readLine(); line != null }
+
+  override def get(): InternalRow =
+    if (countOnly) emptyRow else decode(RemoteWire.parseLine(line))
+
+  override def close(): Unit = {
+    try reader.close() finally conn.disconnect()
+  }
+}
