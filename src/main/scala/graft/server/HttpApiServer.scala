@@ -68,38 +68,88 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
     * client and server on one session works (the gate does) but shares task
     * slots; production shape is a dedicated serving node. */
   private val remoteTables =
-    scala.collection.mutable.LinkedHashMap[String, String]()
-  // name → (schema, split files); computed once per registration
+    scala.collection.mutable.LinkedHashMap[String, (String, Option[org.apache.spark.sql.types.StructType])]()
+  // name → (schema, split files); computed once per registration/commit
   private val remoteMeta =
     scala.collection.mutable.HashMap[String, (org.apache.spark.sql.types.StructType, Set[String])]()
 
+  /** Serve an existing parquet table (schema inferred from its footers). */
   def registerRemoteTable(name: String, path: String): Unit =
+    registerRemoteTable(name, path, None)
+
+  /** Serve a table with a DECLARED schema — required for tables that start
+    * empty (CREATE … ENGINE=Remote) where there is no footer to infer from;
+    * the dir is created if absent. */
+  def registerRemoteTable(name: String, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit =
     remoteTables.synchronized {
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
-      remoteTables(name) = path
+      if (schema.isDefined) new java.io.File(path).mkdirs(): Unit
+      remoteTables(name) = (path, schema)
       remoteMeta.remove(name): Unit
+      dropScanPlans(name)
     }
 
-  private def remoteTableMeta(name: String) = remoteTables.synchronized {
-    val path = remoteTables.getOrElse(name,
-      throw new NoSuchElementException(s"remote table not registered: $name"))
-    remoteMeta.getOrElseUpdate(name, {
-      val df = spark.read.parquet(path)
-      (df.schema, df.inputFiles.toSet)
-    })
+  def dropRemoteTable(name: String): Unit = remoteTables.synchronized {
+    remoteTables.remove(name); remoteMeta.remove(name): Unit
+    dropScanPlans(name)
   }
 
-  /** Pinned wire formats for `to_json` — the client decoder parses exactly
-    * these (RemoteWire.decoder). */
-  private val remoteJsonOpts = Map(
-    "timeZone" -> "UTC",
-    "dateFormat" -> "yyyy-MM-dd",
-    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+  /** File-grained parts of a served path — local listing, no Spark. */
+  private def listSplits(path: String): Seq[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(f)
+    else Option(f.listFiles).getOrElse(Array.empty).toSeq
+      .filter(x => x.isFile && x.getName.endsWith(".parquet") &&
+        !x.getName.startsWith(".") && !x.getName.startsWith("_"))
+      .sortBy(_.getName)
+  }
+
+  /** Table metadata, computed JOBLESS and outside the registry lock:
+    * `spark.read.parquet` schema inference can launch a footer-merge job,
+    * and holding the lock across it once deadlocked the whole store — four
+    * client write tasks held every slot, one handler held this monitor
+    * waiting for a task slot, the rest piled on the monitor. Listing is a
+    * local readdir, the schema one parquet-mr footer read
+    * (LocalScan.parquetFileSchema); a double-compute race is benign. */
+  private def remoteTableMeta(name: String)
+      : (org.apache.spark.sql.types.StructType, Set[String]) = {
+    val (path, declared, cached) = remoteTables.synchronized {
+      val (p, d) = remoteTables.getOrElse(name,
+        throw new NoSuchElementException(s"remote table not registered: $name"))
+      (p, d, remoteMeta.get(name))
+    }
+    cached.getOrElse {
+      val files = listSplits(path)
+      val schema = declared.getOrElse {
+        require(files.nonEmpty,
+          s"cannot infer the schema of empty remote table $name")
+        org.apache.spark.sql.graft.LocalScan
+          .parquetFileSchema(spark, files.head.getAbsolutePath)
+      }
+      val meta = (schema, files.map(_.toURI.toString).toSet)
+      remoteTables.synchronized { remoteMeta.getOrElseUpdate(name, meta) }
+    }
+  }
+
+  private def remotePathOf(name: String): String = remoteTables.synchronized {
+    remoteTables.getOrElse(name,
+      throw new NoSuchElementException(s"remote table not registered: $name"))._1
+  }
 
   /** Last /v1/remote/read query params — observability hook; the spec uses
     * it to pin that pushdown actually crossed the wire. */
   @volatile private[graft] var lastRemoteRead: Map[String, String] = Map.empty
+
+  /** Serving plans per (table, cols, where) — the analyzer resolution and
+    * reader compilation are per-shape, not per-split. Cleared when a table
+    * is (re)registered or dropped; appends keep the schema, so plans stay
+    * valid across commits. */
+  private val scanPlans = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.graft.LocalScan.Plan]
+
+  private def dropScanPlans(table: String): Unit =
+    scanPlans.keySet.removeIf(_._1 == table): Unit
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
@@ -110,8 +160,13 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
           java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
       }.toMap
 
+  /** Serve one split: a JOBLESS local parquet scan (LocalScan) with the
+    * pushed predicate/projection applied on this thread — the query
+    * cluster's task slots are never touched, so a co-hosted client can
+    * saturate them with scan tasks without deadlocking the serve side
+    * (the production shape — a store node serving its own files — needs no
+    * query cluster at all, matching fusestore's do_read). */
   private def remoteRead(ex: HttpExchange, params: Map[String, String]): Unit = {
-    import org.apache.spark.sql.functions.{col, expr, lit, struct, to_json}
     val table = params.getOrElse("table",
       throw new IllegalArgumentException("missing table param"))
     val split = params.getOrElse("split",
@@ -119,44 +174,140 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
     val (schema, files) = remoteTableMeta(table)
     require(files.contains(split), s"split not owned by $table: $split")
     lastRemoteRead = params
-    var df = spark.read.schema(schema).parquet(split)
-    params.get("where").foreach(w => df = df.filter(expr(w)))
-    df =
-      if (params.get("count_only").contains("1")) df.select(lit(1).as("one"))
+    val countOnly = params.get("count_only").contains("1")
+    val cols: Seq[String] =
+      if (countOnly) Nil
       else params.get("cols") match {
-        case Some(cs) if cs.nonEmpty =>
-          df.select(cs.split(',').toIndexedSeq.map(col): _*)
-        case _ => df
+        case Some(cs) if cs.nonEmpty => cs.split(',').toSeq
+        case _ => schema.fieldNames.toSeq
       }
-    params.get("limit").foreach(n => df = df.limit(n.toInt))
-    // decimals travel as strings: a JSON-number decimal would be parsed
-    // through double on the client and rounded (RemoteWire pins the rule)
-    val wireCols = df.schema.fields.toIndexedSeq.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.DecimalType =>
-          col(f.name).cast("string").as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    val lines = df
-      .select(to_json(struct(wireCols: _*), remoteJsonOpts).as("j"))
-      .toLocalIterator()
-    // force planning + the first serve job BEFORE committing a 200: scan
-    // errors surface as a 500 the client task can retry on, not a
-    // truncated stream
-    val first = if (lines.hasNext) Some(lines.next()) else None
+    val where = params.get("where")
+    val plan = scanPlans.computeIfAbsent(
+      (table, cols.mkString(","), where.getOrElse("")),
+      _ => org.apache.spark.sql.graft.LocalScan.plan(spark, schema, cols, where))
+    val encode: org.apache.spark.sql.catalyst.InternalRow => String =
+      if (countOnly) _ => "{}"
+      else graft.sources.RemoteWire.encoder(plan.outSchema)
+    var it = org.apache.spark.sql.graft.LocalScan.scanFile(plan, split)
+    params.get("limit").foreach(n => it = it.take(n.toInt))
+    // touch the scan BEFORE committing a 200: reader errors surface as a
+    // 500 the client task can retry on, not a truncated stream
+    val first = if (it.hasNext) Some(encode(it.next())) else None
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.getResponseHeaders.set("Content-Encoding", "gzip")
     ex.sendResponseHeaders(200, 0)
     val out = new java.util.zip.GZIPOutputStream(
       new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16))
     try {
-      def emit(r: org.apache.spark.sql.Row): Unit = {
-        out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+      def emit(line: String): Unit = {
+        out.write(line.getBytes(UTF_8)); out.write('\n')
       }
       first.foreach(emit)
-      while (lines.hasNext) emit(lines.next())
+      while (it.hasNext) emit(encode(it.next()))
     } finally out.close()
+  }
+
+  // ---- remote append (the reference's Table::append_data over the store:
+  // remote_table.rs:116-134 streams blocks to the service; here each
+  // EXECUTOR posts its partition as gzip ndjson, staged per task attempt,
+  // and the client's driver-side BatchWrite.commit names the winning
+  // attempts — speculative duplicates stage side by side and are discarded,
+  // never merged) --------------------------------------------------------
+
+  private def stagingDir(path: String, writer: String) =
+    new java.io.File(path, s".graft-staging-$writer")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  /** Stage one partition attempt: the gzip ndjson body is re-validated and
+    * spooled to disk WITHOUT touching Spark — client write tasks may be
+    * holding every task slot while they stream, so a serve-side job here
+    * could deadlock a co-hosted session. The spool → parquet conversion
+    * runs at COMMIT time, after all client tasks have released their slots.
+    * A killed client truncates the gzip stream → EOFException mid-copy →
+    * the partial spool is deleted and a 500 returned; the retried attempt
+    * stages under its own taskId. */
+  private def remoteAppend(ex: HttpExchange, params: Map[String, String]): Unit = {
+    val table = params("table")
+    val writer = params("writer")
+    val part = params("part") // "<partitionId>-<taskId>", unique per attempt
+    require(writer.matches("[A-Za-z0-9-]+") && part.matches("[0-9-]+"),
+      "bad writer/part id")
+    remoteTableMeta(table): Unit // 500 early for unknown tables
+    val staging = stagingDir(remotePathOf(table), writer)
+    staging.mkdirs()
+    val spool = new java.io.File(staging, s"part-$part.ndjson.gz")
+    val in =
+      if ("gzip".equalsIgnoreCase(ex.getRequestHeaders.getFirst("Content-Encoding")))
+        new java.util.zip.GZIPInputStream(ex.getRequestBody)
+      else ex.getRequestBody
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(spool), 1 << 16))
+    var rows = 0L
+    try {
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8), 1 << 16)
+      var line = rd.readLine()
+      while (line != null) {
+        out.write(line.getBytes(UTF_8)); out.write('\n')
+        rows += 1
+        line = rd.readLine()
+      }
+      out.close()
+    } catch { case e: Throwable =>
+      try out.close() catch { case _: Throwable => () }
+      spool.delete()
+      throw e
+    }
+    json(ex, 200, s"""{"staged":${jStr(s"part-$part")},"rows":$rows}""")
+  }
+
+  private def remoteCommit(ex: HttpExchange, params: Map[String, String]): Unit = {
+    val table = params("table")
+    val writer = params("writer")
+    val path = remotePathOf(table)
+    val staging = stagingDir(path, writer)
+    val keep = params.get("parts").map(_.split(',').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    keep.foreach(p => require(p.matches("[0-9-]+"), s"bad part id: $p"))
+    val spools = keep.toSeq.sorted
+      .map(p => new java.io.File(staging, s"part-$p.ndjson.gz"))
+      .filter(_.exists)
+    var moved = 0
+    if (spools.nonEmpty) {
+      // land all winning spools as ONE parquet file, written JOBLESS on
+      // this thread (LocalScan.writeParquetFile) into staging, then moved
+      // into the table dir — readers see the append atomically or not at
+      // all, and no task slot is ever needed on the serve side
+      val (schema, _) = remoteTableMeta(table)
+      val decode = graft.sources.RemoteWire.decoder(schema)
+      val landing = new java.io.File(staging,
+        s"part-graft-$writer-${spools.hashCode.toHexString}.parquet")
+      val lines = spools.iterator.flatMap { f =>
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(
+            new java.io.FileInputStream(f)), UTF_8), 1 << 16)
+        Iterator.continually(rd.readLine()).takeWhile(_ != null) ++ {
+          rd.close(); Iterator.empty
+        }
+      }
+      org.apache.spark.sql.graft.LocalScan.writeParquetFile(
+        spark, schema, landing.toString,
+        lines.map(l => decode(graft.sources.RemoteWire.parseLine(l))))
+      java.nio.file.Files.move(landing.toPath,
+        new java.io.File(path, landing.getName).toPath)
+      moved = 1
+    }
+    rmTree(staging) // losers of speculative races vanish here
+    remoteTables.synchronized { remoteMeta.remove(table): Unit }
+    json(ex, 200, s"""{"committed":$moved}""")
+  }
+
+  private def remoteAbort(ex: HttpExchange, params: Map[String, String]): Unit = {
+    rmTree(stagingDir(remotePathOf(params("table")), params("writer")))
+    json(ex, 200, """{"aborted":true}""")
   }
 
   private def handleRemote(ex: HttpExchange): Unit = {
@@ -176,6 +327,9 @@ class HttpApiServer(spark: SparkSession, port: Int = 0) {
         json(ex, 200,
           files.toSeq.sorted.map(jStr).mkString("""{"splits":[""", ",", "]}"))
       case ("GET", "/v1/remote/read") => remoteRead(ex, params)
+      case ("POST", "/v1/remote/append") => remoteAppend(ex, params)
+      case ("POST", "/v1/remote/commit") => remoteCommit(ex, params)
+      case ("POST", "/v1/remote/abort") => remoteAbort(ex, params)
       case (meth, path) =>
         json(ex, 404, s"""{"error":${jStr(s"no route $meth $path")}}""")
     }

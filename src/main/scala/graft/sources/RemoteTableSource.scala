@@ -46,6 +46,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class RemoteTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-remote"
 
+  /** Catalog tables (`CREATE TABLE … USING graft-remote`, the dialect's
+    * ENGINE=Remote) carry their declared schema in the catalog — trust it
+    * instead of re-fetching from the store on every resolution. */
+  override def supportsExternalMetadata(): Boolean = true
+
   private def opt(options: CaseInsensitiveStringMap, key: String): String = {
     val v = options.get(key)
     require(v != null && v.nonEmpty, s"graft-remote: option '$key' is required")
@@ -66,19 +71,46 @@ class RemoteTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // external-metadata path (catalog tables) bypasses inferSchema — gate
+    // the wire-codec type support here too
+    RemoteWire.assertSupported(schema)
     val options = new CaseInsensitiveStringMap(properties)
     new RemoteTable(opt(options, "url"), opt(options, "table"), schema)
   }
 }
 
 class RemoteTable(url: String, table: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-remote:$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RemoteScanBuilder(url, table, tableSchema)
+  /** Validate against the SERVER's schema, not `tableSchema`: on the
+    * `df.write.format(...).save()` path Spark hands the provider the INPUT
+    * frame's schema (supportsExternalMetadata), so `tableSchema` here is
+    * the thing being checked, not the authority — an early version compared
+    * the two and waved every mismatched append through. Field order may
+    * differ (rows travel as name-keyed JSON); names and types may not. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val in = info.schema()
+    val body = RemoteWire.getBody(
+      s"$url/v1/remote/schema?table=${RemoteWire.enc(table)}")
+    val authoritative = DataType
+      .fromJson(RemoteWire.parseLine(body).get("schema").toString)
+      .asInstanceOf[StructType]
+    val byName = authoritative.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(in.length == authoritative.length &&
+      in.fields.forall(f => byName.get(f.name.toLowerCase).contains(f.dataType)),
+      s"graft-remote: append schema ${in.simpleString} does not match " +
+        s"table schema ${authoritative.simpleString}")
+    new RemoteWriteBuilder(url, table, in, info.queryId())
+  }
 }
 
 class RemoteScanBuilder(url: String, table: String, fullSchema: StructType)
@@ -151,6 +183,94 @@ case class RemoteReaderFactory(url: String, table: String,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RemotePartitionReader(url, table,
       partition.asInstanceOf[RemoteSplit].split, required, whereSql, limit)
+}
+
+// ---- append path (reference Table::append_data, remote_table.rs:116-134:
+// the insert stream is shipped to the store service which owns the commit;
+// here executors stream their partitions to /v1/remote/append as staged
+// parts and the driver's BatchWrite.commit names the winning attempts) ----
+
+class RemoteWriteBuilder(url: String, table: String, schema: StructType,
+    queryId: String) extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new RemoteWrite(url, table, schema, queryId)
+}
+
+class RemoteWrite(url: String, table: String, schema: StructType,
+    queryId: String) extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // the writer id scopes the server-side staging dir; query id is unique
+  // per write job and survives into retried/speculative tasks
+  private val writer = queryId.replaceAll("[^A-Za-z0-9-]", "-")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    RemoteWriterFactory(url, table, writer, schema)
+
+  /** Only parts named here survive: speculative losers stage side by side
+    * and are deleted by the server's commit sweep. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case RemoteCommitMsg(part, true) => part }
+    RemoteWire.post(s"$url/v1/remote/commit?table=${RemoteWire.enc(table)}" +
+      s"&writer=$writer&parts=${RemoteWire.enc(parts.mkString(","))}")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RemoteWire.post(s"$url/v1/remote/abort?table=${RemoteWire.enc(table)}" +
+      s"&writer=$writer")
+}
+
+case class RemoteCommitMsg(part: String, staged: Boolean)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class RemoteWriterFactory(url: String, table: String, writer: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new RemoteDataWriter(url, table, writer, s"$partitionId-$taskId", schema)
+}
+
+/** Executor-side writer for one partition attempt: opens a chunked gzip
+  * POST lazily (empty partitions ship nothing) and streams each row as one
+  * ndjson line — memory is bounded by the stream buffer, not the partition.
+  * A killed attempt truncates the gzip stream, so the server stages nothing
+  * for it; the retry stages under its own taskId. */
+class RemoteDataWriter(url: String, table: String, writer: String,
+    part: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val encode = RemoteWire.encoder(schema)
+  private var conn: java.net.HttpURLConnection = _
+  private var out: java.io.OutputStream = _
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      val opened = RemoteWire.openChunkedPost(
+        s"$url/v1/remote/append?table=${RemoteWire.enc(table)}" +
+          s"&writer=$writer&part=$part")
+      conn = opened._1; out = opened._2
+    }
+    out.write(encode(row).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write('\n')
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    if (out == null) RemoteCommitMsg(part, staged = false)
+    else {
+      RemoteWire.finishPost(conn, out)
+      out = null; conn = null
+      RemoteCommitMsg(part, staged = true)
+    }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    if (conn != null) { conn.disconnect(); conn = null; out = null }
+  }
 }
 
 /** Executor-side streaming reader for one split: issues the pushed-down GET

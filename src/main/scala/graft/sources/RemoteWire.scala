@@ -83,6 +83,11 @@ object RemoteWire {
   private def open(url: String): HttpURLConnection = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestProperty("Accept-Encoding", "gzip")
+    // no keep-alive reuse: a pooled connection the server's idle reaper
+    // already closed hangs a non-retryable request until the read timeout
+    // (observed: a chunked append POST stuck 600 s on a stale socket);
+    // one fresh connection per split/part is the protocol's natural grain
+    conn.setRequestProperty("Connection", "close")
     conn.setConnectTimeout(30000)
     // generous read timeout: the server runs a real scan job per split
     conn.setReadTimeout(600000)
@@ -184,6 +189,136 @@ object RemoteWire {
   /** Jackson quotes non-numeric doubles by default ("NaN", "Infinity"). */
   private def fpDouble(n: JsonNode): Double =
     if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
+
+  // ---- InternalRow → ndjson (the append path's wire encoder) -------------
+
+  /** Inverse of [[decoder]] under the same pinned formats: null fields are
+    * omitted, decimals travel as strings, temporals as ISO text, binary as
+    * base64 — one JSON object per row. */
+  def encoder(schema: StructType): InternalRow => String = {
+    val nf = mapper.getNodeFactory
+    val enc = schema.fields.map(f => (f.name, f.dataType, valueEncoder(f.dataType)))
+    row => {
+      val obj = nf.objectNode()
+      var i = 0
+      while (i < enc.length) {
+        if (!row.isNullAt(i)) obj.set[JsonNode](enc(i)._1, enc(i)._3(row, i)): Unit
+        i += 1
+      }
+      mapper.writeValueAsString(obj)
+    }
+  }
+
+  private type Getters = org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+
+  private def valueEncoder(dt: DataType): (Getters, Int) => JsonNode = {
+    val nf = mapper.getNodeFactory
+    dt match {
+      case BooleanType => (g, i) => nf.booleanNode(g.getBoolean(i))
+      case ByteType => (g, i) => nf.numberNode(g.getByte(i).toInt)
+      case ShortType => (g, i) => nf.numberNode(g.getShort(i).toInt)
+      case IntegerType => (g, i) => nf.numberNode(g.getInt(i))
+      case LongType => (g, i) => nf.numberNode(g.getLong(i))
+      case FloatType => (g, i) => nf.numberNode(g.getFloat(i))
+      case DoubleType => (g, i) => nf.numberNode(g.getDouble(i))
+      case d: DecimalType =>
+        (g, i) => nf.textNode(
+          g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+      case StringType => (g, i) => nf.textNode(g.getUTF8String(i).toString)
+      case BinaryType =>
+        (g, i) => nf.textNode(java.util.Base64.getEncoder.encodeToString(g.getBinary(i)))
+      case DateType =>
+        (g, i) => nf.textNode(java.time.LocalDate.ofEpochDay(g.getInt(i).toLong).toString)
+      case TimestampType =>
+        (g, i) => {
+          val us = g.getLong(i)
+          nf.textNode(java.time.OffsetDateTime.ofInstant(
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+            java.time.ZoneOffset.UTC).toString)
+        }
+      case TimestampNTZType =>
+        (g, i) => {
+          val us = g.getLong(i)
+          nf.textNode(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString)
+        }
+      case ArrayType(et, _) =>
+        val elem = valueEncoder(et)
+        (g, i) => {
+          val arr = g.getArray(i)
+          val node = nf.arrayNode(arr.numElements())
+          var j = 0
+          while (j < arr.numElements()) {
+            node.add(if (arr.isNullAt(j)) nf.nullNode() else elem(arr, j)): Unit
+            j += 1
+          }
+          node
+        }
+      case st: StructType =>
+        val fields = st.fields.map(f => (f.name, valueEncoder(f.dataType)))
+        (g, i) => {
+          val nested = g.getStruct(i, fields.length)
+          val node = nf.objectNode()
+          var j = 0
+          while (j < fields.length) {
+            if (!nested.isNullAt(j)) node.set[JsonNode](fields(j)._1, fields(j)._2(nested, j)): Unit
+            j += 1
+          }
+          node
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"graft-remote: cannot encode $other")
+    }
+  }
+
+  // ---- POST helpers (append protocol) ------------------------------------
+
+  /** Open a chunked-streaming POST whose body is a gzip stream the caller
+    * writes ndjson lines into; finish with [[finishPost]]. */
+  def openChunkedPost(url: String): (HttpURLConnection, java.io.OutputStream) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setChunkedStreamingMode(1 << 16)
+    conn.setRequestProperty("Content-Encoding", "gzip")
+    conn.setRequestProperty("Connection", "close") // see open(): no stale reuse
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(600000)
+    (conn, new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 16)))
+  }
+
+  /** Close the body stream and require a 200 from the server. */
+  def finishPost(conn: HttpURLConnection, out: java.io.OutputStream): Unit =
+    try {
+      out.close()
+      val code = conn.getResponseCode
+      if (code != 200) {
+        val err = Option(conn.getErrorStream)
+          .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
+        throw new IllegalStateException(s"remote table server: HTTP $code $err")
+      }
+    } finally conn.disconnect()
+
+  /** Bodyless POST (commit/abort), expect 200. */
+  def post(url: String): Unit = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Connection", "close") // see open(): no stale reuse
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(600000)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) {
+        val err = Option(conn.getErrorStream)
+          .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
+        throw new IllegalStateException(s"remote table server: HTTP $code $err")
+      }
+    } finally conn.disconnect()
+  }
 
   // ---- Filter → Spark SQL text -------------------------------------------
 

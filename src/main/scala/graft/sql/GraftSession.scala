@@ -93,7 +93,75 @@ class GraftSession(val spark: SparkSession) {
     declaredNotNull(table.split("\\.").last.toLowerCase) = nn
   }
 
+  /** Reference engine label per dialect-created engine keyword — what
+    * `system.tables` renders (the reference's `Table::engine()` strings:
+    * csv_table.rs:65 "CSV", remote_table.rs "remote", …). */
+  private def engineLabel(engine: String): String = engine.toLowerCase match {
+    case "csv" => "CSV"
+    case "parquet" => "Parquet"
+    case "json" => "JSON"
+    case "orc" => "ORC"
+    case "memory" => "Memory"
+    case "null" => "Null"
+    case "remote" => "remote"
+    case other => other
+  }
+
+  /** Reference column types Spark's DDL parser lacks a bare spelling for. */
+  private def mapRefTypes(cols: String): String =
+    cols.replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(?i)\\bdatetime\\b", "TIMESTAMP")
+
+  /** `ENGINE = Remote` (and bare CREATEs under `SET default_engine =
+    * remote`, the reference's distributed-build default): the table's data
+    * lives in this session's STORE NODE (GraftSession.store — an
+    * HttpApiServer with the /v1/remote endpoints, the fusestore analogue)
+    * and the catalog entry reads/writes it through the `graft-remote` DSv2
+    * connector, so INSERT streams over the wire (staged append + commit)
+    * and SELECT fetches splits with pushdown — remote_table.rs semantics
+    * end to end. */
+  private def remoteCreate(head: String, tbl: String, cols: String): String = {
+    recordNullability(tbl, cols)
+    val (srv, port, root) = GraftSession.store(spark)
+    val parts = tbl.split("\\.")
+    val (db, name) =
+      if (parts.length == 2) (parts(0), parts(1))
+      else (spark.catalog.currentDatabase, parts(0))
+    val key = s"${db}__$name"
+    val dir = s"$root/$db/$name"
+    val exists = try spark.catalog.tableExists(s"$db.$name")
+      catch { case _: Exception => false }
+    if (!exists) {
+      // fresh incarnation: a leftover dir from a dropped same-name table
+      // must not resurrect its rows
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        mapRefTypes(cols).replaceAll("(?i)\\s+not\\s+null", ""))
+      srv.registerRemoteTable(key, dir, Some(schema))
+    }
+    GraftSession.tableEngines(spark)(s"$db.$name".toLowerCase) = "remote"
+    s"$head (${notNullColumns(mapRefTypes(cols))}) USING `graft-remote` " +
+      s"OPTIONS (url 'http://127.0.0.1:$port', `table` '$key')"
+  }
+
+  private def recordEngine(tbl: String, label: String): Unit = {
+    val parts = tbl.split("\\.")
+    val (db, name) =
+      if (parts.length == 2) (parts(0), parts(1))
+      else (spark.catalog.currentDatabase, parts(0))
+    GraftSession.tableEngines(spark)(s"$db.$name".toLowerCase) = label
+  }
+
   private def rewriteCreate(sql: String): Option[String] = sql.trim match {
+    case CreateTableRe(head, engine, rest) if engine.equalsIgnoreCase("remote") =>
+      val _ = rest // Remote takes no location options
+      head match {
+        case CreateHeadRe(h, tbl, cols) => Some(remoteCreate(h, tbl, cols))
+        case _ => throw new IllegalArgumentException(s"cannot parse: $head")
+      }
     case CreateTableRe(head, engine, rest) =>
       val opts = scala.collection.mutable.ArrayBuffer[String]()
       LocationRe.findFirstMatchIn(rest).foreach(m => opts += s"path '${m.group(1)}'")
@@ -110,10 +178,17 @@ class GraftSession(val spark: SparkSession) {
       val headNN = head match {
         case CreateHeadRe(h, tbl, cols) =>
           recordNullability(tbl, cols)
+          recordEngine(tbl, engineLabel(engine))
           s"$h (${notNullColumns(cols)})"
         case _ => head
       }
       Some(s"$headNN USING $using$optClause")
+    // bare CREATE under the remote default engine (the reference's
+    // distributed build defaults to the remote/fusestore engine — the 09_*
+    // suites' CREATEs carry no ENGINE clause)
+    case CreateHeadRe(h, tbl, cols)
+        if settings.get("default_engine").exists(_.equalsIgnoreCase("remote")) =>
+      Some(remoteCreate(h, tbl, cols))
     case CreateDbRe(create) => Some(create) // ENGINE=Local is the only engine
     case DropDbRe(drop) => Some(s"$drop CASCADE") // reference drops tables too
     case _ => None
@@ -251,12 +326,47 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  private val DropTableStmtRe =
+    """(?is)^(DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+))\s*$""".r
+  private val DropDbStmtRe =
+    """(?is)^(DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([\w.]+))\s*$""".r
+
+  /** After a successful DROP, release the dialect-side artifacts: engine
+    * label, and — for Remote tables — the store registration and its data
+    * dir (the reference's drop reaches the store service the same way). */
+  private def releaseTable(db: String, name: String): Unit = {
+    val engines = GraftSession.tableEngines(spark)
+    val qual = s"$db.$name".toLowerCase
+    if (engines.remove(qual).contains("remote"))
+      GraftSession.storeIfStarted(spark).foreach { case (srv, _, root) =>
+        srv.dropRemoteTable(s"${db}__$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$root/$db/$name"))
+      }
+  }
+
   private def sqlDispatch(text: String): DataFrame = text.trim.stripSuffix(";").trim match {
     case SetRe(key, value) if !key.contains(".") =>
       settings(key.toLowerCase) = value
       if (key.equalsIgnoreCase("max_threads"))
         spark.conf.set("spark.sql.shuffle.partitions", value)
       spark.emptyDataFrame
+    case DropTableStmtRe(whole, tbl) =>
+      val df = spark.sql(whole) // throws first if the table is absent
+      val parts = tbl.split("\\.")
+      val (db, name) =
+        if (parts.length == 2) (parts(0), parts(1))
+        else (spark.catalog.currentDatabase, parts(0))
+      releaseTable(db, name)
+      df
+    case DropDbStmtRe(whole, db) =>
+      val df = spark.sql(s"$whole CASCADE") // reference drops tables too
+      GraftSession.tableEngines(spark).keys
+        .filter(_.startsWith(db.toLowerCase + ".")).toSeq
+        .foreach(q => releaseTable(db, q.substring(db.length + 1)))
+      df
     case DescRe(table) => describe(table)
     case ExplainGraphRe(inner) => explainGraph(inner)
     case MergeRe(path, subquery, table, key) =>
@@ -315,6 +425,46 @@ object GraftSession {
     }
     new GraftSession(s)
   }
+
+  /** Per-session STORE NODE for ENGINE=Remote tables — the fusestore
+    * analogue: an HttpApiServer (its /v1/remote endpoints are the store
+    * API) plus a scratch root for table data, started lazily on the first
+    * remote CREATE. Weakly held; server threads are daemons. */
+  private val stores = new java.util.WeakHashMap[
+    SparkSession, (graft.server.HttpApiServer, Int, String)]
+
+  def store(spark: SparkSession): (graft.server.HttpApiServer, Int, String) =
+    stores.synchronized {
+      var st = stores.get(spark)
+      if (st == null) {
+        val srv = new graft.server.HttpApiServer(spark)
+        val port = srv.start()
+        val root = java.nio.file.Files.createTempDirectory("graft-store").toString
+        st = (srv, port, root)
+        stores.put(spark, st)
+      }
+      st
+    }
+
+  def storeIfStarted(spark: SparkSession)
+      : Option[(graft.server.HttpApiServer, Int, String)] =
+    stores.synchronized(Option(stores.get(spark)))
+
+  /** Reference engine label per dialect-created catalog table
+    * (`db.name` lowercase → "CSV"/"Parquet"/"remote"/…); `system.tables`
+    * overlays these on the Spark catalog's tableType. */
+  private val engineLabelMaps = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, String]]
+
+  def tableEngines(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    engineLabelMaps.synchronized {
+      var m = engineLabelMaps.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map[String, String]()
+        engineLabelMaps.put(spark, m)
+      }
+      m
+    }
 
   /** One engine-settings map per SparkSession (weakly held). */
   private val registries =

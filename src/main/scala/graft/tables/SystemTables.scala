@@ -33,10 +33,15 @@ object SystemTables {
     * `System<Name>` engines); temp views are engine machinery, not tables. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // dialect-created tables carry their reference engine label ("CSV",
+    // "remote", …) — tables_table.rs renders Table::engine(); Spark's
+    // tableType stands in for tables created outside the dialect
+    val labels = graft.sql.GraftSession.tableEngines(spark)
     val catalog = spark.catalog.listDatabases().collect().map(_.name).toSeq
       .flatMap(db => spark.catalog.listTables(db).collect()
         .filter(!_.isTemporary)
-        .map(t => (db, t.name, t.tableType)))
+        .map(t => (db, t.name,
+          labels.getOrElse(s"$db.${t.name}".toLowerCase, t.tableType))))
     val virtual = all.map(n => ("system", n, s"System${n.capitalize}"))
     (catalog ++ virtual).toDF("database", "name", "engine")
   }

@@ -31,6 +31,14 @@ object Bridge {
       expression(a), expression(b),
       org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
 
+  /** `InternalRow` RDD → DataFrame without an external-Row detour — the
+    * remote-table store uses it to land appended wire rows (already decoded
+    * to catalyst form by `RemoteWire.decoder`) as parquet. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Register a Catalyst-expression-backed SQL function on a session (the
     * reference registers scalar functions in a name→ctor factory map,
     * common/functions/src/scalars/function_factory.rs:30-36; this is the

@@ -333,4 +333,28 @@ class DialectSpec extends AnyFunSuite {
       rm(new java.io.File(tmp).getParentFile)
     }
   }
+
+  test("ENGINE = Remote: store-backed create + insert + select round trip (suite 09)") {
+    g.sql("CREATE DATABASE IF NOT EXISTS rdb")
+    try {
+      g.sql("CREATE TABLE rdb.rt(a int, b varchar) ENGINE = Remote")
+      // system.tables renders the reference engine label
+      assert(g.sql("SELECT engine FROM system.tables " +
+        "WHERE database = 'rdb' AND name = 'rt'").head().getString(0) === "remote")
+      // INSERT goes over the wire (staged append + commit on the store
+      // node); SELECT reads splits back through the graft-remote connector.
+      // Values land UNQUOTED — the reference's literal-only VALUES parser
+      // stores the raw quoted token, a pinned divergence (09_0001 skip).
+      g.sql("INSERT INTO rdb.rt VALUES(1, 'v1'),(2, 'v2')")
+      val rows = g.sql("SELECT a, b FROM rdb.rt ORDER BY a").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((1, "v1"), (2, "v2")))
+      // second insert appends, never overwrites
+      g.sql("INSERT INTO rdb.rt VALUES(3, 'v3')")
+      assert(g.sql("SELECT count(*) AS n FROM rdb.rt").head().getLong(0) === 3L)
+      g.sql("DROP TABLE rdb.rt")
+      assert(g.sql("SELECT count(*) AS n FROM system.tables " +
+        "WHERE database = 'rdb' AND name = 'rt'").head().getLong(0) === 0L)
+    } finally g.sql("DROP DATABASE IF EXISTS rdb")
+  }
 }

@@ -85,10 +85,20 @@ class GoldenSuiteSpec extends AnyFunSuite {
     "06_0000_show_queries" -> Nil,
     "07_0000_use_database" -> Nil,
     "08_0000_optimizer" -> Nil,
+    "09_0000_remote_create_table" -> Nil,
+    "09_0001_remote_insert" -> Seq(
+      Skip("SELECT * FROM t1", 2,
+        "reference's literal-only VALUES parser stores the raw quoted " +
+          "token ('1', not 1) — its own .result pins the quirk; standard " +
+          "INSERT semantics here (COVERAGE.md divergences; DialectSpec " +
+          "pins the remote-engine insert round trip)")),
     "10_0000_describe_table" -> Nil,
   )
-  // Not portable (documented): 02_0008 crashme aborts the server by design;
-  // 09_* need the fusestore remote service.
+  // Not portable (documented): 02_0008 crashme aborts the server by design.
+  // The 09_* suites run against the in-process store node (GraftSession
+  // .store + the graft-remote connector) — the reference's distributed
+  // build defaults bare CREATEs to the remote engine, reproduced here with
+  // `SET default_engine = remote` scoped to those suites.
 
   private lazy val session: GraftSession = {
     // Isolated session emulating the reference dialect's semantics:
@@ -136,6 +146,14 @@ class GoldenSuiteSpec extends AnyFunSuite {
     // the reference harness opens a fresh connection per suite file, which
     // starts in the default database
     session.spark.catalog.setCurrentDatabase("default")
+    // 09_* ran against the reference's distributed build, whose default
+    // table engine is remote/fusestore; scope that default to these suites
+    if (name.startsWith("09_")) session.sql("SET default_engine = remote")
+    try runSuiteBody(name, skips)
+    finally if (name.startsWith("09_")) session.sql("SET default_engine = local")
+  }
+
+  private def runSuiteBody(name: String, skips: Seq[Skip]): Unit = {
     val stmts = parseSuite(s"$suiteDir/$name.sql")
     val expected = Files.readAllLines(Paths.get(s"$suiteDir/$name.result")).asScala.toVector
     var pos = 0

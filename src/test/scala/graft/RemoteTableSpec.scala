@@ -157,6 +157,69 @@ class RemoteTableSpec extends AnyFunSuite {
     assert(err.getMessage.contains("HTTP 500"))
   }
 
+  test("more splits than task slots: the jobless store cannot deadlock a co-hosted session") {
+    // regression pin: when the serve side ran Spark jobs, 4+ concurrent
+    // client scan tasks (local[4]) blocked on HTTP while holding every task
+    // slot and the serve jobs starved — a hard deadlock. The store now
+    // scans joblessly (LocalScan), so 8 splits under 4 slots must finish.
+    import session.implicits._
+    val base = (1L to 4000L).map(i => (i, i % 13, s"p$i")).toDF("id", "k", "s")
+    serve("rt_slots", base, parts = 8)
+    val got = remote("rt_slots").filter($"k" === 3L).agg(sum($"id")).head.getLong(0)
+    val want = base.filter($"k" === 3L).agg(sum($"id")).head.getLong(0)
+    assert(got == want)
+  }
+
+  test("append: executor-streamed write lands atomically and reads back exactly") {
+    import session.implicits._
+    val base = (1L to 200L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "s", "v")
+    serve("rt_app", base, parts = 2)
+    val extra = (201L to 300L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "s", "v")
+    extra.repartition(3).write.format("graft-remote")
+      .option("url", url).option("table", "rt_app").mode("append").save()
+    val after = remote("rt_app")
+    assert(after.count() == 300L)
+    assert(sortedRows(after) == sortedRows(base.union(extra)))
+    // staging is swept on commit — only parquet remains in the table dir
+    val leftovers = new java.io.File(serveDirOf("rt_app")).listFiles()
+      .filter(_.getName.startsWith(".graft-staging"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("append round-trips the full type matrix (timestamps, decimals, arrays, structs)") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("dec", DecimalType(20, 4)),
+      StructField("ts", TimestampType), StructField("dt", DateType),
+      StructField("arr", ArrayType(DoubleType)),
+      StructField("st", StructType(Seq(StructField("a", LongType))))))
+    val rows = java.util.Arrays.asList(
+      Row(1, new java.math.BigDecimal("9876543210.1234"),
+        java.sql.Timestamp.valueOf("2025-06-30 12:00:00.000001"),
+        java.sql.Date.valueOf("2025-06-30"), Seq(1.0, -0.0, Double.NaN), Row(42L)),
+      Row(2, null, null, null, null, Row(null)))
+    val df = session.createDataFrame(rows, schema)
+    serve("rt_appty", df.limit(0), parts = 1) // empty table, same schema
+    df.write.format("graft-remote")
+      .option("url", url).option("table", "rt_appty").mode("append").save()
+    assert(sortedRows(remote("rt_appty")).map(_.toString) ==
+      sortedRows(df).map(_.toString))
+  }
+
+  test("append with a mismatched schema is refused before any data moves") {
+    import session.implicits._
+    serve("rt_appbad", (1L to 5L).map(i => (i, s"x$i")).toDF("id", "s"), parts = 1)
+    val bad = (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "wrong")
+    val e = intercept[Exception] {
+      bad.write.format("graft-remote")
+        .option("url", url).option("table", "rt_appbad").mode("append").save()
+    }
+    // Spark's V2 write analysis catches it (INCOMPATIBLE_DATA_FOR_TABLE)
+    // before our own WriteBuilder require — either refusal is fine
+    assert(e.getMessage.contains("does not match") ||
+      e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"))
+    assert(remote("rt_appbad").count() == 5L)
+  }
+
   test("unsupported column types are rejected at load, never silently mangled") {
     import session.implicits._
     val base = Seq((1L, Map("k" -> 1L))).toDF("id", "m")
