@@ -788,8 +788,11 @@ object Curation {
     * 10⁶·n_xy·N. Returns (probe, term, n_xy, lift_ppm, rnk). */
   def termAssociations(docs: DataFrame, id: Column, text: Column,
       probes: DataFrame, probe: Column, k: Int, minSupport: Long): DataFrame = {
+    // (doc, term) incidence: the distinct is WITHIN one doc row, so it runs
+    // as array_distinct before the explode — no Exchange (the
+    // ngramJaccardPairs spelling; guide §2.4)
     val dt = docs.select(id.as("doc_id"),
-      explode(TextAnalysis.tokens(text)).as("t")).distinct()
+      explode(array_distinct(TextAnalysis.tokens(text))).as("t"))
     // scalar N rides as a 1-row broadcast, not a driver action — the plan
     // stays lazy and layout-blind
     val total = dt.select(col("doc_id")).distinct()

@@ -139,17 +139,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      // The change flag rides the SAME projection the round materializes:
+      // the old spelling re-joined next against labels per round purely to
+      // detect changes — one whole join job per round deleted (guide §2.4);
+      // the probe below is a limit-1 filter over the already-checkpointed
+      // partitions, and isEmpty stops at the first changed row.
+      val newComp = least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(col("node"), newComp.as("comp"),
+          (newComp =!= col("comp")).as("__chg"))
         .transform(graft.ops.Checkpoints.truncate(_))
-      // isEmpty, not count(): the convergence probe stops at the first
-      // changed row (limit-1 semantics) instead of counting all of them
-      val anyChanged = !next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      val anyChanged = !stepped.filter(col("__chg")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = stepped.select(col("node"), col("comp"))
       converged = !anyChanged
       i += 1
     }
@@ -198,6 +200,12 @@ object Dedup {
       .union(edges.select(col("b").as("node"))).distinct().persist()
     var converged = false
     var i = 0
+    // carry |edges| across rounds: this round's |next| IS next round's
+    // |edges| (both checkpointed distinct sets), so the fixpoint probe pays
+    // one count + one except per round instead of two counts + one except —
+    // on adversarial chains (q111: ~O(log) rounds over a diameter-196
+    // graph) that is one whole job per round removed
+    var edgeCount = edges.count()
     while (!converged && i < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u.
       // m ≤ u < v, so the emitted edge is already canonical and loop-free.
@@ -220,7 +228,9 @@ object Dedup {
         .distinct().transform(graft.ops.Checkpoints.truncate(_))
       // fixpoint = edge set unchanged (both phases emit canonical, distinct
       // pairs, so equal cardinality + one empty difference proves equality)
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edgeCount = nextCount
       edges.unpersist()
       edges = next
       i += 1
@@ -294,13 +304,24 @@ object Dedup {
     * bounds per-gram fan-out. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       block: Column, n: Int, minJaccard: Double): DataFrame = {
-    // three consumers (sizes + both join sides) — materialize the gram
-    // frame once instead of re-tokenizing/hashing per consumer (the
-    // prefixJaccardPairs pattern)
-    val g = docs
-      .select(id.as("doc_id"), block.as("blk"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct().transform(graft.ops.Checkpoints.truncate(_))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Doc-level gram-SET frame (one row per doc; requires `id` unique per
+    // input row, which every caller's corpus satisfies). The per-doc
+    // distinct runs as array_distinct INSIDE the row — the previous
+    // explode-then-.distinct() paid a full Exchange + HashAggregate to
+    // dedup rows that never left their source row — and per-doc set sizes
+    // fall out of size(gs) with no aggregation, removing the second
+    // doc-keyed Exchange (guide §2.4: remove shuffles outright). Three
+    // consumers (sizes + both join sides) — materialize once instead of
+    // re-tokenizing/hashing per consumer (the prefixJaccardPairs pattern);
+    // the doc-level frame is also the cheaper thing to checkpoint (one row
+    // per doc, same gram payload).
+    val sets = docs
+      .select(id.as("doc_id"), block.as("blk"),
+        array_distinct(wordNgramHashes(text, n)).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .transform(graft.ops.Checkpoints.truncate(_))
+    val sizes = sets.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
+    val g = sets.select(col("doc_id"), col("blk"), explode(col("gs")).as("ng"))
     val a = g.select(col("doc_id").as("d1"), col("blk"), col("ng"))
     val b = g.select(col("doc_id").as("d2"), col("blk").as("blk2"), col("ng").as("ng2"))
     val inter = a.join(b,
@@ -336,8 +357,12 @@ object Dedup {
     * the ppm column to DECIMAL if a corpus ever gets there. */
   def groupShingleOverlap(docs: DataFrame, group: Column, text: Column,
       n: Int): DataFrame = {
+    // the (src, h) distinct is genuinely cross-row (many docs per group),
+    // so the Exchange stays — but array_distinct BEFORE the explode drops
+    // within-doc repeats on the map side, so the exchange carries only
+    // per-doc-distinct grams (guide §2.3: shuffle fewer bytes)
     val sh = docs
-      .select(group.as("src"), explode(wordNgramHashes(text, n)).as("h"))
+      .select(group.as("src"), explode(array_distinct(wordNgramHashes(text, n))).as("h"))
       .distinct().transform(graft.ops.Checkpoints.truncate(_)) // three consumers: totals + both join sides
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     sh.select(col("src").as("s1"), col("h"))
@@ -432,11 +457,15 @@ object Dedup {
     * clears `minContainment`. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minContainment: Double): DataFrame = {
-    // same multi-consumer materialization as ngramJaccardPairs
-    val g = docs
-      .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("ng"))
-      .distinct().transform(graft.ops.Checkpoints.truncate(_))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // same doc-level gram-set materialization as ngramJaccardPairs: the
+    // within-row distinct is array_distinct (no Exchange), sizes come from
+    // size(gs) (no aggregation)
+    val sets = docs
+      .select(id.as("doc_id"), array_distinct(wordNgramHashes(text, n)).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .transform(graft.ops.Checkpoints.truncate(_))
+    val sizes = sets.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
+    val g = sets.select(col("doc_id"), explode(col("gs")).as("ng"))
     val inter = g.select(col("doc_id").as("d1"), col("ng"))
       .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")),
         col("ng") === col("ng2") && col("d1") < col("d2"))
@@ -549,6 +578,21 @@ object Dedup {
     * space. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
       span: Int, minDf: Int): DataFrame = {
+    // Two of the old four exchanges were removable (guide §2.4), but NOT by
+    // lifting the span strings to a doc-level array frame: evaluating the
+    // tokenSpans chain (split + per-span concat_ws slices) once per consumer
+    // is the dominant per-row cost, and a first cut that computed n_segs as
+    // size(tokenSpans(...)) re-paid the whole chain for a count — measured
+    // SLOWER (5.3 → 8.7 s at sf0.1) despite one fewer Exchange. The shapes
+    // that survive measurement:
+    //   - n_segs arithmetically from the TOKEN count (= ceil(tokens/span) by
+    //     tokenSpans' construction): no span strings, no explode, no
+    //     aggregation — the counts branch drops its Exchange AND its
+    //     tokenSpans evaluation;
+    //   - the per-doc distinct for the df count stays on the EXPLODED rows
+    //     (codegen'd xxhash64 + one small hash exchange; the in-row
+    //     array_distinct(transform(...)) spelling runs the lambda
+    //     interpreted and measured slower).
     val segs = docs
       .select(id.as("doc_id"), posexplode(tokenSpans(text, span)).as(Seq("si", "s")))
       .withColumn("h", xxhash64(col("s")))
@@ -556,7 +600,10 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h"))
-    val counts = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    val nToks = size(TextAnalysis.tokens(text))
+    val counts = docs.select(id.as("doc_id"),
+        (((nToks + (span - 1)) / span).cast("long")).as("n_segs"))
+      .filter(col("n_segs") > 0)
     val rebuilt = segs.join(frequent, Seq("h"), "left_anti")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_kept"),
@@ -745,7 +792,10 @@ object Dedup {
   def snapshotShingles(corpus: DataFrame, text: Column, table: String,
       n: Int, buckets: Int): Unit =
     graft.tables.Bucketing.writeBucketed(
-      corpus.select(explode(wordNgramHashes(text, n)).as("h")).distinct(),
+      // cross-doc distinct stays; array_distinct pre-shrinks the exchange
+      // to per-doc-distinct grams (guide §2.3)
+      corpus.select(explode(array_distinct(wordNgramHashes(text, n))).as("h"))
+        .distinct(),
       table, buckets, Seq("h"))
 
   /** Per-document NOVELTY of an incoming batch against a shingle snapshot
@@ -767,11 +817,16 @@ object Dedup {
       snapshotTable: String, incoming: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     val snap = spark.table(snapshotTable)
-    val g = incoming
-      .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
-      .distinct().transform(graft.ops.Checkpoints.truncate(_)) // two consumers: totals + the semi join
-    val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val known = g.join(snap, Seq("h"), "left_semi")
+    // doc-level gram-set frame (the ngramJaccardPairs shape): within-row
+    // distinct as array_distinct, totals from size(hs) — neither pays an
+    // Exchange; only the snapshot semi join shuffles the batch
+    val sets = incoming
+      .select(id.as("doc_id"), array_distinct(wordNgramHashes(text, n)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .transform(graft.ops.Checkpoints.truncate(_)) // two consumers: totals + the semi join
+    val counts = sets.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+    val known = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(snap, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
     counts.join(known, Seq("doc_id"), "left")
       .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
@@ -879,9 +934,13 @@ object Dedup {
     * (doc_id, n_grams, n_novel, novelty_ppm); gramless docs are absent. */
   def noveltyScore(docs: DataFrame, id: Column, text: Column,
       n: Int = 3): DataFrame = {
+    // within-row distinct as array_distinct — the explode-then-.distinct()
+    // spelling paid a (doc, gram)-keyed Exchange for rows that never left
+    // their source row; the remaining shuffles (df by gram, rollup by doc)
+    // are the fundamental ones
     val grams = docs.select(id.as("doc_id"),
-        explode(graft.functions.TextExpressions.wordNgramHashes(text, n)).as("h"))
-      .distinct()
+        explode(array_distinct(
+          graft.functions.TextExpressions.wordNgramHashes(text, n))).as("h"))
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
     grams.join(df, Seq("h"))
       .groupBy(col("doc_id"))
