@@ -1962,11 +1962,15 @@ object Curation {
     * one-row broadcast min. */
   def mixtureFeasibility(tokens: DataFrame, targets: DataFrame): DataFrame = {
     val idiv = org.apache.spark.sql.graft.Bridge.idiv _
+    // j is consumed twice (the binding-source min + the final projection)
+    // and `tokens` is typically a lazy corpus-sized aggregation — truncate
+    // the |sources|-sized joined relation so the corpus reduces once
     val j = targets.select(col("source"),
         col("target_ppm").cast("long").as("target_ppm"))
       .join(tokens.select(col("source"),
         col("avail_tok").cast("long").as("avail_tok")), Seq("source"), "left")
       .withColumn("avail_tok", coalesce(col("avail_tok"), lit(0L)))
+      .transform(graft.ops.Checkpoints.truncate(_))
     val cap = j.filter(col("target_ppm") > 0)
       .select(idiv(col("avail_tok") * 1000000L, col("target_ppm")).as("c"))
       .agg(min(col("c")).as("t_star"))
@@ -2070,10 +2074,17 @@ object Curation {
     val idiv = org.apache.spark.sql.graft.Bridge.idiv _
     val w: Seq[Long] = rboWeights(k, pMilli)
     val den = w.sum
-    val joint = a.select(col("q_id"), col("doc_id"),
+    // each input is consumed twice (the pair join + the query-universe
+    // union); the duplicated plan branches are canonically identical, so
+    // runtime ReuseExchange executes each ranker pipeline once — eager
+    // truncation here measured SLOWER at sf0.1 (two extra jobs bought
+    // nothing; contrast kendallTau, whose ALIASED self-join sides do
+    // benefit). Leave lazy; see OPTIMIZATION_r12.md.
+    val as = a.select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("ra"))
-      .join(b.select(col("q_id"), col("doc_id"),
-        col("rnk").cast("long").as("rb")), Seq("q_id", "doc_id"))
+    val bs = b.select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("rb"))
+    val joint = as.join(bs, Seq("q_id", "doc_id"))
       .filter(col("ra") <= k && col("rb") <= k)
       .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
     val terms = joint
@@ -2084,7 +2095,7 @@ object Curation {
       .groupBy(col("q_id"))
       .agg(sum(idiv(col("wd") * col("ov"), col("d").cast("long")))
         .as("num"), max(col("ov")).as("n_common"))
-    val qs = a.select(col("q_id")).unionAll(b.select(col("q_id"))).distinct()
+    val qs = as.select(col("q_id")).unionAll(bs.select(col("q_id"))).distinct()
     qs.join(terms, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("n_common"), lit(0L)).as("n_common"),
         idiv(coalesce(col("num"), lit(0L)) * 1000000L, lit(den))
@@ -2105,10 +2116,18 @@ object Curation {
     * k²-bounded self-join of the common slice WITHIN a query key — never
     * corpus-sized, never cross-query. */
   def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    // The common slice j is consumed THREE times (both self-join sides +
+    // the n_common rollup), and the inputs typically arrive as LAZY
+    // corpus-sized ranker pipelines (q238: a BM25 stack on each side) —
+    // un-truncated, Catalyst replicates the whole upstream per consumer
+    // (30 parquet scans of the corpus in q238's plan). j is ≤ k rows per
+    // query by the op's contract: materialize it once, corpus scans drop
+    // to one per ranker.
     val j = a.select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("ra"))
       .join(b.select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("rb")), Seq("q_id", "doc_id"))
+      .transform(graft.ops.Checkpoints.truncate(_))
     val p = j.as("x").join(j.as("y"),
       col("x.q_id") === col("y.q_id") && col("x.doc_id") < col("y.doc_id"))
     val sgn = (col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))

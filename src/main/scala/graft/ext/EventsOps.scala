@@ -64,7 +64,11 @@ object EventsOps {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
       .withColumn("t_prev", col("t0"))
     // frames(i) = one row per user whose chain reaches step i:
-    // (user_id, t0, t_prev = match time of step i)
+    // (user_id, t0, t_prev = match time of step i). Each frame appears in
+    // the next step's plan AND its own union branch; the subtrees are
+    // canonically identical, so runtime ReuseExchange executes each step
+    // once despite the replicated plan text — per-step eager truncation
+    // measured SLOWER (0.9 → 1.3 s at sf0.1: n extra jobs bought nothing).
     val frames = steps.drop(1).scanLeft(first) { (acc, s) =>
       events.filter(col("event_type") === s)
         .join(acc.select(col("user_id"), col("t0"), col("t_prev")), "user_id")
@@ -376,15 +380,24 @@ object EventsOps {
       .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("c"))
     val to = events.filter(col("event_type") === toType)
       .select(col("user_id"), unix_micros(col("ts")).as("p"))
+    // lat feeds the tier histogram AND the totals, and offs/tot are each
+    // consumed by BOTH percentile probes plus the final projection — left
+    // lazy, Catalyst replays the events scans + user join ~6× (20 parquet
+    // scans in the un-truncated plan). lat is converted-users-sized, offs
+    // |distinct latencies|-sized, tot one row: materialize each once
+    // (guide §2.4 — the transitionRules discipline).
     val lat = from.join(to, Seq("user_id")).filter(col("p") >= col("c"))
       .groupBy(col("user_id"), col("c")).agg(min(col("p")).as("p"))
       .select(idiv(col("p") - col("c"), lit(1000000L)).as("lat_s"))
+      .transform(graft.ops.Checkpoints.truncate(_))
     val tiers = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("cnt"))
     val wo = Window.orderBy(col("lat_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = tiers
       .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .transform(graft.ops.Checkpoints.truncate(_))
     val tot = lat.agg(count(lit(1)).as("n"), sum(col("lat_s")).as("s"))
+      .transform(graft.ops.Checkpoints.truncate(_))
     def at(pPpm: Long, name: String): DataFrame =
       tot.crossJoin(offs)
         .withColumn("r", greatest(lit(1L),

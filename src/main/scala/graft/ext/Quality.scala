@@ -99,6 +99,11 @@ object Quality {
             .as(s"__d_${u.name}"),
           sum(when(allSet, 1L).otherwise(0L)).as(s"__k_${u.name}"))
       }
+    // `base` is one row re-selected by every constraint's result row; the
+    // plan TEXT replicates the aggregation per branch, but the branches are
+    // canonically identical, so runtime ReuseExchange executes the pass
+    // once — an eager truncate here measured SLOWER (1.4 → 2.0 s at sf0.1:
+    // one extra job bought nothing). Leave lazy; see OPTIMIZATION_r12.md.
     val base = df.agg(aggCols.head, aggCols.tail: _*)
 
     def resultRow(src: DataFrame, name: String, checked: Column,

@@ -179,7 +179,12 @@ object Snapshots {
         sum(when(common, 1L).otherwise(0L)).as("n_common")) ++
       cols.map(c => sum(when(common && !(col(s"o_$c") <=> col(s"n_$c")),
         1L).otherwise(0L)).as(s"chg_$c"))
+    // `one` is a single row but is consumed once PER COMPARED COLUMN by the
+    // union below — left lazy, each consumption replays the full-outer join
+    // and both snapshot scans (3 columns = 3 joins = 9 scans in q286's
+    // un-truncated plan). Materialize the row once.
     val one = j.agg(aggs.head, aggs.tail: _*)
+      .transform(graft.ops.Checkpoints.truncate(_))
     cols.map(c => one.select(lit(c).as("column"),
         col(s"chg_$c").as("n_changed"), col("n_added"), col("n_removed"),
         col("n_common")))
