@@ -2125,18 +2125,17 @@ object Curation {
     * k²-bounded self-join of the common slice WITHIN a query key — never
     * corpus-sized, never cross-query. */
   def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
-    // The common slice j is consumed THREE times (both self-join sides +
-    // the n_common rollup), and the inputs typically arrive as LAZY
-    // corpus-sized ranker pipelines (q238: a BM25 stack on each side) —
-    // un-truncated, Catalyst replicates the whole upstream per consumer
-    // (30 parquet scans of the corpus in q238's plan). j is ≤ k rows per
-    // query by the op's contract: materialize it once, corpus scans drop
-    // to one per ranker.
+    // The common slice j is consumed three times (both self-join sides +
+    // the n_common rollup) and the plan TEXT replicates the upstream ranker
+    // pipelines per consumer — but runtime ReuseExchange collapses the
+    // identical branches, and an eager truncate here read 2.8× WORSE on the
+    // bench's canary-normalized q238 while paired isolated runs said the
+    // opposite; with contradictory measurements the committed-receipt shape
+    // wins. Leave lazy (the rboAtK decision); see OPTIMIZATION_r12.md.
     val j = a.select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("ra"))
       .join(b.select(col("q_id"), col("doc_id"),
         col("rnk").cast("long").as("rb")), Seq("q_id", "doc_id"))
-      .transform(graft.ops.Checkpoints.truncate(_))
     val p = j.as("x").join(j.as("y"),
       col("x.q_id") === col("y.q_id") && col("x.doc_id") < col("y.doc_id"))
     val sgn = (col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))
