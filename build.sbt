@@ -13,6 +13,20 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.Shell reads SQL from stdin
+// sbt's default LoggedOutput prefixes every forked-run line with "[info] "
+// (stdout) / "[error] " (stderr), which is why the bench's one-line JSON
+// contract has never parsed on the driver side (BENCH_r01..r12 all carry
+// "parsed": null — the recorded tails show `[info] {"metric":...}`).
+// StdoutOutput passes the forked JVM's streams through untouched, so the
+// contract line reaches stdout verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's own "[success] Total time: ..." banner from printing
+// AFTER the contract line (a last-line JSON parse would hit the banner).
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — the unused-key
+// lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,7 +24,10 @@ object PlanDump {
     val spark = SparkBoot.install(SparkBoot.builder("graft-plandump").getOrCreate())
     val names =
       if (args.length > 3) args.drop(3).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
+    // NonFatal only, nonzero exit on any failure, stop() guaranteed (r12
+    // ADVICE: a swallowed failure used to leave a plausible-looking receipt)
+    var nFailed = 0
+    try names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(
         name, sys.error(s"unknown query: $name"))
       val buf = new ByteArrayOutputStream()
@@ -33,10 +36,14 @@ object PlanDump {
           // explain() prints to stdout; capture it so it can land in a file
           Console.withOut(buf) { fn(spark, sfDir).explain("formatted") }
           buf.toString(StandardCharsets.UTF_8)
-        } catch { case e: Throwable => s"EXPLAIN FAILED: ${e.getMessage}" }
+        } catch { case scala.util.control.NonFatal(e) =>
+          nFailed += 1; s"EXPLAIN FAILED: ${e.getMessage}" }
       Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), txt)
       System.err.println(s"[plandump] $name -> ${name}_$suffix.txt (${txt.length} chars)")
+    } finally spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[plandump] $nFailed EXPLAIN FAILED")
+      sys.exit(1)
     }
-    spark.stop()
   }
 }
