@@ -1331,32 +1331,53 @@ object Curation {
     * that has tokens: (doc_id, n_tok, n_masked, clean_md5) — a fully
     * contaminated doc survives with n_masked = n_tok and md5("").
     *
-    * 100 TB shape: grams ride as XXH64 longs against the BROADCAST
-    * benchmark gram set (benchmarks are small by nature — semi-join-reduce
-    * first if not); each hit explodes to exactly n masked indices; ONE
-    * doc-keyed aggregation rebuilds (the q178 strike/rebuild discipline at
-    * token granularity). */
+    * 100 TB shape (round 13): grams ride as XXH64 longs against the
+    * MEASURED benchmark gram set (size-aware broadcast/shuffle_hash — the
+    * q140/clusterSplit rule; "benchmarks are small" stays an observation,
+    * not a hard-coded hint); hit START positions collect to ONE sorted
+    * per-doc array (the only contamination shuffle, one row per hit
+    * instead of n masked indices into the old cross-row distinct), and
+    * the strike/rebuild is an IN-ROW interval merge: ss sorted & distinct
+    * (posexplode positions are unique per doc) makes the union of the hit
+    * windows [s, s+n) exactly the disjoint pieces [s_i, min(s_i+n,
+    * s_{i+1})), so the surviving gaps are [0, s_1), [s_i+n, s_{i+1})
+    * where positive, and [s_m+n, n_tok). Lambdas run once per HIT;
+    * slice/flatten/array_join copy tokens natively — never a per-token
+    * interpreted lambda (the r12 spanDedup HOF lesson). No per-token
+    * explode, no (doc, idx) join, no doc-keyed re-aggregation remain.
+    * Precondition (r12 gram-set family rule): `id` unique per input row. */
   def maskContaminatedSpans(docs: DataFrame, id: Column, text: Column,
       benchGrams: DataFrame, n: Int): DataFrame = {
     require(n >= 2, "maskContaminatedSpans: n must be >= 2")
-    val toks = docs.select(id.as("doc_id"),
-      posexplode(TextAnalysis.tokens(text)).as(Seq("idx", "tok")))
+    val grams = graft.ops.Checkpoints.truncate(benchGrams.select(col("h")))
+    val gramBytes = grams.count() * 24L // one long + Tungsten row overhead
     val hits = docs.select(id.as("doc_id"),
         posexplode(Dedup.wordNgramHashes(text, n)).as(Seq("start", "h")))
-      .join(broadcast(benchGrams.select(col("h"))), Seq("h"), "left_semi")
-    val masked = hits.select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("idx"))
-      .distinct()
-      .withColumn("__hit", lit(1))
-    toks.join(masked, Seq("doc_id", "idx"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tok"),
-        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_masked"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("__hit").isNull,
-            struct(col("idx"), col("tok"))))),
-          e => e.getField("tok")), " ")).as("clean_md5"))
+      .join(graft.ops.JoinRegime.sizeAware(grams, gramBytes),
+        Seq("h"), "left_semi")
+    val starts = graft.ops.Checkpoints.truncate(
+      hits.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("start"))).as("ss")))
+    val szRow = starts.agg(count(lit(1)).as("r"),
+      coalesce(sum(size(col("ss"))), lit(0L)).as("t")).head()
+    val startBytes = szRow.getLong(0) * 24L + szRow.getLong(1) * 8L
+    val ts = col("__ts")
+    val ss = coalesce(col("ss"), array().cast("array<int>"))
+    val m = size(ss)
+    val segs = transform(sequence(lit(0), m), i => struct(
+      when(i === 0, lit(0)).otherwise(element_at(ss, i) + n).as("lo"),
+      when(i === m, size(ts)).otherwise(element_at(ss, i + 1)).as("hi")))
+    val clean = flatten(transform(segs,
+      g => slice(ts, g.getField("lo") + 1,
+        greatest(g.getField("hi") - g.getField("lo"), lit(0)))))
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__ts"))
+      .filter(col("__ts").isNotNull)
+      .join(graft.ops.JoinRegime.sizeAware(starts, startBytes),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ts).cast("long").as("n_tok"),
+        (size(ts) - size(clean)).cast("long").as("n_masked"),
+        md5(array_join(clean, " ")).as("clean_md5"))
   }
 
   /** Robust per-stratum outlier scoring — median/MAD z-scores (Hampel
@@ -1567,24 +1588,52 @@ object Curation {
     * (N, T) scalars come from one corpus-level aggregate. Top-k cuts with
     * a per-query window over candidate docs (candidates per query ≤
     * postings of its terms). Ties break (score DESC, doc_id). */
+  /** Per-query DISTINCT term rows (q_id, t) for [[bm25TopK]]-family
+    * rankers — the within-row `array_distinct` spelling (no Exchange; the
+    * r12 gram-set rule). Precondition: `qId` is unique per input row. */
+  def bm25QueryTerms(queries: DataFrame, qId: Column, qText: Column): DataFrame =
+    queries.select(qId.as("q_id"),
+      explode(array_distinct(TextAnalysis.tokens(qText))).as("t"))
+
+  /** Query-term postings slice shared by [[bm25TopK]] and the TF rankers
+    * built beside it (q235/q238/q256): one row per (doc, matching term)
+    * carrying the doc length `dl` and the term frequency `tf`.
+    *
+    * Round-13 shape (guide §2.3/§3.2 — reduce before the shuffle): the
+    * corpus (doc, token) stream is filtered by the BROADCAST query-term
+    * set BEFORE the tf aggregation, so the one corpus-sized exchange of
+    * the old shape — partial tf counts for EVERY token — now carries only
+    * the matching tokens; `dl` rides in-row as size(tokens(text)), which
+    * equals Σ_t tf(doc, t) by construction (split() yields ≥ 1 token for
+    * any non-null text, so the per-doc re-aggregation and its join are
+    * gone too). Precondition (the r12 gram-set family rule): `id` is
+    * unique per input row — duplicate ids would emit per-row dl/tf rows
+    * instead of merging them. */
+  def bm25Postings(docs: DataFrame, id: Column, text: Column,
+      qTerms: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("t"))
+      .join(broadcast(qTerms), Seq("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, qId: Column, qText: Column, k: Int,
       k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    val dt = docs.select(id.as("doc_id"),
-        explode(TextAnalysis.tokens(text)).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
-    val qt = queries.select(qId.as("q_id"),
-        explode(TextAnalysis.tokens(qText)).as("t"))
-      .distinct()
+    // corpus totals from one scan-level aggregate — n_docs counts docs
+    // with non-null text (identical to the old dl-frame count: explode
+    // dropped only null token arrays), tt sums the in-row token counts
+    val totals = docs
+      .select(size(TextAnalysis.tokens(text)).cast("long").as("dl"))
+      .agg(count(col("dl")).as("n_docs"), sum(col("dl")).as("tt"))
+    val qt = bm25QueryTerms(queries, qId, qText)
     val qTerms = qt.select(col("t")).distinct()
-    val postings = dt.join(broadcast(qTerms), Seq("t"))
+    val postings = bm25Postings(docs, id, text, qTerms)
     val dfT = postings.groupBy(col("t"))
       .agg(count(lit(1)).as("df_t"))
     val scored = postings
       .join(broadcast(dfT), Seq("t"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("idf_ppm", org.apache.spark.sql.graft.Bridge.idiv(
         (col("n_docs") - col("df_t") + 1L) * 1000000L, col("df_t") + 1L))

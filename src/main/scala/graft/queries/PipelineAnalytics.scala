@@ -116,14 +116,19 @@ private[queries] object PipelineAnalytics {
       val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
           probes, col("q_id"), col("q_text"), k = 10)
         .select(col("q_id"), col("doc_id"), col("rnk"))
-      val dt = docs.select(col("doc_id"),
-          explode(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val qt = probes.select(col("q_id"),
-        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      // TF ranker over the SAME query-term postings slice bm25TopK builds
+      // internally (round 13): the corpus token stream is filtered by the
+      // broadcast term set BEFORE the tf aggregation, and the construction
+      // matches bm25TopK's so runtime ReuseExchange executes the postings
+      // pipeline once for both rankers (s = count of matching token
+      // instances per (q, doc) = the old sum-of-tf, exactly).
+      val qt = Curation.bm25QueryTerms(probes, col("q_id"), col("q_text"))
+      val qTerms = qt.select(col("t")).distinct()
       val tfW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
-      val tfRank = dt.join(broadcast(qt), Seq("t"))
+      val tfRank = Curation.bm25Postings(docs, col("doc_id"), col("text"),
+          qTerms)
+        .join(broadcast(qt), Seq("t"))
         .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
         .withColumn("rnk", row_number().over(tfW).cast("long"))
         .filter(col("rnk") <= 10)
@@ -150,14 +155,19 @@ private[queries] object PipelineAnalytics {
       val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
           probes, col("q_id"), col("q_text"), k = 10)
         .select(col("q_id"), col("doc_id"), col("rnk"))
-      val dt = docs.select(col("doc_id"),
-          explode(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val qt = probes.select(col("q_id"),
-        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      // TF ranker over the SAME query-term postings slice bm25TopK builds
+      // internally (round 13): the corpus token stream is filtered by the
+      // broadcast term set BEFORE the tf aggregation, and the construction
+      // matches bm25TopK's so runtime ReuseExchange executes the postings
+      // pipeline once for both rankers (s = count of matching token
+      // instances per (q, doc) = the old sum-of-tf, exactly).
+      val qt = Curation.bm25QueryTerms(probes, col("q_id"), col("q_text"))
+      val qTerms = qt.select(col("t")).distinct()
       val tfW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
-      val tfRank = dt.join(broadcast(qt), Seq("t"))
+      val tfRank = Curation.bm25Postings(docs, col("doc_id"), col("text"),
+          qTerms)
+        .join(broadcast(qt), Seq("t"))
         .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
         .withColumn("rnk", row_number().over(tfW).cast("long"))
         .filter(col("rnk") <= 10)
@@ -229,14 +239,19 @@ private[queries] object PipelineAnalytics {
       val bm25 = Curation.bm25TopK(docs, col("doc_id"), col("text"),
           probes, col("q_id"), col("q_text"), k = 10)
         .select(col("q_id"), col("doc_id"), col("rnk"))
-      val dt = docs.select(col("doc_id"),
-          explode(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val qt = probes.select(col("q_id"),
-        explode(TA.tokens(col("q_text"))).as("t")).distinct()
+      // TF ranker over the SAME query-term postings slice bm25TopK builds
+      // internally (round 13): the corpus token stream is filtered by the
+      // broadcast term set BEFORE the tf aggregation, and the construction
+      // matches bm25TopK's so runtime ReuseExchange executes the postings
+      // pipeline once for both rankers (s = count of matching token
+      // instances per (q, doc) = the old sum-of-tf, exactly).
+      val qt = Curation.bm25QueryTerms(probes, col("q_id"), col("q_text"))
+      val qTerms = qt.select(col("t")).distinct()
       val tfW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))
-      val tfRank = dt.join(broadcast(qt), Seq("t"))
+      val tfRank = Curation.bm25Postings(docs, col("doc_id"), col("text"),
+          qTerms)
+        .join(broadcast(qt), Seq("t"))
         .groupBy(col("q_id"), col("doc_id")).agg(sum(col("tf")).as("s"))
         .withColumn("rnk", row_number().over(tfW).cast("long"))
         .filter(col("rnk") <= 10)
