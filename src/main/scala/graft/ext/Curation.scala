@@ -785,7 +785,9 @@ object Curation {
     * Shapes: ONE distinct (doc, term) shuffle; probe incidence is
     * semi-join-reduced by the broadcast probe list, so the co-occurrence
     * join is probe-docs-sized, never corpus²; DECIMAL(38,0) guards
-    * 10⁶·n_xy·N. Returns (probe, term, n_xy, lift_ppm, rnk). */
+    * 10⁶·n_xy·N. Returns (probe, term, n_xy, lift_ppm, rnk).
+    * Precondition: `id` unique per input row (per-row term sets — the
+    * r12 gram-set family rule; ExtSpec pins duplicate-id behavior). */
   def termAssociations(docs: DataFrame, id: Column, text: Column,
       probes: DataFrame, probe: Column, k: Int, minSupport: Long): DataFrame = {
     // (doc, term) incidence: the distinct is WITHIN one doc row, so it runs
@@ -1238,7 +1240,10 @@ object Curation {
         conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("__k"))),
           1, 11), 16, 10).cast("long"),
         lit(width.toLong)))
-      .groupBy(col("r"), col("b")).agg(sum(col("__n")).as("cnt"))
+      // coalesce restores count()'s non-nullable schema bit (sum() is
+      // nullable; values are identical — groups are never empty)
+      .groupBy(col("r"), col("b"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("cnt"))
   }
 
   /** Point estimates for probe keys against a built sketch: absent

@@ -301,7 +301,13 @@ object Dedup {
     * [[minhashLshPairsDeterministic]] path (linear via banding, recall
     * measured in RecallAudit) with exact Jaccard verified on candidates
     * only — or [[prefixJaccardPairs]], whose rarest-first prefix filter
-    * bounds per-gram fan-out. */
+    * bounds per-gram fan-out.
+    *
+    * Precondition (r12 gram-set family): `id` is UNIQUE per input row.
+    * The doc-level array_distinct frame computes per-ROW gram sets —
+    * duplicate ids emit duplicated size rows and inflated intersections
+    * instead of merging (the old cross-row distinct merged them);
+    * ExtSpec pins the duplicate-id behavior. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
       block: Column, n: Int, minJaccard: Double): DataFrame = {
     // Doc-level gram-SET frame (one row per doc; requires `id` unique per
@@ -454,7 +460,8 @@ object Dedup {
     * (quotations, excerpts, doc-contains-doc), even when the size gap
     * makes J small. Same inverted-index shape as [[ngramJaccardPairs]];
     * emits both directions' containments and keeps pairs where either
-    * clears `minContainment`. */
+    * clears `minContainment`. Precondition: `id` unique per input row
+    * (the [[ngramJaccardPairs]] gram-set rule). */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, minContainment: Double): DataFrame = {
     // same doc-level gram-set materialization as ngramJaccardPairs: the
@@ -575,7 +582,8 @@ object Dedup {
     * set is heavy-hitter-bounded (df ≥ minDf caps it at |spans|/minDf, in
     * practice vocabulary-sized), so the removal anti-join broadcasts;
     * reassembly is one shuffle keyed by doc id. No step touches a pair
-    * space. */
+    * space. Precondition: `id` unique per input row (n_segs is computed
+    * per row from the token count; a duplicated id would double-count). */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
       span: Int, minDf: Int): DataFrame = {
     // Two of the old four exchanges were removable (guide §2.4), but NOT by
@@ -812,7 +820,13 @@ object Dedup {
     * bucketed hash key); only the daily-sized batch repartitions. Grams
     * ride as XXH64 longs — counts equal string-set counts absent ~k²/2⁶⁵
     * collisions (the q45 argument), and the oracle recounts the string
-    * sets. */
+    * sets.
+    *
+    * Precondition: `id` is UNIQUE per incoming row — an at-least-once
+    * ingest that redelivers a doc id gets one novelty row PER DELIVERY
+    * (per-row gram sets), not a merged one; dedup the batch first (the
+    * q82/q108 wiring does). ExtSpec pins the family's duplicate-id
+    * behavior. */
   def noveltyAgainstSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotTable: String, incoming: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
@@ -931,7 +945,10 @@ object Dedup {
     * pair view). Distinct grams per doc, document frequency per gram, and
     * `novel = grams with df = 1` — all on hashed longs, one gram-keyed
     * shuffle; the df table joins back on the same key. Returns
-    * (doc_id, n_grams, n_novel, novelty_ppm); gramless docs are absent. */
+    * (doc_id, n_grams, n_novel, novelty_ppm); gramless docs are absent.
+    * Precondition: `id` unique per input row — a duplicated id's copies
+    * each count in df (so shared grams stop being novel) and its rollup
+    * row sums both copies' gram instances; ExtSpec pins this. */
   def noveltyScore(docs: DataFrame, id: Column, text: Column,
       n: Int = 3): DataFrame = {
     // within-row distinct as array_distinct — the explode-then-.distinct()

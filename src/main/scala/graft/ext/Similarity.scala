@@ -408,17 +408,30 @@ object Similarity {
     import org.apache.spark.sql.graft.Bridge.idiv
     val q = quantized(emb.select(col("vec_id"), col("embedding")), 1e6)
     val cents = lloydCentroidsQ(q, k, iters)
-    val top2 = q.select(col("vec_id"),
-        slice(array_sort(array(cents.indices.map(i =>
-          struct(sqDist(col("qv"), cents(i)).as("d"),
-            lit(i.toLong).as("c"))): _*)), 1, 2).as("t2"))
-      .select(col("vec_id"),
-        col("t2").getItem(0).getField("c").as("cell"),
-        col("t2").getItem(0).getField("d").as("d1"),
-        col("t2").getItem(1).getField("d").as("d2"))
-    val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-      .filter(col("label").isNotNull)
-    val asg = top2.join(lab, Seq("vec_id"))
+    // Round 13 (the r12 q234-q236 block item): the label rides IN-ROW
+    // through the assignment map. The old shape projected (vec_id, label)
+    // separately and re-joined it onto the top-2 scores BY vec_id — a
+    // two-sided exchange of frames derived from the SAME scan; the map +
+    // notNull filter needs no shuffle at all. Training is untouched (the
+    // Lloyd loop still sees every vector). The bounded (vec_id, label,
+    // cell, d1, d2) frame materializes once for its two consumers
+    // (majority labels + bucket scoring): with no exchange left in the
+    // subtree, runtime ReuseExchange has nothing to collapse, so this is
+    // the case where truncation genuinely pays (OPTIMIZATION_r12 rule) —
+    // otherwise the k sqDist evaluations per row would run twice.
+    val asg = graft.ops.Checkpoints.truncate(
+      emb.filter(col("label").isNotNull)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(toDouble(col("embedding")),
+            x => floor(x * 1e6).cast("long")).as("qv"))
+        .select(col("vec_id"), col("label"),
+          slice(array_sort(array(cents.indices.map(i =>
+            struct(sqDist(col("qv"), cents(i)).as("d"),
+              lit(i.toLong).as("c"))): _*)), 1, 2).as("t2"))
+        .select(col("vec_id"), col("label"),
+          col("t2").getItem(0).getField("c").as("cell"),
+          col("t2").getItem(0).getField("d").as("d1"),
+          col("t2").getItem(1).getField("d").as("d2")))
     val mjW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("n").desc, col("label"))
     val mj = asg.groupBy(col("cell"), col("label"))

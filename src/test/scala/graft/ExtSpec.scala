@@ -1548,6 +1548,47 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) === (3L, 3L, 1000000L))
   }
 
+  test("gram-set family: duplicate ids are the caller's bug — per-row behavior pinned") {
+    import graft.ext.Dedup
+    // The r12 array_distinct rewrites compute per-ROW gram sets and assume
+    // `id` unique per input row (scaladoc'd on every member). This pins
+    // what duplicates DO so any silent drift is loud: noveltyScore counts
+    // each copy in df (shared grams stop being novel) and its doc rollup
+    // sums both copies' gram instances — NOT the old cross-row-distinct
+    // merge.
+    val dup = Seq((1L, "a b c"), (1L, "a b c"), (2L, "p q r"))
+      .toDF("doc_id", "text")
+    val ns = Dedup.noveltyScore(dup, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ns(1L) === (2L, 0L)) // 2 gram instances, df = 2 -> nothing novel
+    assert(ns(2L) === (1L, 1L))
+    // bm25Postings: a duplicated doc id with identical text merges in the
+    // (doc, dl, t) group, so tf doubles — the per-row precondition surface
+    val qTerms = Seq("a").toDF("t")
+    val tf = graft.ext.Curation.bm25Postings(dup, col("doc_id"), col("text"), qTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(tf(1L) === 2L)
+  }
+
+  test("spanDedup n_segs: arithmetic count equals size(tokenSpans) on edge-case texts") {
+    import graft.ext.Dedup
+    // r12 ADVICE: spanDedup derives n_segs as ceil(tokens/span) instead of
+    // evaluating tokenSpans; this property pins the two formulas together
+    // over the edge shapes (empty, single token, exact multiple, remainder)
+    val texts = Seq("", " ", "a", "a b", "a b c d", "a b c d e",
+      "a b c d e f g h i", "  padded   spaces  x ")
+    for (span <- Seq(2, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(Dedup.tokenSpans(col("text"), span)).cast("long").as("direct"),
+          ((size(graft.ext.TextAnalysis.tokens(col("text"))) + (span - 1)) / span)
+            .cast("long").as("arith"))
+      val bad = df.filter(col("direct") =!= col("arith")).collect()
+      assert(bad.isEmpty, s"span=$span mismatch: ${bad.mkString(",")}")
+    }
+  }
+
   test("preferencePairs: half-shift pairing, gap gate, odd-count middle row unpaired") {
     import graft.ext.Curation
     // scores 50,40,30,20,10 in one stratum: h=2 -> pairs (50,30),(40,20); 10 unpaired
