@@ -144,6 +144,36 @@ object ScaleReceipt {
       }
     }
 
+    // Graph iteratives (round-13 verdict item 6): the q156/q280-shaped
+    // source-overlap graph at organic scale — the corpus-sized part is the
+    // gram-overlap self-join that DERIVES the edges; the iterations run on
+    // the node-sized (sources²-bounded) tables. q239's HITS rides the
+    // user->event_type bipartite engagement graph (node count scales with
+    // users). Two runs each; hashes must agree.
+    def sourceEdges() = {
+      val g = t("documents").select(col("source"),
+          explode(array_distinct(graft.ext.Dedup.wordNgrams(col("text"), 5))).as("ng"))
+        .distinct()
+      val shared = g.as("a").join(g.as("b"),
+          col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.GraphOps.symmetricEdges(shared, col("sa"), col("sb"), col("w"))
+    }
+    if (wanted("pagerank")) receipt("pagerank") { () =>
+      graft.ext.GraphOps.pageRank(sourceEdges(), iters = 3)
+    }
+    if (wanted("lpa")) receipt("lpa") { () =>
+      graft.ext.GraphOps.labelPropagation(sourceEdges(), iters = 4)
+    }
+    if (wanted("hits")) receipt("hits") { () =>
+      graft.ext.GraphOps.hits(
+        t("events").groupBy(col("user_id").as("src"),
+            col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w")),
+        iters = 2)
+    }
+
     if (wanted("pctl")) {
       receipt("pctl3") { () =>
         graft.ops.Percentiles.exactInterpolated(t("lineitem"),

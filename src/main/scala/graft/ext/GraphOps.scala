@@ -98,15 +98,20 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var lab = nodes.withColumn("label", col("node")).transform(graft.ops.Checkpoints.truncate(_))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("wsum").desc, col("label"))
     (1 to iters).foreach { _ =>
+      // per-dst argmax as a struct-MIN aggregation (round 13): min over
+      // (-wsum, label) is lexicographic and deterministic — largest wsum,
+      // ties to the smallest label, exactly the old row_number window's
+      // (wsum DESC, label ASC) pick — but it rides the same two-phase
+      // hash aggregation as the wsum rollup instead of adding a per-round
+      // Exchange + Sort + Window over the (dst, label) frame (max_by is
+      // NOT used: its tie-break is undefined, this must stay bit-exact)
       val next = e.join(lab.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("wsum"))
-        .withColumn("rn", row_number().over(win))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("label").as("nl"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("wsum")).as("nw"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("nl"))
       lab = lab.join(next, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
         .transform(graft.ops.Checkpoints.truncate(_))
