@@ -140,7 +140,7 @@ object Bench {
       spark.range(0, 30000000L, 1, cpus.toInt)
         .groupBy(pmod(col("id"), lit(1000000L)).as("k"))
         .agg(sum(col("id")).as("s"), count(lit(1)).as("c")))
-    def groupHygiene(): Unit = {
+    def hygiene(): Unit = {
       spark.catalog.clearCache()
       // drop SCRATCH views accumulated by dialect entries, but keep the
       // star-schema registrations: they are session furniture every SQL
@@ -150,6 +150,9 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && !Tables.starSchema.contains(t.name))
         .foreach(t => spark.catalog.dropTempView(t.name))
+    }
+    def groupHygiene(): Unit = {
+      hygiene()
       canary.foreach(fn => canaryTimes += time(evalFully(fn(spark, sfDir))))
       canary2Times += time(canary2())
     }
@@ -220,12 +223,68 @@ object Bench {
       name -> measure(name, microGroup, body()) }
 
     val results = entryResults ++ microResults
+    val gcAfterPass1 = gcMillis
+
+    // Second measurement pass (round 13, VERDICT item 1 "done" criterion):
+    // single-shot per-entry walls on this bursty co-tenant host disagree by
+    // a MEDIAN of ~20% between two same-tree runs (measured: 39% of entries
+    // within ±15%) — the >3×-receipt rerun above only catches extreme
+    // bursts. Pass 2 re-times every entry once (warm — JIT/page-cache
+    // variance gone), takes a THIRD sample when the first two disagree by
+    // >15% (bounded budget), and reports the per-entry MIN in ADDITIVE
+    // fields (queries_min / value_min / pass2). The pass-1 fields keep
+    // their r11/r12 single-shot semantics untouched, so cross-round
+    // comparisons stay valid; the min fields are the burst-immune ones.
+    // Every sample recomputes from the parquet inputs (the thunk rebuilds
+    // the DataFrame from scratch; nothing is cached across samples).
+    val rerunBodies: Map[String, () => Unit] =
+      SparkEntry.queries.map { case (n, fn) =>
+        n -> (() => evalFully(fn(spark, sfDir))) }.toMap ++ micro.toMap
+    val pass2Enabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASS2", "1") != "0"
+    var thirdBudget = 90
+    // Hard wall budget for the whole pass: the driver also runs this bench
+    // at a lower core count, and pass 2 must never double a long run into a
+    // harness timeout (which would null the round's whole BENCH receipt).
+    // max(pass-1 total, 420 s) is a no-op at c32 (measured pass-2 wall is
+    // ~0.65× pass 1); once exceeded, remaining entries keep their pass-1
+    // value (min over the samples actually taken).
+    val pass2Budget =
+      math.max(results.map(_._2).filter(_ >= 0).sum, 420.0)
+    var pass2Spent = 0.0
+    val pass2 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val minResults: Seq[(String, Double)] =
+      if (!pass2Enabled) results
+      else results.zipWithIndex.map { case ((name, p1), i) =>
+        if (i % groupSize == 0) hygiene()
+        if (p1 < 0 || pass2Spent >= pass2Budget) name -> p1
+        else {
+          val p2 = time(rerunBodies(name)())
+          pass2(name) = p2
+          if (p2 >= 0) pass2Spent += p2
+          var best = if (p2 >= 0) math.min(p1, p2) else p1
+          val gap =
+            if (p2 >= 0) math.abs(p1 - p2) / math.max(best, 1e-9) else 0.0
+          var p3 = -1.0
+          if (p2 >= 0 && gap > 0.15 && thirdBudget > 0 &&
+              pass2Spent < pass2Budget) {
+            thirdBudget -= 1
+            p3 = time(rerunBodies(name)())
+            if (p3 >= 0) { pass2Spent += p3; best = math.min(best, p3) }
+          }
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench2] %-32s p1=%.3f p2=%.3f%s min=%.3f", name,
+            Double.box(p1), Double.box(p2),
+            if (p3 >= 0) f" p3=$p3%.3f" else "", Double.box(best)))
+          name -> best
+        }
+      }
     // 3-decimal seconds: ms resolution is all the comparison uses, and the
     // driver's log-capture window is finite — shorter line, more of it lands
     // Locale.ROOT: f"" delegates to String.format with the default locale, and a
     // comma-decimal locale would emit unparseable JSON (e.g. "0,607")
     def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = minResults.map(_._2).filter(_ >= 0).sum
     // a -1.0 entry is a query that THREW — name it loudly on stderr (the
     // stdout contract stays one JSON line); a silent -1 cost round 4 16
     // unbenched queries before anyone noticed
@@ -260,7 +319,10 @@ object Bench {
     //     total, spill/gc/heap, and the 10 slowest entries (raw seconds).
     val canaryJson = canaryTimes.map(sec3).mkString("[", ",", "]")
     val canary2Json = canary2Times.map(sec3).mkString("[", ",", "]")
-    val gcSec = sec3((gcMillis - gcStart) / 1000.0)
+    // gc_sec stays the PASS-1 loop's GC (r11/r12-comparable); pass-2 GC is
+    // reported separately
+    val gcSec = sec3((gcAfterPass1 - gcStart) / 1000.0)
+    val gc2Sec = sec3((gcMillis - gcAfterPass1) / 1000.0)
     // heap_gb = the ACTUAL -Xmx this run had (the constrained-memory
     // protocol's receipt); spill counters say whether it ever pressured
     val heapGb = sec3(Runtime.getRuntime.maxMemory / 1073741824.0)
@@ -296,6 +358,9 @@ object Bench {
             sec3(normNear(k, v, canary2Times.toSeq, canary2Median)) }
             .mkString("{", ",", "}")},
          |"reran":${jmap(reran.toSeq, sec3)},
+         |"queries_min":${jmap(minResults, sec3)},
+         |"pass2":${jmap(pass2.toSeq, sec3)},
+         |"value_min":${sec3(totalMin)},"gc2_sec":$gc2Sec,
          |"prev_receipt":"${prevPath.map(_.toString).getOrElse("none")}",
          |"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,
          |"cpus":$cpus,"failed":${failed.size},"sf":"$sfDir",
@@ -313,7 +378,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
     // headline total/value still sits at the END of the line (rounds 3-4:
     // anything before the final ~2000 chars is at risk of truncation)
-    println(s"""{"metric":"total","unit":"sec","detail":"$detailPath","slowest":${jmap(slowest, sec3)},"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},"canary2_median":${sec3(canary2Median)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","detail":"$detailPath","slowest":${jmap(slowest, sec3)},"canary":$canaryJson,"canary_median":${sec3(canaryMedian)},"canary2_median":${sec3(canary2Median)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"value_min":${sec3(totalMin)},"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}""")
     // Full driver-contract line (VERDICT r12 item 2): the declared contract
     // includes the complete "queries" map, which has never fit the ~2000-char
     // tail window — but the real reason 12 rounds of parses failed is sbt's
@@ -322,7 +387,7 @@ object Bench {
     // last-line JSON parse succeeds wherever the driver reads it from. The
     // compact headline line above is unchanged for receipt continuity.
     val fullLine =
-      s"""{"metric":"total","unit":"sec","detail":"$detailPath","canary_median":${sec3(canaryMedian)},"canary2_median":${sec3(canary2Median)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"reran":${reran.size},"queries":${jmap(results, sec3)},"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}"""
+      s"""{"metric":"total","unit":"sec","detail":"$detailPath","canary_median":${sec3(canaryMedian)},"canary2_median":${sec3(canary2Median)},"gc_sec":$gcSec,"heap_gb":$heapGb,"spill_mb":$spillMb,"failed":${failed.size},"cpus":$cpus,"reran":${reran.size},"value_min":${sec3(totalMin)},"queries":${jmap(results, sec3)},"sf":"$sfDir","norm_value":${sec3(norm(total))},"value":${sec3(total)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_total.json"), fullLine)
     spark.stop()
